@@ -1,0 +1,214 @@
+"""MatrixMarket coordinate-format I/O.
+
+Re-design of the reference's nom-based parser + serializer
+(``spam_dok/src/lib.rs:282-490``) as a plain line-oriented Python parser.
+
+Behavior mirrored from the reference:
+
+* header ``%%MatrixMarket matrix coordinate <integer|real|complex|pattern>
+  <general|symmetric|skew-symmetric|hermitian>``; ``pattern`` entries and
+  ``skew-symmetric``/``hermitian`` shapes are recognized but unimplemented
+  (reference ``todo!()`` at ``spam_dok/src/lib.rs:373,446``) — we raise
+  ``NotImplementedError``.
+* ``%``-prefixed comment lines after the header are skipped
+  (``spam_dok/src/lib.rs:376``).
+* size line ``rows cols nnz``; entries are 1-indexed and converted to
+  0-indexed (``spam_dok/src/lib.rs:337-340``).
+* exact-zero entries are dropped (``spam_dok/src/lib.rs:336``).
+* ``symmetric`` inserts both ``(r, c)`` and ``(c, r)``
+  (``spam_dok/src/lib.rs:342-352``).
+* a zero row or column count is rejected
+  (``FromMatrixMarketError::HasZeroDimension``, ``spam_dok/src/lib.rs:274-280``).
+* serializer emits ``real general``, 1-indexed, with an ``nnz`` header line
+  (``into_float_matrix_market``, ``spam_dok/src/lib.rs:480-490``).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass
+from typing import TextIO, Union
+
+import numpy as np
+
+from .dok import DokMatrix
+
+__all__ = [
+    "MatrixType",
+    "ParsedMatrix",
+    "MatrixMarketError",
+    "HasZeroDimensionError",
+    "parse_matrix_market",
+    "write_matrix_market",
+    "to_matrix_market_string",
+    "load_matrix_market",
+    "save_matrix_market",
+]
+
+
+class MatrixMarketError(ValueError):
+    """Malformed MatrixMarket input (reference ``FromMatrixMarketError::Nom``)."""
+
+
+class HasZeroDimensionError(MatrixMarketError):
+    """Row or column count is zero (``spam_dok/src/lib.rs:277-279``)."""
+
+
+class MatrixType(enum.Enum):
+    """Entry type of a parsed matrix (``spam_dok/src/lib.rs:268-272``)."""
+
+    INTEGER = "integer"
+    REAL = "real"
+    COMPLEX = "complex"
+
+
+@dataclass
+class ParsedMatrix:
+    """Result of :func:`parse_matrix_market`: the DOK matrix plus its entry type."""
+
+    type: MatrixType
+    matrix: DokMatrix
+
+    @property
+    def is_integer(self) -> bool:
+        return self.type is MatrixType.INTEGER
+
+    @property
+    def is_real(self) -> bool:
+        return self.type is MatrixType.REAL
+
+    @property
+    def is_complex(self) -> bool:
+        return self.type is MatrixType.COMPLEX
+
+
+_ENTRY_TYPES = ("integer", "real", "complex", "pattern")
+_SHAPES = ("general", "symmetric", "skew-symmetric", "hermitian")
+
+
+def parse_matrix_market(
+    text: str, *, int_dtype=np.int64, float_dtype=np.float64
+) -> ParsedMatrix:
+    """Parse MatrixMarket coordinate text into a :class:`DokMatrix`.
+
+    Reference: ``parse_matrix_market`` (``spam_dok/src/lib.rs:282-478``).
+    """
+    lines = text.splitlines()
+    if not lines:
+        raise MatrixMarketError("empty input")
+
+    header = lines[0].strip()
+    prefix = "%%MatrixMarket matrix coordinate"
+    if not header.startswith(prefix):
+        raise MatrixMarketError(f"bad header: {header!r}")
+    rest = header[len(prefix) :].split()
+    if len(rest) != 2:
+        raise MatrixMarketError(f"bad header qualifier: {header!r}")
+    entry_type, shape = rest[0].lower(), rest[1].lower()
+    if entry_type not in _ENTRY_TYPES:
+        raise MatrixMarketError(f"unknown entry type {entry_type!r}")
+    if shape not in _SHAPES:
+        raise MatrixMarketError(f"unknown shape {shape!r}")
+    if entry_type == "pattern":
+        # recognized in the header but unimplemented in the reference
+        # (spam_dok/src/lib.rs:358,446)
+        raise NotImplementedError("pattern matrices are not supported")
+    if shape in ("skew-symmetric", "hermitian"):
+        # reference todo!() at spam_dok/src/lib.rs:373
+        raise NotImplementedError(f"{shape} matrices are not supported")
+    symmetric = shape == "symmetric"
+
+    # skip comment lines (spam_dok/src/lib.rs:376)
+    i = 1
+    while i < len(lines) and (lines[i].lstrip().startswith("%") or not lines[i].strip()):
+        i += 1
+    if i >= len(lines):
+        raise MatrixMarketError("missing size line")
+
+    size_fields = lines[i].split()
+    if len(size_fields) != 3:
+        raise MatrixMarketError(f"bad size line: {lines[i]!r}")
+    try:
+        rows, cols, nnz = (int(f) for f in size_fields)
+    except ValueError as e:
+        raise MatrixMarketError(f"bad size line: {lines[i]!r}") from e
+    if rows == 0 or cols == 0:
+        raise HasZeroDimensionError("number of rows or columns is 0")
+    i += 1
+
+    if entry_type == "integer":
+        scalar = np.dtype(int_dtype).type
+        dtype = np.dtype(int_dtype)
+        nfields = 3
+        mtype = MatrixType.INTEGER
+    elif entry_type == "real":
+        scalar = np.dtype(float_dtype).type
+        dtype = np.dtype(float_dtype)
+        nfields = 3
+        mtype = MatrixType.REAL
+    else:  # complex: "r c re im"
+        f = np.dtype(float_dtype).type
+        scalar = None
+        dtype = np.dtype(np.result_type(float_dtype, np.complex64))
+        nfields = 4
+        mtype = MatrixType.COMPLEX
+
+    m = DokMatrix(rows, cols, dtype=dtype)
+    count = 0
+    for line in lines[i:]:
+        fields = line.split()
+        if not fields:
+            continue
+        if len(fields) != nfields:
+            raise MatrixMarketError(f"bad entry line: {line!r}")
+        try:
+            r = int(fields[0])
+            c = int(fields[1])
+            if entry_type == "complex":
+                t = dtype.type(complex(float(fields[2]), float(fields[3])))
+            else:
+                t = scalar(fields[2])
+        except (ValueError, OverflowError) as e:
+            raise MatrixMarketError(f"bad entry line: {line!r}") from e
+        if not (1 <= r <= rows and 1 <= c <= cols):
+            raise MatrixMarketError(f"entry out of bounds: {line!r}")
+        count += 1
+        if t == 0:  # zeros dropped (spam_dok/src/lib.rs:336)
+            continue
+        m.entries[(r - 1, c - 1)] = t  # 1-indexed -> 0-indexed
+        if symmetric and r != c:
+            m.entries[(c - 1, r - 1)] = t
+    if count != nnz:
+        raise MatrixMarketError(f"expected {nnz} entries, found {count}")
+    return ParsedMatrix(mtype, m)
+
+
+def to_matrix_market_string(m: DokMatrix) -> str:
+    """Serialize as ``real general`` coordinate text, 1-indexed.
+
+    Reference: ``into_float_matrix_market`` (``spam_dok/src/lib.rs:480-490``).
+    """
+    out = [f"%%MatrixMarket matrix coordinate real general"]
+    out.append(f"{m.rows} {m.cols} {m.nnz()}")
+    for (i, j), t in m.iter_entries():
+        out.append(f"{i + 1} {j + 1} {_fmt_float(t)}")
+    return "\n".join(out) + "\n"
+
+
+def _fmt_float(t) -> str:
+    # repr of a python float round-trips exactly through float()
+    return repr(float(t))
+
+
+def write_matrix_market(m: DokMatrix, f: TextIO) -> None:
+    f.write(to_matrix_market_string(m))
+
+
+def load_matrix_market(path: Union[str, "os.PathLike"], **kw) -> ParsedMatrix:
+    with open(path, "r") as f:
+        return parse_matrix_market(f.read(), **kw)
+
+
+def save_matrix_market(m: DokMatrix, path: Union[str, "os.PathLike"]) -> None:
+    with open(path, "w") as f:
+        write_matrix_market(m, f)
