@@ -1,0 +1,3 @@
+"""Matrix formats: host CSR plus device-resident pytree/tiled formats."""
+
+from .csr import CsrMatrix, INDEX_DTYPE, OFFSET_DTYPE, SENTINEL  # noqa: F401

@@ -1,0 +1,376 @@
+"""Host CSR format.
+
+Re-design of the reference ``CsrMatrix<T, const IS_SORTED: bool>``
+(``spam_csr/src/lib.rs:26-32``) as a numpy-array-backed Python class with a
+runtime ``is_sorted`` flag instead of a const generic. This is the *host*
+representation: construction, conversion and element access live here; the
+device kernels (``sparse_matrix_tpu.ops``) consume its arrays as jnp pytrees.
+
+The seven structural invariants (``spam_csr/src/lib.rs:47-81``):
+
+1. ``len(indices) == len(vals)``
+2. ``len(offsets) == rows + 1``
+3. ``offsets`` is non-decreasing
+4. ``offsets[rows] == nnz``
+5. all column indices are in ``[0, cols)``
+6. per-row indices strictly increasing if sorted, else all-distinct
+7. ``offsets[0] == 0``
+
+Unlike DOK, CSR stores explicit zeros (e.g. from additive cancellation, as the
+reference's ``apply_elementwise`` does, ``spam_csr/src/lib.rs:83-148``).
+
+Index dtype is uint32 with ``0xFFFF_FFFF`` reserved as the empty/pad sentinel,
+carrying the reference's contract that column indices be < 2^32-1
+(``spam_csr/src/mul_hash.rs:12``); it doubles as the padding sentinel of the
+tiled device formats.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from ..core.dok import DokMatrix
+from ..core.matrix import Matrix, check_dims
+
+__all__ = ["CsrMatrix", "INDEX_DTYPE", "OFFSET_DTYPE", "SENTINEL"]
+
+INDEX_DTYPE = np.uint32
+OFFSET_DTYPE = np.int64
+SENTINEL = np.uint32(0xFFFFFFFF)  # empty/pad marker (mul_hash.rs:12 contract)
+
+
+class CsrMatrix(Matrix):
+    """Compressed sparse row matrix with optional within-row column sorting."""
+
+    __slots__ = ("_rows", "_cols", "vals", "indices", "offsets", "is_sorted")
+
+    def __init__(
+        self,
+        rows: int,
+        cols: int,
+        vals: np.ndarray,
+        indices: np.ndarray,
+        offsets: np.ndarray,
+        *,
+        is_sorted: bool,
+        validate: bool = False,
+    ):
+        self._rows, self._cols = check_dims(rows, cols)
+        self.vals = np.asarray(vals)
+        self.indices = np.asarray(indices, dtype=INDEX_DTYPE)
+        self.offsets = np.asarray(offsets, dtype=OFFSET_DTYPE)
+        self.is_sorted = bool(is_sorted)
+        if validate and not self.invariants():
+            raise ValueError("CSR invariants violated")
+
+    # -- construction --------------------------------------------------------
+    @classmethod
+    def new(cls, rows: int, cols: int, *, dtype=np.float64, is_sorted: bool = True) -> "CsrMatrix":
+        # the reference pre-allocates min(1000, r*c/5) capacity
+        # (spam_csr/src/lib.rs:162-171) — a growth heuristic numpy doesn't need.
+        rows, cols = check_dims(rows, cols)
+        return cls(
+            rows,
+            cols,
+            np.zeros(0, dtype=dtype),
+            np.zeros(0, dtype=INDEX_DTYPE),
+            np.zeros(rows + 1, dtype=OFFSET_DTYPE),
+            is_sorted=is_sorted,
+        )
+
+    @classmethod
+    def identity(cls, n: int, *, dtype=np.float64, is_sorted: bool = True) -> "CsrMatrix":
+        # spam_csr/src/lib.rs:177-185
+        return cls(
+            n,
+            n,
+            np.ones(n, dtype=dtype),
+            np.arange(n, dtype=INDEX_DTYPE),
+            np.arange(n + 1, dtype=OFFSET_DTYPE),
+            is_sorted=is_sorted,
+        )
+
+    @classmethod
+    def from_dok(cls, dok: DokMatrix, *, dtype=None) -> "CsrMatrix":
+        """Sorted CSR from DOK via one pass over lexicographic entries
+        (``spam_csr/src/lib.rs:315-334``)."""
+        dtype = dtype if dtype is not None else (dok.dtype or np.float64)
+        n = dok.nnz()
+        rr = np.empty(n, dtype=np.int64)
+        cc = np.empty(n, dtype=np.int64)
+        vv = np.empty(n, dtype=dtype)
+        for k, ((i, j), t) in enumerate(dok.iter_entries()):
+            rr[k], cc[k], vv[k] = i, j, t
+        offsets = np.zeros(dok.rows + 1, dtype=OFFSET_DTYPE)
+        np.add.at(offsets, rr + 1, 1)
+        np.cumsum(offsets, out=offsets)
+        return cls(dok.rows, dok.cols, vv, cc.astype(INDEX_DTYPE), offsets, is_sorted=True)
+
+    @classmethod
+    def from_dok_shuffled(cls, dok: DokMatrix, rng: np.random.Generator, *, dtype=None) -> "CsrMatrix":
+        """Unsorted CSR from DOK: shuffle entries, then stable-sort by row only,
+        so within-row column order is randomized — the adversarial-order
+        generator used throughout the reference tests
+        (``from_dok``, ``spam_csr/src/lib.rs:336-358``)."""
+        m = cls.from_dok(dok, dtype=dtype)
+        perm_vals = m.vals.copy()
+        perm_idx = m.indices.copy()
+        for r in range(m.rows):
+            lo, hi = int(m.offsets[r]), int(m.offsets[r + 1])
+            if hi - lo > 1:
+                p = rng.permutation(hi - lo)
+                perm_vals[lo:hi] = perm_vals[lo:hi][p]
+                perm_idx[lo:hi] = perm_idx[lo:hi][p]
+        return cls(m.rows, m.cols, perm_vals, perm_idx, m.offsets, is_sorted=False)
+
+    @classmethod
+    def from_coo(
+        cls, rows: int, cols: int, r: np.ndarray, c: np.ndarray, v: np.ndarray, *, sum_duplicates: bool = True
+    ) -> "CsrMatrix":
+        """Sorted CSR from COO triplets (vectorized lexsort path)."""
+        rows, cols = check_dims(rows, cols)
+        r = np.asarray(r, dtype=np.int64)
+        c = np.asarray(c, dtype=np.int64)
+        v = np.asarray(v)
+        order = np.lexsort((c, r))
+        r, c, v = r[order], c[order], v[order]
+        if sum_duplicates and len(r):
+            keys = r * cols + c
+            head = np.empty(len(keys), dtype=bool)
+            head[0] = True
+            np.not_equal(keys[1:], keys[:-1], out=head[1:])
+            seg = np.cumsum(head) - 1
+            v = _segsum_exact(seg, v)
+            r, c = r[head], c[head]
+        offsets = np.zeros(rows + 1, dtype=OFFSET_DTYPE)
+        np.add.at(offsets, r + 1, 1)
+        np.cumsum(offsets, out=offsets)
+        return cls(rows, cols, v, c.astype(INDEX_DTYPE), offsets, is_sorted=True)
+
+    def to_dok(self) -> DokMatrix:
+        """CSR -> DOK (zero entries dropped by DOK set semantics),
+        reference ``From<CsrMatrix> for DokMatrix`` (``spam_csr/src/lib.rs:375-384``)."""
+        m = DokMatrix(self._rows, self._cols, dtype=self.vals.dtype)
+        for pos, t in self.iter_entries():
+            m.set_element(pos, t)
+        return m
+
+    # -- shape / access ------------------------------------------------------
+    @property
+    def rows(self) -> int:
+        return self._rows
+
+    @property
+    def cols(self) -> int:
+        return self._cols
+
+    def nnz(self) -> int:
+        return int(self.indices.shape[0])
+
+    def row_slice(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        lo, hi = int(self.offsets[i]), int(self.offsets[i + 1])
+        return self.indices[lo:hi], self.vals[lo:hi]
+
+    def get_element(self, pos: Tuple[int, int]):
+        # binary search when sorted, linear scan otherwise
+        # (spam_csr/src/lib.rs:199-213)
+        self._check_bounds(pos)
+        i, j = pos
+        cidx, vals = self.row_slice(i)
+        if self.is_sorted:
+            k = np.searchsorted(cidx, j)
+            if k < len(cidx) and cidx[k] == j:
+                return vals[k]
+            return None
+        hits = np.nonzero(cidx == j)[0]
+        return vals[hits[0]] if len(hits) else None
+
+    def set_element(self, pos: Tuple[int, int], t):
+        # CSR stores explicit zeros; inserting shifts the tail and bumps
+        # offsets (spam_csr/src/lib.rs:215-254). Numpy arrays make this a
+        # rebuild-with-insert; same semantics, vectorized shift.
+        self._check_bounds(pos)
+        i, j = pos
+        lo, hi = int(self.offsets[i]), int(self.offsets[i + 1])
+        cidx = self.indices[lo:hi]
+        if self.is_sorted:
+            k = int(np.searchsorted(cidx, j))
+            found = k < len(cidx) and cidx[k] == j
+        else:
+            hits = np.nonzero(cidx == j)[0]
+            found = len(hits) > 0
+            k = int(hits[0]) if found else len(cidx)  # append at row end
+        if found:
+            old = self.vals[lo + k]
+            self.vals = self.vals.copy()
+            self.vals[lo + k] = t
+            return old
+        ins = lo + k
+        self.vals = np.insert(self.vals, ins, t)
+        self.indices = np.insert(self.indices, ins, INDEX_DTYPE(j))
+        self.offsets = self.offsets.copy()
+        self.offsets[i + 1 :] += 1
+        return None
+
+    # -- structure ------------------------------------------------------------
+    def transpose(self) -> "CsrMatrix":
+        """Transpose by stable (col, row) sort — O(nnz log nnz), replacing the
+        reference's dense O(r*c) sweep (``spam_csr/src/lib.rs:256-264``, noted
+        as a simplicity artifact in SURVEY.md). Output rows end up sorted, as
+        the reference's does."""
+        n = self.nnz()
+        row_ids = np.repeat(np.arange(self._rows, dtype=np.int64), np.diff(self.offsets))
+        order = np.lexsort((row_ids, self.indices.astype(np.int64)))
+        new_offsets = np.zeros(self._cols + 1, dtype=OFFSET_DTYPE)
+        np.add.at(new_offsets, self.indices.astype(np.int64) + 1, 1)
+        np.cumsum(new_offsets, out=new_offsets)
+        return CsrMatrix(
+            self._cols,
+            self._rows,
+            self.vals[order],
+            row_ids[order].astype(INDEX_DTYPE),
+            new_offsets,
+            is_sorted=self.is_sorted,
+        )
+
+    # -- invariants ------------------------------------------------------------
+    def invariant1(self) -> bool:
+        return self.indices.shape[0] == self.vals.shape[0]
+
+    def invariant2(self) -> bool:
+        return self.offsets.shape[0] == self._rows + 1
+
+    def invariant3(self) -> bool:
+        return bool(np.all(np.diff(self.offsets) >= 0))
+
+    def invariant4(self) -> bool:
+        return int(self.offsets[self._rows]) == self.indices.shape[0]
+
+    def invariant5(self) -> bool:
+        return bool(np.all(self.indices < self._cols)) if self.nnz() else True
+
+    def invariant6(self) -> bool:
+        if self.nnz() == 0:
+            return True
+        idx = self.indices.astype(np.int64)
+        d = np.diff(idx)
+        row_start_mask = np.zeros(len(idx), dtype=bool)
+        starts = self.offsets[:-1][np.diff(self.offsets) > 0]
+        row_start_mask[starts.astype(np.int64)] = True
+        if self.is_sorted:
+            # strictly increasing within each row
+            return bool(np.all((d > 0) | row_start_mask[1:]))
+        # all-distinct within each row
+        for r in range(self._rows):
+            lo, hi = int(self.offsets[r]), int(self.offsets[r + 1])
+            if hi - lo != len(np.unique(idx[lo:hi])):
+                return False
+        return True
+
+    def invariant7(self) -> bool:
+        return int(self.offsets[0]) == 0
+
+    def invariants(self) -> bool:
+        return (
+            self.invariant1()
+            and self.invariant2()
+            and self.invariant3()
+            and self.invariant4()
+            and self.invariant5()
+            and self.invariant6()
+            and self.invariant7()
+        )
+
+    # -- iteration -------------------------------------------------------------
+    def iter_entries(self) -> Iterator[Tuple[Tuple[int, int], object]]:
+        for r in range(self._rows):
+            lo, hi = int(self.offsets[r]), int(self.offsets[r + 1])
+            for k in range(lo, hi):
+                yield (r, int(self.indices[k])), self.vals[k]
+
+    def row_ids(self) -> np.ndarray:
+        """Per-entry row index (expansion of offsets)."""
+        return np.repeat(np.arange(self._rows, dtype=np.int64), np.diff(self.offsets))
+
+    # -- arithmetic -------------------------------------------------------------
+    def _apply_elementwise(self, rhs: "CsrMatrix", sign: int) -> "CsrMatrix":
+        """Union-merge add/sub keeping cancellation zeros explicit, as the
+        reference's ``apply_elementwise`` (``spam_csr/src/lib.rs:83-148``)."""
+        if self.shape != rhs.shape:
+            raise ValueError("matrices must have identical dimensions")
+        ra, ca, va = self.row_ids(), self.indices.astype(np.int64), self.vals
+        rb, cb, vb = rhs.row_ids(), rhs.indices.astype(np.int64), rhs.vals
+        vb = vb if sign > 0 else -vb
+        r = np.concatenate([ra, rb])
+        c = np.concatenate([ca, cb])
+        v = np.concatenate([va, vb])
+        order = np.lexsort((c, r))
+        r, c, v = r[order], c[order], v[order]
+        if len(r):
+            keys_new = np.empty(len(r), dtype=bool)
+            keys_new[0] = True
+            keys_new[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+            seg = np.cumsum(keys_new) - 1
+            v_out = _segsum_exact(seg, v)
+            r, c = r[keys_new], c[keys_new]
+        else:
+            v_out = v
+        offsets = np.zeros(self._rows + 1, dtype=OFFSET_DTYPE)
+        np.add.at(offsets, r + 1, 1)
+        np.cumsum(offsets, out=offsets)
+        return CsrMatrix(
+            self._rows,
+            self._cols,
+            v_out,
+            c.astype(INDEX_DTYPE),
+            offsets,
+            is_sorted=True,
+        )
+
+    def __add__(self, rhs: "CsrMatrix") -> "CsrMatrix":
+        return self._apply_elementwise(rhs, +1)
+
+    def __sub__(self, rhs: "CsrMatrix") -> "CsrMatrix":
+        return self._apply_elementwise(rhs, -1)
+
+    def __matmul__(self, rhs: "CsrMatrix") -> "CsrMatrix":
+        from ..ops.spgemm_host import spgemm_hash_host
+
+        return spgemm_hash_host(self, rhs, output_sorted=False)
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, CsrMatrix):
+            return NotImplemented
+        return (
+            self.shape == other.shape
+            and self.is_sorted == other.is_sorted
+            and np.array_equal(self.offsets, other.offsets)
+            and np.array_equal(self.indices, other.indices)
+            and np.array_equal(self.vals, other.vals, equal_nan=np.issubdtype(self.vals.dtype, np.floating))
+        )
+
+    def __hash__(self):  # pragma: no cover
+        return id(self)
+
+    def __repr__(self) -> str:
+        return (
+            f"CsrMatrix({self._rows}x{self._cols}, nnz={self.nnz()}, "
+            f"sorted={self.is_sorted}, dtype={self.vals.dtype})"
+        )
+
+    def to_dense(self) -> np.ndarray:
+        a = np.zeros((self._rows, self._cols), dtype=self.vals.dtype)
+        r = self.row_ids()
+        # duplicate-free by invariant 6, so direct assignment is safe
+        a[r, self.indices.astype(np.int64)] = self.vals
+        return a
+
+
+def _segsum_exact(seg: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Segment sum preserving dtype (wrapping ints wrap; floats sum in order)."""
+    nseg = int(seg[-1]) + 1 if len(seg) else 0
+    out = np.zeros(nseg, dtype=v.dtype)
+    np.add.at(out, seg, v)
+    return out

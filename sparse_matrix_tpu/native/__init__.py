@@ -1,0 +1,17 @@
+"""C++ native host runtime.
+
+The reference is entirely native (Rust); our host-side performance substrate is
+C++ (``src/spmx_native.cpp``): linprobe hash tables, the threaded two-phase
+Gustavson hash SpGEMM (the ``mul_hash`` analog with FLOP-balanced row
+partitioning), and a fast MatrixMarket scanner. Loaded via ctypes; everything
+degrades gracefully to the pure-Python/numpy paths when the shared library has
+not been built (build with ``python -m sparse_matrix_tpu.native.build``).
+"""
+
+from .loader import (  # noqa: F401
+    native_available,
+    native_spgemm_available,
+    spgemm_hash_native,
+    flops_per_row_native,
+    load_library,
+)

@@ -1,0 +1,136 @@
+"""ctypes loader for the C++ native runtime, with graceful degradation.
+
+On first use the shared library is built if missing (and the toolchain is
+present); any failure downgrades to the pure-Python/numpy host paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+__all__ = [
+    "load_library",
+    "native_available",
+    "native_spgemm_available",
+    "spgemm_hash_native",
+    "flops_per_row_native",
+]
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_I64P = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+_U32P = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+_F64P = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+_F32P = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("SPMX_NO_NATIVE", "0") not in ("", "0"):
+        return None
+    try:
+        from .build import build
+
+        lib = ctypes.CDLL(build())
+        if lib.spmx_abi_version() != 1:
+            return None
+        _declare(lib)
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def _declare(lib: ctypes.CDLL) -> None:
+    c_i64, c_int = ctypes.c_int64, ctypes.c_int
+    lib.spmx_abi_version.restype = c_int
+    lib.spmx_hardware_threads.restype = c_int
+    lib.spmx_flops_per_row.argtypes = [c_i64, _I64P, _U32P, _I64P, _I64P]
+    lib.spmx_partition_rows.argtypes = [c_i64, _I64P, c_i64, _I64P]
+    lib.spmx_spgemm_symbolic.argtypes = [
+        c_i64, _I64P, _U32P, _I64P, _U32P, _I64P, c_i64, c_int, _I64P,
+    ]
+    for name, vp in [
+        ("spmx_spgemm_numeric_f64", _F64P),
+        ("spmx_spgemm_numeric_f32", _F32P),
+        ("spmx_spgemm_numeric_i64", _I64P),
+    ]:
+        getattr(lib, name).argtypes = [
+            c_i64, _I64P, _U32P, vp, _I64P, _U32P, vp, _I64P, _I64P, _I64P,
+            c_i64, c_int, c_int, _U32P, vp,
+        ]
+
+
+def native_available() -> bool:
+    return load_library() is not None
+
+
+def native_spgemm_available() -> bool:
+    return native_available()
+
+
+_NUMERIC_BY_DTYPE = {
+    np.dtype(np.float64): "spmx_spgemm_numeric_f64",
+    np.dtype(np.float32): "spmx_spgemm_numeric_f32",
+    np.dtype(np.int64): "spmx_spgemm_numeric_i64",
+}
+
+
+def flops_per_row_native(lhs, rhs) -> np.ndarray:
+    lib = load_library()
+    out = np.zeros(lhs.rows, dtype=np.int64)
+    lib.spmx_flops_per_row(
+        lhs.rows,
+        np.ascontiguousarray(lhs.offsets, dtype=np.int64),
+        np.ascontiguousarray(lhs.indices, dtype=np.uint32),
+        np.ascontiguousarray(rhs.offsets, dtype=np.int64),
+        out,
+    )
+    return out
+
+
+def spgemm_hash_native(lhs, rhs, *, output_sorted: bool = False, num_threads: int = 0):
+    """Two-phase threaded hash SpGEMM via the C++ runtime (mul_hash analog)."""
+    from ..formats.csr import CsrMatrix, INDEX_DTYPE, OFFSET_DTYPE
+
+    lib = load_library()
+    rows = lhs.rows
+    lo = np.ascontiguousarray(lhs.offsets, dtype=np.int64)
+    li = np.ascontiguousarray(lhs.indices, dtype=np.uint32)
+    ro = np.ascontiguousarray(rhs.offsets, dtype=np.int64)
+    ri = np.ascontiguousarray(rhs.indices, dtype=np.uint32)
+    dtype = np.result_type(lhs.vals.dtype, rhs.vals.dtype)
+    lv = np.ascontiguousarray(lhs.vals, dtype=dtype)
+    rv = np.ascontiguousarray(rhs.vals, dtype=dtype)
+
+    # phase 1: FLOP upper bounds + balanced row chunks
+    row_nz = np.zeros(rows, dtype=np.int64)
+    lib.spmx_flops_per_row(rows, lo, li, ro, row_nz)
+    num_parts = max(1, min(rows, lib.spmx_hardware_threads() * 4))
+    rows_offset = np.zeros(num_parts + 1, dtype=np.int64)
+    lib.spmx_partition_rows(rows, row_nz, num_parts, rows_offset)
+
+    # phase 2: symbolic -> exact row nnz
+    lib.spmx_spgemm_symbolic(rows, lo, li, ro, ri, rows_offset, num_parts, num_threads, row_nz)
+
+    # phase 3: exact allocation + numeric
+    offsets = np.zeros(rows + 1, dtype=OFFSET_DTYPE)
+    np.cumsum(row_nz, out=offsets[1:])
+    nnz = int(offsets[-1])
+    out_indices = np.zeros(nnz, dtype=INDEX_DTYPE)
+    out_vals = np.zeros(nnz, dtype=dtype)
+    getattr(lib, _NUMERIC_BY_DTYPE[dtype])(
+        rows, lo, li, lv, ro, ri, rv, offsets, row_nz, rows_offset,
+        num_parts, num_threads, 1 if output_sorted else 0, out_indices, out_vals,
+    )
+    return CsrMatrix(
+        lhs.rows, rhs.cols, out_vals, out_indices, offsets, is_sorted=output_sorted
+    )

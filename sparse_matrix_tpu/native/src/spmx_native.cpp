@@ -1,0 +1,273 @@
+// spmx_native: C++ host runtime for sparse_matrix_tpu.
+//
+// Native re-implementation (fresh design, C ABI for ctypes) of the host-side
+// performance substrate that the Rust reference provides via the `linprobe`
+// crate and `spam_csr::mul_hash` (spam_csr/src/mul_hash.rs): linear-probe hash
+// tables with multiplicative hashing, FLOP-balanced row partitioning, and the
+// two-phase (symbolic/numeric) Gustavson hash SpGEMM, threaded with
+// std::thread over contiguous row chunks of ~equal intermediate-product count.
+//
+// Discipline shared with the whole framework:
+//   * column keys are uint32 with 0xFFFFFFFF as the empty sentinel
+//   * hash h(k) = k * 107 (mod 2^32), power-of-two tables, mask indexing
+//   * symbolic pass tightens per-row upper bounds to exact output nnz
+//   * numeric pass writes into exactly-sized disjoint output slices
+//
+// Build: python -m sparse_matrix_tpu.native.build
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <thread>
+#include <vector>
+
+typedef int64_t i64;
+typedef uint32_t u32;
+
+static const u32 kEmpty = 0xFFFFFFFFu;
+static const i64 kMinCap = 16;
+
+static inline u32 hash_u32(u32 k) { return k * 107u; }
+
+static inline i64 next_pow2(i64 n) {
+  i64 p = 1;
+  while (p < n) p <<= 1;
+  return p;
+}
+
+static inline i64 table_capacity(i64 n) {
+  // next_pow2(n) * 2, min 16 => load factor <= 1/2
+  i64 c = next_pow2(n < 1 ? 1 : n) * 2;
+  return c < kMinCap ? kMinCap : c;
+}
+
+// ---------------------------------------------------------------------------
+// FLOP counting + row partitioning (the rows_to_threads analog)
+// ---------------------------------------------------------------------------
+
+extern "C" void spmx_flops_per_row(i64 rows, const i64* lhs_offsets, const u32* lhs_indices,
+                        const i64* rhs_offsets, i64* out_flops) {
+  for (i64 i = 0; i < rows; ++i) {
+    i64 acc = 0;
+    for (i64 p = lhs_offsets[i]; p < lhs_offsets[i + 1]; ++p) {
+      u32 k = lhs_indices[p];
+      acc += rhs_offsets[k + 1] - rhs_offsets[k];
+    }
+    out_flops[i] = acc;
+  }
+}
+
+// rows_offset has num_parts+1 slots; chunks get ~equal FLOPs.
+extern "C" void spmx_partition_rows(i64 rows, const i64* flops, i64 num_parts, i64* rows_offset) {
+  std::vector<i64> ps(rows + 1);
+  ps[0] = 0;
+  for (i64 i = 0; i < rows; ++i) ps[i + 1] = ps[i] + flops[i];
+  i64 total = ps[rows];
+  i64 avg = num_parts > 0 ? (total + num_parts - 1) / num_parts : total;
+  rows_offset[0] = 0;
+  for (i64 t = 1; t < num_parts; ++t) {
+    // first index with ps > avg*t, minus 1
+    const i64* ub = std::upper_bound(ps.data(), ps.data() + rows + 1, avg * t);
+    rows_offset[t] = (ub - ps.data()) - 1;
+  }
+  rows_offset[num_parts] = rows;
+}
+
+// ---------------------------------------------------------------------------
+// Symbolic phase: exact per-row output nnz via a per-thread probe set
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct ProbeSet {
+  std::vector<u32> slots;
+  i64 window = 0;
+
+  void reserve_window(i64 n) {
+    i64 cap = table_capacity(n);
+    if ((i64)slots.size() < cap) slots.assign(cap, kEmpty);
+    else std::fill(slots.begin(), slots.begin() + cap, kEmpty);
+    window = cap;
+  }
+
+  // returns 1 if new
+  inline int insert(u32 key) {
+    i64 mask = window - 1;
+    i64 idx = hash_u32(key) & mask;
+    for (;;) {
+      u32 cur = slots[idx];
+      if (cur == kEmpty) {
+        slots[idx] = key;
+        return 1;
+      }
+      if (cur == key) return 0;
+      idx = (idx + 1) & mask;
+    }
+  }
+};
+
+template <typename V>
+struct ProbeMap {
+  std::vector<u32> keys;
+  std::vector<V> vals;
+  i64 window = 0;
+
+  void reserve_window(i64 n) {
+    i64 cap = table_capacity(n);
+    if ((i64)keys.size() < cap) {
+      keys.assign(cap, kEmpty);
+      vals.assign(cap, V());
+    } else {
+      std::fill(keys.begin(), keys.begin() + cap, kEmpty);
+    }
+    window = cap;
+  }
+
+  inline void upsert(u32 key, V v) {
+    i64 mask = window - 1;
+    i64 idx = hash_u32(key) & mask;
+    for (;;) {
+      u32 cur = keys[idx];
+      if (cur == kEmpty) {
+        keys[idx] = key;
+        vals[idx] = v;
+        return;
+      }
+      if (cur == key) {
+        vals[idx] += v;
+        return;
+      }
+      idx = (idx + 1) & mask;
+    }
+  }
+};
+
+void run_chunked(i64 num_parts, const i64* rows_offset, int num_threads,
+                 const std::function<void(i64, i64, i64)>& body) {
+  // body(chunk_id, row_lo, row_hi)
+  std::vector<std::thread> threads;
+  std::atomic<i64> next(0);
+  int tcount = num_threads > 0 ? num_threads : (int)std::thread::hardware_concurrency();
+  if (tcount < 1) tcount = 1;
+  auto worker = [&]() {
+    for (;;) {
+      i64 c = next.fetch_add(1);
+      if (c >= num_parts) break;
+      body(c, rows_offset[c], rows_offset[c + 1]);
+    }
+  };
+  for (int t = 1; t < tcount; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+// row_nz in: FLOP upper bounds; out: exact output nnz per row.
+extern "C" void spmx_spgemm_symbolic(i64 rows, const i64* lhs_offsets, const u32* lhs_indices,
+                          const i64* rhs_offsets, const u32* rhs_indices,
+                          const i64* rows_offset, i64 num_parts, int num_threads,
+                          i64* row_nz) {
+  run_chunked(num_parts, rows_offset, num_threads, [&](i64, i64 lo, i64 hi) {
+    ProbeSet hs;
+    for (i64 i = lo; i < hi; ++i) {
+      if (row_nz[i] == 0) continue;
+      hs.reserve_window(row_nz[i]);
+      i64 count = 0;
+      for (i64 p = lhs_offsets[i]; p < lhs_offsets[i + 1]; ++p) {
+        u32 k = lhs_indices[p];
+        for (i64 q = rhs_offsets[k]; q < rhs_offsets[k + 1]; ++q) {
+          count += hs.insert(rhs_indices[q]);
+        }
+      }
+      row_nz[i] = count;
+    }
+  });
+}
+
+// Numeric phase, templated over the value type.
+template <typename V>
+static void spgemm_numeric_impl(i64 rows, const i64* lhs_offsets, const u32* lhs_indices,
+                                const V* lhs_vals, const i64* rhs_offsets,
+                                const u32* rhs_indices, const V* rhs_vals,
+                                const i64* out_offsets, const i64* row_nz,
+                                const i64* rows_offset, i64 num_parts, int num_threads,
+                                int output_sorted, u32* out_indices, V* out_vals) {
+  run_chunked(num_parts, rows_offset, num_threads, [&](i64, i64 lo, i64 hi) {
+    ProbeMap<V> hm;
+    std::vector<std::pair<u32, V>> row_buf;
+    for (i64 i = lo; i < hi; ++i) {
+      if (row_nz[i] == 0) continue;
+      hm.reserve_window(row_nz[i]);
+      for (i64 p = lhs_offsets[i]; p < lhs_offsets[i + 1]; ++p) {
+        u32 k = lhs_indices[p];
+        V t = lhs_vals[p];
+        for (i64 q = rhs_offsets[k]; q < rhs_offsets[k + 1]; ++q) {
+          hm.upsert(rhs_indices[q], t * rhs_vals[q]);
+        }
+      }
+      i64 base = out_offsets[i];
+      if (output_sorted) {
+        row_buf.clear();
+        for (i64 s = 0; s < hm.window; ++s) {
+          if (hm.keys[s] != kEmpty) row_buf.emplace_back(hm.keys[s], hm.vals[s]);
+        }
+        std::sort(row_buf.begin(), row_buf.end(),
+                  [](const auto& a, const auto& b) { return a.first < b.first; });
+        for (i64 s = 0; s < (i64)row_buf.size(); ++s) {
+          out_indices[base + s] = row_buf[s].first;
+          out_vals[base + s] = row_buf[s].second;
+        }
+      } else {
+        i64 w = 0;
+        for (i64 s = 0; s < hm.window; ++s) {
+          if (hm.keys[s] != kEmpty) {
+            out_indices[base + w] = hm.keys[s];
+            out_vals[base + w] = hm.vals[s];
+            ++w;
+          }
+        }
+      }
+    }
+  });
+}
+
+extern "C" void spmx_spgemm_numeric_f64(i64 rows, const i64* lhs_offsets, const u32* lhs_indices,
+                             const double* lhs_vals, const i64* rhs_offsets,
+                             const u32* rhs_indices, const double* rhs_vals,
+                             const i64* out_offsets, const i64* row_nz,
+                             const i64* rows_offset, i64 num_parts, int num_threads,
+                             int output_sorted, u32* out_indices, double* out_vals) {
+  spgemm_numeric_impl<double>(rows, lhs_offsets, lhs_indices, lhs_vals, rhs_offsets,
+                              rhs_indices, rhs_vals, out_offsets, row_nz, rows_offset,
+                              num_parts, num_threads, output_sorted, out_indices, out_vals);
+}
+
+extern "C" void spmx_spgemm_numeric_f32(i64 rows, const i64* lhs_offsets, const u32* lhs_indices,
+                             const float* lhs_vals, const i64* rhs_offsets,
+                             const u32* rhs_indices, const float* rhs_vals,
+                             const i64* out_offsets, const i64* row_nz,
+                             const i64* rows_offset, i64 num_parts, int num_threads,
+                             int output_sorted, u32* out_indices, float* out_vals) {
+  spgemm_numeric_impl<float>(rows, lhs_offsets, lhs_indices, lhs_vals, rhs_offsets,
+                             rhs_indices, rhs_vals, out_offsets, row_nz, rows_offset,
+                             num_parts, num_threads, output_sorted, out_indices, out_vals);
+}
+
+extern "C" void spmx_spgemm_numeric_i64(i64 rows, const i64* lhs_offsets, const u32* lhs_indices,
+                             const i64* lhs_vals, const i64* rhs_offsets,
+                             const u32* rhs_indices, const i64* rhs_vals,
+                             const i64* out_offsets, const i64* row_nz,
+                             const i64* rows_offset, i64 num_parts, int num_threads,
+                             int output_sorted, u32* out_indices, i64* out_vals) {
+  spgemm_numeric_impl<i64>(rows, lhs_offsets, lhs_indices, lhs_vals, rhs_offsets,
+                           rhs_indices, rhs_vals, out_offsets, row_nz, rows_offset,
+                           num_parts, num_threads, output_sorted, out_indices, out_vals);
+}
+
+extern "C" int spmx_hardware_threads() { return (int)std::thread::hardware_concurrency(); }
+
+// ABI version marker for the ctypes loader.
+extern "C" int spmx_abi_version() { return 1; }
