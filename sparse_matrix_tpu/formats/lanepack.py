@@ -1,0 +1,244 @@
+"""LanePack: the TPU-native planned SpMV format.
+
+A ground-up re-design of "CSR you can stream through a TPU". The reference
+streams CSR rows through per-core hash tables (``spam_csr/src/mul_hash.rs``) —
+a pointer-chasing pattern a TPU cannot run fast. Mosaic's fast data-movement
+primitives are: contiguous (8,128) VMEM tiles, *within-row* lane gathers
+(``take_along_axis(..., axis=1)``), dynamic row slices, and circular rolls.
+LanePack lays the matrix out so SpMV uses only those:
+
+* columns are split into ``KW*128``-wide **windows**; ``x`` lives in VMEM as
+  ``x2d = x.reshape(C128, 128)`` and a window is ``KW`` consecutive rows of
+  ``x2d`` (read with one dynamic row slice per chunk);
+* rows are split into 128-row **blocks**; ``y[row]``'s position within its
+  block is its destination *lane*;
+* every nonzero becomes a **slot** in an ``(8, 128)`` **slab**. A slab row
+  ("chunk") holds up to 128 products sharing one column window and one row
+  block, sorted by destination lane. ``lane`` (int16) is the product's x
+  position within its window;
+* the kernel computes products ``val * x_window[lane]`` (``KW`` lane gathers
+  + masked select), a lane-axis prefix sum (7 roll+add steps), then
+  per-destination-lane run sums via two more lane gathers at
+  host-precomputed run boundaries ``ends``/``starts`` (int8) — a segmented
+  reduction with no scatter;
+* each slab's (8,128) contributions are reduced and added into the resident
+  ``y`` block by a dynamic-index accumulate; the whole ``y`` stays in VMEM.
+
+``KW`` trades window fragmentation (more, emptier chunks at small ``KW``)
+against per-slot gather work (``KW`` masked gathers); the planner picks it by
+a calibrated cost model. The FLOP-balancing idea of the reference's
+``rows_to_threads`` (``mul_hash.rs:38-64``) appears here as slot packing:
+work per grid step is a fixed slot count regardless of row-length skew.
+
+HBM traffic per slot: 4B vals (f32) + 2B lane + 1B ends + 1B starts = 8B,
+matching ideal CSR (4B val + 4B col index).
+
+The planner is pure numpy and fully vectorized; plans are immutable and
+reusable across SpMV applications (e.g. every CG iteration).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .csr import CsrMatrix
+
+__all__ = ["LanePackPlan", "plan_lanepack"]
+
+SUBLANES = 8
+LANES = 128
+SLOTS = SUBLANES * LANES
+
+# cost model: time_per_slab ~ C_FIXED + C_KW * KW (calibrated on v5e)
+_C_FIXED = 8.0
+_C_KW = 1.0
+
+
+@dataclass(frozen=True)
+class LanePackPlan:
+    """Host-side plan; numpy arrays, moved to device by the kernel wrapper.
+
+    ``S`` slabs: ``vals`` (S,8,128) dtype; ``lane`` (S,8,128) int16 (position
+    in window); ``ends``/``starts`` (S,8,128) int8 run boundaries (starts may
+    be -1); ``row_blk`` (S,) int32; ``col_off`` (S*8,) int32 x2d row base per
+    chunk; ``rb_mask`` (r128,) nonzero where the row block has slabs.
+    """
+
+    rows: int
+    cols: int
+    kw: int
+    vals: np.ndarray
+    lane: np.ndarray
+    ends: np.ndarray
+    starts: np.ndarray
+    row_blk: np.ndarray
+    col_off: np.ndarray
+    rb_mask: np.ndarray
+    nnz: int
+    dtype: np.dtype
+
+    @property
+    def num_slabs(self) -> int:
+        return int(self.vals.shape[0])
+
+    @property
+    def r128(self) -> int:
+        return -(-self.rows // LANES)
+
+    @property
+    def c128(self) -> int:
+        return -(-self.cols // LANES)
+
+    @property
+    def fill(self) -> float:
+        total = self.vals.size
+        return self.nnz / total if total else 1.0
+
+    def slot_bytes(self) -> int:
+        """Total HBM bytes streamed per SpMV (slab arrays)."""
+        return int(
+            self.vals.nbytes + self.lane.nbytes + self.ends.nbytes + self.starts.nbytes
+        )
+
+
+def _count_slabs(m: CsrMatrix, kw: int) -> int:
+    """Slab count for a candidate window width (cheap, no packing)."""
+    r = m.row_ids()
+    c = m.indices.astype(np.int64)
+    rb = r // LANES
+    w = c // (kw * LANES)
+    keys = rb * (m.cols // (kw * LANES) + 2) + w
+    keys = np.sort(keys)
+    if len(keys) == 0:
+        return 0
+    head = np.r_[True, keys[1:] != keys[:-1]]
+    sizes = np.diff(np.append(np.nonzero(head)[0], len(keys)))
+    chunks_per_group = -(-sizes // LANES)
+    # chunks regroup per rb; rb of each group:
+    grb = (keys[head] // (m.cols // (kw * LANES) + 2)).astype(np.int64)
+    order = np.argsort(grb, kind="stable")
+    grb = grb[order]
+    cg = chunks_per_group[order]
+    rb_head = np.r_[True, grb[1:] != grb[:-1]]
+    rb_tot = np.add.reduceat(cg, np.nonzero(rb_head)[0])
+    return int(np.sum(-(-rb_tot // SUBLANES)))
+
+
+def plan_lanepack(
+    m: CsrMatrix,
+    *,
+    dtype=np.float32,
+    kw: Optional[int] = None,
+    kw_candidates: Sequence[int] = (1, 2, 4, 8, 16),
+) -> LanePackPlan:
+    """Plan SpMV for ``m``; O(nnz log nnz) host time, vectorized numpy."""
+    rows, cols = m.rows, m.cols
+    nnz = m.nnz()
+
+    if kw is None:
+        best, best_cost = 1, float("inf")
+        for cand in kw_candidates:
+            if cand * LANES > cols + LANES:
+                break
+            s = _count_slabs(m, cand)
+            cost = s * (_C_FIXED + _C_KW * cand)
+            if cost < best_cost:
+                best, best_cost = cand, cost
+        kw = best
+
+    r = m.row_ids()
+    c = m.indices.astype(np.int64)
+    v = m.vals.astype(dtype)
+
+    rb = r // LANES
+    dst = (r % LANES).astype(np.int64)
+    w = c // (kw * LANES)
+    lane = (c % (kw * LANES)).astype(np.int64)
+
+    order = np.lexsort((dst, w, rb))
+    rb, dst, w, lane, v = rb[order], dst[order], w[order], lane[order], v[order]
+
+    group_key = rb * (cols // (kw * LANES) + 2) + w
+    new_group = np.empty(nnz, dtype=bool)
+    if nnz:
+        new_group[0] = True
+        new_group[1:] = group_key[1:] != group_key[:-1]
+    group_start = np.maximum.accumulate(np.where(new_group, np.arange(nnz), 0))
+    k_in_group = np.arange(nnz) - group_start
+    pos = k_in_group % LANES
+
+    is_chunk_head = pos == 0
+    chunk_id = np.cumsum(is_chunk_head) - 1 if nnz else np.zeros(0, np.int64)
+    head_rb = rb[is_chunk_head] if nnz else np.zeros(0, np.int64)
+    num_chunks = len(head_rb)
+
+    rb_change = np.empty(num_chunks, dtype=bool)
+    if num_chunks:
+        rb_change[0] = True
+        rb_change[1:] = head_rb[1:] != head_rb[:-1]
+    rb_first_chunk = np.maximum.accumulate(
+        np.where(rb_change, np.arange(num_chunks), 0)
+    )
+    chunk_in_rb = np.arange(num_chunks) - rb_first_chunk
+    counts = (
+        np.diff(np.append(np.nonzero(rb_change)[0], num_chunks))
+        if num_chunks
+        else np.zeros(0, np.int64)
+    )
+    slab_counts = -(-counts // SUBLANES)
+    slab_base = np.zeros(len(slab_counts) + 1, dtype=np.int64)
+    np.cumsum(slab_counts, out=slab_base[1:])
+    num_slabs = int(slab_base[-1]) if num_chunks else 0
+
+    rb_index = np.cumsum(rb_change) - 1 if num_chunks else np.zeros(0, np.int64)
+    chunk_slab = slab_base[rb_index] + chunk_in_rb // SUBLANES
+    chunk_sublane = chunk_in_rb % SUBLANES
+
+    vals_s = np.zeros((num_slabs, SUBLANES, LANES), dtype=dtype)
+    lane_s = np.zeros((num_slabs, SUBLANES, LANES), dtype=np.int16)
+    ends_s = np.zeros((num_slabs, SUBLANES, LANES), dtype=np.int8)
+    starts_s = np.zeros((num_slabs, SUBLANES, LANES), dtype=np.int8)
+    row_blk = np.zeros(max(num_slabs, 1), dtype=np.int32)
+    col_off = np.zeros(max(num_slabs, 1) * SUBLANES, dtype=np.int32)
+
+    if nnz:
+        slab_of = chunk_slab[chunk_id]
+        sub_of = chunk_sublane[chunk_id]
+        vals_s[slab_of, sub_of, pos] = v
+        lane_s[slab_of, sub_of, pos] = lane.astype(np.int16)
+        row_blk[chunk_slab] = head_rb.astype(np.int32)
+        col_off[chunk_slab * SUBLANES + chunk_sublane] = (w[is_chunk_head] * kw).astype(
+            np.int32
+        )
+
+        run_head = np.empty(nnz, dtype=bool)
+        run_head[0] = True
+        run_head[1:] = (dst[1:] != dst[:-1]) | (chunk_id[1:] != chunk_id[:-1])
+        run_tail = np.r_[run_head[1:], True]
+        h = np.nonzero(run_head)[0]
+        t = np.nonzero(run_tail)[0]
+        starts_s[slab_of[h], sub_of[h], dst[h]] = (pos[h] - 1).astype(np.int8)
+        ends_s[slab_of[h], sub_of[h], dst[h]] = pos[t].astype(np.int8)
+
+    r128 = -(-rows // LANES)
+    rb_mask = np.zeros(r128, dtype=dtype)
+    if nnz:
+        rb_mask[np.unique(row_blk[:num_slabs])] = 1
+
+    return LanePackPlan(
+        rows=rows,
+        cols=cols,
+        kw=kw,
+        vals=vals_s,
+        lane=lane_s,
+        ends=ends_s,
+        starts=starts_s,
+        row_blk=row_blk,
+        col_off=col_off,
+        rb_mask=rb_mask,
+        nnz=nnz,
+        dtype=np.dtype(dtype),
+    )

@@ -1,0 +1,281 @@
+"""SpMV kernels.
+
+Three paths, fastest first:
+
+* :func:`spmv_lanepack` — the Pallas TPU kernel over a
+  :class:`~sparse_matrix_tpu.formats.lanepack.LanePackPlan` (see that module's
+  docstring for the format design). Per grid step it streams ``B`` slabs
+  (``B*8`` chunks = ``B*1024`` slots), assembles the per-chunk x windows with
+  dynamic row slices, lane-gathers x, multiplies, prefix-sums each chunk with
+  7 roll+add steps, segment-reduces at host-planned boundaries, and
+  accumulates per-slab (1,128) partials into the VMEM-resident y.
+  Measured HBM-bound on v5e (~0.9 of copy bandwidth on slab bytes).
+* :func:`spmv_ell_xla` — pure-XLA padded-ELL gather+reduce; any backend, any
+  sharding; the multi-chip building block and correctness baseline.
+* :func:`spmv_oracle` — numpy CSR row loop; the test oracle.
+
+New scope vs the reference (which has no SpMV), per the project north star.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.csr import CsrMatrix
+from ..formats.lanepack import LANES, SUBLANES, LanePackPlan, plan_lanepack
+
+__all__ = [
+    "spmv_lanepack",
+    "lanepack_device_arrays",
+    "spmv_ell_xla",
+    "ell_from_csr",
+    "spmv_oracle",
+]
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _lane_cumsum(p: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along the lane axis via 7 roll+add steps
+    (Mosaic has no cumsum lowering). Rows are independent."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        p = p + jnp.where(lanes >= s, pltpu.roll(p, s, axis=1), 0.0)
+    return p
+
+
+def _lane_cumsum_mxu(p: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive lane prefix sum as a matmul with an upper-triangular ones
+    matrix — offloads the scan to the MXU, freeing the VPU (measured ~1.8x
+    whole-kernel speedup over the roll+add scan on v5e).
+
+    Precision.HIGHEST is required: the TPU's default f32 matmul rounds
+    operands to bf16, which corrupts the prefix sums."""
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    tri = jnp.where(rowi <= coli, 1.0, 0.0).astype(p.dtype)
+    return jnp.dot(
+        p, tri, preferred_element_type=p.dtype, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def _make_lanepack_kernel(b: int, kw: int):
+    from jax.experimental import pallas as pl
+
+    def kernel(row_blk_ref, col_off_ref, x_ref, vals_ref, lane_ref, ends_ref, starts_ref, y_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            y_ref[...] = jnp.zeros_like(y_ref)
+
+        base = i * b * SUBLANES
+        # per-chunk x windows: (B*8, KW, 128), one dynamic row slice per chunk
+        xw = jnp.concatenate(
+            [x_ref[pl.ds(col_off_ref[base + j], kw), :] for j in range(b * SUBLANES)],
+            axis=0,
+        ).reshape(b * SUBLANES, kw, LANES)
+
+        lane = lane_ref[...].reshape(b * SUBLANES, LANES).astype(jnp.int32)
+        v = vals_ref[...].reshape(b * SUBLANES, LANES)
+        if kw == 1:
+            xg = jnp.take_along_axis(xw[:, 0, :], lane, axis=1)
+        else:
+            sub = jax.lax.shift_right_logical(lane, 7)
+            l = jax.lax.bitwise_and(lane, 127)
+            xg = jnp.zeros_like(v)
+            for k in range(kw):
+                g = jnp.take_along_axis(xw[:, k, :], l, axis=1)
+                xg = xg + jnp.where(sub == k, g, 0.0)
+        p = v * xg
+
+        c = _lane_cumsum_mxu(p)
+        ends = ends_ref[...].reshape(b * SUBLANES, LANES).astype(jnp.int32)
+        starts = starts_ref[...].reshape(b * SUBLANES, LANES).astype(jnp.int32)
+        g_end = jnp.take_along_axis(c, ends, axis=1)
+        g_start = jnp.where(
+            starts < 0, 0.0, jnp.take_along_axis(c, jnp.maximum(starts, 0), axis=1)
+        )
+        contrib = g_end - g_start  # (B*8, 128)
+
+        for bb in range(b):
+            rbl = row_blk_ref[i * b + bb]
+            part = jnp.sum(
+                contrib[bb * SUBLANES : (bb + 1) * SUBLANES], axis=0, keepdims=True
+            )
+            y_ref[pl.ds(rbl, 1), :] += part
+
+    return kernel
+
+
+def _pick_b(num_slabs: int) -> int:
+    # larger B amortizes per-step overhead but grows compile time; 32 only
+    # pays off once there are many steps
+    for cand in (32, 16, 8, 4, 2):
+        if num_slabs >= cand * 8:
+            return cand
+    return 1
+
+
+def lanepack_device_arrays(plan: LanePackPlan, *, b: Optional[int] = None):
+    """Move a plan's arrays to device once, padded to a whole number of
+    B-slab steps; reusable across calls (CG passes this once per solve)."""
+    b = b if b is not None else _pick_b(plan.num_slabs)
+    s = plan.num_slabs
+    sp = max(b, -(-s // b) * b)
+
+    def pad(a):
+        if a.shape[0] == sp:
+            return jnp.asarray(a)
+        out = np.zeros((sp,) + a.shape[1:], dtype=a.dtype)
+        out[: a.shape[0]] = a
+        return jnp.asarray(out)
+
+    row_blk = np.zeros(sp, np.int32)
+    row_blk[:s] = plan.row_blk[:s]
+    if s:  # padding slabs accumulate zeros into the last visited block
+        row_blk[s:] = plan.row_blk[s - 1]
+    col_off = np.zeros(sp * SUBLANES, np.int32)
+    col_off[: s * SUBLANES] = plan.col_off[: s * SUBLANES]
+    return dict(
+        b=b,
+        vals=pad(plan.vals),
+        lane=pad(plan.lane),
+        ends=pad(plan.ends),
+        starts=pad(plan.starts),
+        row_blk=jnp.asarray(row_blk),
+        col_off=jnp.asarray(col_off),
+        rb_mask=jnp.asarray(plan.rb_mask),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "kw", "b", "interpret"))
+def _spmv_lanepack_jit(arrs, x, *, rows: int, cols: int, kw: int, b: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r128 = -(-rows // LANES)
+    c128 = -(-cols // LANES)
+    num_slabs = arrs["vals"].shape[0]
+
+    # pad x; add KW guard rows so window slices never run off the end
+    xpad = jnp.zeros((c128 + kw) * LANES, x.dtype).at[: x.shape[0]].set(x)
+    x2d = xpad.reshape(c128 + kw, LANES)
+
+    if interpret:
+        # non-TPU backends: run the same LanePack math as vectorized XLA ops
+        # (Pallas interpret mode executes per grid step in Python — far too
+        # slow for the property-test suite). The Mosaic kernel itself is
+        # exercised on TPU.
+        return _lanepack_reference(arrs, x2d, rows=rows, kw=kw)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_slabs // b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((b, SUBLANES, LANES), lambda i, *refs: (i, 0, 0))] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    y2d = pl.pallas_call(
+        _make_lanepack_kernel(b, kw),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r128, LANES), x.dtype),
+        interpret=interpret,
+    )(
+        arrs["row_blk"],
+        arrs["col_off"],
+        x2d,
+        arrs["vals"],
+        arrs["lane"],
+        arrs["ends"],
+        arrs["starts"],
+    )
+    # blocks with no slabs were never visited -> mask to zero
+    y2d = jnp.where(arrs["rb_mask"][:, None] > 0, y2d, 0.0)
+    return y2d.reshape(-1)[:rows]
+
+
+def _lanepack_reference(arrs, x2d, *, rows: int, kw: int):
+    """Pure-XLA evaluation of a LanePack plan (semantics oracle for the
+    Pallas kernel; also the CPU execution path)."""
+    s8 = arrs["vals"].shape[0] * SUBLANES
+    vals = arrs["vals"].reshape(s8, LANES)
+    lane = arrs["lane"].reshape(s8, LANES).astype(jnp.int32)
+    ends = arrs["ends"].reshape(s8, LANES).astype(jnp.int32)
+    starts = arrs["starts"].reshape(s8, LANES).astype(jnp.int32)
+    co = arrs["col_off"].astype(jnp.int32)
+
+    win = x2d[co[:, None] + jnp.arange(kw)[None, :]].reshape(s8, kw * LANES)
+    xg = jnp.take_along_axis(win, lane, axis=1)
+    p = vals * xg
+    c = jnp.cumsum(p, axis=1)
+    g_end = jnp.take_along_axis(c, ends, axis=1)
+    g_start = jnp.where(
+        starts < 0, 0.0, jnp.take_along_axis(c, jnp.maximum(starts, 0), axis=1)
+    )
+    contrib = (g_end - g_start).reshape(-1, SUBLANES, LANES).sum(axis=1)  # (S,128)
+    r128 = arrs["rb_mask"].shape[0]
+    y2d = jnp.zeros((r128, LANES), vals.dtype).at[arrs["row_blk"]].add(contrib)
+    y2d = jnp.where(arrs["rb_mask"][:, None] > 0, y2d, 0.0)
+    return y2d.reshape(-1)[:rows]
+
+
+def spmv_lanepack(plan: LanePackPlan, x, *, device_arrays=None):
+    """y = A @ x via the LanePack Pallas kernel."""
+    arrs = device_arrays if device_arrays is not None else lanepack_device_arrays(plan)
+    x = jnp.asarray(x, dtype=plan.dtype)
+    return _spmv_lanepack_jit(
+        {k: v for k, v in arrs.items() if k != "b"},
+        x,
+        rows=plan.rows,
+        cols=plan.cols,
+        kw=plan.kw,
+        b=arrs["b"],
+        interpret=_interpret(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# XLA ELL fallback
+# ---------------------------------------------------------------------------
+
+
+def ell_from_csr(m: CsrMatrix, *, dtype=np.float32) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad rows to the max row length: (rows, W) vals + col indices.
+    Pad slots point at column 0 with value 0."""
+    row_nnz = np.diff(m.offsets)
+    w = max(1, int(row_nnz.max())) if m.nnz() else 1
+    ell_vals = np.zeros((m.rows, w), dtype=dtype)
+    ell_cols = np.zeros((m.rows, w), dtype=np.int32)
+    r = m.row_ids()
+    k = np.arange(m.nnz()) - m.offsets[:-1].astype(np.int64)[r]
+    ell_vals[r, k] = m.vals.astype(dtype)
+    ell_cols[r, k] = m.indices.astype(np.int32)
+    return ell_vals, ell_cols
+
+
+@jax.jit
+def spmv_ell_xla(ell_vals, ell_cols, x):
+    """y = A @ x from the padded-ELL view: gather + row reduce; no scatter."""
+    return jnp.sum(ell_vals * x[ell_cols], axis=1)
+
+
+def spmv_oracle(m: CsrMatrix, x: np.ndarray) -> np.ndarray:
+    """Host CSR row-loop oracle (float64 accumulation for float dtypes)."""
+    y = np.zeros(m.rows, dtype=np.result_type(m.vals.dtype, x.dtype))
+    for i in range(m.rows):
+        lo, hi = int(m.offsets[i]), int(m.offsets[i + 1])
+        acc = np.float64(0) if np.issubdtype(y.dtype, np.floating) else y.dtype.type(0)
+        for kk in range(lo, hi):
+            acc += m.vals[kk] * x[int(m.indices[kk])]
+        y[i] = acc
+    return y

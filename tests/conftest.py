@@ -1,24 +1,27 @@
 """Test configuration.
 
 Tests run on a virtual 8-device CPU platform so that multi-chip sharding code
-paths (``sparse_matrix_tpu.parallel``) are exercised without TPU hardware, per
-the project environment contract. Must run before the first ``import jax``.
+paths (``sparse_matrix_tpu.parallel``) are exercised without TPU hardware.
+Note: this environment's axon plugin force-selects ``jax_platforms=axon,cpu``
+at interpreter start, so the env var alone is not enough — we must override
+the config after importing jax.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 from hypothesis import settings, HealthCheck  # noqa: E402
 
-# Property tests compile nothing by default (host formats) but device-kernel
-# properties jit-compile; keep deadlines off.
 settings.register_profile(
     "default",
     deadline=None,

@@ -1,0 +1,58 @@
+"""CG solver tests (north-star workload: SpMV-driven end-to-end)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sparse_matrix_tpu.formats.lanepack import plan_lanepack
+from sparse_matrix_tpu.ops.spmv import ell_from_csr, spmv_ell_xla, spmv_lanepack
+from sparse_matrix_tpu.solvers import cg_solve, poisson_2d_csr
+
+
+def test_poisson_structure():
+    n = 6
+    A = poisson_2d_csr(n)
+    assert A.shape == (36, 36)
+    assert A.invariants()
+    d = A.to_dense()
+    assert np.allclose(d, d.T)
+    assert np.all(np.diag(d) == 4)
+    # interior point has 4 neighbors
+    mid = (n // 2) * n + n // 2
+    assert (d[mid] != 0).sum() == 5
+
+
+def test_cg_small_dense_spd():
+    rng = np.random.default_rng(0)
+    m = rng.standard_normal((20, 20))
+    a = (m @ m.T + 20 * np.eye(20)).astype(np.float32)
+    b = rng.standard_normal(20).astype(np.float32)
+    res = cg_solve(lambda v: jnp.asarray(a) @ v, b, tol=1e-6, maxiter=200)
+    x = np.asarray(res.x)
+    np.testing.assert_allclose(a @ x, b, atol=1e-3)
+
+
+@pytest.mark.parametrize("n", [16, 32])
+def test_cg_poisson_lanepack(n):
+    A = poisson_2d_csr(n, dtype=np.float32)
+    plan = plan_lanepack(A)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(n * n).astype(np.float32)
+    res = cg_solve(lambda v: spmv_lanepack(plan, v), b, tol=1e-5, maxiter=2000)
+    x = np.asarray(res.x)
+    # verify with float64 residual
+    r = A.to_dense().astype(np.float64) @ x.astype(np.float64) - b
+    assert np.linalg.norm(r) <= 1e-3 * np.linalg.norm(b)
+    assert int(res.iterations) < 2000
+
+
+def test_cg_poisson_ell():
+    n = 24
+    A = poisson_2d_csr(n, dtype=np.float32)
+    ev, ec = ell_from_csr(A)
+    evj, ecj = jnp.asarray(ev), jnp.asarray(ec)
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(n * n).astype(np.float32)
+    res = cg_solve(lambda v: spmv_ell_xla(evj, ecj, v), b, tol=1e-5, maxiter=2000)
+    r = A.to_dense().astype(np.float64) @ np.asarray(res.x, dtype=np.float64) - b
+    assert np.linalg.norm(r) <= 1e-3 * np.linalg.norm(b)

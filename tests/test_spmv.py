@@ -1,0 +1,113 @@
+"""SpMV kernel property tests: LanePack (Pallas, interpret mode on CPU) and
+the XLA ELL path, against the numpy CSR oracle."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparse_matrix_tpu.core import DokMatrix
+from sparse_matrix_tpu.formats import CsrMatrix
+from sparse_matrix_tpu.formats.lanepack import plan_lanepack
+from sparse_matrix_tpu.ops.spmv import (
+    ell_from_csr,
+    spmv_ell_xla,
+    spmv_lanepack,
+    spmv_oracle,
+)
+from sparse_matrix_tpu.verify.strategies import dok_matrices, finite_f64s
+
+
+def _rand_csr(rng, rows, cols, density):
+    a = (rng.random((rows, cols)) < density) * rng.standard_normal((rows, cols))
+    return CsrMatrix.from_dok(DokMatrix.from_dense(a.astype(np.float32))), a.astype(np.float32)
+
+
+@pytest.mark.parametrize(
+    "rows,cols,density",
+    [
+        (5, 7, 0.4),
+        (130, 260, 0.05),
+        (257, 129, 0.15),
+        (128, 128, 0.0),  # empty matrix
+        (1, 1, 1.0),
+        (300, 40, 0.1),
+    ],
+)
+def test_lanepack_matches_dense(rows, cols, density):
+    rng = np.random.default_rng(rows * 1000 + cols)
+    A, a = _rand_csr(rng, rows, cols, density)
+    x = rng.standard_normal(cols).astype(np.float32)
+    y = np.asarray(spmv_lanepack(plan_lanepack(A), x))
+    y_ref = a @ x
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kw", [1, 2, 4])
+def test_lanepack_kw_variants(kw):
+    rng = np.random.default_rng(kw)
+    A, a = _rand_csr(rng, 140, 1000, 0.02)
+    x = rng.standard_normal(1000).astype(np.float32)
+    plan = plan_lanepack(A, kw=kw)
+    assert plan.kw == kw
+    y = np.asarray(spmv_lanepack(plan, x))
+    np.testing.assert_allclose(y, a @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_lanepack_plan_postconditions():
+    # planner analog of the reference's rows_to_threads postcondition test
+    # (spam_csr/src/mul_hash.rs:204-224)
+    rng = np.random.default_rng(7)
+    A, _ = _rand_csr(rng, 300, 300, 0.03)
+    plan = plan_lanepack(A)
+    assert plan.vals.shape == plan.lane.shape == plan.ends.shape == plan.starts.shape
+    assert plan.lane.dtype == np.int16
+    assert plan.ends.dtype == np.int8 and plan.starts.dtype == np.int8
+    assert plan.nnz == A.nnz()
+    # every nonzero is represented exactly once
+    assert np.count_nonzero(plan.vals) <= plan.nnz
+    assert float(np.sum(plan.vals)) == pytest.approx(float(np.sum(A.vals)), rel=1e-4)
+    assert (plan.row_blk >= 0).all() and (plan.row_blk < plan.r128).all()
+    # starts in [-1, 127], ends in [0, 127]
+    assert plan.starts.min() >= -1 and plan.starts.max() < 128
+    assert plan.ends.min() >= 0 and plan.ends.max() < 128
+    # HBM bytes per slot: 4 + 2 + 1 + 1
+    assert plan.slot_bytes() == plan.vals.size * 8
+
+
+@settings(max_examples=15, deadline=None)
+@given(dok_matrices(finite_f64s(), dtype=np.float64, max_size=6))
+def test_lanepack_property_vs_oracle(m):
+    A = CsrMatrix.from_dok(m, dtype=np.float64)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.cols)
+    y_ref = spmv_oracle(A, x)
+    # overflow to inf is out of the f32 kernel contract
+    if not np.all(np.isfinite(y_ref.astype(np.float32))):
+        return
+    if not np.all(np.isfinite(A.vals.astype(np.float32))):
+        return
+    A32 = CsrMatrix(A.rows, A.cols, A.vals.astype(np.float32), A.indices, A.offsets, is_sorted=True)
+    y = np.asarray(spmv_lanepack(plan_lanepack(A32), x.astype(np.float32)))
+    scale = max(1.0, np.abs(y_ref).max())
+    np.testing.assert_allclose(y / scale, y_ref / scale, atol=1e-3)
+
+
+def test_ell_matches_oracle():
+    rng = np.random.default_rng(3)
+    A, a = _rand_csr(rng, 100, 80, 0.1)
+    x = rng.standard_normal(80).astype(np.float32)
+    ev, ec = ell_from_csr(A)
+    y = np.asarray(spmv_ell_xla(ev, ec, x))
+    np.testing.assert_allclose(y, a @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_empty_rows_are_zero():
+    # rows with no entries (and whole empty row blocks) must produce 0, not
+    # garbage from unvisited output blocks
+    A = CsrMatrix.new(400, 400, dtype=np.float32)
+    A.set_element((399, 0), np.float32(2.0))
+    x = np.ones(400, dtype=np.float32)
+    y = np.asarray(spmv_lanepack(plan_lanepack(A), x))
+    assert y[399] == 2.0
+    assert np.all(y[:399] == 0.0)
