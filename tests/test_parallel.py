@@ -1,0 +1,85 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparse_matrix_tpu.parallel import (
+    dist_cg_solve,
+    dist_cg_step,
+    dist_spmv,
+    dist_spmv_gspmd,
+    make_mesh,
+    prepare_dist_cg,
+    shard_ell,
+)
+from sparse_matrix_tpu.solvers import poisson_2d_csr
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_mesh(8)
+
+
+def test_mesh_has_8_devices(mesh):
+    assert mesh.devices.size == 8
+
+
+def test_dist_spmv_matches_dense(mesh):
+    n = 16
+    A = poisson_2d_csr(n, dtype=np.float32)
+    ev, ec, rows_pad = shard_ell(A, mesh)
+    rng = np.random.default_rng(0)
+    x = np.zeros(rows_pad, np.float32)
+    x[: n * n] = rng.standard_normal(n * n)
+    xj = jax.device_put(jnp.asarray(x), jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rows")))
+
+    y1 = np.asarray(dist_spmv(ev, ec, xj, mesh))[: n * n]
+    y2 = np.asarray(jax.jit(lambda e, c, v: dist_spmv_gspmd(e, c, v, mesh))(ev, ec, xj))[: n * n]
+    ref = A.to_dense() @ x[: n * n]
+    np.testing.assert_allclose(y1, ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(y2, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_dist_cg_step_matches_single(mesh):
+    n = 8
+    A = poisson_2d_csr(n, dtype=np.float32)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal(n * n).astype(np.float32)
+    ev, ec, bj, rows_pad = prepare_dist_cg(A, b, mesh)
+
+    vec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rows"))
+    x0 = jax.device_put(jnp.zeros(rows_pad, jnp.float32), vec)
+    r0 = bj
+    p0 = bj
+    rs0 = jnp.vdot(bj, bj).real
+
+    x1, p1, r1, rs1 = jax.jit(
+        lambda st: dist_cg_step(ev, ec, st, mesh), static_argnums=()
+    )((x0, p0, r0, rs0))
+
+    # single-device reference step
+    a = A.to_dense().astype(np.float64)
+    bp = b.astype(np.float64)
+    ap = a @ bp
+    alpha = (bp @ bp) / (bp @ ap)
+    x_ref = alpha * bp
+    r_ref = bp - alpha * ap
+    np.testing.assert_allclose(np.asarray(x1)[: n * n], x_ref, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(r1)[: n * n], r_ref, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(float(rs1), float(r_ref @ r_ref), rtol=1e-3)
+
+
+def test_dist_cg_solve_converges(mesh):
+    n = 16
+    A = poisson_2d_csr(n, dtype=np.float32)
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(n * n).astype(np.float32)
+    ev, ec, bj, rows_pad = prepare_dist_cg(A, b, mesh)
+    res = dist_cg_solve(ev, ec, bj, mesh, tol=1e-5, maxiter=1500)
+    x = np.asarray(res.x)[: n * n].astype(np.float64)
+    r = A.to_dense().astype(np.float64) @ x - b
+    assert np.linalg.norm(r) <= 1e-3 * np.linalg.norm(b)
