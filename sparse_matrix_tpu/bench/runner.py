@@ -1,0 +1,87 @@
+"""Criterion-equivalent measurement harness.
+
+Warmup + repeated timed runs + summary stats, with the TPU-tunnel-aware
+methodology this environment requires (see ``.claude/skills/verify``): chain
+iterations inside one jit so dispatch can't pipeline away, force completion
+with a scalar host readback, and subtract the measured round-trip latency.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+__all__ = ["BenchResult", "bench_host", "bench_device_loop", "tunnel_latency"]
+
+
+@dataclass
+class BenchResult:
+    name: str
+    seconds: float  # best per-iteration time
+    all_runs: list
+
+    @property
+    def millis(self) -> float:
+        return self.seconds * 1e3
+
+    def throughput(self, units: float) -> float:
+        return units / self.seconds
+
+    def __repr__(self):
+        return f"BenchResult({self.name}: {self.millis:.4f} ms)"
+
+
+def bench_host(name: str, f: Callable, *, warmup: int = 2, repeats: int = 5) -> BenchResult:
+    """Wall-clock a host-side callable (native SpGEMM, planners, parsers)."""
+    for _ in range(warmup):
+        f()
+    runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        f()
+        runs.append(time.perf_counter() - t0)
+    return BenchResult(name, min(runs), runs)
+
+
+def tunnel_latency() -> float:
+    """Measured host<->device round-trip (readback of a trivial op)."""
+    import jax
+    import jax.numpy as jnp
+
+    f0 = jax.jit(lambda s: s + 1.0)
+    _ = float(f0(jnp.float32(0)))
+    runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = float(f0(jnp.float32(0)))
+        runs.append(time.perf_counter() - t0)
+    return min(runs)
+
+
+def bench_device_loop(
+    name: str,
+    step: Callable,  # x -> x-like (chained dependency)
+    x0,
+    *,
+    iters: int = 200,
+    repeats: int = 3,
+) -> BenchResult:
+    """Time ``step`` by chaining ``iters`` applications inside one jit."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(x):
+        return jax.lax.fori_loop(0, iters, lambda i, v: step(v), x)
+
+    _ = float(jnp.sum(loop(x0)))  # compile + warmup
+    lat = tunnel_latency()
+    runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _ = float(jnp.sum(loop(x0)))
+        runs.append((time.perf_counter() - t0 - lat) / iters)
+    return BenchResult(name, min(runs), runs)

@@ -1,0 +1,220 @@
+"""Sort-based device sparse ops: transpose, add/sub, ESC SpGEMM.
+
+TPU reality check (measured on v5e, see SURVEY §7 "hard parts"): XLA scatter
+and random gather are catastrophically slow, but ``jax.lax.sort`` and scans
+are fast. So every structural op here is a composition of:
+
+  multi-key sort -> run detection -> prefix-sum run totals -> compaction sort
+
+with **no scatter anywhere** and no int64 keys (lexicographic two-key sorts).
+
+Dynamic-shape discipline: XLA needs static shapes, but sparse results have
+data-dependent nnz. Every op returns a *padded* result (capacity = worst
+case, computed on host) plus a traced ``nnz`` scalar; padding rows carry the
+sentinel row id ``rows`` so offsets derived by ``searchsorted`` ignore them.
+This is the TPU analog of the reference's exact-allocation-after-symbolic
+design (``mul_hash_numeric``, ``spam_csr/src/mul_hash.rs:106-201``): the
+symbolic phase runs on host (:func:`expand_plan`), the numeric phase on
+device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.csr import CsrMatrix, INDEX_DTYPE, OFFSET_DTYPE
+from ..formats.device import DeviceCsr
+
+__all__ = [
+    "PaddedCoo",
+    "transpose_device",
+    "add_device",
+    "sub_device",
+    "spgemm_esc_device",
+    "expand_plan",
+    "padded_to_host",
+]
+
+
+class PaddedCoo(NamedTuple):
+    """Row-sorted COO with static capacity and dynamic nnz.
+
+    Entries beyond ``nnz`` have ``row == rows`` (sentinel) and zero values.
+    """
+
+    row: jnp.ndarray  # (cap,) int32, sorted; sentinel = rows
+    col: jnp.ndarray  # (cap,) int32
+    val: jnp.ndarray  # (cap,)
+    nnz: jnp.ndarray  # () int32
+    rows: int
+    cols: int
+
+
+def _offsets_from_sorted_rows(row: jnp.ndarray, rows: int) -> jnp.ndarray:
+    return jnp.searchsorted(row, jnp.arange(rows + 1, dtype=row.dtype)).astype(jnp.int32)
+
+
+def padded_to_host(p: PaddedCoo) -> CsrMatrix:
+    """Trim a device result to an exact host CSR (sorted)."""
+    n = int(p.nnz)
+    row = np.asarray(p.row)[:n].astype(np.int64)
+    col = np.asarray(p.col)[:n].astype(np.int64)
+    val = np.asarray(p.val)[:n]
+    offsets = np.zeros(p.rows + 1, dtype=OFFSET_DTYPE)
+    np.add.at(offsets, row + 1, 1)
+    np.cumsum(offsets, out=offsets)
+    return CsrMatrix(p.rows, p.cols, val, col.astype(INDEX_DTYPE), offsets, is_sorted=True)
+
+
+# ---------------------------------------------------------------------------
+# transpose
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols"))
+def _transpose_impl(row, col, val, *, rows: int, cols: int):
+    # sort entries by (col, row): two-key lexicographic sort, no int64
+    c_s, r_s, v_s = jax.lax.sort((col, row, val), num_keys=2)
+    return c_s, r_s, v_s
+
+
+def transpose_device(a: DeviceCsr) -> DeviceCsr:
+    """Transpose by (col, row) sort — the device analog of the host
+    sort-based transpose (replacing the reference's dense O(r*c) sweep,
+    ``spam_csr/src/lib.rs:256-264``)."""
+    new_row, new_col, new_val = _transpose_impl(
+        a.row_ids, a.indices, a.vals, rows=a.rows, cols=a.cols
+    )
+    offsets = _offsets_from_sorted_rows(new_row, a.cols)
+    return DeviceCsr(
+        vals=new_val,
+        indices=new_col,
+        offsets=offsets,
+        row_ids=new_row,
+        rows=a.cols,
+        cols=a.rows,
+        is_sorted=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# union merge (add/sub)
+# ---------------------------------------------------------------------------
+
+
+def _run_reduce(row, col, val, rows: int):
+    """Combine duplicate (row, col) keys in sorted COO: prefix-sum run
+    totals assigned at run ends, then compaction sort. Returns PaddedCoo
+    components."""
+    n = val.shape[0]
+    if n == 0:
+        return row, col, val, jnp.int32(0)
+    same_prev = jnp.concatenate(
+        [jnp.zeros(1, bool), (row[1:] == row[:-1]) & (col[1:] == col[:-1])]
+    )
+    is_end = jnp.concatenate([~same_prev[1:], jnp.ones(1, bool)])
+
+    # segmented inclusive scan: per-run sums restart at run heads, so runs
+    # never contaminate each other (a global cumsum + difference loses
+    # precision to cross-run cancellation)
+    def _combine(a, b):
+        va, ha = a
+        vb, hb = b
+        return jnp.where(hb, vb, va + vb), ha | hb
+
+    run_total, _ = jax.lax.associative_scan(_combine, (val, ~same_prev))
+
+    # keep only run ends; push the rest to the tail, preserving key order
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sort_key = jnp.where(is_end, 0, 1).astype(jnp.int32)
+    _k, _i, row_o, col_o, val_o = jax.lax.sort(
+        (sort_key, idx, row, col, run_total), num_keys=2
+    )
+    nnz = jnp.sum(is_end.astype(jnp.int32))
+    # sentinel rows for the tail
+    valid = jnp.arange(n, dtype=jnp.int32) < nnz
+    row_o = jnp.where(valid, row_o, rows)
+    val_o = jnp.where(valid, val_o, 0)
+    return row_o, col_o, val_o, nnz
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "sign"))
+def _merge_impl(ra, ca, va, rb, cb, vb, *, rows: int, cols: int, sign: int):
+    row = jnp.concatenate([ra, rb])
+    col = jnp.concatenate([ca, cb])
+    val = jnp.concatenate([va, jnp.asarray(sign, va.dtype) * vb])
+    r_s, c_s, v_s = jax.lax.sort((row, col, val), num_keys=2)
+    return _run_reduce(r_s, c_s, v_s, rows)
+
+
+def _merge(a: DeviceCsr, b: DeviceCsr, sign: int) -> PaddedCoo:
+    if (a.rows, a.cols) != (b.rows, b.cols):
+        raise ValueError("matrices must have identical dimensions")
+    row, col, val, nnz = _merge_impl(
+        a.row_ids, a.indices, a.vals, b.row_ids, b.indices, b.vals,
+        rows=a.rows, cols=a.cols, sign=sign,
+    )
+    return PaddedCoo(row, col, val, nnz, a.rows, a.cols)
+
+
+def add_device(a: DeviceCsr, b: DeviceCsr) -> PaddedCoo:
+    """Union add keeping cancellation zeros explicit (reference
+    ``apply_elementwise`` semantics, ``spam_csr/src/lib.rs:83-148``)."""
+    return _merge(a, b, +1)
+
+
+def sub_device(a: DeviceCsr, b: DeviceCsr) -> PaddedCoo:
+    return _merge(a, b, -1)
+
+
+# ---------------------------------------------------------------------------
+# ESC SpGEMM
+# ---------------------------------------------------------------------------
+
+
+def expand_plan(lhs: CsrMatrix, rhs: CsrMatrix) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host symbolic phase: expansion index arrays for all intermediate
+    products (the FLOP-count upper bound of ``rows_to_threads``,
+    ``mul_hash.rs:38-64``, materialized as gather indices)."""
+    lhs_rows = lhs.row_ids()
+    k_idx = lhs.indices.astype(np.int64)
+    rhs_row_nnz = np.diff(rhs.offsets)
+    reps = rhs_row_nnz[k_idx]
+    total = int(reps.sum())
+    src = np.repeat(np.arange(lhs.nnz(), dtype=np.int64), reps)
+    run_starts = np.zeros(lhs.nnz() + 1, dtype=np.int64)
+    np.cumsum(reps, out=run_starts[1:])
+    within = np.arange(total, dtype=np.int64) - run_starts[src]
+    q = rhs.offsets[k_idx[src]].astype(np.int64) + within
+    out_r = lhs_rows[src]
+    return src.astype(np.int32), q.astype(np.int32), out_r.astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols"))
+def _esc_impl(lhs_vals, rhs_vals, rhs_indices, src, q, out_r, *, rows: int, cols: int):
+    out_c = rhs_indices[q]
+    out_v = lhs_vals[src] * rhs_vals[q]
+    r_s, c_s, v_s = jax.lax.sort((out_r, out_c, out_v), num_keys=2)
+    return _run_reduce(r_s, c_s, v_s, rows)
+
+
+def spgemm_esc_device(lhs: DeviceCsr, rhs: DeviceCsr, plan=None, host_pair=None) -> PaddedCoo:
+    """Device numeric phase of ESC SpGEMM: gather products, sort by key,
+    run-reduce. ``plan`` from :func:`expand_plan` (host symbolic phase);
+    ``host_pair`` = (lhs_host, rhs_host) to derive it if absent."""
+    if plan is None:
+        if host_pair is None:
+            raise ValueError("need plan or host_pair")
+        plan = expand_plan(*host_pair)
+    src, q, out_r = (jnp.asarray(p) for p in plan)
+    if lhs.cols != rhs.rows:
+        raise ValueError("LHS cols != RHS rows")
+    row, col, val, nnz = _esc_impl(
+        lhs.vals, rhs.vals, rhs.indices, src, q, out_r, rows=lhs.rows, cols=rhs.cols
+    )
+    return PaddedCoo(row, col, val, nnz, lhs.rows, rhs.cols)

@@ -1,0 +1,155 @@
+"""Deep differential fuzz loop — the libFuzzer ``mul_hash`` target analog
+(``fuzz/fuzz_targets/mul_hash.rs:11-50``).
+
+Each case:
+  1. draws a conformable f64 DOK pair (dims up to ``max_dim``, values
+     including NaN/inf when ``non_finite``);
+  2. converts both through the adversarial shuffled-unsorted CSR path
+     (``from_dok``, ``spam_csr/src/lib.rs:336-358``);
+  3. runs every SpGEMM implementation under test (native C++ hash, Python
+     linprobe hash, numpy ESC, device ESC);
+  4. asserts CSR invariants always;
+  5. when the problem is small enough to afford the naive oracle
+     (``l*m*n < 2**15``, as the reference), checks the Higham (3.13) forward
+     error bound rather than bitwise equality;
+  6. on failure, dumps both inputs as MatrixMarket files for reproduction
+     (``mul_hash.rs:41-45``).
+
+Run: ``python -m sparse_matrix_tpu.verify.fuzz --cases 1000``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Callable, List, Tuple
+
+import numpy as np
+
+from ..core.accuracy import IsNanError, is_good_approx_of_mul
+from ..core.dok import DokMatrix
+from ..core.matrix_market import save_matrix_market
+from ..formats.csr import CsrMatrix
+from ..ops.spgemm_host import spgemm_esc_host, spgemm_hash_host
+
+__all__ = ["fuzz_spgemm", "FuzzFailure"]
+
+ORACLE_LIMIT = 2**15  # l*m*n budget for the naive oracle, as the reference
+
+
+class FuzzFailure(AssertionError):
+    pass
+
+
+def _draw_dok(rng: np.random.Generator, rows: int, cols: int, non_finite: bool) -> DokMatrix:
+    m = DokMatrix(rows, cols, dtype=np.float64)
+    n_ops = int(rng.integers(0, 2 * rows * cols + 1))
+    for _ in range(n_ops):
+        i = int(rng.integers(0, rows))
+        j = int(rng.integers(0, cols))
+        if non_finite and rng.random() < 0.02:
+            t = rng.choice([np.nan, np.inf, -np.inf])
+        else:
+            t = rng.standard_normal() * 10.0 ** int(rng.integers(-3, 4))
+        m.set_element((i, j), np.float64(t))
+    return m
+
+
+U64 = float(np.finfo(np.float64).eps) / 2.0
+# the device path computes in f32 (jax x64 off); use the f32 epsilon (2x the
+# f32 unit roundoff) so the bound also absorbs the f64->f32 input rounding
+U32 = float(np.finfo(np.float32).eps)
+
+
+def _implementations(include_device: bool) -> List[Tuple[str, Callable, float]]:
+    impls: List[Tuple[str, Callable, float]] = [
+        ("hash_native", lambda a, b: spgemm_hash_host(a, b, output_sorted=False), U64),
+        ("hash_python", lambda a, b: spgemm_hash_host(a, b, output_sorted=True, force_python=True), U64),
+        ("esc_numpy", spgemm_esc_host, U64),
+    ]
+    if include_device:
+        from ..formats.device import DeviceCsr
+        from ..ops.device_sorted import expand_plan, padded_to_host, spgemm_esc_device
+
+        def esc_device(a, b):
+            da, db = DeviceCsr.from_host(a), DeviceCsr.from_host(b)
+            return padded_to_host(spgemm_esc_device(da, db, plan=expand_plan(a, b)))
+
+        impls.append(("esc_device", esc_device, U32))
+    return impls
+
+
+def fuzz_spgemm(
+    cases: int = 200,
+    *,
+    seed: int = 0,
+    max_dim: int = 24,
+    non_finite: bool = True,
+    include_device: bool = False,
+    dump_dir: str = "fuzz_failures",
+    verbose: bool = False,
+) -> int:
+    """Run the fuzz loop; returns the number of cases executed. Raises
+    :class:`FuzzFailure` (after dumping inputs) on any violation."""
+    rng = np.random.default_rng(seed)
+    impls = _implementations(include_device)
+    for case in range(cases):
+        l = int(rng.integers(1, max_dim + 1))
+        m = int(rng.integers(1, max_dim + 1))
+        n = int(rng.integers(1, max_dim + 1))
+        a = _draw_dok(rng, l, m, non_finite)
+        b = _draw_dok(rng, m, n, non_finite)
+        ca = CsrMatrix.from_dok_shuffled(a, rng)
+        cb = CsrMatrix.from_dok_shuffled(b, rng)
+        small = l * m * n < ORACLE_LIMIT
+        for name, impl, u in impls:
+            c = impl(ca, cb)
+            if not c.invariants():
+                _dump(dump_dir, case, name, a, b)
+                raise FuzzFailure(f"case {case}: {name} violated CSR invariants")
+            if small:
+                try:
+                    good = is_good_approx_of_mul(c.to_dok(), a, b, u=u)
+                except IsNanError:
+                    continue  # NaN norms: bound undefined, as the reference
+                if not good:
+                    _dump(dump_dir, case, name, a, b)
+                    raise FuzzFailure(
+                        f"case {case}: {name} failed the Higham bound "
+                        f"(inputs dumped to {dump_dir}/)"
+                    )
+        if verbose and case % 50 == 0:
+            print(f"  case {case}/{cases}", file=sys.stderr)
+    return cases
+
+
+def _dump(dump_dir: str, case: int, name: str, a: DokMatrix, b: DokMatrix) -> None:
+    os.makedirs(dump_dir, exist_ok=True)
+    save_matrix_market(a, os.path.join(dump_dir, f"case{case}_{name}_lhs.mtx"))
+    save_matrix_market(b, os.path.join(dump_dir, f"case{case}_{name}_rhs.mtx"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--cases", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-dim", type=int, default=24)
+    ap.add_argument("--finite-only", action="store_true")
+    ap.add_argument("--device", action="store_true", help="include the device ESC path")
+    args = ap.parse_args()
+    t0 = time.time()
+    n = fuzz_spgemm(
+        args.cases,
+        seed=args.seed,
+        max_dim=args.max_dim,
+        non_finite=not args.finite_only,
+        include_device=args.device,
+        verbose=True,
+    )
+    print(f"fuzz: {n} cases OK in {time.time()-t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
