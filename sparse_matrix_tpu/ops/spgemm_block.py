@@ -1,0 +1,229 @@
+"""Block-dense MXU SpGEMM.
+
+The TPU-native answer to "multiply two sparse matrices fast": at the
+densities real workloads have (>= ~0.1%), the MXU's ~50 TFLOP/s f32 makes
+structured dense work cheaper than any per-element sparse scheme the VPU
+could run. So:
+
+* **symbolic phase** (host): block-level SpGEMM structure — which (A-block,
+  B-block) pairs contribute to which C block (the FLOP-balanced planning
+  idea of ``rows_to_threads``, ``mul_hash.rs:38-64``, lifted to 128x128
+  block granularity);
+* **numeric phase** (Pallas): one grid step per pair, ``C[c] += A[a] @ B[b]``
+  on the MXU, with revisited-C-block accumulation (pairs sorted by C block);
+* C comes back as dense blocks; exact zeros are dropped on conversion to
+  CSR (cancellation zeros are NOT kept explicit, unlike the element-wise
+  union ops — documented divergence, invisible through the DOK oracle).
+
+Dispatch guidance (measured v5e): dense-block path wins whenever the block
+density isn't tiny; the C++ native host path (``spgemm_hash_host``) wins for
+hyper-sparse unstructured matrices. :func:`spgemm_auto` picks by estimated
+cost.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.bcsr import BsrMatrix, BLOCK_SIZE
+from ..formats.csr import CsrMatrix
+
+__all__ = ["block_pairs_plan", "spgemm_block_device", "spgemm_auto"]
+
+
+def block_pairs_plan(a: BsrMatrix, b: BsrMatrix) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host symbolic phase at block granularity.
+
+    Returns (pair_a, pair_b, pair_c, c_block_keys): for each contributing
+    pair p, C-block ``pair_c[p]`` accumulates ``A.blocks[pair_a[p]] @
+    B.blocks[pair_b[p]]``. Pairs are sorted by C block so the device kernel
+    can use revisited-block accumulation. ``c_block_keys`` are the distinct
+    C blocks as ``brow * bcols + bcol``.
+    """
+    a_brows = a.block_rows_expanded()  # (nnzb_a,)
+    a_bcols = a.block_cols.astype(np.int64)
+    b_row_nnzb = np.diff(b.block_offsets)
+    reps = b_row_nnzb[a_bcols]
+    total = int(reps.sum())
+    src = np.repeat(np.arange(a.nnzb, dtype=np.int64), reps)
+    starts = np.zeros(a.nnzb + 1, dtype=np.int64)
+    np.cumsum(reps, out=starts[1:])
+    within = np.arange(total, dtype=np.int64) - starts[src]
+    q = b.block_offsets[a_bcols[src]] + within  # B block index
+    c_brow = a_brows[src]
+    c_bcol = b.block_cols.astype(np.int64)[q]
+    c_key = c_brow * b.bcols + c_bcol
+    order = np.lexsort((q, c_key))
+    src, q, c_key = src[order], q[order], c_key[order]
+    uniq, inv = np.unique(c_key, return_inverse=True)
+    return (
+        src.astype(np.int32),
+        q.astype(np.int32),
+        inv.astype(np.int32),
+        uniq.astype(np.int64),
+    )
+
+
+def _make_block_kernel(precision):
+    from jax.experimental import pallas as pl
+
+    def kernel(pair_a_ref, pair_b_ref, pair_c_ref, a_ref, b_ref, c_ref):
+        i = pl.program_id(0)
+        first = jnp.logical_or(
+            i == 0, pair_c_ref[i] != pair_c_ref[jnp.maximum(i - 1, 0)]
+        )
+        prod = jnp.dot(
+            a_ref[0], b_ref[0], preferred_element_type=c_ref.dtype, precision=precision
+        )
+        prev = jnp.where(first, jnp.zeros_like(c_ref[0]), c_ref[0])
+        c_ref[0] = prev + prod
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_c", "bs", "interpret", "precision"))
+def _block_numeric(a_blocks, b_blocks, pair_a, pair_b, pair_c, *, num_c, bs, interpret, precision):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret:
+        # pure-XLA reference path (CPU): batched matmul + scatter-add
+        prods = jnp.einsum(
+            "pij,pjk->pik",
+            a_blocks[pair_a],
+            b_blocks[pair_b],
+            precision=precision,
+        )
+        return jnp.zeros((num_c, bs, bs), a_blocks.dtype).at[pair_c].add(prods)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(pair_a.shape[0],),
+        in_specs=[
+            pl.BlockSpec((1, bs, bs), lambda i, pa, pb, pc: (pa[i], 0, 0)),
+            pl.BlockSpec((1, bs, bs), lambda i, pa, pb, pc: (pb[i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bs, bs), lambda i, pa, pb, pc: (pc[i], 0, 0)),
+    )
+    return pl.pallas_call(
+        _make_block_kernel(precision),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_c, bs, bs), a_blocks.dtype),
+    )(pair_a, pair_b, pair_c, a_blocks, b_blocks)
+
+
+def spgemm_block_device(
+    lhs: CsrMatrix,
+    rhs: CsrMatrix,
+    *,
+    bs: int = BLOCK_SIZE,
+    dtype=np.float32,
+    precision=None,
+) -> CsrMatrix:
+    """C = A @ B via block-dense MXU matmuls. Host in/out; exact zeros
+    dropped in the result."""
+    if lhs.cols != rhs.rows:
+        raise ValueError("LHS cols != RHS rows")
+    precision = precision if precision is not None else jax.lax.Precision.HIGHEST
+    a = BsrMatrix.from_csr(lhs, bs, dtype=dtype)
+    b = BsrMatrix.from_csr(rhs, bs, dtype=dtype)
+    pair_a, pair_b, pair_c, c_keys = block_pairs_plan(a, b)
+    if len(pair_a) == 0:
+        return CsrMatrix.new(lhs.rows, rhs.cols, dtype=dtype)
+    interpret = jax.default_backend() != "tpu"
+    c_blocks = np.asarray(
+        _block_numeric(
+            jnp.asarray(a.blocks),
+            jnp.asarray(b.blocks),
+            jnp.asarray(pair_a),
+            jnp.asarray(pair_b),
+            jnp.asarray(pair_c),
+            num_c=len(c_keys),
+            bs=bs,
+            interpret=interpret,
+            precision=precision,
+        )
+    )
+    bcols_c = -(-rhs.cols // bs)
+    c_brows = (c_keys // bcols_c).astype(np.int64)
+    c_bcols = (c_keys % bcols_c).astype(np.int32)
+    offsets = np.zeros(-(-lhs.rows // bs) + 1, dtype=np.int64)
+    np.add.at(offsets, c_brows + 1, 1)
+    np.cumsum(offsets, out=offsets)
+    out = BsrMatrix(lhs.rows, rhs.cols, bs, c_blocks, c_bcols, offsets)
+    return out.to_csr()
+
+
+class BlockSpgemm:
+    """Amortized block SpGEMM: blocks and the pair plan live on device,
+    reusable across repeated multiplies (the common case — the reference
+    bench squares the same matrix per iteration, and iterative algorithms
+    reuse operators)."""
+
+    def __init__(self, lhs: CsrMatrix, rhs: CsrMatrix, *, bs: int = BLOCK_SIZE, dtype=np.float32, precision=None):
+        if lhs.cols != rhs.rows:
+            raise ValueError("LHS cols != RHS rows")
+        self.precision = precision if precision is not None else jax.lax.Precision.HIGHEST
+        self.bs = bs
+        self.rows, self.cols = lhs.rows, rhs.cols
+        a = BsrMatrix.from_csr(lhs, bs, dtype=dtype)
+        b = BsrMatrix.from_csr(rhs, bs, dtype=dtype)
+        pair_a, pair_b, pair_c, self.c_keys = block_pairs_plan(a, b)
+        self.num_pairs = len(pair_a)
+        self.a_blocks = jnp.asarray(a.blocks)
+        self.b_blocks = jnp.asarray(b.blocks)
+        self.pair_a = jnp.asarray(pair_a)
+        self.pair_b = jnp.asarray(pair_b)
+        self.pair_c = jnp.asarray(pair_c)
+        self.bcols_c = -(-rhs.cols // bs)
+
+    def multiply_device(self):
+        """Run the numeric phase; returns dense C blocks on device."""
+        interpret = jax.default_backend() != "tpu"
+        return _block_numeric(
+            self.a_blocks, self.b_blocks, self.pair_a, self.pair_b, self.pair_c,
+            num_c=len(self.c_keys), bs=self.bs, interpret=interpret,
+            precision=self.precision,
+        )
+
+    def multiply(self) -> CsrMatrix:
+        c_blocks = np.asarray(self.multiply_device())
+        c_brows = (self.c_keys // self.bcols_c).astype(np.int64)
+        c_bcols = (self.c_keys % self.bcols_c).astype(np.int32)
+        offsets = np.zeros(-(-self.rows // self.bs) + 1, dtype=np.int64)
+        np.add.at(offsets, c_brows + 1, 1)
+        np.cumsum(offsets, out=offsets)
+        return BsrMatrix(self.rows, self.cols, self.bs, c_blocks, c_bcols, offsets).to_csr()
+
+
+def spgemm_auto(lhs: CsrMatrix, rhs: CsrMatrix, *, output_sorted: bool = True) -> CsrMatrix:
+    """Pick the SpGEMM engine by estimated cost.
+
+    Block-dense MXU FLOPs vs host hash products: on v5e the MXU does ~2e13
+    effective f32 MAC/s while the threaded host hash path does ~5e8
+    products/s — block-dense wins unless the matrices are hyper-sparse at
+    block granularity.
+    """
+    from .spgemm_host import flops_per_row, spgemm_hash_host
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        return spgemm_hash_host(lhs, rhs, output_sorted=output_sorted)
+    bs = BLOCK_SIZE
+    a_blocks = len(np.unique(lhs.row_ids() // bs * (-(-lhs.cols // bs)) + lhs.indices.astype(np.int64) // bs))
+    b_blocks = len(np.unique(rhs.row_ids() // bs * (-(-rhs.cols // bs)) + rhs.indices.astype(np.int64) // bs))
+    # upper bound on block pairs: a_blocks * avg B blocks per block row
+    pair_est = a_blocks * max(1.0, b_blocks / max(1, -(-rhs.rows // bs)))
+    mxu_cost = pair_est * (2 * bs**3) / 2e13
+    host_cost = float(flops_per_row(lhs, rhs).sum()) / 5e8
+    if mxu_cost < host_cost:
+        out = spgemm_block_device(lhs, rhs)
+        return out if output_sorted else CsrMatrix(
+            out.rows, out.cols, out.vals, out.indices, out.offsets, is_sorted=False
+        )
+    return spgemm_hash_host(lhs, rhs, output_sorted=output_sorted)

@@ -1,0 +1,80 @@
+"""Block-dense MXU SpGEMM tests (BCSR format + block pair planner + kernel)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+
+from sparse_matrix_tpu.core import DokMatrix
+from sparse_matrix_tpu.formats import CsrMatrix
+from sparse_matrix_tpu.formats.bcsr import BsrMatrix
+from sparse_matrix_tpu.ops.spgemm_block import (
+    block_pairs_plan,
+    spgemm_auto,
+    spgemm_block_device,
+)
+from sparse_matrix_tpu.verify.strategies import finite_f64s, mul_pairs
+
+F32 = finite_f64s().map(lambda v: np.float32(np.clip(v, -1e15, 1e15)))
+
+
+def test_bcsr_roundtrip():
+    rng = np.random.default_rng(0)
+    a = (rng.random((300, 200)) < 0.05) * rng.standard_normal((300, 200))
+    A = CsrMatrix.from_dok(DokMatrix.from_dense(a.astype(np.float32)))
+    B = BsrMatrix.from_csr(A, 128)
+    assert B.nnzb <= B.brows * B.bcols
+    back = B.to_csr()
+    np.testing.assert_allclose(back.to_dense(), a.astype(np.float32))
+
+
+def test_bcsr_small_blocks():
+    rng = np.random.default_rng(1)
+    a = (rng.random((20, 20)) < 0.3) * rng.standard_normal((20, 20))
+    A = CsrMatrix.from_dok(DokMatrix.from_dense(a.astype(np.float32)))
+    B = BsrMatrix.from_csr(A, 8)
+    np.testing.assert_allclose(B.to_csr().to_dense(), a.astype(np.float32))
+
+
+def test_block_pairs_plan_counts():
+    rng = np.random.default_rng(2)
+    a = (rng.random((100, 120)) < 0.02) * 1.0
+    b = (rng.random((120, 90)) < 0.02) * 1.0
+    A = BsrMatrix.from_csr(CsrMatrix.from_dok(DokMatrix.from_dense(a)), 32)
+    B = BsrMatrix.from_csr(CsrMatrix.from_dok(DokMatrix.from_dense(b)), 32)
+    pa, pb, pc, keys = block_pairs_plan(A, B)
+    assert len(pa) == len(pb) == len(pc)
+    # pairs sorted by C block (revisit-accumulation contract)
+    assert np.all(np.diff(pc) >= 0)
+    assert pc.max() == len(keys) - 1 if len(pa) else True
+
+
+@settings(max_examples=20)
+@given(mul_pairs(F32, dtype=np.float32))
+def test_spgemm_block_commutes(pair):
+    la = CsrMatrix.from_dok(pair.a, dtype=np.float32)
+    lb = CsrMatrix.from_dok(pair.b, dtype=np.float32)
+    out = spgemm_block_device(la, lb, bs=8)
+    assert out.invariants()
+    expected = pair.a.to_dense().astype(np.float64) @ pair.b.to_dense().astype(np.float64)
+    np.testing.assert_allclose(out.to_dense().astype(np.float64), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_spgemm_block_medium():
+    rng = np.random.default_rng(3)
+    a = (rng.random((300, 260)) < 0.03) * rng.standard_normal((300, 260))
+    b = (rng.random((260, 310)) < 0.03) * rng.standard_normal((260, 310))
+    A = CsrMatrix.from_dok(DokMatrix.from_dense(a.astype(np.float32)))
+    B = CsrMatrix.from_dok(DokMatrix.from_dense(b.astype(np.float32)))
+    out = spgemm_block_device(A, B, bs=128)
+    ref = a.astype(np.float32) @ b.astype(np.float32)
+    np.testing.assert_allclose(out.to_dense(), ref, rtol=1e-3, atol=1e-4)
+
+
+def test_spgemm_auto_dispatches():
+    rng = np.random.default_rng(4)
+    a = (rng.random((64, 64)) < 0.05) * rng.standard_normal((64, 64))
+    A = CsrMatrix.from_dok(DokMatrix.from_dense(a.astype(np.float32)))
+    out = spgemm_auto(A, A)
+    np.testing.assert_allclose(
+        out.to_dense(), (a @ a).astype(np.float32), rtol=1e-3, atol=1e-4
+    )
