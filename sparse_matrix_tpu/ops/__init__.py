@@ -1,8 +1,31 @@
-"""Device and host kernels: SpMV, SpGEMM, elementwise add/sub, transpose."""
+"""Kernels: SpMV (Pallas LanePack + XLA ELL), SpGEMM (native hash, ESC,
+block-dense MXU, auto-dispatch), sort-based device transpose/add/sub."""
 
 from .spgemm_host import (  # noqa: F401
     flops_per_row,
     partition_rows_by_flops,
     spgemm_hash_host,
     spgemm_esc_host,
+)
+from .spgemm_block import (  # noqa: F401
+    BlockSpgemm,
+    block_pairs_plan,
+    spgemm_auto,
+    spgemm_block_device,
+)
+from .spmv import (  # noqa: F401
+    spmv_lanepack,
+    lanepack_device_arrays,
+    spmv_ell_xla,
+    ell_from_csr,
+    spmv_oracle,
+)
+from .device_sorted import (  # noqa: F401
+    PaddedCoo,
+    add_device,
+    sub_device,
+    transpose_device,
+    spgemm_esc_device,
+    expand_plan,
+    padded_to_host,
 )

@@ -220,7 +220,11 @@ def spgemm_auto(lhs: CsrMatrix, rhs: CsrMatrix, *, output_sorted: bool = True) -
     # upper bound on block pairs: a_blocks * avg B blocks per block row
     pair_est = a_blocks * max(1.0, b_blocks / max(1, -(-rhs.rows // bs)))
     mxu_cost = pair_est * (2 * bs**3) / 2e13
-    host_cost = float(flops_per_row(lhs, rhs).sum()) / 5e8
+    # host hash throughput: ~5e7 products/s/core (measured on this image)
+    import os
+
+    host_rate = 5e7 * max(1, os.cpu_count() or 1)
+    host_cost = float(flops_per_row(lhs, rhs).sum()) / host_rate
     if mxu_cost < host_cost:
         out = spgemm_block_device(lhs, rhs)
         return out if output_sorted else CsrMatrix(
