@@ -106,6 +106,12 @@ def _spgemm_hash_python(lhs: CsrMatrix, rhs: CsrMatrix, *, output_sorted: bool) 
     row_nz = flops_per_row(lhs, rhs)  # phase 1: upper bounds
     rows = lhs.rows
     dtype = np.result_type(lhs.vals.dtype, rhs.vals.dtype)
+    if debug_enabled():
+        # per-phase row_nz dumps, as the reference's `debug` feature
+        # (spam_csr/src/mul_hash.rs:18-25: dbg! after plan and symbolic)
+        record_histogram(
+            "spgemm.plan.row_nz", dict(zip(*map(list, np.unique(row_nz, return_counts=True))))
+        )
 
     # phases 2+3 fused per row: with a Python dict standing in for the probe
     # loop, symbolic and numeric collapse (the dict *is* the exact-nnz count).
@@ -137,6 +143,11 @@ def _spgemm_hash_python(lhs: CsrMatrix, rhs: CsrMatrix, *, output_sorted: bool) 
         out_rows.append((cols, [acc[c] for c in cols]))
 
     nnz_row = np.array([len(c) for c, _ in out_rows], dtype=np.int64)
+    if instrument:
+        record_histogram(
+            "spgemm.symbolic.row_nz",
+            dict(zip(*map(list, np.unique(nnz_row, return_counts=True)))),
+        )
     offsets = np.zeros(rows + 1, dtype=OFFSET_DTYPE)
     np.cumsum(nnz_row, out=offsets[1:])
     nnz = int(offsets[-1])

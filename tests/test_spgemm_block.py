@@ -14,7 +14,10 @@ from sparse_matrix_tpu.ops.spgemm_block import (
 )
 from sparse_matrix_tpu.verify.strategies import finite_f64s, mul_pairs
 
-F32 = finite_f64s().map(lambda v: np.float32(np.clip(v, -1e15, 1e15)))
+# bounded magnitude: this test uses plain rtol/atol against an f64 dense
+# reference, which catastrophic cancellation at extreme magnitudes breaks;
+# the Higham-bound fuzz oracle covers the full value domain
+F32 = finite_f64s().map(lambda v: np.float32(np.clip(v, -1e6, 1e6)))
 
 
 def test_bcsr_roundtrip():
