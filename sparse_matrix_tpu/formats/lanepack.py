@@ -63,8 +63,10 @@ class LanePackPlan:
 
     ``S`` slabs: ``vals`` (S,8,128) dtype; ``lane`` (S,8,128) int16 (position
     in window); ``ends``/``starts`` (S,8,128) int8 run boundaries (starts may
-    be -1); ``row_blk`` (S,) int32; ``col_off`` (S*8,) int32 x2d row base per
-    chunk; ``rb_mask`` (r128,) nonzero where the row block has slabs.
+    be -1); two-target accumulation metadata ``rb_a``/``rb_b``/``split``
+    (chunks pack densely; a slab covers at most two row blocks);
+    ``col_off`` (S*8,) int32 x2d row base per chunk; ``rb_mask`` (r128,)
+    nonzero where the row block has entries.
     """
 
     rows: int
@@ -74,7 +76,10 @@ class LanePackPlan:
     lane: np.ndarray
     ends: np.ndarray
     starts: np.ndarray
-    row_blk: np.ndarray
+    rb_a: np.ndarray  # (S,) first row-block target per slab
+    rb_b: np.ndarray  # (S,) second target (== rb_a when the slab has one)
+    split: np.ndarray  # (S,) sublanes [0,split) -> rb_a, [split,8) -> rb_b
+    chunk_rb: np.ndarray  # (S*8,) per-chunk row block (reference path)
     col_off: np.ndarray
     rb_mask: np.ndarray
     nnz: int
@@ -175,44 +180,73 @@ def plan_lanepack(
     head_rb = rb[is_chunk_head] if nnz else np.zeros(0, np.int64)
     num_chunks = len(head_rb)
 
+    # pack chunks densely into slabs, allowing at most TWO distinct row
+    # blocks per slab (the kernel does a split two-target accumulation);
+    # a slab is padded early only when a third row block would enter it.
     rb_change = np.empty(num_chunks, dtype=bool)
     if num_chunks:
         rb_change[0] = True
         rb_change[1:] = head_rb[1:] != head_rb[:-1]
-    rb_first_chunk = np.maximum.accumulate(
-        np.where(rb_change, np.arange(num_chunks), 0)
-    )
-    chunk_in_rb = np.arange(num_chunks) - rb_first_chunk
     counts = (
         np.diff(np.append(np.nonzero(rb_change)[0], num_chunks))
         if num_chunks
         else np.zeros(0, np.int64)
     )
-    slab_counts = -(-counts // SUBLANES)
-    slab_base = np.zeros(len(slab_counts) + 1, dtype=np.int64)
-    np.cumsum(slab_counts, out=slab_base[1:])
-    num_slabs = int(slab_base[-1]) if num_chunks else 0
+    uniq_rbs = head_rb[rb_change] if num_chunks else np.zeros(0, np.int64)
 
-    rb_index = np.cumsum(rb_change) - 1 if num_chunks else np.zeros(0, np.int64)
-    chunk_slab = slab_base[rb_index] + chunk_in_rb // SUBLANES
-    chunk_sublane = chunk_in_rb % SUBLANES
+    chunk_slab = np.zeros(num_chunks, dtype=np.int64)
+    chunk_sublane = np.zeros(num_chunks, dtype=np.int64)
+    slab_meta: list = []  # (rb_a, rb_b, split)
+    cur_fill = 0  # sublanes used in the open slab (0 => no open slab)
+    k = 0
+    for rbi, c in zip(uniq_rbs, counts):
+        c = int(c)
+        placed = 0
+        while placed < c:
+            if cur_fill == 0:
+                slab_meta.append([rbi, rbi, SUBLANES])
+            elif slab_meta[-1][1] != rbi:
+                if slab_meta[-1][0] != slab_meta[-1][1]:
+                    # already two row blocks: close (pad) and open fresh
+                    cur_fill = 0
+                    slab_meta.append([rbi, rbi, SUBLANES])
+                else:
+                    # second row block enters: record the split point
+                    slab_meta[-1][1] = rbi
+                    slab_meta[-1][2] = cur_fill
+            take = min(c - placed, SUBLANES - cur_fill)
+            sl = len(slab_meta) - 1
+            chunk_slab[k : k + take] = sl
+            chunk_sublane[k : k + take] = np.arange(cur_fill, cur_fill + take)
+            k += take
+            placed += take
+            cur_fill = (cur_fill + take) % SUBLANES
+    num_slabs = len(slab_meta)
 
     vals_s = np.zeros((num_slabs, SUBLANES, LANES), dtype=dtype)
     lane_s = np.zeros((num_slabs, SUBLANES, LANES), dtype=np.int16)
     ends_s = np.zeros((num_slabs, SUBLANES, LANES), dtype=np.int8)
     starts_s = np.zeros((num_slabs, SUBLANES, LANES), dtype=np.int8)
-    row_blk = np.zeros(max(num_slabs, 1), dtype=np.int32)
     col_off = np.zeros(max(num_slabs, 1) * SUBLANES, dtype=np.int32)
+    meta = np.asarray(slab_meta, dtype=np.int32).reshape(num_slabs, 3) if num_slabs else np.zeros((0, 3), np.int32)
+    rb_a = np.zeros(max(num_slabs, 1), dtype=np.int32)
+    rb_b = np.zeros(max(num_slabs, 1), dtype=np.int32)
+    split = np.full(max(num_slabs, 1), SUBLANES, dtype=np.int32)
+    if num_slabs:
+        rb_a[:num_slabs] = meta[:, 0]
+        rb_b[:num_slabs] = meta[:, 1]
+        split[:num_slabs] = meta[:, 2]
+    chunk_rb = np.zeros(max(num_slabs, 1) * SUBLANES, dtype=np.int32)
 
     if nnz:
         slab_of = chunk_slab[chunk_id]
         sub_of = chunk_sublane[chunk_id]
         vals_s[slab_of, sub_of, pos] = v
         lane_s[slab_of, sub_of, pos] = lane.astype(np.int16)
-        row_blk[chunk_slab] = head_rb.astype(np.int32)
         col_off[chunk_slab * SUBLANES + chunk_sublane] = (w[is_chunk_head] * kw).astype(
             np.int32
         )
+        chunk_rb[chunk_slab * SUBLANES + chunk_sublane] = head_rb.astype(np.int32)
 
         run_head = np.empty(nnz, dtype=bool)
         run_head[0] = True
@@ -226,7 +260,7 @@ def plan_lanepack(
     r128 = -(-rows // LANES)
     rb_mask = np.zeros(r128, dtype=dtype)
     if nnz:
-        rb_mask[np.unique(row_blk[:num_slabs])] = 1
+        rb_mask[np.unique(head_rb)] = 1
 
     return LanePackPlan(
         rows=rows,
@@ -236,7 +270,10 @@ def plan_lanepack(
         lane=lane_s,
         ends=ends_s,
         starts=starts_s,
-        row_blk=row_blk,
+        rb_a=rb_a,
+        rb_b=rb_b,
+        split=split,
+        chunk_rb=chunk_rb,
         col_off=col_off,
         rb_mask=rb_mask,
         nnz=nnz,

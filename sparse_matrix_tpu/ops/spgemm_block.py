@@ -86,8 +86,14 @@ def _make_block_kernel(precision):
     return kernel
 
 
+# scalar-prefetch arrays live in SMEM (1 MB); 3 int32 arrays of 64K pairs
+# use 768 KB, so larger pair streams are split into segments aligned to
+# C-block boundaries (each segment owns a disjoint C-block range)
+_MAX_PAIRS_PER_CALL = 1 << 16
+
+
 @functools.partial(jax.jit, static_argnames=("num_c", "bs", "interpret", "precision"))
-def _block_numeric(a_blocks, b_blocks, pair_a, pair_b, pair_c, *, num_c, bs, interpret, precision):
+def _block_numeric_one(a_blocks, b_blocks, pair_a, pair_b, pair_c, *, num_c, bs, interpret, precision):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -115,6 +121,54 @@ def _block_numeric(a_blocks, b_blocks, pair_a, pair_b, pair_c, *, num_c, bs, int
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_c, bs, bs), a_blocks.dtype),
     )(pair_a, pair_b, pair_c, a_blocks, b_blocks)
+
+
+def _block_numeric(a_blocks, b_blocks, pair_a, pair_b, pair_c, *, num_c, bs, interpret, precision):
+    n = int(pair_a.shape[0])
+    if n <= _MAX_PAIRS_PER_CALL:
+        return _block_numeric_one(
+            a_blocks, b_blocks, pair_a, pair_b, pair_c,
+            num_c=num_c, bs=bs, interpret=interpret, precision=precision,
+        )
+    # split at C-block boundaries so each call owns disjoint C blocks;
+    # segments are padded to one uniform shape (single kernel compilation),
+    # with padding pairs routed to a dummy C slot that gets sliced away
+    pc_h = np.asarray(pair_c)
+    pa_h = np.asarray(pair_a)
+    pb_h = np.asarray(pair_b)
+    segments = []
+    start = 0
+    while start < n:
+        end = min(n, start + _MAX_PAIRS_PER_CALL)
+        if end < n:
+            # largest C-block boundary <= end; if the whole window is one
+            # C block, extend forward to cover it (oversize segment)
+            b = start + int(np.searchsorted(pc_h[start:end], pc_h[end - 1]))
+            if b > start:
+                end = b
+            else:
+                end = start + int(
+                    np.searchsorted(pc_h[start:], pc_h[start], side="right")
+                )
+        segments.append((start, end, int(pc_h[start]), int(pc_h[end - 1]) + 1))
+        start = end
+    num_c_seg = max(hi - lo for _s, _e, lo, hi in segments) + 1  # + dummy slot
+    seg_cap = max(_MAX_PAIRS_PER_CALL, max(s1 - s0 for s0, s1, _l, _h in segments))
+    outs = []
+    for s0, s1, c_lo, c_hi in segments:
+        m = s1 - s0
+        pa = np.zeros(seg_cap, np.int32)
+        pb = np.zeros(seg_cap, np.int32)
+        pc = np.full(seg_cap, num_c_seg - 1, np.int32)
+        pa[:m] = pa_h[s0:s1]
+        pb[:m] = pb_h[s0:s1]
+        pc[:m] = pc_h[s0:s1] - c_lo
+        out = _block_numeric_one(
+            a_blocks, b_blocks, jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(pc),
+            num_c=num_c_seg, bs=bs, interpret=interpret, precision=precision,
+        )
+        outs.append(out[: c_hi - c_lo])
+    return jnp.concatenate(outs, axis=0)
 
 
 def spgemm_block_device(

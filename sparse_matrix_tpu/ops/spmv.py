@@ -71,7 +71,7 @@ def _lane_cumsum_mxu(p: jnp.ndarray) -> jnp.ndarray:
 def _make_lanepack_kernel(b: int, kw: int):
     from jax.experimental import pallas as pl
 
-    def kernel(row_blk_ref, col_off_ref, x_ref, vals_ref, lane_ref, ends_ref, starts_ref, y_ref):
+    def kernel(rb_a_ref, rb_b_ref, split_ref, col_off_ref, x_ref, vals_ref, lane_ref, ends_ref, starts_ref, y_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -107,12 +107,16 @@ def _make_lanepack_kernel(b: int, kw: int):
         )
         contrib = g_end - g_start  # (B*8, 128)
 
+        # two-target accumulation: sublanes [0, split) belong to rb_a,
+        # the rest to rb_b (slabs pack chunks of at most two row blocks)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
         for bb in range(b):
-            rbl = row_blk_ref[i * b + bb]
-            part = jnp.sum(
-                contrib[bb * SUBLANES : (bb + 1) * SUBLANES], axis=0, keepdims=True
-            )
-            y_ref[pl.ds(rbl, 1), :] += part
+            c8 = contrib[bb * SUBLANES : (bb + 1) * SUBLANES]
+            total = jnp.sum(c8, axis=0, keepdims=True)
+            sp = split_ref[i * b + bb]
+            part_a = jnp.sum(jnp.where(sub_iota < sp, c8, 0.0), axis=0, keepdims=True)
+            y_ref[pl.ds(rb_a_ref[i * b + bb], 1), :] += part_a
+            y_ref[pl.ds(rb_b_ref[i * b + bb], 1), :] += total - part_a
 
     return kernel
 
@@ -140,20 +144,23 @@ def lanepack_device_arrays(plan: LanePackPlan, *, b: Optional[int] = None):
         out[: a.shape[0]] = a
         return jnp.asarray(out)
 
-    row_blk = np.zeros(sp, np.int32)
-    row_blk[:s] = plan.row_blk[:s]
-    if s:  # padding slabs accumulate zeros into the last visited block
-        row_blk[s:] = plan.row_blk[s - 1]
-    col_off = np.zeros(sp * SUBLANES, np.int32)
-    col_off[: s * SUBLANES] = plan.col_off[: s * SUBLANES]
+    def pad1(a, fill, n):
+        out = np.full(n, fill, dtype=np.int32)
+        out[: min(len(a), n)] = a[:n] if len(a) >= n else a
+        return jnp.asarray(out)
+
+    # padding slabs hold zero values; they accumulate 0 into block 0
     return dict(
         b=b,
         vals=pad(plan.vals),
         lane=pad(plan.lane),
         ends=pad(plan.ends),
         starts=pad(plan.starts),
-        row_blk=jnp.asarray(row_blk),
-        col_off=jnp.asarray(col_off),
+        rb_a=pad1(plan.rb_a[:s], 0, sp),
+        rb_b=pad1(plan.rb_b[:s], 0, sp),
+        split=pad1(plan.split[:s], SUBLANES, sp),
+        chunk_rb=pad1(plan.chunk_rb[: s * SUBLANES], 0, sp * SUBLANES),
+        col_off=pad1(plan.col_off[: s * SUBLANES], 0, sp * SUBLANES),
         rb_mask=jnp.asarray(plan.rb_mask),
     )
 
@@ -179,7 +186,7 @@ def _spmv_lanepack_jit(arrs, x, *, rows: int, cols: int, kw: int, b: int, interp
         return _lanepack_reference(arrs, x2d, rows=rows, kw=kw)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(num_slabs // b,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
         + [pl.BlockSpec((b, SUBLANES, LANES), lambda i, *refs: (i, 0, 0))] * 4,
@@ -191,7 +198,9 @@ def _spmv_lanepack_jit(arrs, x, *, rows: int, cols: int, kw: int, b: int, interp
         out_shape=jax.ShapeDtypeStruct((r128, LANES), x.dtype),
         interpret=interpret,
     )(
-        arrs["row_blk"],
+        arrs["rb_a"],
+        arrs["rb_b"],
+        arrs["split"],
         arrs["col_off"],
         x2d,
         arrs["vals"],
@@ -222,9 +231,9 @@ def _lanepack_reference(arrs, x2d, *, rows: int, kw: int):
     g_start = jnp.where(
         starts < 0, 0.0, jnp.take_along_axis(c, jnp.maximum(starts, 0), axis=1)
     )
-    contrib = (g_end - g_start).reshape(-1, SUBLANES, LANES).sum(axis=1)  # (S,128)
+    contrib = g_end - g_start  # (S*8, 128), per chunk
     r128 = arrs["rb_mask"].shape[0]
-    y2d = jnp.zeros((r128, LANES), vals.dtype).at[arrs["row_blk"]].add(contrib)
+    y2d = jnp.zeros((r128, LANES), vals.dtype).at[arrs["chunk_rb"]].add(contrib)
     y2d = jnp.where(arrs["rb_mask"][:, None] > 0, y2d, 0.0)
     return y2d.reshape(-1)[:rows]
 

@@ -67,7 +67,11 @@ def test_lanepack_plan_postconditions():
     # every nonzero is represented exactly once
     assert np.count_nonzero(plan.vals) <= plan.nnz
     assert float(np.sum(plan.vals)) == pytest.approx(float(np.sum(A.vals)), rel=1e-4)
-    assert (plan.row_blk >= 0).all() and (plan.row_blk < plan.r128).all()
+    assert (plan.rb_a >= 0).all() and (plan.rb_a < plan.r128).all()
+    assert (plan.rb_b >= 0).all() and (plan.rb_b < plan.r128).all()
+    assert (plan.split >= 0).all() and (plan.split <= 8).all()
+    # dense packing: at least half the slots used on this workload
+    assert plan.fill > 0.5
     # starts in [-1, 127], ends in [0, 127]
     assert plan.starts.min() >= -1 and plan.starts.max() < 128
     assert plan.ends.min() >= 0 and plan.ends.max() < 128
