@@ -1,0 +1,74 @@
+"""DIA format + index-free SpMV + operator auto-selection tests."""
+
+import numpy as np
+import pytest
+
+from sparse_matrix_tpu.core import DokMatrix
+from sparse_matrix_tpu.formats import CsrMatrix
+from sparse_matrix_tpu.formats.dia import try_dia_from_csr
+from sparse_matrix_tpu.ops.operator import SpmvOperator
+from sparse_matrix_tpu.ops.spmv_dia import spmv_dia
+from sparse_matrix_tpu.solvers import cg_solve, poisson_2d_csr
+
+
+def test_poisson_is_dia():
+    A = poisson_2d_csr(16, dtype=np.float32)
+    d = try_dia_from_csr(A)
+    assert d is not None
+    assert d.nbands == 5
+    assert set(d.offsets) == {-16, -1, 0, 1, 16}
+    assert d.to_csr() == CsrMatrix.from_dok(A.to_dok())
+
+
+def test_dia_spmv_matches_dense():
+    A = poisson_2d_csr(20, dtype=np.float32)
+    d = try_dia_from_csr(A)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(400).astype(np.float32)
+    y = np.asarray(spmv_dia(d, x))
+    np.testing.assert_allclose(y, A.to_dense() @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_dia_rectangular_bands():
+    # band off the square diagonal on a rectangular matrix
+    m = DokMatrix.new(6, 9, dtype=np.float32)
+    for i in range(6):
+        m.set_element((i, i + 3), np.float32(i + 1))
+        if i + 5 < 9:
+            m.set_element((i, i + 5), np.float32(2.0))
+    A = CsrMatrix.from_dok(m)
+    d = try_dia_from_csr(A, min_fill=0.0)
+    assert d is not None
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(9).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(spmv_dia(d, x)), A.to_dense() @ x, rtol=1e-5, atol=1e-6)
+
+
+def test_unstructured_rejected():
+    rng = np.random.default_rng(2)
+    a = (rng.random((300, 300)) < 0.01) * rng.standard_normal((300, 300))
+    A = CsrMatrix.from_dok(DokMatrix.from_dense(a.astype(np.float32)))
+    assert try_dia_from_csr(A) is None
+
+
+def test_operator_auto_selects():
+    A = poisson_2d_csr(16, dtype=np.float32)
+    op = SpmvOperator(A)
+    assert op.format == "dia"
+    rng = np.random.default_rng(3)
+    a = (rng.random((200, 200)) < 0.02) * rng.standard_normal((200, 200))
+    B = CsrMatrix.from_dok(DokMatrix.from_dense(a.astype(np.float32)))
+    op2 = SpmvOperator(B)
+    assert op2.format == "lanepack"
+    x = rng.standard_normal(200).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(op2(x)), a.astype(np.float32) @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_cg_with_operator():
+    A = poisson_2d_csr(24, dtype=np.float32)
+    op = SpmvOperator(A)
+    rng = np.random.default_rng(4)
+    b = rng.standard_normal(24 * 24).astype(np.float32)
+    res = cg_solve(op, b, tol=1e-5, maxiter=2000)
+    r = A.to_dense().astype(np.float64) @ np.asarray(res.x, dtype=np.float64) - b
+    assert np.linalg.norm(r) <= 1e-3 * np.linalg.norm(b)

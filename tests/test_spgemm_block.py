@@ -58,8 +58,12 @@ def test_spgemm_block_commutes(pair):
     lb = CsrMatrix.from_dok(pair.b, dtype=np.float32)
     out = spgemm_block_device(la, lb, bs=8)
     assert out.invariants()
-    expected = pair.a.to_dense().astype(np.float64) @ pair.b.to_dense().astype(np.float64)
-    np.testing.assert_allclose(out.to_dense().astype(np.float64), expected, rtol=1e-4, atol=1e-4)
+    a64 = pair.a.to_dense().astype(np.float64)
+    b64 = pair.b.to_dense().astype(np.float64)
+    expected = a64 @ b64
+    # Higham-style per-element bound: |err| <= c*u*(|A| @ |B|)
+    bound = 1e-5 + 4 * np.finfo(np.float32).eps * (np.abs(a64) @ np.abs(b64))
+    assert np.all(np.abs(out.to_dense().astype(np.float64) - expected) <= bound)
 
 
 def test_spgemm_block_medium():
