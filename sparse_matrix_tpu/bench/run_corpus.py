@@ -33,6 +33,10 @@ def _engine(name: str):
         from ..ops.spgemm_block import spgemm_block_device
 
         return spgemm_block_device
+    if name == "dense":
+        from ..ops.spgemm_block import spgemm_dense_xla
+
+        return spgemm_dense_xla
     from ..ops.spgemm_block import spgemm_auto
 
     return spgemm_auto
@@ -42,7 +46,7 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dir", default=DEFAULT_CORPUS_DIR)
     ap.add_argument("--engine", default="native",
-                    choices=["auto", "native", "python", "esc", "block"])
+                    choices=["auto", "native", "python", "esc", "block", "dense"])
     ap.add_argument("--spmv", action="store_true", help="also bench LanePack SpMV")
     ap.add_argument("--generate", action="store_true", help="create the synthetic corpus first")
     ap.add_argument("--repeats", type=int, default=3)

@@ -12,6 +12,7 @@ from .spgemm_block import (  # noqa: F401
     block_pairs_plan,
     spgemm_auto,
     spgemm_block_device,
+    spgemm_dense_xla,
 )
 from .spmv import (  # noqa: F401
     spmv_lanepack,

@@ -255,33 +255,66 @@ class BlockSpgemm:
         return BsrMatrix(self.rows, self.cols, self.bs, c_blocks, c_bcols, offsets).to_csr()
 
 
-def spgemm_auto(lhs: CsrMatrix, rhs: CsrMatrix, *, output_sorted: bool = True) -> CsrMatrix:
-    """Pick the SpGEMM engine by estimated cost.
+def spgemm_dense_xla(lhs: CsrMatrix, rhs: CsrMatrix, *, dtype=np.float32) -> CsrMatrix:
+    """Densify -> one XLA matmul -> sparsify. For small/medium uniform
+    matrices where every 128-block is populated anyway, the plain dense
+    matmul is the fastest device path (the MXU's raw advantage)."""
+    if lhs.cols != rhs.rows:
+        raise ValueError("LHS cols != RHS rows")
+    a = jnp.asarray(lhs.to_dense().astype(dtype))
+    b = jnp.asarray(rhs.to_dense().astype(dtype))
+    c = np.asarray(
+        jnp.dot(a, b, preferred_element_type=a.dtype, precision=jax.lax.Precision.HIGHEST)
+    )
+    r, cc = np.nonzero(c)
+    return CsrMatrix.from_coo(lhs.rows, rhs.cols, r, cc, c[r, cc], sum_duplicates=False)
 
-    Block-dense MXU FLOPs vs host hash products: on v5e the MXU does ~2e13
-    effective f32 MAC/s while the threaded host hash path does ~5e8
-    products/s — block-dense wins unless the matrices are hyper-sparse at
-    block granularity.
+
+def spgemm_auto(lhs: CsrMatrix, rhs: CsrMatrix, *, output_sorted: bool = True) -> CsrMatrix:
+    """Pick the SpGEMM engine by an estimated end-to-end cost model
+    (calibrated on v5e + this image's host):
+
+    * host hash (C++): ~5e7 products/s/core — wins for hyper-sparse inputs;
+    * block-dense MXU: per block pair ~0.2 us MXU + ~0.25 us HBM (two 64KB
+      blocks + C revisit), plus host sparsify of the C blocks — wins when
+      block structure is genuinely sparse;
+    * dense XLA matmul: n*k*m MACs at ~2e13/s plus host densify/sparsify —
+      wins for small/medium near-block-dense problems.
     """
+    import os
+
     from .spgemm_host import flops_per_row, spgemm_hash_host
 
-    on_tpu = jax.default_backend() == "tpu"
-    if not on_tpu:
+    if jax.default_backend() != "tpu":
         return spgemm_hash_host(lhs, rhs, output_sorted=output_sorted)
+
     bs = BLOCK_SIZE
-    a_blocks = len(np.unique(lhs.row_ids() // bs * (-(-lhs.cols // bs)) + lhs.indices.astype(np.int64) // bs))
-    b_blocks = len(np.unique(rhs.row_ids() // bs * (-(-rhs.cols // bs)) + rhs.indices.astype(np.int64) // bs))
-    # upper bound on block pairs: a_blocks * avg B blocks per block row
-    pair_est = a_blocks * max(1.0, b_blocks / max(1, -(-rhs.rows // bs)))
-    mxu_cost = pair_est * (2 * bs**3) / 2e13
-    # host hash throughput: ~5e7 products/s/core (measured on this image)
-    import os
+    bcols_a = -(-lhs.cols // bs)
+    bcols_b = -(-rhs.cols // bs)
+    a_blocks = len(np.unique(lhs.row_ids() // bs * bcols_a + lhs.indices.astype(np.int64) // bs))
+    b_blocks = len(np.unique(rhs.row_ids() // bs * bcols_b + rhs.indices.astype(np.int64) // bs))
+    brows_b = -(-rhs.rows // bs)
+    pair_est = a_blocks * max(1.0, b_blocks / max(1, brows_b))
+    c_blocks_est = min(-(-lhs.rows // bs) * bcols_b, pair_est)
 
     host_rate = 5e7 * max(1, os.cpu_count() or 1)
     host_cost = float(flops_per_row(lhs, rhs).sum()) / host_rate
-    if mxu_cost < host_cost:
+
+    host_touch = 4e-9  # s/byte for numpy densify/sparsify passes
+    mxu_cost = pair_est * 4.5e-7 + c_blocks_est * bs * bs * 4 * host_touch
+
+    dense_cost = (
+        lhs.rows * lhs.cols * rhs.cols * 2 / 2e13
+        + (lhs.rows * lhs.cols + rhs.rows * rhs.cols + lhs.rows * rhs.cols) * 4 * host_touch
+    )
+
+    best = min(host_cost, mxu_cost, dense_cost)
+    if best == host_cost:
+        return spgemm_hash_host(lhs, rhs, output_sorted=output_sorted)
+    if best == dense_cost:
+        out = spgemm_dense_xla(lhs, rhs)
+    else:
         out = spgemm_block_device(lhs, rhs)
-        return out if output_sorted else CsrMatrix(
-            out.rows, out.cols, out.vals, out.indices, out.offsets, is_sorted=False
-        )
-    return spgemm_hash_host(lhs, rhs, output_sorted=output_sorted)
+    return out if output_sorted else CsrMatrix(
+        out.rows, out.cols, out.vals, out.indices, out.offsets, is_sorted=False
+    )
