@@ -21,42 +21,111 @@ from ..formats.csr import CsrMatrix
 from ..formats.dia import try_dia_from_csr
 from ..formats.lanepack import plan_lanepack
 
-__all__ = ["SpmvOperator"]
+__all__ = ["SpmvOperator", "split_bands"]
+
+# a diagonal goes to the DIA part when at least this fraction of its slots
+# hold nonzeros (the HYB-style split threshold)
+BAND_FILL_THRESHOLD = 0.5
+MIN_BAND_NNZ_FRACTION = 0.3  # hybrid only pays if bands cover enough nnz
+
+
+def split_bands(
+    m: CsrMatrix, *, fill_threshold: float = BAND_FILL_THRESHOLD
+) -> tuple:
+    """Split into (banded part, residual part) by per-diagonal fill.
+
+    The HYB idea (ELL+COO in cuSPARSE terms) recast for this library:
+    well-filled diagonals go to index-free DIA; stragglers go to the general
+    format. Returns (dense_band_csr, residual_csr); either may be empty.
+    """
+    r = m.row_ids()
+    c = m.indices.astype(np.int64)
+    offs = c - r
+    uniq, counts = np.unique(offs, return_counts=True)
+    band_len = np.minimum(m.rows, m.cols - uniq.clip(min=0)) - np.maximum(0, -uniq).clip(min=0)
+    band_len = np.maximum(band_len, 1)
+    good = uniq[counts >= fill_threshold * band_len]
+    in_band = np.isin(offs, good)
+    def subset(mask):
+        offsets = np.zeros(m.rows + 1, dtype=m.offsets.dtype)
+        np.add.at(offsets, r[mask] + 1, 1)
+        np.cumsum(offsets, out=offsets)
+        return CsrMatrix(
+            m.rows, m.cols, m.vals[mask], m.indices[mask], offsets, is_sorted=m.is_sorted
+        )
+    return subset(in_band), subset(~in_band)
 
 
 class SpmvOperator:
-    """``op = SpmvOperator(csr); y = op(x)`` — jit-friendly planned SpMV."""
+    """``op = SpmvOperator(csr); y = op(x)`` — jit-friendly planned SpMV.
+
+    Formats, picked by structure: ``dia`` (fully banded), ``hybrid``
+    (well-filled diagonals in DIA + residual in LanePack), or ``lanepack``.
+    """
 
     def __init__(self, m: CsrMatrix, *, dtype=np.float32, force: Optional[str] = None):
         self.rows, self.cols = m.rows, m.cols
         self.nnz = m.nnz()
-        dia = try_dia_from_csr(m, dtype=dtype) if force in (None, "dia") else None
-        if force == "lanepack":
-            dia = None
-        if dia is not None:
-            from .spmv_dia import dia_device_arrays
+        self._dia = None
+        self._plan = None
 
-            self.format = "dia"
-            self._dia = dia
-            self._arrs = dia_device_arrays(dia)
-        else:
-            from .spmv import lanepack_device_arrays
+        if force in (None, "dia"):
+            dia = try_dia_from_csr(m, dtype=dtype)
+            if dia is not None:
+                self.format = "dia"
+                self._set_dia(dia)
+                return
+            if force == "dia":
+                raise ValueError("matrix is not band-structured enough for DIA")
 
-            self.format = "lanepack"
-            self._plan = plan_lanepack(m, dtype=dtype)
-            self._arrs = lanepack_device_arrays(self._plan)
+        if force in (None, "hybrid"):
+            banded, residual = split_bands(m)
+            if (
+                banded.nnz() >= MIN_BAND_NNZ_FRACTION * max(1, m.nnz())
+                and residual.nnz() > 0
+            ):
+                dia = try_dia_from_csr(banded, dtype=dtype, min_fill=0.0)
+                if dia is not None:
+                    self.format = "hybrid"
+                    self._set_dia(dia)
+                    self._set_plan(residual, dtype)
+                    return
+            if force == "hybrid":
+                raise ValueError("no useful band/residual split")
+
+        self.format = "lanepack"
+        self._set_plan(m, dtype)
+
+    def _set_dia(self, dia):
+        from .spmv_dia import dia_device_arrays
+
+        self._dia = dia
+        self._dia_arrs = dia_device_arrays(dia)
+
+    def _set_plan(self, m, dtype):
+        from .spmv import lanepack_device_arrays
+
+        self._plan = plan_lanepack(m, dtype=dtype)
+        self._lp_arrs = lanepack_device_arrays(self._plan)
 
     def __call__(self, x):
-        if self.format == "dia":
+        y = None
+        if self._dia is not None:
             from .spmv_dia import spmv_dia
 
-            return spmv_dia(self._dia, x, device_arrays=self._arrs)
-        from .spmv import spmv_lanepack
+            y = spmv_dia(self._dia, x, device_arrays=self._dia_arrs)
+        if self._plan is not None:
+            from .spmv import spmv_lanepack
 
-        return spmv_lanepack(self._plan, x, device_arrays=self._arrs)
+            y2 = spmv_lanepack(self._plan, x, device_arrays=self._lp_arrs)
+            y = y2 if y is None else y + y2
+        return y
 
     def bytes_per_apply(self) -> int:
         """HBM bytes streamed per SpMV (operator data only)."""
-        if self.format == "dia":
-            return int(self._dia.data.nbytes)
-        return self._plan.slot_bytes()
+        total = 0
+        if self._dia is not None:
+            total += int(self._dia.data.nbytes)
+        if self._plan is not None:
+            total += self._plan.slot_bytes()
+        return total

@@ -1,5 +1,12 @@
 """Multi-chip sharding: meshes, distributed SpMV/SpGEMM, distributed CG."""
 
 from .mesh import make_mesh, row_sharding, replicated, P  # noqa: F401
-from .spmv import shard_ell, dist_spmv, dist_spmv_gspmd  # noqa: F401
+from .spmv import (  # noqa: F401
+    shard_ell,
+    dist_spmv,
+    dist_spmv_gspmd,
+    shard_ell_by_cols,
+    dist_spmv_colsplit,
+)
+from .spgemm import dist_spgemm  # noqa: F401
 from .cg import dist_cg_step, dist_cg_solve, prepare_dist_cg  # noqa: F401

@@ -14,7 +14,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CgResult", "cg_solve"]
+__all__ = ["CgResult", "cg_solve", "pcg_solve", "jacobi_preconditioner"]
 
 
 class CgResult(NamedTuple):
@@ -60,3 +60,59 @@ def cg_solve(
 
     x, p, r, rs, k = jax.lax.while_loop(cond, body, (x, p, r, rs, jnp.int32(0)))
     return CgResult(x=x, iterations=k, residual_norm=jnp.sqrt(rs))
+
+
+def jacobi_preconditioner(m) -> Callable:
+    """M^-1 = diag(A)^-1 as a vector multiply (host CsrMatrix input)."""
+    import numpy as np
+
+    rids = m.row_ids()
+    on_diag = m.indices.astype(np.int64) == rids
+    d = np.ones(m.rows, dtype=np.float64)
+    d[rids[on_diag]] = m.vals[on_diag].astype(np.float64)
+    d[d == 0.0] = 1.0
+    inv = jnp.asarray((1.0 / d).astype(np.float32))
+    return lambda r: inv * r
+
+
+def pcg_solve(
+    matvec: Callable,
+    b,
+    precond: Callable,
+    x0=None,
+    *,
+    tol: float = 1e-6,
+    maxiter: int = 1000,
+) -> CgResult:
+    """Preconditioned CG: ``precond`` applies M^-1 (e.g.
+    :func:`jacobi_preconditioner`)."""
+    b = jnp.asarray(b)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+
+    r = b - matvec(x)
+    z = precond(r)
+    p = z
+    rz = jnp.vdot(r, z).real
+    rr = jnp.vdot(r, r).real
+    b_norm2 = jnp.vdot(b, b).real
+    tol2 = jnp.asarray(tol, rr.dtype) ** 2 * jnp.where(b_norm2 > 0, b_norm2, 1.0)
+
+    def cond(state):
+        _x, _p, _r, _rz, rr, k = state
+        return jnp.logical_and(rr > tol2, k < maxiter)
+
+    def body(state):
+        x, p, r, rz, _rr, k = state
+        ap = matvec(p)
+        alpha = rz / jnp.vdot(p, ap).real
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = jnp.vdot(r, z).real
+        p = z + (rz_new / rz) * p
+        return x, p, r, rz_new, jnp.vdot(r, r).real, k + 1
+
+    x, p, r, rz, rr, k = jax.lax.while_loop(
+        cond, body, (x, p, r, rz, rr, jnp.int32(0))
+    )
+    return CgResult(x=x, iterations=k, residual_norm=jnp.sqrt(rr))
