@@ -16,7 +16,7 @@ from typing import Iterator, List, Tuple
 import numpy as np
 
 from ..core.dok import DokMatrix
-from ..core.matrix_market import load_matrix_market, save_matrix_market
+from ..core.matrix_market import load_matrix_market_csr, save_matrix_market
 from ..formats.csr import CsrMatrix
 from ..solvers.poisson import poisson_2d_csr
 
@@ -87,5 +87,4 @@ def iter_corpus(directory: str = DEFAULT_CORPUS_DIR) -> Iterator[Tuple[str, CsrM
     for name in sorted(os.listdir(directory)):
         if not name.endswith((".mtx", ".mm")):
             continue
-        parsed = load_matrix_market(os.path.join(directory, name))
-        yield name, CsrMatrix.from_dok(parsed.matrix)
+        yield name, load_matrix_market_csr(os.path.join(directory, name))

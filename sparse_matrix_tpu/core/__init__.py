@@ -9,9 +9,11 @@ from .matrix_market import (
     MatrixMarketError,
     HasZeroDimensionError,
     parse_matrix_market,
+    parse_matrix_market_csr,
     write_matrix_market,
     to_matrix_market_string,
     load_matrix_market,
+    load_matrix_market_csr,
     save_matrix_market,
 )
 from .accuracy import IsNanError, is_good_approx_of_mul, gamma_n, inf_norm
@@ -28,9 +30,11 @@ __all__ = [
     "MatrixMarketError",
     "HasZeroDimensionError",
     "parse_matrix_market",
+    "parse_matrix_market_csr",
     "write_matrix_market",
     "to_matrix_market_string",
     "load_matrix_market",
+    "load_matrix_market_csr",
     "save_matrix_market",
     "IsNanError",
     "is_good_approx_of_mul",

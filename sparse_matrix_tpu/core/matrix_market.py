@@ -204,9 +204,73 @@ def write_matrix_market(m: DokMatrix, f: TextIO) -> None:
     f.write(to_matrix_market_string(m))
 
 
+def parse_matrix_market_csr(text: str, *, float_dtype=np.float64):
+    """Fast path: MatrixMarket ``real``/``integer`` coordinate text straight
+    to a sorted CSR, using the native C scanner for the O(nnz) entry lines
+    when available (falling back to the DOK parser otherwise).
+
+    Same semantics as :func:`parse_matrix_market` except duplicate
+    coordinates are not collapsed (standard MatrixMarket files have none;
+    the DOK path keeps last-wins semantics for adversarial inputs).
+    """
+    from ..formats.csr import CsrMatrix
+
+    lines = text.splitlines()
+    if not lines or "complex" in lines[0] or "pattern" in lines[0]:
+        parsed = parse_matrix_market(text, float_dtype=float_dtype)
+        return CsrMatrix.from_dok(parsed.matrix)
+    header = lines[0].strip().split()
+    symmetric = len(header) >= 5 and header[4].lower() == "symmetric"
+    if len(header) >= 5 and header[4].lower() in ("skew-symmetric", "hermitian"):
+        raise NotImplementedError(f"{header[4]} matrices are not supported")
+    i = 1
+    while i < len(lines) and (lines[i].lstrip().startswith("%") or not lines[i].strip()):
+        i += 1
+    if i >= len(lines):
+        raise MatrixMarketError("missing size line")
+    try:
+        rows, cols, nnz = (int(f) for f in lines[i].split())
+    except ValueError as e:
+        raise MatrixMarketError(f"bad size line: {lines[i]!r}") from e
+    if rows == 0 or cols == 0:
+        raise HasZeroDimensionError("number of rows or columns is 0")
+
+    from ..native import parse_entries_native
+
+    body = "\n".join(lines[i + 1 :])
+    got = parse_entries_native(body, nnz + 1, 1)
+    if got is None:
+        parsed = parse_matrix_market(text, float_dtype=float_dtype)
+        return CsrMatrix.from_dok(parsed.matrix)
+    r, c, v, _vi, n = got
+    if n != nnz:
+        raise MatrixMarketError(f"expected {nnz} entries, found {n}")
+    if n and not ((r >= 1).all() and (r <= rows).all() and (c >= 1).all() and (c <= cols).all()):
+        raise MatrixMarketError("entry out of bounds")
+    r = r - 1
+    c = c - 1
+    keep = v != 0
+    r, c, v = r[keep], c[keep], v[keep]
+    if symmetric:
+        off = r != c
+        r, c, v = (
+            np.concatenate([r, c[off]]),
+            np.concatenate([c, r[off]]),
+            np.concatenate([v, v[off]]),
+        )
+    return CsrMatrix.from_coo(
+        rows, cols, r, c, v.astype(float_dtype), sum_duplicates=False
+    )
+
+
 def load_matrix_market(path: Union[str, "os.PathLike"], **kw) -> ParsedMatrix:
     with open(path, "r") as f:
         return parse_matrix_market(f.read(), **kw)
+
+
+def load_matrix_market_csr(path: Union[str, "os.PathLike"], **kw):
+    with open(path, "r") as f:
+        return parse_matrix_market_csr(f.read(), **kw)
 
 
 def save_matrix_market(m: DokMatrix, path: Union[str, "os.PathLike"]) -> None:

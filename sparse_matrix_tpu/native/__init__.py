@@ -13,5 +13,6 @@ from .loader import (  # noqa: F401
     native_spgemm_available,
     spgemm_hash_native,
     flops_per_row_native,
+    parse_entries_native,
     load_library,
 )

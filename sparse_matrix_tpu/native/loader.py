@@ -18,6 +18,7 @@ __all__ = [
     "native_spgemm_available",
     "spgemm_hash_native",
     "flops_per_row_native",
+    "parse_entries_native",
 ]
 
 _LIB: Optional[ctypes.CDLL] = None
@@ -57,6 +58,10 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.spmx_partition_rows.argtypes = [c_i64, _I64P, c_i64, _I64P]
     lib.spmx_spgemm_symbolic.argtypes = [
         c_i64, _I64P, _U32P, _I64P, _U32P, _I64P, c_i64, c_int, _I64P,
+    ]
+    lib.spmx_parse_entries.restype = c_i64
+    lib.spmx_parse_entries.argtypes = [
+        ctypes.c_char_p, c_i64, c_i64, _I64P, _I64P, _F64P, ctypes.c_int, ctypes.c_void_p,
     ]
     for name, vp in [
         ("spmx_spgemm_numeric_f64", _F64P),
@@ -134,3 +139,23 @@ def spgemm_hash_native(lhs, rhs, *, output_sorted: bool = False, num_threads: in
     return CsrMatrix(
         lhs.rows, rhs.cols, out_vals, out_indices, offsets, is_sorted=output_sorted
     )
+
+
+def parse_entries_native(text: str, expect: int, n_value_cols: int):
+    """Bulk-parse MatrixMarket entry lines; returns (rows, cols, vals,
+    vals_imag|None, count) or None when the native library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    buf = text.encode()
+    rows = np.zeros(max(1, expect), dtype=np.int64)
+    cols = np.zeros(max(1, expect), dtype=np.int64)
+    vals = np.zeros(max(1, expect), dtype=np.float64)
+    vi = np.zeros(max(1, expect), dtype=np.float64) if n_value_cols >= 2 else None
+    n = lib.spmx_parse_entries(
+        buf, len(buf), expect, rows, cols, vals, n_value_cols,
+        vi.ctypes.data_as(ctypes.c_void_p) if vi is not None else None,
+    )
+    if n < 0:
+        return None
+    return rows[:n], cols[:n], vals[:n], (vi[:n] if vi is not None else None), int(n)

@@ -271,3 +271,50 @@ extern "C" int spmx_hardware_threads() { return (int)std::thread::hardware_concu
 
 // ABI version marker for the ctypes loader.
 extern "C" int spmx_abi_version() { return 1; }
+
+// ---------------------------------------------------------------------------
+// Fast MatrixMarket entry scanner: parses "row col value" lines in bulk.
+// The Python side handles the header/size lines and symmetry expansion;
+// this handles the O(nnz) text. Returns the number of entries parsed, or
+// -1 on malformed input.
+// ---------------------------------------------------------------------------
+
+#include <cstdlib>
+
+extern "C" i64 spmx_parse_entries(const char* buf, i64 len, i64 expect,
+                                  i64* rows, i64* cols, double* vals,
+                                  int n_value_cols /* 0(pattern),1,2(complex) */,
+                                  double* vals_imag) {
+  const char* p = buf;
+  const char* endp = buf + len;
+  i64 count = 0;
+  while (p < endp && count < expect) {
+    // skip whitespace / blank lines
+    while (p < endp && (*p == ' ' || *p == '\t' || *p == '\n' || *p == '\r')) ++p;
+    if (p >= endp) break;
+    char* next = nullptr;
+    long long r = strtoll(p, &next, 10);
+    if (next == p) return -1;
+    p = next;
+    long long c = strtoll(p, &next, 10);
+    if (next == p) return -1;
+    p = next;
+    double v = 1.0, vi = 0.0;
+    if (n_value_cols >= 1) {
+      v = strtod(p, &next);
+      if (next == p) return -1;
+      p = next;
+    }
+    if (n_value_cols >= 2) {
+      vi = strtod(p, &next);
+      if (next == p) return -1;
+      p = next;
+    }
+    rows[count] = (i64)r;
+    cols[count] = (i64)c;
+    vals[count] = v;
+    if (vals_imag) vals_imag[count] = vi;
+    ++count;
+  }
+  return count;
+}

@@ -1,0 +1,46 @@
+"""Fast (native C) MatrixMarket parsing path vs the Python parser."""
+
+import numpy as np
+import pytest
+from hypothesis import given
+
+from sparse_matrix_tpu.core import (
+    HasZeroDimensionError,
+    MatrixMarketError,
+    parse_matrix_market,
+    parse_matrix_market_csr,
+    to_matrix_market_string,
+)
+from sparse_matrix_tpu.formats import CsrMatrix
+from sparse_matrix_tpu.verify.strategies import dok_matrices, finite_f64s
+
+
+@given(dok_matrices(finite_f64s(), dtype=np.float64))
+def test_fast_parser_matches_python(m):
+    text = to_matrix_market_string(m)
+    fast = parse_matrix_market_csr(text)
+    slow = CsrMatrix.from_dok(parse_matrix_market(text).matrix)
+    assert fast == slow
+
+
+def test_fast_parser_errors():
+    with pytest.raises(HasZeroDimensionError):
+        parse_matrix_market_csr("%%MatrixMarket matrix coordinate real general\n0 1 0\n")
+    with pytest.raises(MatrixMarketError):
+        parse_matrix_market_csr("%%MatrixMarket matrix coordinate real general\n2 2 2\n1 1 1.0\n")
+    with pytest.raises(MatrixMarketError):
+        parse_matrix_market_csr("%%MatrixMarket matrix coordinate real general\n2 2 1\n3 1 1.0\n")
+    with pytest.raises(NotImplementedError):
+        parse_matrix_market_csr("%%MatrixMarket matrix coordinate real skew-symmetric\n2 2 1\n2 1 1.0\n")
+
+
+def test_fast_parser_symmetric():
+    t = "%%MatrixMarket matrix coordinate real symmetric\n3 3 2\n2 1 5.0\n3 3 1.0\n"
+    d = parse_matrix_market_csr(t).to_dense()
+    assert d[1, 0] == 5.0 and d[0, 1] == 5.0 and d[2, 2] == 1.0
+
+
+def test_fast_parser_complex_falls_back():
+    t = "%%MatrixMarket matrix coordinate complex general\n2 2 1\n1 2 1.5 -2.5\n"
+    c = parse_matrix_market_csr(t)
+    assert c.vals[0] == 1.5 - 2.5j
