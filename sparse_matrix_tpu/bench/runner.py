@@ -66,10 +66,14 @@ def bench_device_loop(
     step: Callable,  # x -> x-like (chained dependency)
     x0,
     *,
-    iters: int = 200,
+    iters: int = 2000,
     repeats: int = 3,
 ) -> BenchResult:
-    """Time ``step`` by chaining ``iters`` applications inside one jit."""
+    """Time ``step`` by chaining ``iters`` applications inside one jit.
+
+    The tunnel round-trip (~25 ms) is noisy; keep ``iters`` large enough
+    that the loop dwarfs it. Results below the noise floor are clamped.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -83,5 +87,8 @@ def bench_device_loop(
     for _ in range(repeats):
         t0 = time.perf_counter()
         _ = float(jnp.sum(loop(x0)))
-        runs.append((time.perf_counter() - t0 - lat) / iters)
-    return BenchResult(name, min(runs), runs)
+        runs.append(time.perf_counter() - t0)
+    lat = min(lat, tunnel_latency())
+    per = (min(runs) - lat) / iters
+    per = max(per, min(runs) / iters / 100)  # clamp below-noise results
+    return BenchResult(name, per, runs)
