@@ -61,7 +61,10 @@ def main() -> None:
         if m.rows != m.cols:
             continue
         flops = int(flops_per_row(m, m).sum())
-        r = bench_host(name, lambda: engine(m, m), warmup=1, repeats=args.repeats)
+        from ..utils.profiling import trace
+
+        with trace(f"spgemm_{name}"):
+            r = bench_host(name, lambda: engine(m, m), warmup=1, repeats=args.repeats)
         row = {
             "file": name,
             "rows": m.rows,

@@ -14,28 +14,27 @@ import sys
 _HERE = os.path.dirname(os.path.abspath(__file__))
 SRC = os.path.join(_HERE, "src", "spmx_native.cpp")
 LIB = os.path.join(_HERE, "libspmx_native.so")
+LIB_UBSAN = os.path.join(_HERE, "libspmx_native_ubsan.so")
 
 
-def build(verbose: bool = False) -> str:
-    """Compile (if stale) and return the shared library path."""
-    if os.path.exists(LIB) and os.path.getmtime(LIB) >= os.path.getmtime(SRC):
-        return LIB
-    cmd = [
-        "g++",
-        "-O3",
-        "-march=native",
-        "-std=c++17",
-        "-fPIC",
-        "-shared",
-        "-pthread",
-        SRC,
-        "-o",
-        LIB,
-    ]
+def build(verbose: bool = False, *, sanitize: bool = False) -> str:
+    """Compile (if stale) and return the shared library path.
+
+    ``sanitize=True`` builds an UndefinedBehaviorSanitizer variant (the
+    project's miri analog, reference ``rust-toolchain.toml:3``): UB aborts
+    the process instead of corrupting results. Used by the sanitizer tests.
+    """
+    lib = LIB_UBSAN if sanitize else LIB
+    if os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(SRC):
+        return lib
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared", "-pthread"]
+    if sanitize:
+        cmd += ["-g", "-fsanitize=undefined", "-fno-sanitize-recover=undefined"]
+    cmd += [SRC, "-o", lib]
     if verbose:
         print("+", " ".join(cmd), file=sys.stderr)
     subprocess.run(cmd, check=True, capture_output=not verbose)
-    return LIB
+    return lib
 
 
 if __name__ == "__main__":
