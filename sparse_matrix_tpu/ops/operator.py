@@ -93,8 +93,39 @@ class SpmvOperator:
             if force == "hybrid":
                 raise ValueError("no useful band/residual split")
 
+        if force in (None, "ell"):
+            # hyper-sparse guard: when LanePack packing would be pathologically
+            # empty (slab memory blowup) and padded ELL is compact, use ELL
+            plan_est = self._estimate_lanepack_bytes(m)
+            row_max = int(np.diff(m.offsets).max()) if m.nnz() else 1
+            ell_bytes = m.rows * max(1, row_max) * 8
+            if force == "ell" or (
+                plan_est > 4 * m.nnz() * 8 and ell_bytes < plan_est / 2
+            ):
+                from .spmv import ell_from_csr
+
+                import jax.numpy as jnp
+
+                ev, ec = ell_from_csr(m, dtype=dtype)
+                self.format = "ell"
+                self._ell = (jnp.asarray(ev), jnp.asarray(ec))
+                return
+
         self.format = "lanepack"
         self._set_plan(m, dtype)
+
+    @staticmethod
+    def _estimate_lanepack_bytes(m: CsrMatrix) -> int:
+        from ..formats.lanepack import _count_slabs
+
+        best = None
+        for kw in (1, 2, 4, 8, 16):
+            if kw * 128 > m.cols + 128:
+                break
+            s = _count_slabs(m, kw)
+            b = s * 1024 * 8
+            best = b if best is None else min(best, b)
+        return best if best is not None else m.nnz() * 8
 
     def _set_dia(self, dia):
         from .spmv_dia import dia_device_arrays
@@ -109,6 +140,10 @@ class SpmvOperator:
         self._lp_arrs = lanepack_device_arrays(self._plan)
 
     def __call__(self, x):
+        if self.format == "ell":
+            from .spmv import spmv_ell_xla
+
+            return spmv_ell_xla(self._ell[0], self._ell[1], x)
         y = None
         if self._dia is not None:
             from .spmv_dia import spmv_dia
@@ -123,6 +158,8 @@ class SpmvOperator:
 
     def bytes_per_apply(self) -> int:
         """HBM bytes streamed per SpMV (operator data only)."""
+        if self.format == "ell":
+            return int(self._ell[0].nbytes + self._ell[1].nbytes)
         total = 0
         if self._dia is not None:
             total += int(self._dia.data.nbytes)

@@ -72,3 +72,25 @@ def test_cg_with_operator():
     res = cg_solve(op, b, tol=1e-5, maxiter=2000)
     r = A.to_dense().astype(np.float64) @ np.asarray(res.x, dtype=np.float64) - b
     assert np.linalg.norm(r) <= 1e-3 * np.linalg.norm(b)
+
+
+def test_operator_ell_fallback_hyper_sparse():
+    # one nonzero per row over a very wide matrix: LanePack packing would be
+    # pathologically empty; operator must fall back to padded ELL
+    rng = np.random.default_rng(9)
+    rows, cols = 2000, 60000
+    r = np.arange(rows)
+    c = rng.integers(0, cols, rows)
+    v = rng.standard_normal(rows).astype(np.float32)
+    from sparse_matrix_tpu.formats.csr import CsrMatrix as C
+
+    A = C.from_coo(rows, cols, r, c, v)
+    op = SpmvOperator(A)
+    assert op.format == "ell"
+    x = rng.standard_normal(cols).astype(np.float32)
+    y = np.asarray(op(x))
+    ref = np.zeros(rows, np.float32)
+    for i in range(rows):
+        lo, hi = int(A.offsets[i]), int(A.offsets[i + 1])
+        ref[i] = (A.vals[lo:hi] * x[A.indices[lo:hi].astype(np.int64)]).sum()
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-5)
