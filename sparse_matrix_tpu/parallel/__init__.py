@@ -9,4 +9,5 @@ from .spmv import (  # noqa: F401
     dist_spmv_colsplit,
 )
 from .spgemm import dist_spgemm  # noqa: F401
+from .dia import shard_dia, dist_spmv_dia, dist_cg_solve_dia  # noqa: F401
 from .cg import dist_cg_step, dist_cg_solve, prepare_dist_cg  # noqa: F401

@@ -83,3 +83,26 @@ def test_dist_cg_solve_converges(mesh):
     x = np.asarray(res.x)[: n * n].astype(np.float64)
     r = A.to_dense().astype(np.float64) @ x - b
     assert np.linalg.norm(r) <= 1e-3 * np.linalg.norm(b)
+
+
+def test_dist_dia_spmv_and_cg(mesh):
+    from sparse_matrix_tpu.formats.dia import try_dia_from_csr
+    from sparse_matrix_tpu.parallel import dist_cg_solve_dia, dist_spmv_dia, shard_dia
+
+    n = 16
+    A = poisson_2d_csr(n, dtype=np.float32)
+    d = try_dia_from_csr(A)
+    data, rows_pad = shard_dia(d, mesh)
+    rng = np.random.default_rng(5)
+    x = np.zeros(rows_pad, np.float32)
+    x[: n * n] = rng.standard_normal(n * n)
+    vec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rows"))
+    xj = jax.device_put(jnp.asarray(x), vec)
+    y = np.asarray(dist_spmv_dia(data, xj, d.offsets, mesh, rows_pad=rows_pad))[: n * n]
+    np.testing.assert_allclose(y, A.to_dense() @ x[: n * n], rtol=1e-4, atol=1e-4)
+
+    b = rng.standard_normal(n * n).astype(np.float32)
+    res = dist_cg_solve_dia(d, b, mesh, tol=1e-5, maxiter=1500)
+    xs = np.asarray(res.x)[: n * n].astype(np.float64)
+    r = A.to_dense().astype(np.float64) @ xs - b
+    assert np.linalg.norm(r) <= 1e-3 * np.linalg.norm(b)
