@@ -295,45 +295,63 @@ class CsrMatrix(Matrix):
         return np.repeat(np.arange(self._rows, dtype=np.int64), np.diff(self.offsets))
 
     # -- arithmetic -------------------------------------------------------------
-    def _apply_elementwise(self, rhs: "CsrMatrix", sign: int) -> "CsrMatrix":
-        """Union-merge add/sub keeping cancellation zeros explicit, as the
-        reference's ``apply_elementwise`` (``spam_csr/src/lib.rs:83-148``)."""
+    def apply_elementwise(self, rhs: "CsrMatrix", f) -> "CsrMatrix":
+        """Union-merge combine keeping cancellation zeros explicit, as the
+        reference's ``apply_elementwise`` (``spam_csr/src/lib.rs:83-148``):
+        for every position present in either operand the result stores
+        ``f(t1, t2)`` with the absent side as zero. ``f`` must be a numpy
+        ufunc-compatible binary function (vectorized)."""
         if self.shape != rhs.shape:
             raise ValueError("matrices must have identical dimensions")
+        dtype = np.result_type(self.vals.dtype, rhs.vals.dtype)
+        zero = dtype.type(0)
         ra, ca, va = self.row_ids(), self.indices.astype(np.int64), self.vals
         rb, cb, vb = rhs.row_ids(), rhs.indices.astype(np.int64), rhs.vals
-        vb = vb if sign > 0 else -vb
+        # tag 0 = lhs, 1 = rhs; lexsort by (row, col, tag) aligns pairs
         r = np.concatenate([ra, rb])
         c = np.concatenate([ca, cb])
-        v = np.concatenate([va, vb])
-        order = np.lexsort((c, r))
-        r, c, v = r[order], c[order], v[order]
-        if len(r):
-            keys_new = np.empty(len(r), dtype=bool)
-            keys_new[0] = True
-            keys_new[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
-            seg = np.cumsum(keys_new) - 1
-            v_out = _segsum_exact(seg, v)
-            r, c = r[keys_new], c[keys_new]
-        else:
-            v_out = v
+        v = np.concatenate([va.astype(dtype), vb.astype(dtype)])
+        tag = np.concatenate(
+            [np.zeros(len(ra), np.int8), np.ones(len(rb), np.int8)]
+        )
+        order = np.lexsort((tag, c, r))
+        r, c, v, tag = r[order], c[order], v[order], tag[order]
+        n = len(r)
+        if n == 0:
+            return CsrMatrix(
+                self._rows, self._cols, v, c.astype(INDEX_DTYPE),
+                np.zeros(self._rows + 1, dtype=OFFSET_DTYPE), is_sorted=True,
+            )
+        head = np.empty(n, dtype=bool)
+        head[0] = True
+        head[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+        both = ~head  # second element of an aligned pair
+        # per unique key: lhs value (or 0) and rhs value (or 0)
+        lhs_v = np.where(tag == 0, v, zero)
+        rhs_v = np.where(tag == 1, v, zero)
+        pair_next_rhs = np.zeros(n, dtype=dtype)
+        pair_next_rhs[:-1] = np.where(both[1:], rhs_v[1:], zero)
+        t1 = np.where(head, lhs_v, zero)
+        t2 = np.where(head, np.where(tag == 0, pair_next_rhs, rhs_v), zero)
+        out_v = f(t1[head], t2[head])
+        r_o, c_o = r[head], c[head]
         offsets = np.zeros(self._rows + 1, dtype=OFFSET_DTYPE)
-        np.add.at(offsets, r + 1, 1)
+        np.add.at(offsets, r_o + 1, 1)
         np.cumsum(offsets, out=offsets)
         return CsrMatrix(
             self._rows,
             self._cols,
-            v_out,
-            c.astype(INDEX_DTYPE),
+            np.asarray(out_v, dtype=dtype),
+            c_o.astype(INDEX_DTYPE),
             offsets,
             is_sorted=True,
         )
 
     def __add__(self, rhs: "CsrMatrix") -> "CsrMatrix":
-        return self._apply_elementwise(rhs, +1)
+        return self.apply_elementwise(rhs, np.add)
 
     def __sub__(self, rhs: "CsrMatrix") -> "CsrMatrix":
-        return self._apply_elementwise(rhs, -1)
+        return self.apply_elementwise(rhs, np.subtract)
 
     def __matmul__(self, rhs: "CsrMatrix") -> "CsrMatrix":
         from ..ops.spgemm_host import spgemm_hash_host

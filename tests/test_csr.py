@@ -261,3 +261,18 @@ def test_native_partition_matches_python():
         out = np.zeros(parts + 1, dtype=np.int64)
         lib.spmx_partition_rows(100, flops, parts, out)
         np.testing.assert_array_equal(out, partition_rows_by_flops(flops, parts))
+
+
+def test_apply_elementwise_general_f():
+    # the reference API takes an arbitrary f (spam_csr/src/lib.rs:83-148)
+    import numpy as _np
+
+    rng = np.random.default_rng(11)
+    a = (rng.random((20, 20)) < 0.2) * rng.standard_normal((20, 20))
+    b = (rng.random((20, 20)) < 0.2) * rng.standard_normal((20, 20))
+    A = CsrMatrix.from_dok(DokMatrix.from_dense(a))
+    B = CsrMatrix.from_dok(DokMatrix.from_dense(b))
+    out = A.apply_elementwise(B, _np.maximum)
+    union = (a != 0) | (b != 0)
+    expected = np.where(union, np.maximum(a, b), 0.0)
+    np.testing.assert_allclose(out.to_dense(), expected)
