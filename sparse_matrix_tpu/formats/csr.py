@@ -354,9 +354,11 @@ class CsrMatrix(Matrix):
         return self.apply_elementwise(rhs, np.subtract)
 
     def __matmul__(self, rhs: "CsrMatrix") -> "CsrMatrix":
-        from ..ops.spgemm_host import spgemm_hash_host
+        # unsorted output, as the reference's Mul operator
+        # (spam_csr/src/lib.rs:292-297); engine picked by cost model
+        from ..ops.spgemm_block import spgemm_auto
 
-        return spgemm_hash_host(self, rhs, output_sorted=False)
+        return spgemm_auto(self, rhs, output_sorted=False)
 
     def __eq__(self, other) -> bool:
         if not isinstance(other, CsrMatrix):
