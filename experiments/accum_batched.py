@@ -14,7 +14,7 @@ arrs = lanepack_device_arrays(plan, b=B)
 r128, c128 = plan.r128, plan.c128
 Sp = arrs["vals"].shape[0]
 
-def kernel(rb_a_ref, rb_b_ref, split_ref, col_off_ref, x_ref, vals_ref, lane_ref, ends_ref, starts_ref, y_ref):
+def kernel(rb_a_ref, rb_b_ref, split_ref, col_off_ref, x_ref, vals_ref, lane_ref, ends_ref, starts_ref, split8_ref, y_ref):
     i = pl.program_id(0)
     @pl.when(i == 0)
     def _():
@@ -30,11 +30,11 @@ def kernel(rb_a_ref, rb_b_ref, split_ref, col_off_ref, x_ref, vals_ref, lane_ref
     gE = jnp.take_along_axis(c, ends, axis=1)
     gS = jnp.where(starts<0, 0.0, jnp.take_along_axis(c, jnp.maximum(starts,0), axis=1))
     contrib = (gE - gS).reshape(B, SUBLANES, LANES)
-    # batched per-slab reductions
+    # batched per-slab reductions; thresholds arrive as a VMEM (B,128) i8 row
     totals = jnp.sum(contrib, axis=1)  # (B, 128)
-    thr = jnp.stack([split_ref[i*B+bb] for bb in range(B)])  # (B,)
+    thr = split8_ref[...].astype(jnp.int32)  # (B, 128)
     sub3 = jax.lax.broadcasted_iota(jnp.int32, (B, SUBLANES, LANES), 1)
-    parts = jnp.sum(jnp.where(sub3 < thr[:, None, None], contrib, 0.0), axis=1)  # (B,128)
+    parts = jnp.sum(jnp.where(sub3 < thr[:, None, :], contrib, 0.0), axis=1)  # (B,128)
     rest = totals - parts
     for bb in range(B):
         y_ref[pl.ds(rb_a_ref[i*B+bb],1), :] += parts[bb][None]
@@ -45,13 +45,15 @@ def spmv(x):
     xpad = jnp.zeros((c128+1)*LANES, x.dtype).at[:x.shape[0]].set(x)
     x2d = xpad.reshape(c128+1, LANES)
     gs = pltpu.PrefetchScalarGridSpec(num_scalar_prefetch=4, grid=(Sp//B,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [pl.BlockSpec((B,SUBLANES,LANES), lambda i,*r:(i,0,0))]*4,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [pl.BlockSpec((B,SUBLANES,LANES), lambda i,*r:(i,0,0))]*4
+                 + [pl.BlockSpec((B,LANES), lambda i,*r:(i,0))],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))
     y = pl.pallas_call(kernel, grid_spec=gs, out_shape=jax.ShapeDtypeStruct((r128, LANES), jnp.float32))(
         arrs["rb_a"], arrs["rb_b"], arrs["split"], arrs["col_off"], x2d,
-        arrs["vals"], arrs["lane"], arrs["ends"], arrs["starts"])
+        arrs["vals"], arrs["lane"], arrs["ends"], arrs["starts"], split8)
     return y.reshape(-1)[:A.rows]
 
+split8 = jnp.asarray(np.broadcast_to(np.asarray(arrs["split"], dtype=np.int8)[:, None], (Sp, LANES)).copy())
 rng = np.random.default_rng(0)
 xj = jnp.asarray(rng.standard_normal(A.cols).astype(np.float32))
 from sparse_matrix_tpu.ops.spmv import ell_from_csr, spmv_ell_xla
