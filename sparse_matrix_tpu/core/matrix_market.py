@@ -216,11 +216,13 @@ def parse_matrix_market_csr(text: str, *, float_dtype=np.float64):
     from ..formats.csr import CsrMatrix
 
     lines = text.splitlines()
-    if not lines or "complex" in lines[0] or "pattern" in lines[0]:
+    header = lines[0].strip().split() if lines else []
+    # fast path covers `real` only; integer stays exact and complex two-field
+    # through the python parser
+    if len(header) < 5 or header[3].lower() != "real":
         parsed = parse_matrix_market(text, float_dtype=float_dtype)
         return CsrMatrix.from_dok(parsed.matrix)
-    header = lines[0].strip().split()
-    symmetric = len(header) >= 5 and header[4].lower() == "symmetric"
+    symmetric = header[4].lower() == "symmetric"
     if len(header) >= 5 and header[4].lower() in ("skew-symmetric", "hermitian"):
         raise NotImplementedError(f"{header[4]} matrices are not supported")
     i = 1

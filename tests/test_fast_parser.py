@@ -44,3 +44,11 @@ def test_fast_parser_complex_falls_back():
     t = "%%MatrixMarket matrix coordinate complex general\n2 2 1\n1 2 1.5 -2.5\n"
     c = parse_matrix_market_csr(t)
     assert c.vals[0] == 1.5 - 2.5j
+
+
+def test_fast_parser_integer_stays_exact():
+    t = "%%MatrixMarket matrix coordinate integer general\n2 2 1\n1 1 9007199254740993\n"
+    c = parse_matrix_market_csr(t)
+    # 2^53+1 is not representable in float64; the integer path must keep it
+    assert int(c.vals[0]) == 9007199254740993
+    assert np.issubdtype(c.vals.dtype, np.integer)
