@@ -1,5 +1,5 @@
 """Iterative solvers (CG) and model problems (2D Poisson)."""
 
-from .cg import CgResult, cg_solve, pcg_solve, jacobi_preconditioner  # noqa: F401
+from .cg import CgResult, cg_solve, cg_solve_multi, pcg_solve, jacobi_preconditioner  # noqa: F401
 from .eigen import PowerResult, power_iteration, lanczos, eigsh_extremal  # noqa: F401
 from .poisson import poisson_2d_csr  # noqa: F401

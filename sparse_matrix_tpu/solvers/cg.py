@@ -14,7 +14,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CgResult", "cg_solve", "pcg_solve", "jacobi_preconditioner"]
+__all__ = ["CgResult", "cg_solve", "cg_solve_multi", "pcg_solve", "jacobi_preconditioner"]
 
 
 class CgResult(NamedTuple):
@@ -57,6 +57,48 @@ def cg_solve(
         rs_new = jnp.vdot(r, r).real
         p = r + (rs_new / rs) * p
         return x, p, r, rs_new, k + 1
+
+    x, p, r, rs, k = jax.lax.while_loop(cond, body, (x, p, r, rs, jnp.int32(0)))
+    return CgResult(x=x, iterations=k, residual_norm=jnp.sqrt(rs))
+
+
+def cg_solve_multi(
+    matvec_multi: Callable,
+    b,
+    *,
+    tol: float = 1e-6,
+    maxiter: int = 1000,
+) -> CgResult:
+    """CG over K right-hand sides at once: ``b`` is (n, K), ``matvec_multi``
+    maps (n, K) -> (n, K) (e.g. :func:`~sparse_matrix_tpu.ops.spmm.spmm_dia`).
+    Each column runs its own CG recurrence (per-column alpha/beta); columns
+    iterate in lockstep until all converge — the multi-RHS form that makes
+    SpMM's operand reuse pay."""
+    b = jnp.asarray(b)
+    x = jnp.zeros_like(b)
+    r = b - matvec_multi(x)
+    p = r
+    rs = jnp.sum(r * r, axis=0)  # (K,)
+    b_norm2 = jnp.sum(b * b, axis=0)
+    tol2 = jnp.asarray(tol, rs.dtype) ** 2 * jnp.where(b_norm2 > 0, b_norm2, 1.0)
+
+    def cond(state):
+        _x, _p, _r, rs, k = state
+        return jnp.logical_and(jnp.any(rs > tol2), k < maxiter)
+
+    def body(state):
+        x, p, r, rs, k = state
+        live = rs > tol2  # (K,) columns still iterating
+        ap = matvec_multi(p)
+        pap = jnp.sum(p * ap, axis=0)
+        alpha = jnp.where(live, rs / jnp.where(pap == 0, 1.0, pap), 0.0)
+        x = x + alpha[None, :] * p
+        r = r - alpha[None, :] * ap
+        rs_new = jnp.sum(r * r, axis=0)
+        beta = jnp.where(live, rs_new / jnp.where(rs == 0, 1.0, rs), 0.0)
+        p = jnp.where(live[None, :], r + beta[None, :] * p, p)
+        rs = jnp.where(live, rs_new, rs)
+        return x, p, r, rs, k + 1
 
     x, p, r, rs, k = jax.lax.while_loop(cond, body, (x, p, r, rs, jnp.int32(0)))
     return CgResult(x=x, iterations=k, residual_norm=jnp.sqrt(rs))

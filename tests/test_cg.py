@@ -56,3 +56,20 @@ def test_cg_poisson_ell():
     res = cg_solve(lambda v: spmv_ell_xla(evj, ecj, v), b, tol=1e-5, maxiter=2000)
     r = A.to_dense().astype(np.float64) @ np.asarray(res.x, dtype=np.float64) - b
     assert np.linalg.norm(r) <= 1e-3 * np.linalg.norm(b)
+
+
+def test_cg_solve_multi():
+    from sparse_matrix_tpu.formats.dia import try_dia_from_csr
+    from sparse_matrix_tpu.ops.spmm import spmm_dia
+    from sparse_matrix_tpu.solvers import cg_solve_multi
+
+    n = 20
+    A = poisson_2d_csr(n, dtype=np.float32)
+    d = try_dia_from_csr(A)
+    rng = np.random.default_rng(7)
+    B = rng.standard_normal((n * n, 6)).astype(np.float32)
+    res = cg_solve_multi(lambda X: spmm_dia(d, X), B, tol=1e-5, maxiter=3000)
+    X = np.asarray(res.x, dtype=np.float64)
+    R = A.to_dense().astype(np.float64) @ X - B
+    for k in range(6):
+        assert np.linalg.norm(R[:, k]) <= 2e-3 * np.linalg.norm(B[:, k]), k
