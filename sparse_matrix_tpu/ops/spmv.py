@@ -238,8 +238,20 @@ def _lanepack_reference(arrs, x2d, *, rows: int, kw: int):
     return y2d.reshape(-1)[:rows]
 
 
+_VMEM_X_LIMIT = 24_000_000  # floats; x must be VMEM-resident in this kernel
+
+
 def spmv_lanepack(plan: LanePackPlan, x, *, device_arrays=None):
-    """y = A @ x via the LanePack Pallas kernel."""
+    """y = A @ x via the LanePack Pallas kernel.
+
+    The kernel keeps x fully VMEM-resident; operators wider than
+    ~24M columns need the ELL path or mesh sharding (see parallel/).
+    """
+    if plan.cols > _VMEM_X_LIMIT:
+        raise ValueError(
+            f"LanePack keeps x in VMEM; cols={plan.cols} exceeds the "
+            f"{_VMEM_X_LIMIT} limit — use spmv_ell_xla or shard over a mesh"
+        )
     arrs = device_arrays if device_arrays is not None else lanepack_device_arrays(plan)
     x = jnp.asarray(x, dtype=plan.dtype)
     return _spmv_lanepack_jit(
