@@ -3,4 +3,5 @@
 from .cg import CgResult, cg_solve, cg_solve_multi, pcg_solve, jacobi_preconditioner  # noqa: F401
 from .eigen import PowerResult, power_iteration, lanczos, eigsh_extremal  # noqa: F401
 from .bicgstab import bicgstab_solve  # noqa: F401
+from .gmres import gmres_solve  # noqa: F401
 from .poisson import poisson_2d_csr  # noqa: F401
