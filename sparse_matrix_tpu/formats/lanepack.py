@@ -72,6 +72,7 @@ class LanePackPlan:
     rows: int
     cols: int
     kw: int
+    pack: str  # "dense" (two-target slabs) or "per_rb" (padded, single-target)
     vals: np.ndarray
     lane: np.ndarray
     ends: np.ndarray
@@ -138,8 +139,15 @@ def plan_lanepack(
     dtype=np.float32,
     kw: Optional[int] = None,
     kw_candidates: Sequence[int] = (1, 2, 4, 8, 16),
+    pack: str = "auto",
 ) -> LanePackPlan:
-    """Plan SpMV for ``m``; O(nnz log nnz) host time, vectorized numpy."""
+    """Plan SpMV for ``m``; O(nnz log nnz) host time, vectorized numpy.
+
+    ``pack``: "dense" packs chunks with at most two row blocks per slab
+    (best fill; kernel pays masked split accumulation); "per_rb" pads each
+    row block's chunks to whole slabs (kernel does one unmasked (8,128)
+    accumulation per slab — ~12 ns/slab cheaper on v5e); "auto" picks by
+    the slab-count cost model."""
     rows, cols = m.rows, m.cols
     nnz = m.nnz()
 
@@ -180,6 +188,23 @@ def plan_lanepack(
     head_rb = rb[is_chunk_head] if nnz else np.zeros(0, np.int64)
     num_chunks = len(head_rb)
 
+    if pack == "auto":
+        # per-slab kernel cost: per_rb saves the masked two-target split
+        # (~12 ns of ~26 ns); dense saves slab padding. Pick fewer ns.
+        rb_change0 = np.r_[True, head_rb[1:] != head_rb[:-1]] if num_chunks else np.zeros(0, bool)
+        counts0 = (
+            np.diff(np.append(np.nonzero(rb_change0)[0], num_chunks))
+            if num_chunks
+            else np.zeros(0, np.int64)
+        )
+        slabs_per_rb = int(np.sum(-(-counts0 // SUBLANES)))
+        slabs_dense = -(-num_chunks // SUBLANES)
+        # measured per-slab kernel costs on v5e: dense (two-target masked)
+        # ~26 ns; per_rb (unmasked (1,8,128) accumulate into 3-D y) ~32 ns —
+        # dense wins unless per-rb padding is negligible AND slab counts
+        # diverge strongly (rare); keep both modes selectable
+        pack = "per_rb" if slabs_per_rb * 32.0 < slabs_dense * 26.0 else "dense"
+
     # pack chunks densely into slabs, allowing at most TWO distinct row
     # blocks per slab (the kernel does a split two-target accumulation);
     # a slab is padded early only when a third row block would enter it.
@@ -202,6 +227,8 @@ def plan_lanepack(
     for rbi, c in zip(uniq_rbs, counts):
         c = int(c)
         placed = 0
+        if pack == "per_rb" and cur_fill != 0:
+            cur_fill = 0  # close the slab at every row-block boundary
         while placed < c:
             if cur_fill == 0:
                 slab_meta.append([rbi, rbi, SUBLANES])
@@ -266,6 +293,7 @@ def plan_lanepack(
         rows=rows,
         cols=cols,
         kw=kw,
+        pack=pack,
         vals=vals_s,
         lane=lane_s,
         ends=ends_s,

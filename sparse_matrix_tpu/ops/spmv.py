@@ -68,7 +68,7 @@ def _lane_cumsum_mxu(p: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _make_lanepack_kernel(b: int, kw: int):
+def _make_lanepack_kernel(b: int, kw: int, pack: str = "dense"):
     from jax.experimental import pallas as pl
 
     def kernel(rb_a_ref, rb_b_ref, split_ref, col_off_ref, x_ref, vals_ref, lane_ref, ends_ref, starts_ref, y_ref):
@@ -107,16 +107,23 @@ def _make_lanepack_kernel(b: int, kw: int):
         )
         contrib = g_end - g_start  # (B*8, 128)
 
-        # two-target accumulation: sublanes [0, split) belong to rb_a,
-        # the rest to rb_b (slabs pack chunks of at most two row blocks)
-        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
-        for bb in range(b):
-            c8 = contrib[bb * SUBLANES : (bb + 1) * SUBLANES]
-            total = jnp.sum(c8, axis=0, keepdims=True)
-            sp = split_ref[i * b + bb]
-            part_a = jnp.sum(jnp.where(sub_iota < sp, c8, 0.0), axis=0, keepdims=True)
-            y_ref[pl.ds(rb_a_ref[i * b + bb], 1), :] += part_a
-            y_ref[pl.ds(rb_b_ref[i * b + bb], 1), :] += total - part_a
+        if pack == "per_rb":
+            # single-target slabs: one unmasked (1,8,128) accumulate each;
+            # y is (r128, 8, 128), sublanes reduced outside the kernel
+            c3 = contrib.reshape(b, SUBLANES, LANES)
+            for bb in range(b):
+                y_ref[pl.ds(rb_a_ref[i * b + bb], 1)] += c3[bb][None]
+        else:
+            # two-target accumulation: sublanes [0, split) belong to rb_a,
+            # the rest to rb_b (slabs pack chunks of at most two row blocks)
+            sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+            for bb in range(b):
+                c8 = contrib[bb * SUBLANES : (bb + 1) * SUBLANES]
+                total = jnp.sum(c8, axis=0, keepdims=True)
+                sp = split_ref[i * b + bb]
+                part_a = jnp.sum(jnp.where(sub_iota < sp, c8, 0.0), axis=0, keepdims=True)
+                y_ref[pl.ds(rb_a_ref[i * b + bb], 1), :] += part_a
+                y_ref[pl.ds(rb_b_ref[i * b + bb], 1), :] += total - part_a
 
     return kernel
 
@@ -165,8 +172,8 @@ def lanepack_device_arrays(plan: LanePackPlan, *, b: Optional[int] = None):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "cols", "kw", "b", "interpret"))
-def _spmv_lanepack_jit(arrs, x, *, rows: int, cols: int, kw: int, b: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "kw", "b", "interpret", "pack"))
+def _spmv_lanepack_jit(arrs, x, *, rows: int, cols: int, kw: int, b: int, interpret: bool, pack: str = "dense"):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -192,10 +199,15 @@ def _spmv_lanepack_jit(arrs, x, *, rows: int, cols: int, kw: int, b: int, interp
         + [pl.BlockSpec((b, SUBLANES, LANES), lambda i, *refs: (i, 0, 0))] * 4,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
+    out_shape = (
+        jax.ShapeDtypeStruct((r128, SUBLANES, LANES), x.dtype)
+        if pack == "per_rb"
+        else jax.ShapeDtypeStruct((r128, LANES), x.dtype)
+    )
     y2d = pl.pallas_call(
-        _make_lanepack_kernel(b, kw),
+        _make_lanepack_kernel(b, kw, pack),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r128, LANES), x.dtype),
+        out_shape=out_shape,
         interpret=interpret,
     )(
         arrs["rb_a"],
@@ -208,6 +220,8 @@ def _spmv_lanepack_jit(arrs, x, *, rows: int, cols: int, kw: int, b: int, interp
         arrs["ends"],
         arrs["starts"],
     )
+    if pack == "per_rb":
+        y2d = jnp.sum(y2d, axis=1)
     # blocks with no slabs were never visited -> mask to zero
     y2d = jnp.where(arrs["rb_mask"][:, None] > 0, y2d, 0.0)
     return y2d.reshape(-1)[:rows]
@@ -262,6 +276,7 @@ def spmv_lanepack(plan: LanePackPlan, x, *, device_arrays=None):
         kw=plan.kw,
         b=arrs["b"],
         interpret=_interpret(),
+        pack=plan.pack,
     )
 
 
