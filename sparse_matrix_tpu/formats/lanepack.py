@@ -17,12 +17,14 @@ LanePack lays the matrix out so SpMV uses only those:
   block, sorted by destination lane. ``lane`` (int16) is the product's x
   position within its window;
 * the kernel computes products ``val * x_window[lane]`` (``KW`` lane gathers
-  + masked select), a lane-axis prefix sum (7 roll+add steps), then
+  + masked select), a lane-axis prefix sum (a triangular MXU matmul), then
   per-destination-lane run sums via two more lane gathers at
   host-precomputed run boundaries ``ends``/``starts`` (int8) — a segmented
   reduction with no scatter;
 * each slab's (8,128) contributions are reduced and added into the resident
-  ``y`` block by a dynamic-index accumulate; the whole ``y`` stays in VMEM.
+  ``y`` (whole array in VMEM) by dynamic-index accumulates; with the default
+  "dense" packing a slab may span two row blocks and the kernel splits its
+  contribution by the planned sublane boundary.
 
 ``KW`` trades window fragmentation (more, emptier chunks at small ``KW``)
 against per-slot gather work (``KW`` masked gathers); the planner picks it by
@@ -63,8 +65,8 @@ class LanePackPlan:
 
     ``S`` slabs: ``vals`` (S,8,128) dtype; ``lane`` (S,8,128) int16 (position
     in window); ``ends``/``starts`` (S,8,128) int8 run boundaries (starts may
-    be -1); two-target accumulation metadata ``rb_a``/``rb_b``/``split``
-    (chunks pack densely; a slab covers at most two row blocks);
+    be -1); accumulation metadata ``rb_a``/``rb_b``/``split`` (under "dense"
+    packing a slab covers at most two row blocks; under "per_rb" always one);
     ``col_off`` (S*8,) int32 x2d row base per chunk; ``rb_mask`` (r128,)
     nonzero where the row block has entries.
     """

@@ -166,3 +166,63 @@ class SpmvOperator:
         if self._plan is not None:
             total += self._plan.slot_bytes()
         return total
+
+
+def save_operator_plan(op: SpmvOperator, path: str) -> None:
+    """Persist a planned operator's arrays (npz) so later processes skip
+    planning (the checkpoint/resume analog for plans)."""
+    payload = {"format": op.format, "rows": op.rows, "cols": op.cols, "nnz": op.nnz}
+    if op._dia is not None:
+        payload.update(
+            dia_data=op._dia.data, dia_offsets=np.asarray(op._dia.offsets, np.int64),
+            dia_rows=op._dia.rows, dia_cols=op._dia.cols,
+        )
+    if op._plan is not None:
+        pl = op._plan
+        payload.update(
+            lp_kw=pl.kw, lp_pack=pl.pack, lp_rows=pl.rows, lp_cols=pl.cols,
+            lp_nnz=pl.nnz, lp_vals=pl.vals, lp_lane=pl.lane, lp_ends=pl.ends,
+            lp_starts=pl.starts, lp_rb_a=pl.rb_a, lp_rb_b=pl.rb_b,
+            lp_split=pl.split, lp_chunk_rb=pl.chunk_rb, lp_col_off=pl.col_off,
+            lp_rb_mask=pl.rb_mask,
+        )
+    if getattr(op, "_ell", None) is not None and op.format == "ell":
+        payload.update(ell_vals=np.asarray(op._ell[0]), ell_cols=np.asarray(op._ell[1]))
+    np.savez_compressed(path, **payload)
+
+
+def load_operator_plan(path: str) -> SpmvOperator:
+    """Rebuild a planned operator saved by :func:`save_operator_plan`."""
+    from ..formats.dia import DiaMatrix
+    from ..formats.lanepack import LanePackPlan
+
+    z = np.load(path, allow_pickle=False)
+    op = SpmvOperator.__new__(SpmvOperator)
+    op.format = str(z["format"])
+    op.rows, op.cols, op.nnz = int(z["rows"]), int(z["cols"]), int(z["nnz"])
+    op._dia = None
+    op._plan = None
+    if "dia_data" in z:
+        dia = DiaMatrix(
+            int(z["dia_rows"]), int(z["dia_cols"]), z["dia_data"],
+            tuple(int(o) for o in z["dia_offsets"]),
+        )
+        op._set_dia(dia)
+    if "lp_vals" in z:
+        plan = LanePackPlan(
+            rows=int(z["lp_rows"]), cols=int(z["lp_cols"]), kw=int(z["lp_kw"]),
+            pack=str(z["lp_pack"]), vals=z["lp_vals"], lane=z["lp_lane"],
+            ends=z["lp_ends"], starts=z["lp_starts"], rb_a=z["lp_rb_a"],
+            rb_b=z["lp_rb_b"], split=z["lp_split"], chunk_rb=z["lp_chunk_rb"],
+            col_off=z["lp_col_off"], rb_mask=z["lp_rb_mask"],
+            nnz=int(z["lp_nnz"]), dtype=z["lp_vals"].dtype,
+        )
+        from .spmv import lanepack_device_arrays
+
+        op._plan = plan
+        op._lp_arrs = lanepack_device_arrays(plan)
+    if "ell_vals" in z:
+        import jax.numpy as jnp
+
+        op._ell = (jnp.asarray(z["ell_vals"]), jnp.asarray(z["ell_cols"]))
+    return op

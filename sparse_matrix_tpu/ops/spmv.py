@@ -6,10 +6,11 @@ Three paths, fastest first:
   :class:`~sparse_matrix_tpu.formats.lanepack.LanePackPlan` (see that module's
   docstring for the format design). Per grid step it streams ``B`` slabs
   (``B*8`` chunks = ``B*1024`` slots), assembles the per-chunk x windows with
-  dynamic row slices, lane-gathers x, multiplies, prefix-sums each chunk with
-  7 roll+add steps, segment-reduces at host-planned boundaries, and
-  accumulates per-slab (1,128) partials into the VMEM-resident y.
-  Measured HBM-bound on v5e (~0.9 of copy bandwidth on slab bytes).
+  dynamic row slices, lane-gathers x, multiplies, prefix-sums each chunk on
+  the MXU (triangular matmul), segment-reduces at host-planned boundaries,
+  and accumulates per-slab partials into the VMEM-resident y (split between
+  two row blocks under dense packing). ~26 Gnnz/s on Poisson 512^2,
+  VPU-op-bound (see docs/PERF.md).
 * :func:`spmv_ell_xla` — pure-XLA padded-ELL gather+reduce; any backend, any
   sharding; the multi-chip building block and correctness baseline.
 * :func:`spmv_oracle` — numpy CSR row loop; the test oracle.

@@ -94,3 +94,31 @@ def test_operator_ell_fallback_hyper_sparse():
         lo, hi = int(A.offsets[i]), int(A.offsets[i + 1])
         ref[i] = (A.vals[lo:hi] * x[A.indices[lo:hi].astype(np.int64)]).sum()
     np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_operator_plan_save_load(tmp_path):
+    from sparse_matrix_tpu.ops.operator import load_operator_plan, save_operator_plan
+
+    rng = np.random.default_rng(12)
+    a = (rng.random((200, 160)) < 0.03) * rng.standard_normal((200, 160))
+    from sparse_matrix_tpu.core import DokMatrix
+    from sparse_matrix_tpu.formats.csr import CsrMatrix as C
+
+    A = C.from_dok(DokMatrix.from_dense(a.astype(np.float32)))
+    for force in ("lanepack", None):
+        op = SpmvOperator(A, force=force)
+        p = str(tmp_path / f"plan_{op.format}.npz")
+        save_operator_plan(op, p)
+        op2 = load_operator_plan(p)
+        assert op2.format == op.format
+        x = rng.standard_normal(160).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(op2(x)), np.asarray(op(x)), rtol=1e-6)
+
+    B = poisson_2d_csr(16, dtype=np.float32)
+    op = SpmvOperator(B)
+    p = str(tmp_path / "plan_dia.npz")
+    save_operator_plan(op, p)
+    op2 = load_operator_plan(p)
+    assert op2.format == "dia"
+    x = rng.standard_normal(256).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(op2(x)), np.asarray(op(x)), rtol=1e-6)
