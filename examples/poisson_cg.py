@@ -3,8 +3,11 @@
     python examples/poisson_cg.py [grid_size]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
