@@ -68,6 +68,7 @@ class SpmvOperator:
         self.nnz = m.nnz()
         self._dia = None
         self._plan = None
+        self._ell = None
 
         if force in (None, "dia"):
             dia = try_dia_from_csr(m, dtype=dtype)
@@ -88,7 +89,13 @@ class SpmvOperator:
                 if dia is not None:
                     self.format = "hybrid"
                     self._set_dia(dia)
-                    self._set_plan(residual, dtype)
+                    # residual may itself be hyper-sparse: route it by the
+                    # same LanePack-vs-ELL guard (a pathological residual
+                    # plan would blow the SMEM scalar-prefetch budget)
+                    if self._lanepack_viable(residual):
+                        self._set_plan(residual, dtype)
+                    else:
+                        self._set_ell(residual, dtype)
                     return
             if force == "hybrid":
                 raise ValueError("no useful band/residual split")
@@ -101,18 +108,25 @@ class SpmvOperator:
             ell_bytes = m.rows * max(1, row_max) * 8
             if force == "ell" or (
                 plan_est > 4 * m.nnz() * 8 and ell_bytes < plan_est / 2
-            ):
-                from .spmv import ell_from_csr
-
-                import jax.numpy as jnp
-
-                ev, ec = ell_from_csr(m, dtype=dtype)
+            ) or not self._lanepack_viable(m):
                 self.format = "ell"
-                self._ell = (jnp.asarray(ev), jnp.asarray(ec))
+                self._set_ell(m, dtype)
                 return
 
         self.format = "lanepack"
         self._set_plan(m, dtype)
+
+    @staticmethod
+    def _lanepack_viable(m: CsrMatrix) -> bool:
+        """The kernel's scalar-prefetch arrays (col_off, S*8 int32) live in
+        the 1 MB SMEM; plans beyond that must go elsewhere."""
+        from ..formats.lanepack import _count_slabs
+
+        slabs = min(
+            (_count_slabs(m, kw) for kw in (1, 2, 4, 8, 16) if kw * 128 <= m.cols + 128),
+            default=0,
+        )
+        return slabs * 8 * 4 + slabs * 3 * 4 < 800_000
 
     @staticmethod
     def _estimate_lanepack_bytes(m: CsrMatrix) -> int:
@@ -127,6 +141,14 @@ class SpmvOperator:
             best = b if best is None else min(best, b)
         return best if best is not None else m.nnz() * 8
 
+    def _set_ell(self, m, dtype):
+        import jax.numpy as jnp
+
+        from .spmv import ell_from_csr
+
+        ev, ec = ell_from_csr(m, dtype=dtype)
+        self._ell = (jnp.asarray(ev), jnp.asarray(ec))
+
     def _set_dia(self, dia):
         from .spmv_dia import dia_device_arrays
 
@@ -140,10 +162,6 @@ class SpmvOperator:
         self._lp_arrs = lanepack_device_arrays(self._plan)
 
     def __call__(self, x):
-        if self.format == "ell":
-            from .spmv import spmv_ell_xla
-
-            return spmv_ell_xla(self._ell[0], self._ell[1], x)
         y = None
         if self._dia is not None:
             from .spmv_dia import spmv_dia
@@ -154,6 +172,11 @@ class SpmvOperator:
 
             y2 = spmv_lanepack(self._plan, x, device_arrays=self._lp_arrs)
             y = y2 if y is None else y + y2
+        if self._ell is not None:
+            from .spmv import spmv_ell_xla
+
+            y3 = spmv_ell_xla(self._ell[0], self._ell[1], x)
+            y = y3 if y is None else y + y3
         return y
 
     def bytes_per_apply(self) -> int:
@@ -186,7 +209,7 @@ def save_operator_plan(op: SpmvOperator, path: str) -> None:
             lp_split=pl.split, lp_chunk_rb=pl.chunk_rb, lp_col_off=pl.col_off,
             lp_rb_mask=pl.rb_mask,
         )
-    if getattr(op, "_ell", None) is not None and op.format == "ell":
+    if getattr(op, "_ell", None) is not None:
         payload.update(ell_vals=np.asarray(op._ell[0]), ell_cols=np.asarray(op._ell[1]))
     np.savez_compressed(path, **payload)
 
@@ -202,6 +225,7 @@ def load_operator_plan(path: str) -> SpmvOperator:
     op.rows, op.cols, op.nnz = int(z["rows"]), int(z["cols"]), int(z["nnz"])
     op._dia = None
     op._plan = None
+    op._ell = None
     if "dia_data" in z:
         dia = DiaMatrix(
             int(z["dia_rows"]), int(z["dia_cols"]), z["dia_data"],

@@ -262,6 +262,12 @@ def spmv_lanepack(plan: LanePackPlan, x, *, device_arrays=None):
     The kernel keeps x fully VMEM-resident; operators wider than
     ~24M columns need the ELL path or mesh sharding (see parallel/).
     """
+    if plan.num_slabs * 8 * 4 > 900_000:
+        raise ValueError(
+            f"LanePack plan has {plan.num_slabs} slabs; its scalar-prefetch "
+            "arrays exceed the 1 MB SMEM budget — use the ELL path or "
+            "SpmvOperator (which guards this automatically)"
+        )
     if plan.cols > _VMEM_X_LIMIT:
         raise ValueError(
             f"LanePack keeps x in VMEM; cols={plan.cols} exceeds the "
