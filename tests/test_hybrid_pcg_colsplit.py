@@ -101,3 +101,28 @@ def test_colsplit_spmv(mesh):
     )
     y = np.asarray(dist_spmv_colsplit(ev, ec, xj, mesh))[:64]
     np.testing.assert_allclose(y, a.astype(np.float32) @ x[:48], rtol=1e-4, atol=1e-4)
+
+
+def test_hybrid_hyper_sparse_residual_routes_to_ell():
+    # regression: a hyper-sparse residual used to build a LanePack plan whose
+    # scalar-prefetch arrays blew the 1MB SMEM budget at scale
+    rng = np.random.default_rng(8)
+    n = 1_000_000  # the guard trips only at scale (~>25K slabs)
+    i = np.arange(n)
+    rows = np.concatenate([i, i[:-1], rng.integers(0, n, n // 2)])
+    cols = np.concatenate([i, i[:-1] + 1, rng.integers(0, n, n // 2)])
+    vals = np.concatenate(
+        [np.full(n, 4.0), np.full(n - 1, -1.0), rng.standard_normal(n // 2) * 0.01]
+    ).astype(np.float32)
+    from sparse_matrix_tpu.formats.csr import CsrMatrix as C
+
+    A = C.from_coo(n, n, rows, cols, vals)
+    op = SpmvOperator(A)
+    assert op.format == "hybrid"
+    assert op._plan is None and op._ell is not None  # residual went to ELL
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(op(x))
+    for j in rng.integers(0, n, 10):
+        lo, hi = int(A.offsets[j]), int(A.offsets[j + 1])
+        ref = float(A.vals[lo:hi].astype(np.float64) @ x[A.indices[lo:hi].astype(np.int64)])
+        assert abs(float(y[j]) - ref) <= 1e-3 + 1e-3 * abs(ref)
