@@ -81,6 +81,12 @@ class BsrMatrix:
     def to_csr(self) -> CsrMatrix:
         """Back to element CSR, dropping explicit zeros inside blocks."""
         br = self.block_rows_expanded()
+        from ..native.loader import blocks_to_coo_native
+
+        got = blocks_to_coo_native(self.blocks, br, self.block_cols, self.rows, self.cols)
+        if got is not None:
+            r, c, v = got
+            return CsrMatrix.from_coo(self.rows, self.cols, r, c, v, sum_duplicates=False)
         s, rr, cc = np.nonzero(self.blocks)  # one vectorized pass
         r = br[s] * self.bs + rr
         c = self.block_cols.astype(np.int64)[s] * self.bs + cc

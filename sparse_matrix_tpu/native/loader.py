@@ -59,6 +59,12 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.spmx_spgemm_symbolic.argtypes = [
         c_i64, _I64P, _U32P, _I64P, _U32P, _I64P, c_i64, c_int, _I64P,
     ]
+    lib.spmx_blocks_count_nnz.restype = c_i64
+    lib.spmx_blocks_count_nnz.argtypes = [_F32P, c_i64, c_i64]
+    lib.spmx_blocks_to_coo.restype = c_i64
+    lib.spmx_blocks_to_coo.argtypes = [
+        _F32P, c_i64, c_i64, _I64P, _U32P, c_i64, c_i64, _I64P, _I64P, _F32P,
+    ]
     lib.spmx_parse_entries.restype = c_i64
     lib.spmx_parse_entries.argtypes = [
         ctypes.c_char_p, c_i64, c_i64, _I64P, _I64P, _F64P, ctypes.c_int, ctypes.c_void_p,
@@ -159,3 +165,26 @@ def parse_entries_native(text: str, expect: int, n_value_cols: int):
     if n < 0:
         return None
     return rows[:n], cols[:n], vals[:n], (vi[:n] if vi is not None else None), int(n)
+
+
+def blocks_to_coo_native(blocks, block_rows, block_cols, rows, cols):
+    """Sparsify dense BSR blocks to COO via the C pass; None if unavailable
+    or the dtype isn't float32."""
+    lib = load_library()
+    if lib is None or blocks.dtype != np.float32:
+        return None
+    blocks = np.ascontiguousarray(blocks)
+    nnzb, bs = blocks.shape[0], blocks.shape[1]
+    n = int(lib.spmx_blocks_count_nnz(blocks, nnzb, bs))
+    out_r = np.zeros(max(1, n), dtype=np.int64)
+    out_c = np.zeros(max(1, n), dtype=np.int64)
+    out_v = np.zeros(max(1, n), dtype=np.float32)
+    k = int(
+        lib.spmx_blocks_to_coo(
+            blocks, nnzb, bs,
+            np.ascontiguousarray(block_rows, dtype=np.int64),
+            np.ascontiguousarray(block_cols, dtype=np.uint32),
+            rows, cols, out_r, out_c, out_v,
+        )
+    )
+    return out_r[:k], out_c[:k], out_v[:k]

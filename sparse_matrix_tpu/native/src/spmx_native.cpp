@@ -318,3 +318,45 @@ extern "C" i64 spmx_parse_entries(const char* buf, i64 len, i64 expect,
   }
   return count;
 }
+
+// ---------------------------------------------------------------------------
+// Dense-block sparsify: extract nonzeros of BSR blocks as COO, bounds-clipped.
+// Pass 1 (count) then pass 2 (fill) keeps the Python side allocation-exact.
+// ---------------------------------------------------------------------------
+
+extern "C" i64 spmx_blocks_count_nnz(const float* blocks, i64 nnzb, i64 bs) {
+  i64 count = 0;
+  const float* p = blocks;
+  const float* end = blocks + nnzb * bs * bs;
+  for (; p < end; ++p) count += (*p != 0.0f);
+  return count;
+}
+
+extern "C" i64 spmx_blocks_to_coo(const float* blocks, i64 nnzb, i64 bs,
+                                  const i64* block_rows, const u32* block_cols,
+                                  i64 rows, i64 cols,
+                                  i64* out_r, i64* out_c, float* out_v) {
+  i64 k = 0;
+  for (i64 s = 0; s < nnzb; ++s) {
+    i64 rbase = block_rows[s] * bs;
+    i64 cbase = (i64)block_cols[s] * bs;
+    const float* blk = blocks + s * bs * bs;
+    for (i64 rr = 0; rr < bs; ++rr) {
+      i64 r = rbase + rr;
+      if (r >= rows) break;
+      for (i64 cc = 0; cc < bs; ++cc) {
+        float v = blk[rr * bs + cc];
+        if (v != 0.0f) {
+          i64 c = cbase + cc;
+          if (c < cols) {
+            out_r[k] = r;
+            out_c[k] = c;
+            out_v[k] = v;
+            ++k;
+          }
+        }
+      }
+    }
+  }
+  return k;
+}
