@@ -149,6 +149,19 @@ class CsrMatrix(Matrix):
         np.cumsum(offsets, out=offsets)
         return cls(rows, cols, v, c.astype(INDEX_DTYPE), offsets, is_sorted=True)
 
+    @classmethod
+    def from_scipy(cls, s) -> "CsrMatrix":
+        """From any scipy.sparse matrix (sorted CSR)."""
+        from ..verify.differential import from_scipy
+
+        return from_scipy(s)
+
+    def to_scipy(self):
+        """To scipy.sparse.csr_matrix."""
+        from ..verify.differential import to_scipy
+
+        return to_scipy(self)
+
     def to_dok(self) -> DokMatrix:
         """CSR -> DOK (zero entries dropped by DOK set semantics),
         reference ``From<CsrMatrix> for DokMatrix`` (``spam_csr/src/lib.rs:375-384``)."""

@@ -1,7 +1,13 @@
 """Iterative solvers (CG) and model problems (2D Poisson)."""
 
 from .cg import CgResult, cg_solve, cg_solve_multi, pcg_solve, jacobi_preconditioner  # noqa: F401
-from .eigen import PowerResult, power_iteration, lanczos, eigsh_extremal  # noqa: F401
+from .eigen import (  # noqa: F401
+    PowerResult,
+    power_iteration,
+    inverse_power_iteration,
+    lanczos,
+    eigsh_extremal,
+)
 from .bicgstab import bicgstab_solve  # noqa: F401
 from .gmres import gmres_solve  # noqa: F401
 from .poisson import poisson_2d_csr  # noqa: F401

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["PowerResult", "power_iteration", "lanczos", "eigsh_extremal"]
+__all__ = ["PowerResult", "power_iteration", "inverse_power_iteration", "lanczos", "eigsh_extremal"]
 
 
 class PowerResult(NamedTuple):
@@ -75,3 +75,33 @@ def eigsh_extremal(matvec: Callable, n: int, *, m: int = 50, seed: int = 0):
     t = np.diag(np.asarray(alphas)) + np.diag(np.asarray(betas), 1) + np.diag(np.asarray(betas), -1)
     ev = np.linalg.eigvalsh(t)
     return float(ev[0]), float(ev[-1])
+
+
+def inverse_power_iteration(
+    matvec: Callable,
+    n: int,
+    *,
+    tol: float = 1e-5,
+    maxiter: int = 100,
+    inner_tol: float = 1e-6,
+    inner_maxiter: int = 500,
+    seed: int = 0,
+) -> PowerResult:
+    """Smallest eigenpair of an SPD operator by inverse iteration, with the
+    linear solves done by the library's own CG — solvers composing solvers."""
+    from .cg import cg_solve
+
+    v = jax.random.normal(jax.random.PRNGKey(seed), (n,), dtype=jnp.float32)
+    v = v / jnp.linalg.norm(v)
+    lam = jnp.float32(0)
+    lam_prev = jnp.float32(jnp.inf)
+    k = 0
+    # host loop: each step is a full jitted CG solve
+    for k in range(1, maxiter + 1):
+        w = cg_solve(matvec, v, tol=inner_tol, maxiter=inner_maxiter).x
+        w = w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+        lam_prev, lam = lam, jnp.vdot(w, matvec(w)).real
+        v = w
+        if abs(float(lam - lam_prev)) <= tol * abs(float(lam)) + 1e-30:
+            break
+    return PowerResult(eigenvalue=lam, eigenvector=v, iterations=jnp.int32(k))

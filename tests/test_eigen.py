@@ -28,3 +28,25 @@ def test_eigsh_extremal_poisson():
     exact_lo = 8 * np.sin(np.pi / (2 * (n + 1))) ** 2
     assert abs(hi - exact_hi) < 0.05 * exact_hi
     assert lo < exact_lo * 3 + 0.05
+
+
+def test_inverse_power_iteration_smallest():
+    from sparse_matrix_tpu.solvers import inverse_power_iteration
+
+    n = 12
+    A = poisson_2d_csr(n, dtype=np.float32)
+    op = SpmvOperator(A)
+    res = inverse_power_iteration(op, n * n, tol=1e-6, maxiter=50)
+    exact_lo = 8 * np.sin(np.pi / (2 * (n + 1))) ** 2
+    assert abs(float(res.eigenvalue) - exact_lo) < 0.02 * exact_lo
+
+
+def test_scipy_interop_on_class():
+    import scipy.sparse as sp
+
+    from sparse_matrix_tpu.formats import CsrMatrix
+
+    s = sp.random(30, 20, density=0.2, format="csr", random_state=0)
+    A = CsrMatrix.from_scipy(s)
+    assert A.invariants()
+    np.testing.assert_allclose(A.to_scipy().toarray(), s.toarray())
