@@ -7,9 +7,14 @@ Behavior mirrored from the reference:
 
 * header ``%%MatrixMarket matrix coordinate <integer|real|complex|pattern>
   <general|symmetric|skew-symmetric|hermitian>``; ``pattern`` entries and
-  ``skew-symmetric``/``hermitian`` shapes are recognized but unimplemented
-  (reference ``todo!()`` at ``spam_dok/src/lib.rs:373,446``) — we raise
-  ``NotImplementedError``.
+  ``skew-symmetric``/``hermitian`` shapes are ``todo!()`` in the reference
+  (``spam_dok/src/lib.rs:373,446``) — here they are fully implemented:
+  ``pattern`` entries are two-field lines stored with value 1;
+  ``skew-symmetric`` mirrors ``(c, r) = -t`` and rejects diagonal entries;
+  ``hermitian`` (complex only) mirrors the conjugate and requires a real
+  diagonal.  Invalid combinations (``pattern`` with ``skew-symmetric`` or
+  ``hermitian``, ``hermitian`` with a non-complex entry type) raise
+  :class:`MatrixMarketError`.
 * ``%``-prefixed comment lines after the header are skipped
   (``spam_dok/src/lib.rs:376``).
 * size line ``rows cols nnz``; entries are 1-indexed and converted to
@@ -60,6 +65,7 @@ class MatrixType(enum.Enum):
     INTEGER = "integer"
     REAL = "real"
     COMPLEX = "complex"
+    PATTERN = "pattern"
 
 
 @dataclass
@@ -109,14 +115,15 @@ def parse_matrix_market(
         raise MatrixMarketError(f"unknown entry type {entry_type!r}")
     if shape not in _SHAPES:
         raise MatrixMarketError(f"unknown shape {shape!r}")
-    if entry_type == "pattern":
-        # recognized in the header but unimplemented in the reference
-        # (spam_dok/src/lib.rs:358,446)
-        raise NotImplementedError("pattern matrices are not supported")
-    if shape in ("skew-symmetric", "hermitian"):
-        # reference todo!() at spam_dok/src/lib.rs:373
-        raise NotImplementedError(f"{shape} matrices are not supported")
+    # pattern / skew-symmetric / hermitian are todo!() in the reference
+    # (spam_dok/src/lib.rs:358,373,446); implemented here per the MM spec.
+    if entry_type == "pattern" and shape in ("skew-symmetric", "hermitian"):
+        raise MatrixMarketError(f"pattern matrices cannot be {shape}")
+    if shape == "hermitian" and entry_type != "complex":
+        raise MatrixMarketError("hermitian requires complex entries")
     symmetric = shape == "symmetric"
+    skew = shape == "skew-symmetric"
+    hermitian = shape == "hermitian"
 
     # skip comment lines (spam_dok/src/lib.rs:376)
     i = 1
@@ -146,8 +153,12 @@ def parse_matrix_market(
         dtype = np.dtype(float_dtype)
         nfields = 3
         mtype = MatrixType.REAL
+    elif entry_type == "pattern":  # "r c" lines, value = 1
+        scalar = np.dtype(float_dtype).type
+        dtype = np.dtype(float_dtype)
+        nfields = 2
+        mtype = MatrixType.PATTERN
     else:  # complex: "r c re im"
-        f = np.dtype(float_dtype).type
         scalar = None
         dtype = np.dtype(np.result_type(float_dtype, np.complex64))
         nfields = 4
@@ -166,18 +177,30 @@ def parse_matrix_market(
             c = int(fields[1])
             if entry_type == "complex":
                 t = dtype.type(complex(float(fields[2]), float(fields[3])))
+            elif entry_type == "pattern":
+                t = scalar(1)
             else:
                 t = scalar(fields[2])
         except (ValueError, OverflowError) as e:
             raise MatrixMarketError(f"bad entry line: {line!r}") from e
         if not (1 <= r <= rows and 1 <= c <= cols):
             raise MatrixMarketError(f"entry out of bounds: {line!r}")
+        if skew and r == c:
+            # a skew-symmetric matrix has a zero diagonal; the MM spec stores
+            # only the strictly lower triangle
+            raise MatrixMarketError(f"skew-symmetric entry on diagonal: {line!r}")
+        if hermitian and r == c and complex(t).imag != 0.0:
+            raise MatrixMarketError(f"hermitian diagonal entry not real: {line!r}")
         count += 1
         if t == 0:  # zeros dropped (spam_dok/src/lib.rs:336)
             continue
         m.entries[(r - 1, c - 1)] = t  # 1-indexed -> 0-indexed
         if symmetric and r != c:
             m.entries[(c - 1, r - 1)] = t
+        elif skew:
+            m.entries[(c - 1, r - 1)] = -t
+        elif hermitian and r != c:
+            m.entries[(c - 1, r - 1)] = np.conj(t)
     if count != nnz:
         raise MatrixMarketError(f"expected {nnz} entries, found {count}")
     return ParsedMatrix(mtype, m)
@@ -222,9 +245,13 @@ def parse_matrix_market_csr(text: str, *, float_dtype=np.float64):
     if len(header) < 5 or header[3].lower() != "real":
         parsed = parse_matrix_market(text, float_dtype=float_dtype)
         return CsrMatrix.from_dok(parsed.matrix)
-    symmetric = header[4].lower() == "symmetric"
-    if len(header) >= 5 and header[4].lower() in ("skew-symmetric", "hermitian"):
-        raise NotImplementedError(f"{header[4]} matrices are not supported")
+    shape = header[4].lower()
+    symmetric = shape == "symmetric"
+    skew = shape == "skew-symmetric"
+    if shape == "hermitian":
+        # real hermitian is invalid per the MM spec; the DOK parser raises
+        parsed = parse_matrix_market(text, float_dtype=float_dtype)
+        return CsrMatrix.from_dok(parsed.matrix)
     i = 1
     while i < len(lines) and (lines[i].lstrip().startswith("%") or not lines[i].strip()):
         i += 1
@@ -249,6 +276,8 @@ def parse_matrix_market_csr(text: str, *, float_dtype=np.float64):
         raise MatrixMarketError(f"expected {nnz} entries, found {n}")
     if n and not ((r >= 1).all() and (r <= rows).all() and (c >= 1).all() and (c <= cols).all()):
         raise MatrixMarketError("entry out of bounds")
+    if skew and n and (r == c).any():
+        raise MatrixMarketError("skew-symmetric entry on diagonal")
     r = r - 1
     c = c - 1
     keep = v != 0
@@ -259,6 +288,12 @@ def parse_matrix_market_csr(text: str, *, float_dtype=np.float64):
             np.concatenate([r, c[off]]),
             np.concatenate([c, r[off]]),
             np.concatenate([v, v[off]]),
+        )
+    elif skew:
+        r, c, v = (
+            np.concatenate([r, c]),
+            np.concatenate([c, r]),
+            np.concatenate([v, -v]),
         )
     return CsrMatrix.from_coo(
         rows, cols, r, c, v.astype(float_dtype), sum_duplicates=False

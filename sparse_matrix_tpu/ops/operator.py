@@ -69,6 +69,7 @@ class SpmvOperator:
         self._dia = None
         self._plan = None
         self._ell = None
+        self._ell_spill = None
 
         if force in (None, "dia"):
             dia = try_dia_from_csr(m, dtype=dtype)
@@ -144,10 +145,21 @@ class SpmvOperator:
     def _set_ell(self, m, dtype):
         import jax.numpy as jnp
 
-        from .spmv import ell_from_csr
+        from .spmv import ell_from_csr, ell_spill_from_csr
 
-        ev, ec = ell_from_csr(m, dtype=dtype)
-        self._ell = (jnp.asarray(ev), jnp.asarray(ec))
+        # width guard: one dense row must not inflate the padded array to
+        # rows x max_row_nnz — skewed matrices get a capped ELL + COO spill
+        row_nnz = np.diff(m.offsets)
+        w_full = max(1, int(row_nnz.max())) if m.nnz() else 1
+        q99 = int(np.quantile(row_nnz, 0.99)) if m.nnz() else 1
+        if w_full > 2 * max(1, 2 * q99):
+            ev, ec, sr, sc, sv = ell_spill_from_csr(m, dtype=dtype)
+            self._ell = (jnp.asarray(ev), jnp.asarray(ec))
+            self._ell_spill = (jnp.asarray(sr), jnp.asarray(sc), jnp.asarray(sv))
+        else:
+            ev, ec = ell_from_csr(m, dtype=dtype)
+            self._ell = (jnp.asarray(ev), jnp.asarray(ec))
+            self._ell_spill = None
 
     def _set_dia(self, dia):
         from .spmv_dia import dia_device_arrays
@@ -173,16 +185,26 @@ class SpmvOperator:
             y2 = spmv_lanepack(self._plan, x, device_arrays=self._lp_arrs)
             y = y2 if y is None else y + y2
         if self._ell is not None:
-            from .spmv import spmv_ell_xla
+            if getattr(self, "_ell_spill", None) is not None:
+                from .spmv import spmv_ell_spill_xla
 
-            y3 = spmv_ell_xla(self._ell[0], self._ell[1], x)
+                y3 = spmv_ell_spill_xla(
+                    self._ell[0], self._ell[1], *self._ell_spill, x
+                )
+            else:
+                from .spmv import spmv_ell_xla
+
+                y3 = spmv_ell_xla(self._ell[0], self._ell[1], x)
             y = y3 if y is None else y + y3
         return y
 
     def bytes_per_apply(self) -> int:
         """HBM bytes streamed per SpMV (operator data only)."""
         if self.format == "ell":
-            return int(self._ell[0].nbytes + self._ell[1].nbytes)
+            total = int(self._ell[0].nbytes + self._ell[1].nbytes)
+            if getattr(self, "_ell_spill", None) is not None:
+                total += sum(int(a.nbytes) for a in self._ell_spill)
+            return total
         total = 0
         if self._dia is not None:
             total += int(self._dia.data.nbytes)
@@ -211,6 +233,12 @@ def save_operator_plan(op: SpmvOperator, path: str) -> None:
         )
     if getattr(op, "_ell", None) is not None:
         payload.update(ell_vals=np.asarray(op._ell[0]), ell_cols=np.asarray(op._ell[1]))
+        if getattr(op, "_ell_spill", None) is not None:
+            payload.update(
+                ell_spill_rows=np.asarray(op._ell_spill[0]),
+                ell_spill_cols=np.asarray(op._ell_spill[1]),
+                ell_spill_vals=np.asarray(op._ell_spill[2]),
+            )
     np.savez_compressed(path, **payload)
 
 
@@ -226,6 +254,7 @@ def load_operator_plan(path: str) -> SpmvOperator:
     op._dia = None
     op._plan = None
     op._ell = None
+    op._ell_spill = None
     if "dia_data" in z:
         dia = DiaMatrix(
             int(z["dia_rows"]), int(z["dia_cols"]), z["dia_data"],
@@ -249,4 +278,10 @@ def load_operator_plan(path: str) -> SpmvOperator:
         import jax.numpy as jnp
 
         op._ell = (jnp.asarray(z["ell_vals"]), jnp.asarray(z["ell_cols"]))
+        if "ell_spill_rows" in z:
+            op._ell_spill = (
+                jnp.asarray(z["ell_spill_rows"]),
+                jnp.asarray(z["ell_spill_cols"]),
+                jnp.asarray(z["ell_spill_vals"]),
+            )
     return op

@@ -306,10 +306,52 @@ def ell_from_csr(m: CsrMatrix, *, dtype=np.float32) -> Tuple[np.ndarray, np.ndar
     return ell_vals, ell_cols
 
 
+def ell_spill_from_csr(m: CsrMatrix, *, dtype=np.float32, max_width: int = None):
+    """Width-capped ELL + COO spill (the cuSPARSE-HYB idea for row skew).
+
+    One dense row must not inflate the padded array to rows x max_row_nnz:
+    rows keep their first ``max_width`` entries in the ELL part, the tail of
+    outlier rows spills to COO triplets handled by a small scatter-add.
+    ``max_width=None`` picks the 99th-percentile row length (doubled head
+    room), so the spill stays tiny for near-uniform matrices and the ELL
+    array stays compact for skewed ones.
+
+    Returns ``(ell_vals, ell_cols, spill_rows, spill_cols, spill_vals)``.
+    """
+    row_nnz = np.diff(m.offsets)
+    w_full = max(1, int(row_nnz.max())) if m.nnz() else 1
+    if max_width is None:
+        q = int(np.quantile(row_nnz, 0.99)) if m.nnz() else 1
+        max_width = max(1, 2 * max(1, q))
+    w = max(1, min(w_full, int(max_width)))
+    r = m.row_ids()
+    k = np.arange(m.nnz(), dtype=np.int64) - m.offsets[:-1].astype(np.int64)[r]
+    in_ell = k < w
+    ell_vals = np.zeros((m.rows, w), dtype=dtype)
+    ell_cols = np.zeros((m.rows, w), dtype=np.int32)
+    ell_vals[r[in_ell], k[in_ell]] = m.vals[in_ell].astype(dtype)
+    ell_cols[r[in_ell], k[in_ell]] = m.indices[in_ell].astype(np.int32)
+    sp = ~in_ell
+    return (
+        ell_vals,
+        ell_cols,
+        r[sp].astype(np.int32),
+        m.indices[sp].astype(np.int32),
+        m.vals[sp].astype(dtype),
+    )
+
+
 @jax.jit
 def spmv_ell_xla(ell_vals, ell_cols, x):
     """y = A @ x from the padded-ELL view: gather + row reduce; no scatter."""
     return jnp.sum(ell_vals * x[ell_cols], axis=1)
+
+
+@jax.jit
+def spmv_ell_spill_xla(ell_vals, ell_cols, spill_rows, spill_cols, spill_vals, x):
+    """Width-capped ELL SpMV + scatter-add of the (small) COO spill."""
+    y = jnp.sum(ell_vals * x[ell_cols], axis=1)
+    return y.at[spill_rows].add(spill_vals * x[spill_cols])
 
 
 def spmv_oracle(m: CsrMatrix, x: np.ndarray) -> np.ndarray:

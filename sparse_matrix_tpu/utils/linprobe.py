@@ -6,9 +6,9 @@ Three deployments share this design:
 
 * this host Python version (parity oracle + probe-length instrumentation),
 * the C++ native runtime (``sparse_matrix_tpu/native/src/spmx_native.cpp``),
-* the in-VMEM table layout inside the Pallas SpGEMM kernel
-  (``sparse_matrix_tpu/ops/spgemm.py``), where the same power-of-two mask +
-  sentinel discipline becomes a vectorized probe over lanes.
+* the device SpGEMM engines (``sparse_matrix_tpu/ops/spgemm_block.py``,
+  ``spgemm_dia.py``, ``device_sorted.py``), which keep the same uint32 key +
+  ``0xFFFFFFFF`` sentinel discipline in their pair tables and sorted streams.
 
 Design constants mirrored from the reference:
 

@@ -66,15 +66,70 @@ def test_zero_dimension_rejected():
         parse_matrix_market(text)
 
 
-def test_pattern_unsupported():
-    text = "%%MatrixMarket matrix coordinate pattern general\n2 2 1\n1 1\n"
-    with pytest.raises(NotImplementedError):
+# pattern / skew-symmetric / hermitian: todo!() in the reference
+# (spam_dok/src/lib.rs:373,446), implemented here.
+
+
+def test_pattern_general():
+    text = "%%MatrixMarket matrix coordinate pattern general\n2 3 2\n1 1\n2 3\n"
+    p = parse_matrix_market(text)
+    assert p.type is MatrixType.PATTERN
+    assert p.matrix.get_element((0, 0)) == 1.0
+    assert p.matrix.get_element((1, 2)) == 1.0
+    assert p.matrix.nnz() == 2
+
+
+def test_pattern_symmetric_mirrors():
+    text = "%%MatrixMarket matrix coordinate pattern symmetric\n3 3 2\n2 1\n3 3\n"
+    m = parse_matrix_market(text).matrix
+    assert m.get_element((1, 0)) == 1.0
+    assert m.get_element((0, 1)) == 1.0
+    assert m.nnz() == 3
+
+
+def test_pattern_skew_rejected():
+    text = "%%MatrixMarket matrix coordinate pattern skew-symmetric\n2 2 1\n2 1\n"
+    with pytest.raises(MatrixMarketError):
         parse_matrix_market(text)
 
 
-def test_skew_symmetric_unsupported():
-    text = "%%MatrixMarket matrix coordinate real skew-symmetric\n2 2 1\n2 1 1.0\n"
-    with pytest.raises(NotImplementedError):
+def test_skew_symmetric_mirrors_negated():
+    text = "%%MatrixMarket matrix coordinate real skew-symmetric\n3 3 2\n2 1 1.5\n3 1 -2.0\n"
+    m = parse_matrix_market(text).matrix
+    assert m.get_element((1, 0)) == 1.5
+    assert m.get_element((0, 1)) == -1.5
+    assert m.get_element((2, 0)) == -2.0
+    assert m.get_element((0, 2)) == 2.0
+    assert m.nnz() == 4
+
+
+def test_skew_symmetric_diagonal_rejected():
+    text = "%%MatrixMarket matrix coordinate real skew-symmetric\n2 2 1\n1 1 1.0\n"
+    with pytest.raises(MatrixMarketError):
+        parse_matrix_market(text)
+
+
+def test_hermitian_conjugate_mirrors():
+    text = (
+        "%%MatrixMarket matrix coordinate complex hermitian\n"
+        "2 2 2\n2 1 1.5 -2.5\n1 1 3.0 0.0\n"
+    )
+    m = parse_matrix_market(text).matrix
+    assert m.get_element((1, 0)) == complex(1.5, -2.5)
+    assert m.get_element((0, 1)) == complex(1.5, 2.5)
+    assert m.get_element((0, 0)) == 3.0
+    assert m.nnz() == 3
+
+
+def test_hermitian_requires_complex():
+    text = "%%MatrixMarket matrix coordinate real hermitian\n2 2 1\n2 1 1.0\n"
+    with pytest.raises(MatrixMarketError):
+        parse_matrix_market(text)
+
+
+def test_hermitian_diagonal_must_be_real():
+    text = "%%MatrixMarket matrix coordinate complex hermitian\n2 2 1\n1 1 1.0 2.0\n"
+    with pytest.raises(MatrixMarketError):
         parse_matrix_market(text)
 
 

@@ -106,6 +106,48 @@ def test_ell_matches_oracle():
     np.testing.assert_allclose(y, a @ x, rtol=1e-4, atol=1e-5)
 
 
+def test_ell_spill_matches_oracle():
+    # width-capped ELL + COO spill on a skewed matrix (one dense row)
+    from sparse_matrix_tpu.ops.spmv import ell_spill_from_csr, spmv_ell_spill_xla
+
+    rng = np.random.default_rng(5)
+    A, a = _rand_csr(rng, 200, 150, 0.02)
+    for j in range(150):  # one dense row
+        A.set_element((7, j), np.float32(rng.standard_normal()))
+        a[7, j] = float(A.get_element((7, j)))
+    x = rng.standard_normal(150).astype(np.float32)
+    ev, ec, sr, sc, sv = ell_spill_from_csr(A)
+    assert ev.shape[1] < 150  # the dense row must not set the pad width
+    assert len(sr) > 0
+    y = np.asarray(spmv_ell_spill_xla(ev, ec, sr, sc, sv, x))
+    np.testing.assert_allclose(y, a @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_operator_ell_spill_guard_and_plan_roundtrip(tmp_path):
+    # a skewed matrix forced onto the ELL branch routes to capped ELL + spill
+    from sparse_matrix_tpu.ops.operator import (
+        SpmvOperator,
+        load_operator_plan,
+        save_operator_plan,
+    )
+
+    rng = np.random.default_rng(6)
+    A, a = _rand_csr(rng, 300, 300, 0.01)
+    for j in range(300):
+        A.set_element((11, j), np.float32(rng.standard_normal()))
+        a[11, j] = float(A.get_element((11, j)))
+    op = SpmvOperator(A, force="ell")
+    assert op._ell_spill is not None
+    assert op._ell[0].shape[1] < 300
+    x = rng.standard_normal(300).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(op(x)), a @ x, rtol=1e-4, atol=1e-4)
+    p = str(tmp_path / "plan.npz")
+    save_operator_plan(op, p)
+    op2 = load_operator_plan(p)
+    assert op2._ell_spill is not None
+    np.testing.assert_allclose(np.asarray(op2(x)), a @ x, rtol=1e-4, atol=1e-4)
+
+
 def test_empty_rows_are_zero():
     # rows with no entries (and whole empty row blocks) must produce 0, not
     # garbage from unvisited output blocks
