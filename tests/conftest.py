@@ -15,7 +15,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# SPMX_TPU_TESTS=1 keeps the real backend so tests/test_tpu_kernels.py can
+# exercise the actual Mosaic kernels (everything else skips itself there).
+if os.environ.get("SPMX_TPU_TESTS", "0") in ("", "0"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

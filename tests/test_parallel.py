@@ -106,3 +106,86 @@ def test_dist_dia_spmv_and_cg(mesh):
     xs = np.asarray(res.x)[: n * n].astype(np.float64)
     r = A.to_dense().astype(np.float64) @ xs - b
     assert np.linalg.norm(r) <= 1e-3 * np.linalg.norm(b)
+
+
+def test_dist_dia_halo_matches_allgather(mesh):
+    from sparse_matrix_tpu.formats.dia import try_dia_from_csr
+    from sparse_matrix_tpu.parallel import dist_spmv_dia, dist_spmv_dia_halo, shard_dia
+
+    n = 16  # halo = n = 16 <= shard_rows = 32
+    A = poisson_2d_csr(n, dtype=np.float32)
+    d = try_dia_from_csr(A)
+    data, rows_pad = shard_dia(d, mesh)
+    rng = np.random.default_rng(7)
+    x = np.zeros(rows_pad, np.float32)
+    x[: n * n] = rng.standard_normal(n * n)
+    vec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rows"))
+    xj = jax.device_put(jnp.asarray(x), vec)
+    yh = np.asarray(
+        jax.jit(lambda dd, vv: dist_spmv_dia_halo(dd, vv, d.offsets, mesh, rows_pad=rows_pad))(data, xj)
+    )
+    ya = np.asarray(dist_spmv_dia(data, xj, d.offsets, mesh, rows_pad=rows_pad))
+    np.testing.assert_allclose(yh, ya, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(yh[: n * n], A.to_dense() @ x[: n * n], rtol=1e-4, atol=1e-4)
+
+
+def test_dist_dia_halo_wide_band_falls_back(mesh):
+    # halo (n*n/2 offsets) wider than a shard: must still be correct
+    from sparse_matrix_tpu.formats.dia import DiaMatrix
+    from sparse_matrix_tpu.parallel import dist_spmv_dia_halo, shard_dia
+
+    rows = 64
+    offs = (-48, 0, 48)  # |off| 48 > shard 8
+    rng = np.random.default_rng(8)
+    data = rng.standard_normal((3, rows)).astype(np.float32)
+    d = DiaMatrix(rows, rows, data, offs)
+    dj, rows_pad = shard_dia(d, mesh)
+    x = rng.standard_normal(rows_pad).astype(np.float32)
+    vec = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rows"))
+    xj = jax.device_put(jnp.asarray(x), vec)
+    y = np.asarray(dist_spmv_dia_halo(dj, xj, offs, mesh, rows_pad=rows_pad))
+    np.testing.assert_allclose(
+        y[:rows], d.to_csr().to_dense() @ x[:rows], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_dist_spmm_2d_matches_dense():
+    from sparse_matrix_tpu.parallel import dist_spmm_2d, make_mesh2d, shard_ell_2d
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    mesh2 = make_mesh2d(4, 2)
+    n = 16
+    A = poisson_2d_csr(n, dtype=np.float32)
+    ev4, ec4, rows_pad, cols_pad = shard_ell_2d(A, mesh2)
+    rng = np.random.default_rng(9)
+    F = 8
+    X = np.zeros((cols_pad, F), np.float32)
+    X[: n * n] = rng.standard_normal((n * n, F))
+    xsh = jax.sharding.NamedSharding(mesh2, jax.sharding.PartitionSpec("cols", None))
+    xj = jax.device_put(jnp.asarray(X), xsh)
+    Y = np.asarray(jax.jit(lambda e, c, v: dist_spmm_2d(e, c, v, mesh2))(ev4, ec4, xj))
+    ref = A.to_dense() @ X[: n * n]
+    np.testing.assert_allclose(Y[: n * n], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_dist_spmm_2d_rectangular():
+    from sparse_matrix_tpu.core import DokMatrix
+    from sparse_matrix_tpu.formats import CsrMatrix
+    from sparse_matrix_tpu.parallel import dist_spmm_2d, make_mesh2d, shard_ell_2d
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    mesh2 = make_mesh2d(2, 4)
+    rng = np.random.default_rng(10)
+    a = (rng.random((50, 90)) < 0.1) * rng.standard_normal((50, 90))
+    a = a.astype(np.float32)
+    A = CsrMatrix.from_dok(DokMatrix.from_dense(a))
+    ev4, ec4, rows_pad, cols_pad = shard_ell_2d(A, mesh2)
+    F = 4
+    X = np.zeros((cols_pad, F), np.float32)
+    X[:90] = rng.standard_normal((90, F)).astype(np.float32)
+    xsh = jax.sharding.NamedSharding(mesh2, jax.sharding.PartitionSpec("cols", None))
+    xj = jax.device_put(jnp.asarray(X), xsh)
+    Y = np.asarray(dist_spmm_2d(ev4, ec4, xj, mesh2))
+    np.testing.assert_allclose(Y[:50], a @ X[:90], rtol=1e-4, atol=1e-4)

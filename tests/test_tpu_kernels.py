@@ -1,0 +1,156 @@
+"""TPU-gated parity tests: the actual Mosaic kernels vs host oracles.
+
+On CPU the library runs vectorized XLA references of the same math
+(``_lanepack_reference``, pallas interpret mode), so the regular suite never
+executes the compiled TPU kernels. This file does. Run on TPU hardware with::
+
+    SPMX_TPU_TESTS=1 python -m pytest tests/test_tpu_kernels.py -v
+
+(conftest.py keeps the real backend when SPMX_TPU_TESTS=1; otherwise every
+test here skips.)
+
+Sizes are kept small: each distinct (shape, B, KW) config costs a remote
+Mosaic compile on the axon tunnel.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="TPU kernels only run on TPU (set SPMX_TPU_TESTS=1 on TPU hardware)",
+)
+
+from sparse_matrix_tpu.core import DokMatrix
+from sparse_matrix_tpu.formats import CsrMatrix
+from sparse_matrix_tpu.formats.lanepack import plan_lanepack
+from sparse_matrix_tpu.ops.spmv import spmv_lanepack, spmv_oracle
+from sparse_matrix_tpu.solvers import poisson_2d_csr
+
+
+def _rand_csr(rng, rows, cols, density):
+    a = (rng.random((rows, cols)) < density) * rng.standard_normal((rows, cols))
+    a = a.astype(np.float32)
+    return CsrMatrix.from_dok(DokMatrix.from_dense(a)), a
+
+
+def _check_lanepack(A, x, **plan_kw):
+    plan = plan_lanepack(A, **plan_kw)
+    y = np.asarray(spmv_lanepack(plan, x))
+    y_ref = spmv_oracle(A, x).astype(np.float32)
+    scale = max(1.0, float(np.abs(y_ref).max()))
+    np.testing.assert_allclose(y / scale, y_ref / scale, atol=2e-5)
+    return plan
+
+
+@pytest.mark.parametrize("kw", [1, 2, 4])
+def test_lanepack_dense_pack_kw(kw):
+    rng = np.random.default_rng(42 + kw)
+    A, _ = _rand_csr(rng, 512, 700, 0.02)
+    x = rng.standard_normal(700).astype(np.float32)
+    plan = _check_lanepack(A, x, kw=kw, pack="dense")
+    assert plan.kw == kw and plan.pack == "dense"
+
+
+def test_lanepack_per_rb_pack():
+    rng = np.random.default_rng(7)
+    A, _ = _rand_csr(rng, 512, 512, 0.03)
+    x = rng.standard_normal(512).astype(np.float32)
+    plan = _check_lanepack(A, x, kw=1, pack="per_rb")
+    assert plan.pack == "per_rb"
+
+
+def test_lanepack_padding_slabs_and_empty_blocks():
+    # rows only in blocks 0 and 10: unvisited row blocks must come out zero,
+    # and the slab stream gets padded to a whole number of B-slab steps
+    rng = np.random.default_rng(9)
+    A = CsrMatrix.new(1500, 1500, dtype=np.float32)
+    for j in range(0, 1400, 7):
+        A.set_element((j % 100, j), np.float32(rng.standard_normal()))
+        A.set_element((1280 + (j % 60), j), np.float32(rng.standard_normal()))
+    x = rng.standard_normal(1500).astype(np.float32)
+    _check_lanepack(A, x, kw=2)
+    y = np.asarray(spmv_lanepack(plan_lanepack(A, kw=2), x))
+    assert np.all(y[128:1280] == 0.0)
+
+
+def test_lanepack_rectangular_wide():
+    rng = np.random.default_rng(11)
+    A, _ = _rand_csr(rng, 200, 2000, 0.01)
+    x = rng.standard_normal(2000).astype(np.float32)
+    _check_lanepack(A, x)
+
+
+def test_lanepack_poisson_general_path():
+    A = poisson_2d_csr(64, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.cols).astype(np.float32)
+    _check_lanepack(A, x)
+
+
+def test_dia_spmv_parity():
+    from sparse_matrix_tpu.formats.dia import try_dia_from_csr
+    from sparse_matrix_tpu.ops.spmv_dia import spmv_dia
+
+    A = poisson_2d_csr(48, dtype=np.float32)
+    dia = try_dia_from_csr(A)
+    assert dia is not None
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(A.cols).astype(np.float32)
+    y = np.asarray(spmv_dia(dia, x))
+    y_ref = spmv_oracle(A, x).astype(np.float32)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_block_spgemm_parity_and_segmentation(monkeypatch):
+    # force the >_MAX_PAIRS_PER_CALL segmented path with a small cap so the
+    # disjoint-C-block splitting logic runs on-device without a huge matrix
+    import sparse_matrix_tpu.ops.spgemm_block as sb
+
+    rng = np.random.default_rng(3)
+    A, a = _rand_csr(rng, 384, 384, 0.05)
+    C_ref = a @ a
+
+    c1 = sb.spgemm_block_device(A, A)
+    np.testing.assert_allclose(c1.to_dense(), C_ref, rtol=1e-4, atol=1e-3)
+
+    monkeypatch.setattr(sb, "_MAX_PAIRS_PER_CALL", 8)
+    c2 = sb.spgemm_block_device(A, A)
+    np.testing.assert_allclose(c2.to_dense(), C_ref, rtol=1e-4, atol=1e-3)
+
+
+def test_spmm_bcsr_parity():
+    from sparse_matrix_tpu.formats.bcsr import BsrMatrix
+    from sparse_matrix_tpu.ops.spmm import spmm_bcsr
+
+    rng = np.random.default_rng(4)
+    A, a = _rand_csr(rng, 256, 256, 0.08)
+    bsr = BsrMatrix.from_csr(A, 128)
+    X = rng.standard_normal((256, 128)).astype(np.float32)
+    Y = np.asarray(spmm_bcsr(bsr, X))
+    np.testing.assert_allclose(Y, a @ X, rtol=1e-4, atol=1e-3)
+
+
+def test_spmm_dia_parity():
+    from sparse_matrix_tpu.formats.dia import try_dia_from_csr
+    from sparse_matrix_tpu.ops.spmm import spmm_dia
+
+    A = poisson_2d_csr(32, dtype=np.float32)
+    dia = try_dia_from_csr(A)
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((A.cols, 64)).astype(np.float32)
+    Y = np.asarray(spmm_dia(dia, X))
+    a = A.to_dense()
+    np.testing.assert_allclose(Y, a @ X, rtol=1e-4, atol=1e-3)
+
+
+def test_device_sorted_add_parity():
+    from sparse_matrix_tpu.ops.device_sorted import add_device
+
+    rng = np.random.default_rng(6)
+    A, a = _rand_csr(rng, 300, 300, 0.03)
+    B, b = _rand_csr(rng, 300, 300, 0.03)
+    C = add_device(A, B)
+    np.testing.assert_allclose(C.to_dense(), a + b, rtol=1e-5, atol=1e-5)
