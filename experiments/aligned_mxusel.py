@@ -1,0 +1,191 @@
+"""MXU window-select prototype: replace the 8 per-chunk dynamic x-row loads
+(the dominant per-slab cost, ~8.5 of 19.5 ns) with one-hot matmuls.
+
+Per grid step, TWO (32,128) x2d blocks arrive via prefetch-driven BlockSpec
+index maps (wb[i], wb[i]+1) — plan guarantees every window of the step lies
+in those 64 rows. Per 128-chunk group, a (64,128) one-hot SelMat (built from
+the chunks' local window ids by an iota compare) contracts with the x block
+on the MXU (HIGHEST = exact f32), yielding each chunk's window row. VPU work
+per slab drops to: gather + mul + split sums + 2 RMW.
+
+Constraint: per-step window span <= 33 rows (guaranteed coverable by two
+32-aligned blocks); Poisson 2D satisfies it at any size (span = 2*band/128
++ straddle). Steps are formed from window-sorted slabs; the plan pads a step
+when the span would burst.
+"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/experiments")
+import numpy as np, jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from sparse_matrix_tpu.solvers import poisson_2d_csr
+from sparse_matrix_tpu.formats.lanepack import SUBLANES, LANES
+from sparse_matrix_tpu.ops.spmv import spmv_oracle
+from aligned_spmv import plan_aligned, lat, f0
+from aligned_spmv3 import split_spill
+
+B = 64
+XBLK = 32  # x2d rows per block input
+
+
+def build(plan, b=B):
+    """Regroup slabs into steps with window span <= 2*XBLK; returns device
+    arrays + per-step block bases."""
+    S = plan["S"]
+    co = plan["col_off"][: S * SUBLANES].reshape(S, SUBLANES)
+    vals, lane = plan["vals"], plan["lane"]
+    rb_a, rb_b, split = plan["rb_a"][:S], plan["rb_b"][:S], plan["split"][:S]
+
+    # windows of a slab: col_off rows used (padding chunks have col_off 0 --
+    # treat via min/max over real chunks: padded chunk vals are all-zero, so
+    # window 0 is harmless; but for span use all)
+    wmin = co.min(axis=1)
+    wmax = co.max(axis=1)
+
+    steps = []  # (slab_indices, wb)
+    cur: list = []
+    cur_lo, cur_hi = None, None
+    for s in range(S):
+        lo = min(cur_lo, wmin[s]) if cur else wmin[s]
+        hi = max(cur_hi, wmax[s]) if cur else wmax[s]
+        wb = lo // XBLK
+        if hi < (wb + 2) * XBLK and len(cur) < b:
+            cur.append(s); cur_lo, cur_hi = lo, hi
+        else:
+            steps.append((cur, cur_lo // XBLK))
+            cur = [s]; cur_lo, cur_hi = wmin[s], wmax[s]
+    if cur:
+        steps.append((cur, cur_lo // XBLK))
+
+    nstep = len(steps)
+    Sp = nstep * b
+    vals_p = np.zeros((Sp, SUBLANES, LANES), vals.dtype)
+    lane_p = np.zeros((Sp, SUBLANES, LANES), lane.dtype)
+    cl_p = np.zeros((nstep, 4, LANES), np.int32)
+    rba_p = np.zeros(Sp, np.int32)
+    rbb_p = np.zeros(Sp, np.int32)
+    spl_p = np.full(Sp, SUBLANES, np.int32)
+    wb_p = np.zeros(nstep, np.int32)
+    pad_slabs = 0
+    for t, (idxs, wb) in enumerate(steps):
+        wb_p[t] = wb
+        for j, s in enumerate(idxs):
+            g = t * b + j
+            vals_p[g] = vals[s]
+            lane_p[g] = lane[s]
+            rba_p[g], rbb_p[g], spl_p[g] = rb_a[s], rb_b[s], split[s]
+            cl = co[s] - wb * XBLK
+            assert (cl >= 0).all() and (cl < 2 * XBLK).all()
+            flat = j * SUBLANES + np.arange(SUBLANES)
+            cl_p[t, flat // LANES, flat % LANES] = cl
+        pad_slabs += b - len(idxs)
+    print(f"steps={nstep} slabs={S} padded={pad_slabs} "
+          f"({pad_slabs/(S+pad_slabs)*100:.1f}%)", flush=True)
+    return dict(
+        vals=jnp.asarray(vals_p), lane=jnp.asarray(lane_p),
+        cl=jnp.asarray(cl_p), rb_a=jnp.asarray(rba_p), rb_b=jnp.asarray(rbb_p),
+        split=jnp.asarray(spl_p), wb=jnp.asarray(wb_p),
+        rb_mask=jnp.asarray(plan["rb_mask"]), nstep=nstep,
+    )
+
+
+def make_kernel(b, nbuf=2):
+    def kernel(rb_a_ref, rb_b_ref, split_ref, wb_ref, x0_ref, x1_ref,
+               cl_ref, vals_ref, lane_ref, y_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            y_ref[...] = jnp.zeros_like(y_ref)
+
+        xb = jnp.concatenate([x0_ref[...], x1_ref[...]], axis=0)  # (64,128)
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (2 * XBLK, LANES), 0)
+        xw_parts = []
+        for k in range(4):
+            clk = cl_ref[0, k, :]  # (128,) int32
+            sel = jnp.where(rows_i == clk[None, :].reshape(1, LANES), 1.0, 0.0)
+            # (64,128chunks)^T contracted with (64,128lanes) -> (128,128)
+            xw_parts.append(
+                jax.lax.dot_general(
+                    sel, xb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            )
+        xw = jnp.concatenate(xw_parts, axis=0)  # (512,128)
+        lane = lane_ref[...].reshape(b * SUBLANES, LANES).astype(jnp.int32)
+        p = vals_ref[...].reshape(b * SUBLANES, LANES) * jnp.take_along_axis(xw, lane, axis=1)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+        for bb in range(b):
+            c8 = p[bb * SUBLANES:(bb + 1) * SUBLANES]
+            total = jnp.sum(c8, axis=0, keepdims=True)
+            sp = split_ref[i * b + bb]
+            pa = jnp.sum(jnp.where(sub_iota < sp, c8, 0.0), axis=0, keepdims=True)
+            buf = bb % nbuf
+            y_ref[buf, pl.ds(rb_a_ref[i * b + bb], 1), :] += pa
+            y_ref[buf, pl.ds(rb_b_ref[i * b + bb], 1), :] += total - pa
+    return kernel
+
+
+def spmv_mxusel(arrs, x, rows, cols, b=B, nbuf=2):
+    r128 = -(-rows // LANES)
+    c128 = -(-cols // LANES)
+    xrows = (-(-(c128 + 1) // XBLK) + 1) * XBLK  # pad to whole blocks + guard
+    nstep = arrs["nstep"]
+    xpad = jnp.zeros(xrows * LANES, x.dtype).at[: x.shape[0]].set(x)
+    x2d = xpad.reshape(xrows, LANES)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nstep,),
+        in_specs=[
+            pl.BlockSpec((XBLK, LANES), lambda i, a, bb, c, wb: (wb[i], 0)),
+            pl.BlockSpec((XBLK, LANES), lambda i, a, bb, c, wb: (wb[i] + 1, 0)),
+            pl.BlockSpec((1, 4, LANES), lambda i, *r: (i, 0, 0)),
+        ]
+        + [pl.BlockSpec((b, SUBLANES, LANES), lambda i, *r: (i, 0, 0))] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    y = pl.pallas_call(
+        make_kernel(b, nbuf), grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbuf, r128, LANES), x.dtype),
+    )(arrs["rb_a"], arrs["rb_b"], arrs["split"], arrs["wb"],
+      x2d, x2d, arrs["cl"], arrs["vals"], arrs["lane"])
+    y = jnp.sum(y, axis=0)
+    y = jnp.where(arrs["rb_mask"][:, None] > 0, y, 0.0)
+    return y.reshape(-1)[:rows]
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    A = poisson_2d_csr(n)
+    nnz = A.nnz()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.cols).astype(np.float32)
+    xj = jnp.asarray(x)
+    Ak, As = split_spill(A, spill_k=32)
+    apl = plan_aligned(Ak)
+    arrs = build(apl)
+    y = np.asarray(spmv_mxusel(arrs, xj, A.rows, A.cols))
+    yr = spmv_oracle(Ak, x)
+    err = np.max(np.abs(y - yr)) / max(1.0, np.max(np.abs(yr)))
+    print(f"mxusel rel-max-err (kept part) {err:.2e}", flush=True)
+
+    iters = 3000
+    @jax.jit
+    def loop(x_):
+        return jax.lax.fori_loop(0, iters, lambda i, v: spmv_mxusel(arrs, v, A.rows, A.cols) * 0.2, x_)
+    t0 = time.perf_counter(); _ = float(jnp.sum(loop(xj))); comp = time.perf_counter() - t0
+    l0 = lat(); runs = []
+    for _ in range(4):
+        t0 = time.perf_counter(); _ = float(jnp.sum(loop(xj))); runs.append(time.perf_counter() - t0)
+    l0 = min(l0, lat())
+    per = (min(runs) - l0) / iters
+    ns_slab = per / max(1, arrs["nstep"]) / B * 1e9
+    print(f"mxusel: compile={comp:.0f}s {per*1e3:.4f} ms -> {Ak.nnz()/per/1e9:.1f} Gnnz/s "
+          f"(kept; {ns_slab:.1f} ns/slab; whole-matrix {nnz/per/1e9:.1f} if spill free)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

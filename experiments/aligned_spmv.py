@@ -237,13 +237,17 @@ def run_case(tag, A, variants):
     xj = jnp.asarray(x)
     print(f"=== {tag}: rows={A.rows} nnz={nnz}", flush=True)
     apl = plan_aligned(A)
-    print(f"aligned plan: S={apl['S']} fill={nnz/max(1,apl['S'])/1024:.3f}", flush=True)
-    # correctness check of the aligned kernel (nbuf=2)
-    arrs = aligned_device_arrays(apl, 8)
-    y = np.asarray(spmv_aligned(arrs, xj, A.rows, A.cols, 8, nbuf=2))
-    yref = spmv_oracle(A, x)
-    err = np.max(np.abs(y - yref)) / max(1.0, np.max(np.abs(yref)))
-    print(f"aligned correctness vs oracle: rel-max-err {err:.2e}", flush=True)
+    afill = nnz / max(1, apl['S']) / 1024
+    print(f"aligned plan: S={apl['S']} fill={afill:.3f}", flush=True)
+    if afill > 0.3:
+        # correctness check of the aligned kernel (nbuf=2)
+        arrs = aligned_device_arrays(apl, 8)
+        y = np.asarray(spmv_aligned(arrs, xj, A.rows, A.cols, 8, nbuf=2))
+        yref = spmv_oracle(A, x)
+        err = np.max(np.abs(y - yref)) / max(1.0, np.max(np.abs(yref)))
+        print(f"aligned correctness vs oracle: rel-max-err {err:.2e}", flush=True)
+    else:
+        variants = [v for v in variants if not v[0].startswith("ali")]
     for v in variants:
         kind, b = v
         if kind.startswith("gen"):

@@ -1,0 +1,242 @@
+"""Aligned LanePack: destination-aligned slot packing for SpMV.
+
+Round-2 redesign of the general SpMV path (VERDICT r1 item 2: break the
+26 Gnnz/s wall). The general :mod:`.lanepack` format packs 128 products per
+chunk regardless of destination and pays a segmented reduce per slab (MXU
+cumsum + two boundary gathers + the ``ends``/``starts`` byte streams). The
+**aligned** variant instead places each product at slot lane ``row % 128``:
+
+* a chunk is ``(row-block, 128-col window, layer)`` — the k-th entries of
+  each row within the window stack into layer k;
+* products ``val * x_window[lane]`` are then *already* per-row
+  contributions: no cumsum, no boundary gathers, no ends/starts streams
+  (5 bytes/slot streamed instead of 8);
+* slabs accumulate into the VMEM-resident y with the same two-target
+  dynamic-index adds, alternating between 2 buffers to break the serial
+  read-modify-write chain (summed once at the end).
+
+The catch: a chunk only fills when ~128 rows of the block have a k-th entry
+in the same window — window-straddling rows and scattered matrices produce
+near-empty chunks. The **hybrid** plan therefore spills entries of chunks
+with fewer than ``spill_k`` slots to a small general-LanePack sub-plan (the
+existing segmented-reduce kernel); fills >
+``plan.fill`` ~1.0 on banded/local structures with a ~1% spill.
+
+Measured on v5e (experiments/aligned_spmv*.py): Poisson 512^2 general path
+26.3 -> 42.4 Gnnz/s (aligned alone, fill 0.77) -> see docs/PERF.md for the
+hybrid number. Uniform-random matrices keep the general path (aligned fill
+collapses; the planner gates on estimated fill).
+
+Same HBM contract as LanePack otherwise: uint32 column discipline, padded
+slabs stream zero values, plans are immutable and reusable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from .csr import CsrMatrix
+from .lanepack import LANES, SUBLANES, LanePackPlan, plan_lanepack
+
+__all__ = ["AlignedPlan", "plan_aligned", "estimate_aligned"]
+
+# spill threshold: aligned chunks with fewer slots than this go to the
+# general sub-plan (each spilled slot costs ~2x the stream bytes but frees
+# 128 - k wasted slots)
+SPILL_K = 32
+
+
+@dataclass(frozen=True)
+class AlignedPlan:
+    """Host-side aligned plan (+ optional general spill sub-plan)."""
+
+    rows: int
+    cols: int
+    vals: np.ndarray  # (S, 8, 128) dtype
+    lane: np.ndarray  # (S, 8, 128) int8: x position within the 128-col window
+    col_off: np.ndarray  # (S*8,) int32: x2d row per chunk
+    chunk_rb: np.ndarray  # (S*8,) int32: row block per chunk (reference path)
+    rb_a: np.ndarray  # (S,)
+    rb_b: np.ndarray  # (S,)
+    split: np.ndarray  # (S,) sublanes [0, split) -> rb_a, rest -> rb_b
+    rb_mask: np.ndarray  # (r128,)
+    nnz: int
+    dtype: np.dtype
+    spill: Optional[LanePackPlan]  # general sub-plan for low-fill chunks
+
+    @property
+    def num_slabs(self) -> int:
+        return int(self.vals.shape[0])
+
+    @property
+    def r128(self) -> int:
+        return -(-self.rows // LANES)
+
+    @property
+    def c128(self) -> int:
+        return -(-self.cols // LANES)
+
+    @property
+    def fill(self) -> float:
+        kept = self.nnz - (self.spill.nnz if self.spill is not None else 0)
+        total = self.vals.size
+        return kept / total if total else 1.0
+
+    def slot_bytes(self) -> int:
+        b = int(self.vals.nbytes + self.lane.nbytes)
+        if self.spill is not None:
+            b += self.spill.slot_bytes()
+        return b
+
+
+def _chunk_keys(m: CsrMatrix):
+    """Per-entry (sorted) chunk keys: (rb, window, layer) plus helpers."""
+    nnz = m.nnz()
+    r = m.row_ids().astype(np.int64)
+    c = m.indices.astype(np.int64)
+    order = np.lexsort((c, r))
+    r, c = r[order], c[order]
+    w = c // LANES
+    new_rw = np.r_[True, (r[1:] != r[:-1]) | (w[1:] != w[:-1])] if nnz else np.zeros(0, bool)
+    start_rw = np.maximum.accumulate(np.where(new_rw, np.arange(nnz), 0))
+    layer = np.arange(nnz) - start_rw
+    lmax = int(layer.max()) + 1 if nnz else 1
+    wtot = m.cols // LANES + 2
+    ck = (r // LANES * wtot + w) * lmax + layer
+    return order, r, c, ck
+
+
+def estimate_aligned(m: CsrMatrix, *, spill_k: int = SPILL_K):
+    """Cheap planning estimate: (kept_chunks, kept_nnz, spill_nnz) without
+    building arrays — the operator's dispatch input."""
+    nnz = m.nnz()
+    if nnz == 0:
+        return 0, 0, 0
+    _, _, _, ck = _chunk_keys(m)
+    _, inv, cnt = np.unique(ck, return_inverse=True, return_counts=True)
+    spill = cnt[inv] < spill_k
+    kept_nnz = int((~spill).sum())
+    kept_chunks = int((cnt >= spill_k).sum())
+    return kept_chunks, kept_nnz, nnz - kept_nnz
+
+
+def plan_aligned(
+    m: CsrMatrix, *, dtype=np.float32, spill_k: int = SPILL_K
+) -> AlignedPlan:
+    """Build the hybrid aligned plan. O(nnz log nnz) vectorized host time."""
+    rows, cols, nnz = m.rows, m.cols, m.nnz()
+    order, r_s, c_s, ck = _chunk_keys(m)
+    v_s = m.vals[order].astype(dtype)
+
+    if nnz:
+        _, inv, cnt = np.unique(ck, return_inverse=True, return_counts=True)
+        spill_mask = cnt[inv] < spill_k
+    else:
+        spill_mask = np.zeros(0, bool)
+
+    # general sub-plan for the spilled entries
+    spill_plan = None
+    if nnz and spill_mask.any():
+        rr, cc, vv = r_s[spill_mask], c_s[spill_mask], v_s[spill_mask]
+        offs = np.zeros(rows + 1, np.int64)
+        np.add.at(offs, rr + 1, 1)
+        np.cumsum(offs, out=offs)
+        sub = CsrMatrix(
+            rows, cols, vv, cc.astype(np.uint32), offs, is_sorted=True
+        )
+        spill_plan = plan_lanepack(sub, dtype=dtype)
+
+    keep = ~spill_mask
+    r, c, v, ck = r_s[keep], c_s[keep], v_s[keep], ck[keep]
+    kn = len(r)
+
+    o2 = np.argsort(ck, kind="stable")
+    r, c, v, ck = r[o2], c[o2], v[o2], ck[o2]
+    rb, dst = r // LANES, r % LANES
+    w, xl = c // LANES, c % LANES
+
+    new_chunk = np.r_[True, ck[1:] != ck[:-1]] if kn else np.zeros(0, bool)
+    chunk_id = np.cumsum(new_chunk) - 1 if kn else np.zeros(0, np.int64)
+    head = np.nonzero(new_chunk)[0]
+    head_rb = rb[head]
+    head_w = w[head]
+    num_chunks = len(head)
+
+    # two-target slab packing (same rule as plan_lanepack: at most two row
+    # blocks per slab, split sublane recorded)
+    rb_change = np.r_[True, head_rb[1:] != head_rb[:-1]] if num_chunks else np.zeros(0, bool)
+    counts = (
+        np.diff(np.append(np.nonzero(rb_change)[0], num_chunks))
+        if num_chunks
+        else np.zeros(0, np.int64)
+    )
+    uniq_rbs = head_rb[rb_change] if num_chunks else np.zeros(0, np.int64)
+    chunk_slab = np.zeros(num_chunks, np.int64)
+    chunk_sub = np.zeros(num_chunks, np.int64)
+    meta: list = []
+    cur = 0
+    k = 0
+    for rbi, cnt_i in zip(uniq_rbs, counts):
+        cnt_i = int(cnt_i)
+        placed = 0
+        while placed < cnt_i:
+            if cur == 0:
+                meta.append([rbi, rbi, SUBLANES])
+            elif meta[-1][1] != rbi:
+                if meta[-1][0] != meta[-1][1]:
+                    cur = 0
+                    meta.append([rbi, rbi, SUBLANES])
+                else:
+                    meta[-1][1] = rbi
+                    meta[-1][2] = cur
+            take = min(cnt_i - placed, SUBLANES - cur)
+            sl = len(meta) - 1
+            chunk_slab[k : k + take] = sl
+            chunk_sub[k : k + take] = np.arange(cur, cur + take)
+            k += take
+            placed += take
+            cur = (cur + take) % SUBLANES
+    s = len(meta)
+
+    vals_s = np.zeros((s, SUBLANES, LANES), dtype)
+    lane_s = np.zeros((s, SUBLANES, LANES), np.int8)
+    col_off = np.zeros(max(s, 1) * SUBLANES, np.int32)
+    chunk_rb = np.zeros(max(s, 1) * SUBLANES, np.int32)
+    ma = np.asarray(meta, np.int32) if s else np.zeros((0, 3), np.int32)
+    rb_a = np.zeros(max(s, 1), np.int32)
+    rb_b = np.zeros(max(s, 1), np.int32)
+    split = np.full(max(s, 1), SUBLANES, np.int32)
+    if s:
+        rb_a[:s], rb_b[:s], split[:s] = ma[:, 0], ma[:, 1], ma[:, 2]
+    if kn:
+        so, su = chunk_slab[chunk_id], chunk_sub[chunk_id]
+        vals_s[so, su, dst] = v
+        lane_s[so, su, dst] = xl.astype(np.int8)
+        col_off[chunk_slab * SUBLANES + chunk_sub] = head_w.astype(np.int32)
+        chunk_rb[chunk_slab * SUBLANES + chunk_sub] = head_rb.astype(np.int32)
+
+    r128 = -(-rows // LANES)
+    rb_mask = np.zeros(r128, dtype)
+    if kn:
+        rb_mask[np.unique(head_rb)] = 1
+    if spill_plan is not None:
+        rb_mask = np.maximum(rb_mask, spill_plan.rb_mask)
+
+    return AlignedPlan(
+        rows=rows,
+        cols=cols,
+        vals=vals_s,
+        lane=lane_s,
+        col_off=col_off,
+        chunk_rb=chunk_rb,
+        rb_a=rb_a,
+        rb_b=rb_b,
+        split=split,
+        rb_mask=rb_mask,
+        nnz=nnz,
+        dtype=np.dtype(dtype),
+        spill=spill_plan,
+    )

@@ -54,9 +54,20 @@ SUBLANES = 8
 LANES = 128
 SLOTS = SUBLANES * LANES
 
-# cost model: time_per_slab ~ C_FIXED + C_KW * KW (calibrated on v5e)
-_C_FIXED = 8.0
-_C_KW = 1.0
+# cost model: time_per_slab ~ fixed + kw_slope * KW (ns). Constants come
+# from utils.autotune: calibrated on-device when a cache exists, else
+# v5e-measured defaults (experiments/sweep_spmv.out).
+
+
+def _cost_constants():
+    from ..utils import autotune
+
+    return (
+        autotune.get("lanepack_fixed_ns"),
+        autotune.get("lanepack_kw_ns"),
+        autotune.get("lanepack_dense_slab_ns"),
+        autotune.get("lanepack_per_rb_slab_ns"),
+    )
 
 
 @dataclass(frozen=True)
@@ -153,13 +164,14 @@ def plan_lanepack(
     rows, cols = m.rows, m.cols
     nnz = m.nnz()
 
+    c_fixed, c_kw, c_dense, c_per_rb = _cost_constants()
     if kw is None:
         best, best_cost = 1, float("inf")
         for cand in kw_candidates:
             if cand * LANES > cols + LANES:
                 break
             s = _count_slabs(m, cand)
-            cost = s * (_C_FIXED + _C_KW * cand)
+            cost = s * (c_fixed + c_kw * cand)
             if cost < best_cost:
                 best, best_cost = cand, cost
         kw = best
@@ -201,11 +213,11 @@ def plan_lanepack(
         )
         slabs_per_rb = int(np.sum(-(-counts0 // SUBLANES)))
         slabs_dense = -(-num_chunks // SUBLANES)
-        # measured per-slab kernel costs on v5e: dense (two-target masked)
-        # ~26 ns; per_rb (unmasked (1,8,128) accumulate into 3-D y) ~32 ns —
-        # dense wins unless per-rb padding is negligible AND slab counts
-        # diverge strongly (rare); keep both modes selectable
-        pack = "per_rb" if slabs_per_rb * 32.0 < slabs_dense * 26.0 else "dense"
+        # per-slab kernel costs (autotune; v5e defaults: dense two-target
+        # masked ~30 ns, per_rb unmasked 3-D accumulate ~32 ns) — dense wins
+        # unless per-rb padding is negligible AND slab counts diverge
+        # strongly (rare); keep both modes selectable
+        pack = "per_rb" if slabs_per_rb * c_per_rb < slabs_dense * c_dense else "dense"
 
     # pack chunks densely into slabs, allowing at most TWO distinct row
     # blocks per slab (the kernel does a split two-target accumulation);

@@ -33,7 +33,7 @@ import numpy as np
 from ..formats.bcsr import BsrMatrix, BLOCK_SIZE
 from ..formats.csr import CsrMatrix
 
-__all__ = ["block_pairs_plan", "spgemm_block_device", "spgemm_auto"]
+__all__ = ["block_pairs_plan", "spgemm_block_device", "spgemm_auto", "spgemm_cost_estimates"]
 
 
 def block_pairs_plan(a: BsrMatrix, b: BsrMatrix) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -270,6 +270,44 @@ def spgemm_dense_xla(lhs: CsrMatrix, rhs: CsrMatrix, *, dtype=np.float32) -> Csr
     return CsrMatrix.from_coo(lhs.rows, rhs.cols, r, cc, c[r, cc], sum_duplicates=False)
 
 
+def spgemm_cost_estimates(lhs: CsrMatrix, rhs: CsrMatrix) -> dict:
+    """Estimated end-to-end seconds for each SpGEMM engine on this input.
+
+    Rates come from :mod:`..utils.autotune` (on-device calibration when a
+    cache exists, v5e defaults otherwise), so dispatch decisions follow the
+    measured hardware, not baked-in numbers.
+    """
+    import os
+
+    from ..utils import autotune
+    from .spgemm_host import flops_per_row
+
+    bs = BLOCK_SIZE
+    bcols_a = -(-lhs.cols // bs)
+    bcols_b = -(-rhs.cols // bs)
+    a_blocks = len(np.unique(lhs.row_ids() // bs * bcols_a + lhs.indices.astype(np.int64) // bs))
+    b_blocks = len(np.unique(rhs.row_ids() // bs * bcols_b + rhs.indices.astype(np.int64) // bs))
+    brows_b = -(-rhs.rows // bs)
+    pair_est = a_blocks * max(1.0, b_blocks / max(1, brows_b))
+    c_blocks_est = min(-(-lhs.rows // bs) * bcols_b, pair_est)
+
+    host_rate = autotune.get("spgemm_host_products_per_s") * max(1, os.cpu_count() or 1)
+    host_touch = autotune.get("spgemm_host_touch_s_per_byte")
+    mxu_pair = autotune.get("spgemm_mxu_pair_s")
+    dense_rate = autotune.get("spgemm_dense_mac_per_s")
+
+    return {
+        "host": float(flops_per_row(lhs, rhs).sum()) / host_rate,
+        "mxu": pair_est * mxu_pair + c_blocks_est * bs * bs * 4 * host_touch,
+        "dense": (
+            lhs.rows * lhs.cols * rhs.cols * 2 / dense_rate
+            + (lhs.rows * lhs.cols + rhs.rows * rhs.cols + lhs.rows * rhs.cols)
+            * 4
+            * host_touch
+        ),
+    }
+
+
 def spgemm_auto(lhs: CsrMatrix, rhs: CsrMatrix, *, output_sorted: bool = True) -> CsrMatrix:
     """Pick the SpGEMM engine by an estimated end-to-end cost model
     (calibrated on v5e + this image's host):
@@ -281,9 +319,7 @@ def spgemm_auto(lhs: CsrMatrix, rhs: CsrMatrix, *, output_sorted: bool = True) -
     * dense XLA matmul: n*k*m MACs at ~2e13/s plus host densify/sparsify —
       wins for small/medium near-block-dense problems.
     """
-    import os
-
-    from .spgemm_host import flops_per_row, spgemm_hash_host
+    from .spgemm_host import spgemm_hash_host
 
     # banded x banded: band convolution is the closed-form product
     # (measured ~58x the host hash engine on Poisson squaring)
@@ -303,25 +339,8 @@ def spgemm_auto(lhs: CsrMatrix, rhs: CsrMatrix, *, output_sorted: bool = True) -
     if jax.default_backend() != "tpu":
         return spgemm_hash_host(lhs, rhs, output_sorted=output_sorted)
 
-    bs = BLOCK_SIZE
-    bcols_a = -(-lhs.cols // bs)
-    bcols_b = -(-rhs.cols // bs)
-    a_blocks = len(np.unique(lhs.row_ids() // bs * bcols_a + lhs.indices.astype(np.int64) // bs))
-    b_blocks = len(np.unique(rhs.row_ids() // bs * bcols_b + rhs.indices.astype(np.int64) // bs))
-    brows_b = -(-rhs.rows // bs)
-    pair_est = a_blocks * max(1.0, b_blocks / max(1, brows_b))
-    c_blocks_est = min(-(-lhs.rows // bs) * bcols_b, pair_est)
-
-    host_rate = 5e7 * max(1, os.cpu_count() or 1)
-    host_cost = float(flops_per_row(lhs, rhs).sum()) / host_rate
-
-    host_touch = 4e-9  # s/byte for numpy densify/sparsify passes
-    mxu_cost = pair_est * 4.5e-7 + c_blocks_est * bs * bs * 4 * host_touch
-
-    dense_cost = (
-        lhs.rows * lhs.cols * rhs.cols * 2 / 2e13
-        + (lhs.rows * lhs.cols + rhs.rows * rhs.cols + lhs.rows * rhs.cols) * 4 * host_touch
-    )
+    costs = spgemm_cost_estimates(lhs, rhs)
+    host_cost, mxu_cost, dense_cost = costs["host"], costs["mxu"], costs["dense"]
 
     best = min(host_cost, mxu_cost, dense_cost)
     if best == host_cost:

@@ -13,7 +13,15 @@ from __future__ import annotations
 import os
 from typing import Dict
 
-__all__ = ["debug_enabled", "set_debug", "record_histogram", "get_histograms", "clear_histograms"]
+__all__ = [
+    "debug_enabled",
+    "set_debug",
+    "record_histogram",
+    "get_histograms",
+    "clear_histograms",
+    "autotune_cache_path",
+    "autotune_on_first_use",
+]
 
 _DEBUG = os.environ.get("SPMX_DEBUG", "0") not in ("", "0", "false", "False")
 _HISTOGRAMS: Dict[str, Dict[int, int]] = {}
@@ -40,3 +48,27 @@ def get_histograms() -> Dict[str, Dict[int, int]]:
 
 def clear_histograms() -> None:
     _HISTOGRAMS.clear()
+
+
+def autotune_cache_path() -> str:
+    """Where :mod:`..utils.autotune` persists measured cost-model constants.
+
+    ``SPMX_AUTOTUNE_CACHE`` overrides (tests point it at a tmp file);
+    default is a per-user cache keyed later by backend inside the file.
+    """
+    p = os.environ.get("SPMX_AUTOTUNE_CACHE")
+    if p:
+        return p
+    return os.path.join(
+        os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache"),
+        "spmx",
+        "autotune.json",
+    )
+
+
+def autotune_on_first_use() -> bool:
+    """``SPMX_AUTOTUNE=1``: run the on-device calibration at first use when
+    no cache exists (minutes of remote compiles on a tunneled TPU, hence
+    opt-in; the explicit CLI ``python -m sparse_matrix_tpu.utils.autotune``
+    is the usual way)."""
+    return os.environ.get("SPMX_AUTOTUNE", "0") not in ("", "0")

@@ -1,0 +1,107 @@
+"""Autotuned cost-model constants drive dispatch (VERDICT r1 item 5).
+
+The constants (LanePack kw/pack model, spgemm_auto rates) must come from the
+calibration cache when one exists, and changing the cache must change the
+decisions."""
+
+import json
+
+import numpy as np
+import pytest
+
+from sparse_matrix_tpu.core import DokMatrix
+from sparse_matrix_tpu.formats import CsrMatrix
+from sparse_matrix_tpu.formats.lanepack import plan_lanepack
+from sparse_matrix_tpu.ops.spgemm_block import spgemm_cost_estimates
+from sparse_matrix_tpu.utils import autotune
+
+
+@pytest.fixture
+def cache(tmp_path, monkeypatch):
+    path = tmp_path / "autotune.json"
+
+    def put(**kw):
+        path.write_text(json.dumps(kw))
+        autotune.reset_cache()
+
+    monkeypatch.setenv("SPMX_AUTOTUNE_CACHE", str(path))
+    autotune.reset_cache()
+    yield put
+    autotune.reset_cache()
+
+
+def _scatter_matrix(rng, n=2048, per_row=6):
+    r = np.repeat(np.arange(n, dtype=np.int64), per_row)
+    c = rng.integers(0, n, size=len(r)).astype(np.int64)
+    key = np.unique(r * n + c)
+    r, c = key // n, key % n
+    v = rng.standard_normal(len(r)).astype(np.float32)
+    offs = np.zeros(n + 1, np.int64)
+    np.add.at(offs, r + 1, 1)
+    np.cumsum(offs, out=offs)
+    return CsrMatrix(n, n, v, c.astype(np.uint32), offs, is_sorted=True)
+
+
+def test_defaults_without_cache(cache):
+    assert autotune.get("lanepack_fixed_ns") == autotune.DEFAULTS["lanepack_fixed_ns"]
+    with pytest.raises(KeyError):
+        autotune.get("no_such_constant")
+
+
+def test_cache_overrides_defaults(cache):
+    cache(lanepack_fixed_ns=123.0)
+    assert autotune.get("lanepack_fixed_ns") == 123.0
+    # unknown / invalid entries are ignored
+    cache(lanepack_fixed_ns=-5, bogus=1.0)
+    assert autotune.get("lanepack_fixed_ns") == autotune.DEFAULTS["lanepack_fixed_ns"]
+
+
+def test_lanepack_kw_choice_follows_calibration(cache):
+    # scattered matrix: wider windows merge groups (fewer slabs). When the
+    # calibration says kw is free, the planner picks a wide window; when it
+    # says kw is hugely expensive, it must pick kw=1.
+    rng = np.random.default_rng(0)
+    m = _scatter_matrix(rng, per_row=20)
+    cache(lanepack_fixed_ns=30.0, lanepack_kw_ns=0.001)
+    kw_cheap = plan_lanepack(m).kw
+    cache(lanepack_fixed_ns=30.0, lanepack_kw_ns=1e6)
+    kw_dear = plan_lanepack(m).kw
+    assert kw_dear == 1
+    assert kw_cheap > kw_dear
+
+
+def test_pack_choice_follows_calibration(cache):
+    # near-equal slab counts: making per_rb free flips the auto choice
+    rng = np.random.default_rng(1)
+    a = (rng.random((640, 640)) < 0.05) * rng.standard_normal((640, 640))
+    m = CsrMatrix.from_dok(DokMatrix.from_dense(a.astype(np.float32)))
+    cache(lanepack_per_rb_slab_ns=0.001, lanepack_dense_slab_ns=1e6)
+    assert plan_lanepack(m, kw=1, pack="auto").pack == "per_rb"
+    cache(lanepack_per_rb_slab_ns=1e6, lanepack_dense_slab_ns=0.001)
+    assert plan_lanepack(m, kw=1, pack="auto").pack == "dense"
+
+
+def test_spgemm_engine_choice_follows_calibration(cache):
+    rng = np.random.default_rng(2)
+    m = _scatter_matrix(rng, n=1024, per_row=4)
+    cache(spgemm_host_products_per_s=1e30)
+    c = spgemm_cost_estimates(m, m)
+    assert c["host"] < min(c["mxu"], c["dense"])
+    cache(
+        spgemm_host_products_per_s=1e-3,
+        spgemm_dense_mac_per_s=1e30,
+        spgemm_host_touch_s_per_byte=1e-30,
+    )
+    c = spgemm_cost_estimates(m, m)
+    assert c["dense"] < c["host"]
+
+
+def test_calibrate_host_constants_and_persist(cache, tmp_path, monkeypatch):
+    # host-side calibration runs anywhere and persists a loadable cache
+    got = autotune.calibrate(save=True)
+    assert got["spgemm_host_products_per_s"] > 0
+    assert got["spgemm_host_touch_s_per_byte"] > 0
+    autotune.reset_cache()
+    assert autotune.get("spgemm_host_products_per_s") == pytest.approx(
+        got["spgemm_host_products_per_s"]
+    )

@@ -37,6 +37,7 @@ CLOCK_ALLOWED = {
     "bench/roofline.py",
     "verify/fuzz.py",
     "native/build.py",
+    "utils/autotune.py",  # calibration microbenchmarks time themselves
 }
 # modules whose API contract is "explicit path in, I/O out"
 OPEN_ALLOWED = {
@@ -45,6 +46,7 @@ OPEN_ALLOWED = {
     "native/loader.py",
     "ops/operator.py",
     "utils/profiling.py",
+    "utils/autotune.py",  # calibration cache at debugflags.autotune_cache_path()
     "bench/run_corpus.py",
     "verify/fuzz.py",
 }
