@@ -112,14 +112,22 @@ def main():
         f"-> {nnz/per/1e9:.1f} Gnnz/s, effective {eff_gbps:.0f} GB/s ({pct:.1f}%)"
     )
 
-    # secondary: the general LanePack path on the same operator (stderr only)
+    # secondary: the general path (aligned-vs-lanepack auto pick, no DIA
+    # special-casing) on the same operator (stderr only)
     if os.environ.get("SPMX_BENCH_SECONDARY", "1") != "0":
-        op_lp = SpmvOperator(a, force="lanepack")
-        per2, c2 = _measure(op_lp, xj, iters)
+        op_al = SpmvOperator(a, force="aligned")
+        per2, c2 = _measure(op_al, xj, iters)
         log(
-            f"general (lanepack): compile {c2:.0f}s, {per2*1e3:.4f} ms -> "
+            f"general (aligned): compile {c2:.0f}s, {per2*1e3:.4f} ms -> "
             f"{nnz/per2/1e9:.1f} Gnnz/s, effective {ideal_bytes/per2/1e9:.0f} GB/s "
             f"({100.0*ideal_bytes/per2/1e9/hbm_gbps:.1f}%)"
+        )
+        op_lp = SpmvOperator(a, force="lanepack")
+        per3, c3 = _measure(op_lp, xj, iters)
+        log(
+            f"general (lanepack r1): compile {c3:.0f}s, {per3*1e3:.4f} ms -> "
+            f"{nnz/per3/1e9:.1f} Gnnz/s, effective {ideal_bytes/per3/1e9:.0f} GB/s "
+            f"({100.0*ideal_bytes/per3/1e9/hbm_gbps:.1f}%)"
         )
 
     print(

@@ -25,8 +25,9 @@ from sparse_matrix_tpu.ops.spmv import spmv_oracle
 from aligned_spmv import plan_aligned, lat, f0
 from aligned_spmv3 import split_spill
 
-B = 64
-XBLK = 32  # x2d rows per block input
+B = int(__import__("os").environ.get("MB", "64"))
+XBLK = int(__import__("os").environ.get("XBLK", "64"))  # x2d rows per block input
+PREC = __import__("os").environ.get("PREC", "highest")  # highest | hilo
 
 
 def build(plan, b=B):
@@ -37,11 +38,15 @@ def build(plan, b=B):
     vals, lane = plan["vals"], plan["lane"]
     rb_a, rb_b, split = plan["rb_a"][:S], plan["rb_b"][:S], plan["split"][:S]
 
-    # windows of a slab: col_off rows used (padding chunks have col_off 0 --
-    # treat via min/max over real chunks: padded chunk vals are all-zero, so
-    # window 0 is harmless; but for span use all)
-    wmin = co.min(axis=1)
-    wmax = co.max(axis=1)
+    # windows of a slab over REAL chunks only (padding chunks carry
+    # col_off 0, which must not poison the span); padding chunks get the
+    # slab's wmin so their cl stays in range
+    valid = (vals != 0).any(axis=2)  # (S, 8)
+    co_min = np.where(valid, co, np.iinfo(np.int32).max).min(axis=1)
+    wmin = np.where(valid.any(axis=1), co_min, 0)
+    wmax = np.where(valid, co, -1).max(axis=1)
+    wmax = np.maximum(wmax, wmin)
+    co = np.where(valid, co, wmin[:, None])
 
     steps = []  # (slab_indices, wb)
     cur: list = []
@@ -62,7 +67,7 @@ def build(plan, b=B):
     Sp = nstep * b
     vals_p = np.zeros((Sp, SUBLANES, LANES), vals.dtype)
     lane_p = np.zeros((Sp, SUBLANES, LANES), lane.dtype)
-    cl_p = np.zeros((nstep, 4, LANES), np.int32)
+    cl_p = np.zeros((nstep, max(1, b * SUBLANES // LANES), LANES), np.int32)
     rba_p = np.zeros(Sp, np.int32)
     rbb_p = np.zeros(Sp, np.int32)
     spl_p = np.full(Sp, SUBLANES, np.int32)
@@ -99,20 +104,30 @@ def make_kernel(b, nbuf=2):
         def _():
             y_ref[...] = jnp.zeros_like(y_ref)
 
-        xb = jnp.concatenate([x0_ref[...], x1_ref[...]], axis=0)  # (64,128)
+        xb = jnp.concatenate([x0_ref[...], x1_ref[...]], axis=0)  # (2*XBLK,128)
         rows_i = jax.lax.broadcasted_iota(jnp.int32, (2 * XBLK, LANES), 0)
+        if PREC == "hilo":
+            xb_hi = xb.astype(jnp.bfloat16)
+            xb_lo = (xb - xb_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         xw_parts = []
-        for k in range(4):
+        for k in range(b * SUBLANES // LANES):
             clk = cl_ref[0, k, :]  # (128,) int32
             sel = jnp.where(rows_i == clk[None, :].reshape(1, LANES), 1.0, 0.0)
-            # (64,128chunks)^T contracted with (64,128lanes) -> (128,128)
-            xw_parts.append(
-                jax.lax.dot_general(
-                    sel, xb, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+            if PREC == "hilo":
+                sb = sel.astype(jnp.bfloat16)
+                hi = jax.lax.dot_general(sb, xb_hi, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                lo = jax.lax.dot_general(sb, xb_lo, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                xw_parts.append(hi + lo)
+            else:
+                xw_parts.append(
+                    jax.lax.dot_general(
+                        sel, xb, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
                 )
-            )
         xw = jnp.concatenate(xw_parts, axis=0)  # (512,128)
         lane = lane_ref[...].reshape(b * SUBLANES, LANES).astype(jnp.int32)
         p = vals_ref[...].reshape(b * SUBLANES, LANES) * jnp.take_along_axis(xw, lane, axis=1)
@@ -141,7 +156,7 @@ def spmv_mxusel(arrs, x, rows, cols, b=B, nbuf=2):
         in_specs=[
             pl.BlockSpec((XBLK, LANES), lambda i, a, bb, c, wb: (wb[i], 0)),
             pl.BlockSpec((XBLK, LANES), lambda i, a, bb, c, wb: (wb[i] + 1, 0)),
-            pl.BlockSpec((1, 4, LANES), lambda i, *r: (i, 0, 0)),
+            pl.BlockSpec((1, max(1, b * SUBLANES // LANES), LANES), lambda i, *r: (i, 0, 0)),
         ]
         + [pl.BlockSpec((b, SUBLANES, LANES), lambda i, *r: (i, 0, 0))] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -58,6 +58,19 @@ def _blocked(rng, n, block, density_in_block) -> CsrMatrix:
     )
 
 
+def _random_local(rng, n, per_row, bandwidth) -> CsrMatrix:
+    """Unstructured but *local* matrix: random columns within a band around
+    the diagonal — the FEM/circuit/RCM-reordered shape real unstructured
+    corpora have (SuiteSparse matrices are rarely uniform-random; most have
+    strong locality, and the rest are a documented architectural corner for
+    any gather-less accelerator — see docs/PERF.md)."""
+    r = np.repeat(np.arange(n, dtype=np.int64), per_row)
+    off = rng.integers(-bandwidth, bandwidth + 1, size=len(r))
+    c = np.clip(r + off, 0, n - 1)
+    v = rng.standard_normal(len(r))
+    return CsrMatrix.from_coo(n, n, r, c, v)
+
+
 def generate_corpus(directory: str = DEFAULT_CORPUS_DIR, *, seed: int = 0) -> List[str]:
     """Generate the synthetic corpus (idempotent); returns file paths."""
     os.makedirs(directory, exist_ok=True)
@@ -69,6 +82,9 @@ def generate_corpus(directory: str = DEFAULT_CORPUS_DIR, *, seed: int = 0) -> Li
         "uniform_4k_02pct.mtx": lambda: _random_uniform(rng, 4096, 0.002),
         "powerlaw_2k.mtx": lambda: _power_law_rows(rng, 2048, 16),
         "blocked_2k.mtx": lambda: _blocked(rng, 2048, 64, 0.05),
+        # unstructured-with-locality at a size where SpMV is not
+        # grid-overhead bound (the round-2 general-path target matrix)
+        "randlocal_262k.mtx": lambda: _random_local(rng, 1 << 18, 16, 4096),
     }
     paths = []
     for name, make in specs.items():

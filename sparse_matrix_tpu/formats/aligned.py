@@ -126,7 +126,17 @@ def estimate_aligned(m: CsrMatrix, *, spill_k: int = SPILL_K):
 def plan_aligned(
     m: CsrMatrix, *, dtype=np.float32, spill_k: int = SPILL_K
 ) -> AlignedPlan:
-    """Build the hybrid aligned plan. O(nnz log nnz) vectorized host time."""
+    """Build the hybrid aligned plan. O(nnz log nnz) vectorized host time.
+
+    Spilling only engages when it wins: straddler entries are often so
+    scattered that the general sub-plan's slabs come out nearly empty (the
+    two-row-block packing limit — measured 1024 slabs for 3072 spilled
+    Poisson entries, experiments/aligned_spmv3.py), making keep-everything
+    the faster plan. The decision compares estimated kernel times via the
+    autotuned per-slab costs.
+    """
+    from ..utils import autotune
+
     rows, cols, nnz = m.rows, m.cols, m.nnz()
     order, r_s, c_s, ck = _chunk_keys(m)
     v_s = m.vals[order].astype(dtype)
@@ -137,7 +147,8 @@ def plan_aligned(
     else:
         spill_mask = np.zeros(0, bool)
 
-    # general sub-plan for the spilled entries
+    # general sub-plan for the spilled entries — kept only if the combined
+    # plan is estimated faster than keeping every chunk aligned
     spill_plan = None
     if nnz and spill_mask.any():
         rr, cc, vv = r_s[spill_mask], c_s[spill_mask], v_s[spill_mask]
@@ -148,6 +159,18 @@ def plan_aligned(
             rows, cols, vv, cc.astype(np.uint32), offs, is_sorted=True
         )
         spill_plan = plan_lanepack(sub, dtype=dtype)
+
+        all_chunks = len(cnt)
+        kept_chunks = int((cnt >= spill_k).sum())
+        ali_ns = autotune.get("lanepack_aligned_slab_ns")
+        gen_ns = autotune.get("lanepack_dense_slab_ns")
+        cost_all = -(-all_chunks // SUBLANES) * ali_ns
+        cost_split = (
+            -(-kept_chunks // SUBLANES) * ali_ns + spill_plan.num_slabs * gen_ns
+        )
+        if cost_all <= cost_split:
+            spill_plan = None
+            spill_mask = np.zeros(nnz, bool)
 
     keep = ~spill_mask
     r, c, v, ck = r_s[keep], c_s[keep], v_s[keep], ck[keep]

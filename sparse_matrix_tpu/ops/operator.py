@@ -60,7 +60,9 @@ class SpmvOperator:
     """``op = SpmvOperator(csr); y = op(x)`` — jit-friendly planned SpMV.
 
     Formats, picked by structure: ``dia`` (fully banded), ``hybrid``
-    (well-filled diagonals in DIA + residual in LanePack), or ``lanepack``.
+    (well-filled diagonals in DIA + residual in LanePack), ``aligned``
+    (destination-aligned slots — the fast general path when windows fill),
+    or ``lanepack`` (segmented-reduce general path).
     """
 
     def __init__(self, m: CsrMatrix, *, dtype=np.float32, force: Optional[str] = None):
@@ -68,8 +70,14 @@ class SpmvOperator:
         self.nnz = m.nnz()
         self._dia = None
         self._plan = None
+        self._aligned = None
         self._ell = None
         self._ell_spill = None
+
+        if force == "aligned":
+            self.format = "aligned"
+            self._set_aligned(m, dtype)
+            return
 
         if force in (None, "dia"):
             dia = try_dia_from_csr(m, dtype=dtype)
@@ -114,8 +122,35 @@ class SpmvOperator:
                 self._set_ell(m, dtype)
                 return
 
+        # aligned vs general LanePack: compare estimated kernel times
+        # (autotuned per-slab costs x estimated slab counts)
+        if self._aligned_wins(m):
+            self.format = "aligned"
+            self._set_aligned(m, dtype)
+            return
+
         self.format = "lanepack"
         self._set_plan(m, dtype)
+
+    @staticmethod
+    def _aligned_wins(m: CsrMatrix) -> bool:
+        from ..formats.aligned import _chunk_keys
+        from ..formats.lanepack import _count_slabs, _cost_constants
+        from ..utils import autotune
+
+        if m.nnz() == 0:
+            return False
+        _, _, _, ck = _chunk_keys(m)
+        chunks = int(len(np.unique(ck)))
+        t_aligned = -(-chunks // 8) * autotune.get("lanepack_aligned_slab_ns")
+        c_fixed, c_kw, _, _ = _cost_constants()
+        t_gen = None
+        for kw in (1, 2, 4, 8, 16):
+            if kw * 128 > m.cols + 128:
+                break
+            t = _count_slabs(m, kw) * (c_fixed + c_kw * kw)
+            t_gen = t if t_gen is None else min(t_gen, t)
+        return t_gen is None or t_aligned < t_gen
 
     @staticmethod
     def _lanepack_viable(m: CsrMatrix) -> bool:
@@ -161,6 +196,13 @@ class SpmvOperator:
             self._ell = (jnp.asarray(ev), jnp.asarray(ec))
             self._ell_spill = None
 
+    def _set_aligned(self, m, dtype):
+        from ..formats.aligned import plan_aligned
+        from .spmv import aligned_device_arrays
+
+        self._aligned = plan_aligned(m, dtype=dtype)
+        self._ali_arrs = aligned_device_arrays(self._aligned)
+
     def _set_dia(self, dia):
         from .spmv_dia import dia_device_arrays
 
@@ -175,6 +217,10 @@ class SpmvOperator:
 
     def __call__(self, x):
         y = None
+        if self._aligned is not None:
+            from .spmv import spmv_aligned
+
+            y = spmv_aligned(self._aligned, x, device_arrays=self._ali_arrs)
         if self._dia is not None:
             from .spmv_dia import spmv_dia
 
@@ -210,13 +256,49 @@ class SpmvOperator:
             total += int(self._dia.data.nbytes)
         if self._plan is not None:
             total += self._plan.slot_bytes()
+        if self._aligned is not None:
+            total += self._aligned.slot_bytes()
         return total
+
+
+def _lanepack_payload(pl, prefix: str) -> dict:
+    return {
+        prefix + "kw": pl.kw, prefix + "pack": pl.pack, prefix + "rows": pl.rows,
+        prefix + "cols": pl.cols, prefix + "nnz": pl.nnz, prefix + "vals": pl.vals,
+        prefix + "lane": pl.lane, prefix + "ends": pl.ends, prefix + "starts": pl.starts,
+        prefix + "rb_a": pl.rb_a, prefix + "rb_b": pl.rb_b, prefix + "split": pl.split,
+        prefix + "chunk_rb": pl.chunk_rb, prefix + "col_off": pl.col_off,
+        prefix + "rb_mask": pl.rb_mask,
+    }
+
+
+def _lanepack_from_payload(z, prefix: str):
+    from ..formats.lanepack import LanePackPlan
+
+    return LanePackPlan(
+        rows=int(z[prefix + "rows"]), cols=int(z[prefix + "cols"]),
+        kw=int(z[prefix + "kw"]), pack=str(z[prefix + "pack"]),
+        vals=z[prefix + "vals"], lane=z[prefix + "lane"], ends=z[prefix + "ends"],
+        starts=z[prefix + "starts"], rb_a=z[prefix + "rb_a"], rb_b=z[prefix + "rb_b"],
+        split=z[prefix + "split"], chunk_rb=z[prefix + "chunk_rb"],
+        col_off=z[prefix + "col_off"], rb_mask=z[prefix + "rb_mask"],
+        nnz=int(z[prefix + "nnz"]), dtype=z[prefix + "vals"].dtype,
+    )
 
 
 def save_operator_plan(op: SpmvOperator, path: str) -> None:
     """Persist a planned operator's arrays (npz) so later processes skip
     planning (the checkpoint/resume analog for plans)."""
     payload = {"format": op.format, "rows": op.rows, "cols": op.cols, "nnz": op.nnz}
+    if getattr(op, "_aligned", None) is not None:
+        al = op._aligned
+        payload.update(
+            ali_vals=al.vals, ali_lane=al.lane, ali_col_off=al.col_off,
+            ali_chunk_rb=al.chunk_rb, ali_rb_a=al.rb_a, ali_rb_b=al.rb_b,
+            ali_split=al.split, ali_rb_mask=al.rb_mask, ali_nnz=al.nnz,
+        )
+        if al.spill is not None:
+            payload.update(_lanepack_payload(al.spill, "alisp_"))
     if op._dia is not None:
         payload.update(
             dia_data=op._dia.data, dia_offsets=np.asarray(op._dia.offsets, np.int64),
@@ -253,8 +335,22 @@ def load_operator_plan(path: str) -> SpmvOperator:
     op.rows, op.cols, op.nnz = int(z["rows"]), int(z["cols"]), int(z["nnz"])
     op._dia = None
     op._plan = None
+    op._aligned = None
     op._ell = None
     op._ell_spill = None
+    if "ali_vals" in z:
+        from ..formats.aligned import AlignedPlan
+        from .spmv import aligned_device_arrays
+
+        spill = _lanepack_from_payload(z, "alisp_") if "alisp_vals" in z else None
+        op._aligned = AlignedPlan(
+            rows=op.rows, cols=op.cols, vals=z["ali_vals"], lane=z["ali_lane"],
+            col_off=z["ali_col_off"], chunk_rb=z["ali_chunk_rb"],
+            rb_a=z["ali_rb_a"], rb_b=z["ali_rb_b"], split=z["ali_split"],
+            rb_mask=z["ali_rb_mask"], nnz=int(z["ali_nnz"]),
+            dtype=z["ali_vals"].dtype, spill=spill,
+        )
+        op._ali_arrs = aligned_device_arrays(op._aligned)
     if "dia_data" in z:
         dia = DiaMatrix(
             int(z["dia_rows"]), int(z["dia_cols"]), z["dia_data"],

@@ -33,6 +33,8 @@ from ..formats.lanepack import LANES, SUBLANES, LanePackPlan, plan_lanepack
 __all__ = [
     "spmv_lanepack",
     "lanepack_device_arrays",
+    "spmv_aligned",
+    "aligned_device_arrays",
     "spmv_ell_xla",
     "ell_from_csr",
     "spmv_oracle",
@@ -285,6 +287,179 @@ def spmv_lanepack(plan: LanePackPlan, x, *, device_arrays=None):
         interpret=_interpret(),
         pack=plan.pack,
     )
+
+
+# ---------------------------------------------------------------------------
+# Aligned kernel (destination-aligned slots; formats/aligned.py)
+# ---------------------------------------------------------------------------
+
+
+def _make_aligned_kernel(b: int, nbuf: int = 2):
+    """Aligned slabs: products are already per-row contributions (slot lane
+    == row % 128), so the kernel is loads + one lane gather + multiply +
+    two-target accumulation. ``nbuf`` alternating y buffers break the serial
+    read-modify-write chain (summed by the caller). Measured v5e: 42.4
+    Gnnz/s on Poisson 512^2 at fill 0.77 vs 26.3 for the general kernel
+    (experiments/aligned_spmv.py)."""
+    from jax.experimental import pallas as pl
+
+    def kernel(rb_a_ref, rb_b_ref, split_ref, col_off_ref, x_ref, vals_ref, lane_ref, y_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            y_ref[...] = jnp.zeros_like(y_ref)
+
+        base = i * b * SUBLANES
+        xw = jnp.concatenate(
+            [x_ref[pl.ds(col_off_ref[base + j], 1), :] for j in range(b * SUBLANES)],
+            axis=0,
+        )
+        lane = lane_ref[...].reshape(b * SUBLANES, LANES).astype(jnp.int32)
+        p = vals_ref[...].reshape(b * SUBLANES, LANES) * jnp.take_along_axis(xw, lane, axis=1)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+        for bb in range(b):
+            c8 = p[bb * SUBLANES : (bb + 1) * SUBLANES]
+            total = jnp.sum(c8, axis=0, keepdims=True)
+            sp = split_ref[i * b + bb]
+            pa = jnp.sum(jnp.where(sub_iota < sp, c8, 0.0), axis=0, keepdims=True)
+            buf = bb % nbuf
+            y_ref[buf, pl.ds(rb_a_ref[i * b + bb], 1), :] += pa
+            y_ref[buf, pl.ds(rb_b_ref[i * b + bb], 1), :] += total - pa
+
+    return kernel
+
+
+def aligned_device_arrays(plan, *, b: Optional[int] = None):
+    """Device arrays for an :class:`~..formats.aligned.AlignedPlan`, padded
+    to whole B-slab steps; includes the spill sub-plan's arrays when one
+    exists."""
+    b = b if b is not None else _pick_b(plan.num_slabs)
+    s = plan.num_slabs
+    sp = max(b, -(-s // b) * b)
+
+    def pad(a):
+        if a.shape[0] == sp:
+            return jnp.asarray(a)
+        out = np.zeros((sp,) + a.shape[1:], dtype=a.dtype)
+        out[: a.shape[0]] = a
+        return jnp.asarray(out)
+
+    def pad1(a, fill, n):
+        out = np.full(n, fill, dtype=np.int32)
+        out[: min(len(a), n)] = a[:n] if len(a) >= n else a
+        return jnp.asarray(out)
+
+    arrs = dict(
+        b=b,
+        vals=pad(plan.vals),
+        lane=pad(plan.lane),
+        rb_a=pad1(plan.rb_a[:s], 0, sp),
+        rb_b=pad1(plan.rb_b[:s], 0, sp),
+        split=pad1(plan.split[:s], SUBLANES, sp),
+        chunk_rb=pad1(plan.chunk_rb[: s * SUBLANES], 0, sp * SUBLANES),
+        col_off=pad1(plan.col_off[: s * SUBLANES], 0, sp * SUBLANES),
+        rb_mask=jnp.asarray(plan.rb_mask),
+    )
+    if plan.spill is not None:
+        arrs["spill"] = lanepack_device_arrays(plan.spill)
+    return arrs
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "b", "nbuf", "interpret"))
+def _spmv_aligned_jit(arrs, x, *, rows: int, cols: int, b: int, nbuf: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r128 = -(-rows // LANES)
+    c128 = -(-cols // LANES)
+    num_slabs = arrs["vals"].shape[0]
+    xpad = jnp.zeros((c128 + 1) * LANES, x.dtype).at[: x.shape[0]].set(x)
+    x2d = xpad.reshape(c128 + 1, LANES)
+
+    if interpret:
+        return _aligned_reference(arrs, x2d, rows=rows)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_slabs // b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((b, SUBLANES, LANES), lambda i, *refs: (i, 0, 0))] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    y = pl.pallas_call(
+        _make_aligned_kernel(b, nbuf),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbuf, r128, LANES), x.dtype),
+    )(
+        arrs["rb_a"],
+        arrs["rb_b"],
+        arrs["split"],
+        arrs["col_off"],
+        x2d,
+        arrs["vals"],
+        arrs["lane"],
+    )
+    y = jnp.sum(y, axis=0)
+    y = jnp.where(arrs["rb_mask"][:, None] > 0, y, 0.0)
+    return y.reshape(-1)[:rows]
+
+
+def _aligned_reference(arrs, x2d, *, rows: int):
+    """Pure-XLA evaluation of an aligned plan (CPU path + semantics oracle:
+    per-chunk contributions scatter-added by chunk row block)."""
+    s8 = arrs["vals"].shape[0] * SUBLANES
+    vals = arrs["vals"].reshape(s8, LANES)
+    lane = arrs["lane"].reshape(s8, LANES).astype(jnp.int32)
+    co = arrs["col_off"].astype(jnp.int32)
+    xw = x2d[co]  # (s8, 128)
+    p = vals * jnp.take_along_axis(xw, lane, axis=1)
+    r128 = arrs["rb_mask"].shape[0]
+    y2d = jnp.zeros((r128, LANES), vals.dtype).at[arrs["chunk_rb"]].add(p)
+    y2d = jnp.where(arrs["rb_mask"][:, None] > 0, y2d, 0.0)
+    return y2d.reshape(-1)[:rows]
+
+
+def spmv_aligned(plan, x, *, device_arrays=None):
+    """y = A @ x via the aligned kernel (+ the general kernel on the spill
+    sub-plan when the plan has one). See formats/aligned.py."""
+    if plan.num_slabs * 8 * 4 > 900_000:
+        raise ValueError(
+            f"aligned plan has {plan.num_slabs} slabs; scalar-prefetch arrays "
+            "exceed the SMEM budget — use the general path or ELL"
+        )
+    if plan.cols > _VMEM_X_LIMIT:
+        raise ValueError(
+            f"aligned kernel keeps x in VMEM; cols={plan.cols} exceeds "
+            f"{_VMEM_X_LIMIT} — use spmv_ell_xla or shard over a mesh"
+        )
+    arrs = device_arrays if device_arrays is not None else aligned_device_arrays(plan)
+    x = jnp.asarray(x, dtype=plan.dtype)
+    interp = _interpret()
+    y = _spmv_aligned_jit(
+        {k: v for k, v in arrs.items() if k not in ("b", "spill")},
+        x,
+        rows=plan.rows,
+        cols=plan.cols,
+        b=arrs["b"],
+        nbuf=2,
+        interpret=interp,
+    )
+    if plan.spill is not None:
+        sp_arrs = arrs.get("spill")
+        if sp_arrs is None:
+            sp_arrs = lanepack_device_arrays(plan.spill)
+        y = y + _spmv_lanepack_jit(
+            {k: v for k, v in sp_arrs.items() if k != "b"},
+            x,
+            rows=plan.rows,
+            cols=plan.cols,
+            kw=plan.spill.kw,
+            b=sp_arrs["b"],
+            interpret=interp,
+            pack=plan.spill.pack,
+        )
+    return y
 
 
 # ---------------------------------------------------------------------------

@@ -157,3 +157,74 @@ def test_empty_rows_are_zero():
     y = np.asarray(spmv_lanepack(plan_lanepack(A), x))
     assert y[399] == 2.0
     assert np.all(y[:399] == 0.0)
+
+
+def test_aligned_matches_oracle_banded_and_scattered():
+    from sparse_matrix_tpu.formats.aligned import plan_aligned
+    from sparse_matrix_tpu.ops.spmv import spmv_aligned
+    from sparse_matrix_tpu.solvers import poisson_2d_csr
+
+    A = poisson_2d_csr(24, dtype=np.float32)
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(A.cols).astype(np.float32)
+    plan = plan_aligned(A)
+    y = np.asarray(spmv_aligned(plan, x))
+    np.testing.assert_allclose(y, spmv_oracle(A, x).astype(np.float32), rtol=1e-4, atol=1e-4)
+
+    B, b = _rand_csr(rng, 300, 260, 0.05)
+    xb = rng.standard_normal(260).astype(np.float32)
+    yb = np.asarray(spmv_aligned(plan_aligned(B), xb))
+    np.testing.assert_allclose(yb, b @ xb, rtol=1e-4, atol=1e-4)
+
+
+def test_aligned_spill_engages_when_profitable(tmp_path, monkeypatch):
+    # force the spill to win by making the aligned slab cost huge relative
+    # to the general kernel (autotune-driven decision)
+    import json
+
+    from sparse_matrix_tpu.formats.aligned import plan_aligned
+    from sparse_matrix_tpu.ops.spmv import spmv_aligned
+    from sparse_matrix_tpu.utils import autotune
+
+    rng = np.random.default_rng(13)
+    A, a = _rand_csr(rng, 500, 500, 0.03)
+    p = tmp_path / "autotune.json"
+    monkeypatch.setenv("SPMX_AUTOTUNE_CACHE", str(p))
+
+    p.write_text(json.dumps({"lanepack_aligned_slab_ns": 1e6}))
+    autotune.reset_cache()
+    plan_spill = plan_aligned(A, spill_k=32)
+    assert plan_spill.spill is not None and plan_spill.spill.nnz > 0
+
+    p.write_text(json.dumps({"lanepack_dense_slab_ns": 1e6}))
+    autotune.reset_cache()
+    plan_keep = plan_aligned(A, spill_k=32)
+    assert plan_keep.spill is None
+    autotune.reset_cache()
+
+    x = rng.standard_normal(500).astype(np.float32)
+    ref = a @ x
+    np.testing.assert_allclose(np.asarray(spmv_aligned(plan_spill, x)), ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(spmv_aligned(plan_keep, x)), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_operator_aligned_force_and_plan_roundtrip(tmp_path):
+    from sparse_matrix_tpu.ops.operator import (
+        SpmvOperator,
+        load_operator_plan,
+        save_operator_plan,
+    )
+    from sparse_matrix_tpu.solvers import poisson_2d_csr
+
+    A = poisson_2d_csr(16, dtype=np.float32)
+    op = SpmvOperator(A, force="aligned")
+    assert op.format == "aligned"
+    rng = np.random.default_rng(14)
+    x = rng.standard_normal(A.cols).astype(np.float32)
+    ref = spmv_oracle(A, x).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(op(x)), ref, rtol=1e-4, atol=1e-4)
+    pth = str(tmp_path / "ali.npz")
+    save_operator_plan(op, pth)
+    op2 = load_operator_plan(pth)
+    assert op2.format == "aligned"
+    np.testing.assert_allclose(np.asarray(op2(x)), ref, rtol=1e-4, atol=1e-4)
