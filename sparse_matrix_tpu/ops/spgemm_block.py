@@ -92,11 +92,12 @@ def _make_block_kernel(precision):
 _MAX_PAIRS_PER_CALL = 1 << 16
 
 
-@functools.partial(jax.jit, static_argnames=("num_c", "bs", "interpret", "precision"))
-def _block_numeric_one(a_blocks, b_blocks, pair_a, pair_b, pair_c, *, num_c, bs, interpret, precision):
+@functools.partial(jax.jit, static_argnames=("num_c", "bs", "interpret", "precision", "out_dtype"))
+def _block_numeric_one(a_blocks, b_blocks, pair_a, pair_b, pair_c, *, num_c, bs, interpret, precision, out_dtype=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    out_dtype = out_dtype if out_dtype is not None else a_blocks.dtype
     if interpret:
         # pure-XLA reference path (CPU): batched matmul + scatter-add
         prods = jnp.einsum(
@@ -104,8 +105,9 @@ def _block_numeric_one(a_blocks, b_blocks, pair_a, pair_b, pair_c, *, num_c, bs,
             a_blocks[pair_a],
             b_blocks[pair_b],
             precision=precision,
+            preferred_element_type=out_dtype,
         )
-        return jnp.zeros((num_c, bs, bs), a_blocks.dtype).at[pair_c].add(prods)
+        return jnp.zeros((num_c, bs, bs), out_dtype).at[pair_c].add(prods)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -119,16 +121,17 @@ def _block_numeric_one(a_blocks, b_blocks, pair_a, pair_b, pair_c, *, num_c, bs,
     return pl.pallas_call(
         _make_block_kernel(precision),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_c, bs, bs), a_blocks.dtype),
+        out_shape=jax.ShapeDtypeStruct((num_c, bs, bs), out_dtype),
     )(pair_a, pair_b, pair_c, a_blocks, b_blocks)
 
 
-def _block_numeric(a_blocks, b_blocks, pair_a, pair_b, pair_c, *, num_c, bs, interpret, precision):
+def _block_numeric(a_blocks, b_blocks, pair_a, pair_b, pair_c, *, num_c, bs, interpret, precision, out_dtype=None):
     n = int(pair_a.shape[0])
     if n <= _MAX_PAIRS_PER_CALL:
         return _block_numeric_one(
             a_blocks, b_blocks, pair_a, pair_b, pair_c,
             num_c=num_c, bs=bs, interpret=interpret, precision=precision,
+            out_dtype=out_dtype,
         )
     # split at C-block boundaries so each call owns disjoint C blocks;
     # segments are padded to one uniform shape (single kernel compilation),
@@ -166,9 +169,76 @@ def _block_numeric(a_blocks, b_blocks, pair_a, pair_b, pair_c, *, num_c, bs, int
         out = _block_numeric_one(
             a_blocks, b_blocks, jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(pc),
             num_c=num_c_seg, bs=bs, interpret=interpret, precision=precision,
+            out_dtype=out_dtype,
         )
         outs.append(out[: c_hi - c_lo])
     return jnp.concatenate(outs, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "bs"))
+def _sparsify_blocks_jit(c_blocks, c_brows, c_bcols, *, rows: int, cols: int, bs: int):
+    """Device-side compaction of dense C blocks to row-sorted padded COO.
+
+    Scatter-free (sort-based, like every device structural op here): zero
+    slots get the sentinel row id ``rows`` and sink to the tail of a
+    two-key lexicographic sort. Replaces the host ``BsrMatrix.to_csr``
+    pass, whose numpy/native sweep was the round-1 bottleneck for
+    near-dense outputs (docs/PERF.md)."""
+    num_c = c_blocks.shape[0]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (num_c, bs, bs), 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (num_c, bs, bs), 2)
+    r = (c_brows[:, None, None] * bs + ri).reshape(-1)
+    c = (c_bcols[:, None, None] * bs + ci).reshape(-1)
+    v = c_blocks.reshape(-1)
+    live = (v != 0) & (r < rows) & (c < cols)
+    rkey = jnp.where(live, r, rows).astype(jnp.int32)
+    rkey, c, v = jax.lax.sort([rkey, c.astype(jnp.int32), v], num_keys=2)
+    nnz = jnp.sum(live.astype(jnp.int32))
+    return rkey, c, v, nnz
+
+
+def spgemm_block_pad_device(
+    lhs: CsrMatrix,
+    rhs: CsrMatrix,
+    *,
+    bs: int = BLOCK_SIZE,
+    dtype=np.float32,
+    precision=None,
+):
+    """C = A @ B via block-dense MXU matmuls, result as a device-resident
+    row-sorted :class:`~.device_sorted.PaddedCoo` (no host sparsify pass).
+    """
+    from .device_sorted import PaddedCoo
+
+    if lhs.cols != rhs.rows:
+        raise ValueError("LHS cols != RHS rows")
+    precision = precision if precision is not None else jax.lax.Precision.HIGHEST
+    a = BsrMatrix.from_csr(lhs, bs, dtype=dtype)
+    b = BsrMatrix.from_csr(rhs, bs, dtype=dtype)
+    pair_a, pair_b, pair_c, c_keys = block_pairs_plan(a, b)
+    if len(pair_a) == 0:
+        z = jnp.zeros(0, dtype)
+        zi = jnp.zeros(0, jnp.int32)
+        return PaddedCoo(zi, zi, z, jnp.int32(0), lhs.rows, rhs.cols)
+    interpret = jax.default_backend() != "tpu"
+    c_blocks = _block_numeric(
+        jnp.asarray(a.blocks),
+        jnp.asarray(b.blocks),
+        jnp.asarray(pair_a),
+        jnp.asarray(pair_b),
+        jnp.asarray(pair_c),
+        num_c=len(c_keys),
+        bs=bs,
+        interpret=interpret,
+        precision=precision,
+    )
+    bcols_c = -(-rhs.cols // bs)
+    c_brows = jnp.asarray((c_keys // bcols_c).astype(np.int32))
+    c_bcols = jnp.asarray((c_keys % bcols_c).astype(np.int32))
+    r, c, v, nnz = _sparsify_blocks_jit(
+        c_blocks, c_brows, c_bcols, rows=lhs.rows, cols=rhs.cols, bs=bs
+    )
+    return PaddedCoo(r, c, v, nnz, lhs.rows, rhs.cols)
 
 
 def spgemm_block_device(
@@ -180,37 +250,20 @@ def spgemm_block_device(
     precision=None,
 ) -> CsrMatrix:
     """C = A @ B via block-dense MXU matmuls. Host in/out; exact zeros
-    dropped in the result."""
-    if lhs.cols != rhs.rows:
-        raise ValueError("LHS cols != RHS rows")
-    precision = precision if precision is not None else jax.lax.Precision.HIGHEST
-    a = BsrMatrix.from_csr(lhs, bs, dtype=dtype)
-    b = BsrMatrix.from_csr(rhs, bs, dtype=dtype)
-    pair_a, pair_b, pair_c, c_keys = block_pairs_plan(a, b)
-    if len(pair_a) == 0:
+    dropped in the result.
+
+    The sparsify pass runs on device (:func:`_sparsify_blocks_jit`); only
+    the live prefix of the sorted result is read back (one scalar sync for
+    nnz, then an nnz-sized transfer — the tunnel's device->host bandwidth
+    makes full-capacity readbacks prohibitive, docs/PERF.md)."""
+    p = spgemm_block_pad_device(lhs, rhs, bs=bs, dtype=dtype, precision=precision)
+    n = int(p.nnz)
+    if n == 0:
         return CsrMatrix.new(lhs.rows, rhs.cols, dtype=dtype)
-    interpret = jax.default_backend() != "tpu"
-    c_blocks = np.asarray(
-        _block_numeric(
-            jnp.asarray(a.blocks),
-            jnp.asarray(b.blocks),
-            jnp.asarray(pair_a),
-            jnp.asarray(pair_b),
-            jnp.asarray(pair_c),
-            num_c=len(c_keys),
-            bs=bs,
-            interpret=interpret,
-            precision=precision,
-        )
-    )
-    bcols_c = -(-rhs.cols // bs)
-    c_brows = (c_keys // bcols_c).astype(np.int64)
-    c_bcols = (c_keys % bcols_c).astype(np.int32)
-    offsets = np.zeros(-(-lhs.rows // bs) + 1, dtype=np.int64)
-    np.add.at(offsets, c_brows + 1, 1)
-    np.cumsum(offsets, out=offsets)
-    out = BsrMatrix(lhs.rows, rhs.cols, bs, c_blocks, c_bcols, offsets)
-    return out.to_csr()
+    r = np.asarray(jax.lax.slice_in_dim(p.row, 0, n))
+    c = np.asarray(jax.lax.slice_in_dim(p.col, 0, n))
+    v = np.asarray(jax.lax.slice_in_dim(p.val, 0, n))
+    return CsrMatrix.from_coo(lhs.rows, rhs.cols, r, c, v, sum_duplicates=False)
 
 
 class BlockSpgemm:
@@ -219,14 +272,24 @@ class BlockSpgemm:
     bench squares the same matrix per iteration, and iterative algorithms
     reuse operators)."""
 
-    def __init__(self, lhs: CsrMatrix, rhs: CsrMatrix, *, bs: int = BLOCK_SIZE, dtype=np.float32, precision=None):
+    def __init__(self, lhs: CsrMatrix, rhs: CsrMatrix, *, bs: int = BLOCK_SIZE, dtype=np.float32, precision=None, storage="f32"):
+        """``storage="bf16"`` stores A/B blocks in bfloat16 — halves the
+        per-pair HBM/DMA traffic (the measured bottleneck of this engine,
+        docs/PERF.md) at bf16 operand precision; C accumulates f32 either
+        way. f32 storage keeps exact-operand HIGHEST matmuls."""
         if lhs.cols != rhs.rows:
             raise ValueError("LHS cols != RHS rows")
-        self.precision = precision if precision is not None else jax.lax.Precision.HIGHEST
+        if storage == "bf16":
+            block_dtype = jnp.bfloat16
+            self.precision = precision  # DEFAULT: operands are already bf16
+        else:
+            block_dtype = dtype
+            self.precision = precision if precision is not None else jax.lax.Precision.HIGHEST
+        self.out_dtype = np.dtype(dtype)
         self.bs = bs
         self.rows, self.cols = lhs.rows, rhs.cols
-        a = BsrMatrix.from_csr(lhs, bs, dtype=dtype)
-        b = BsrMatrix.from_csr(rhs, bs, dtype=dtype)
+        a = BsrMatrix.from_csr(lhs, bs, dtype=block_dtype)
+        b = BsrMatrix.from_csr(rhs, bs, dtype=block_dtype)
         pair_a, pair_b, pair_c, self.c_keys = block_pairs_plan(a, b)
         self.num_pairs = len(pair_a)
         self.a_blocks = jnp.asarray(a.blocks)
@@ -242,7 +305,7 @@ class BlockSpgemm:
         return _block_numeric(
             self.a_blocks, self.b_blocks, self.pair_a, self.pair_b, self.pair_c,
             num_c=len(self.c_keys), bs=self.bs, interpret=interpret,
-            precision=self.precision,
+            precision=self.precision, out_dtype=jnp.dtype(self.out_dtype),
         )
 
     def multiply(self) -> CsrMatrix:

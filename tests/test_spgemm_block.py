@@ -85,3 +85,26 @@ def test_spgemm_auto_dispatches():
     np.testing.assert_allclose(
         out.to_dense(), (a @ a).astype(np.float32), rtol=1e-3, atol=1e-4
     )
+
+
+def test_block_spgemm_bf16_storage():
+    # bf16 block storage halves DMA; result within bf16 operand tolerance
+    import numpy as np
+
+    from sparse_matrix_tpu.core import DokMatrix
+    from sparse_matrix_tpu.formats import CsrMatrix
+    from sparse_matrix_tpu.ops.spgemm_block import BlockSpgemm
+
+    rng = np.random.default_rng(21)
+    a = (rng.random((384, 384)) < 0.05) * rng.standard_normal((384, 384))
+    A = CsrMatrix.from_dok(DokMatrix.from_dense(a.astype(np.float32)))
+    ref = a.astype(np.float32) @ a.astype(np.float32)
+    eng = BlockSpgemm(A, A, storage="bf16")
+    C = np.asarray(eng.multiply_device())
+    assert C.dtype == np.float32
+    got = eng.multiply().to_dense()
+    scale = max(1.0, np.abs(ref).max())
+    np.testing.assert_allclose(got / scale, ref / scale, atol=3e-2)
+    # f32 storage stays exact-operand
+    eng32 = BlockSpgemm(A, A)
+    np.testing.assert_allclose(eng32.multiply().to_dense(), ref, rtol=1e-4, atol=1e-4)
