@@ -13,6 +13,11 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# tests must not read this machine's autotune calibration cache: dispatch
+# assertions are written against the packaged v5e defaults (individual
+# tests repoint this to tmp files to test calibration-driven dispatch)
+os.environ.setdefault("SPMX_AUTOTUNE_CACHE", "/nonexistent/spmx-autotune-off.json")
+
 import jax  # noqa: E402
 
 # SPMX_TPU_TESTS=1 keeps the real backend so tests/test_tpu_kernels.py can
