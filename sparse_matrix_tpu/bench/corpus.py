@@ -71,8 +71,28 @@ def _random_local(rng, n, per_row, bandwidth) -> CsrMatrix:
     return CsrMatrix.from_coo(n, n, r, c, v)
 
 
-def generate_corpus(directory: str = DEFAULT_CORPUS_DIR, *, seed: int = 0) -> List[str]:
-    """Generate the synthetic corpus (idempotent); returns file paths."""
+def _fem_like(rng, n_side, jitter) -> CsrMatrix:
+    """9-point stencil with per-entry index jitter: the clustered-locality
+    shape of assembled FEM operators (unstructured but index-local)."""
+    n = n_side * n_side
+    offs = np.array([-n_side - 1, -n_side, -n_side + 1, -1, 0, 1,
+                     n_side - 1, n_side, n_side + 1], dtype=np.int64)
+    r = np.repeat(np.arange(n, dtype=np.int64), len(offs))
+    c = r + np.tile(offs, n) + rng.integers(-jitter, jitter + 1, size=len(r))
+    keep = (c >= 0) & (c < n)
+    r, c = r[keep], c[keep]
+    v = rng.standard_normal(len(r))
+    return CsrMatrix.from_coo(n, n, r, c, v)
+
+
+def generate_corpus(
+    directory: str = DEFAULT_CORPUS_DIR, *, seed: int = 0, include_large: bool = True
+) -> List[str]:
+    """Generate the synthetic corpus (idempotent); returns file paths.
+
+    ``include_large=False`` skips the 2-4M-nnz bench-scale matrices (the
+    property tests walk the corpus through both DOK conversion paths, which
+    is minutes of pure-python work at that size)."""
     os.makedirs(directory, exist_ok=True)
     rng = np.random.default_rng(seed)
     specs = {
@@ -82,10 +102,12 @@ def generate_corpus(directory: str = DEFAULT_CORPUS_DIR, *, seed: int = 0) -> Li
         "uniform_4k_02pct.mtx": lambda: _random_uniform(rng, 4096, 0.002),
         "powerlaw_2k.mtx": lambda: _power_law_rows(rng, 2048, 16),
         "blocked_2k.mtx": lambda: _blocked(rng, 2048, 64, 0.05),
-        # unstructured-with-locality at a size where SpMV is not
-        # grid-overhead bound (the round-2 general-path target matrix)
-        "randlocal_262k.mtx": lambda: _random_local(rng, 1 << 18, 16, 4096),
     }
+    if include_large:
+        # unstructured-with-locality at a size where SpMV is not
+        # grid-overhead bound (the round-2 general-path target matrices)
+        specs["randlocal_262k.mtx"] = lambda: _random_local(rng, 1 << 18, 16, 4096)
+        specs["femlike_262k.mtx"] = lambda: _fem_like(rng, 512, 2)
     paths = []
     for name, make in specs.items():
         path = os.path.join(directory, name)

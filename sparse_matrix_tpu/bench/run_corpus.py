@@ -47,13 +47,17 @@ def main() -> None:
     ap.add_argument("--dir", default=DEFAULT_CORPUS_DIR)
     ap.add_argument("--engine", default="native",
                     choices=["auto", "native", "python", "esc", "block", "dense"])
-    ap.add_argument("--spmv", action="store_true", help="also bench LanePack SpMV")
+    ap.add_argument("--spmv", action="store_true", help="also bench operator SpMV")
+    ap.add_argument("--spmv-force", default=None,
+                    help="force an SpMV format (dia/hybrid/aligned/lanepack/ell)")
     ap.add_argument("--generate", action="store_true", help="create the synthetic corpus first")
+    ap.add_argument("--small", action="store_true",
+                    help="with --generate: skip the 2-4M-nnz bench matrices")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
     if args.generate:
-        generate_corpus(args.dir)
+        generate_corpus(args.dir, include_large=not args.small)
     engine = _engine(args.engine)
 
     results = []
@@ -76,17 +80,16 @@ def main() -> None:
         if args.spmv:
             import jax.numpy as jnp
 
-            from ..formats.lanepack import plan_lanepack
-            from ..ops.spmv import lanepack_device_arrays, spmv_lanepack
+            from ..ops.operator import SpmvOperator
             from .runner import bench_device_loop
 
             m32 = m if m.vals.dtype == np.float32 else _to_f32(m)
-            plan = plan_lanepack(m32)
-            arrs = lanepack_device_arrays(plan)
+            op = SpmvOperator(m32, force=args.spmv_force)
             x0 = jnp.asarray(np.random.default_rng(0).standard_normal(m.cols).astype(np.float32))
             br = bench_device_loop(
-                name, lambda v: spmv_lanepack(plan, v, device_arrays=arrs) * 0.5, x0, iters=100
+                name, lambda v: op(v) * 0.5, x0, iters=100
             )
+            row["spmv_format"] = op.format
             row["spmv_ms"] = round(br.millis, 4)
             row["spmv_gnnz_s"] = round(m.nnz() / br.seconds / 1e9, 2)
             row["spmv_eff_gbps"] = round(

@@ -8,7 +8,7 @@ import sys
 def test_run_corpus_cli(tmp_path):
     out = subprocess.run(
         [sys.executable, "-m", "sparse_matrix_tpu.bench.run_corpus",
-         "--generate", "--dir", str(tmp_path), "--engine", "python", "--repeats", "1"],
+         "--generate", "--small", "--dir", str(tmp_path), "--engine", "python", "--repeats", "1"],
         capture_output=True, text=True, timeout=600,
         env={"PYTHONPATH": ".", "PATH": "/usr/bin:/bin:/usr/local/bin",
              "HOME": "/root", "JAX_PLATFORMS": "cpu"},

@@ -60,7 +60,7 @@ def test_invariant6_detects_violation(m):
 def test_corpus_invariants(tmp_path):
     # parse every corpus file, check invariants through both conversion
     # paths (reference tests.rs:373-405, ignored-by-default "expensive")
-    paths = generate_corpus(str(tmp_path))
+    paths = generate_corpus(str(tmp_path), include_large=False)
     assert paths
     rng = np.random.default_rng(0)
     count = 0

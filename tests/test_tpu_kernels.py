@@ -147,10 +147,50 @@ def test_spmm_dia_parity():
 
 
 def test_device_sorted_add_parity():
-    from sparse_matrix_tpu.ops.device_sorted import add_device
+    from sparse_matrix_tpu.formats.device import DeviceCsr
+    from sparse_matrix_tpu.ops.device_sorted import add_device, padded_to_host
 
     rng = np.random.default_rng(6)
     A, a = _rand_csr(rng, 300, 300, 0.03)
     B, b = _rand_csr(rng, 300, 300, 0.03)
-    C = add_device(A, B)
+    C = padded_to_host(add_device(DeviceCsr.from_host(A), DeviceCsr.from_host(B)))
     np.testing.assert_allclose(C.to_dense(), a + b, rtol=1e-5, atol=1e-5)
+
+
+def test_aligned_kernel_parity():
+    from sparse_matrix_tpu.formats.aligned import plan_aligned
+    from sparse_matrix_tpu.ops.spmv import spmv_aligned
+
+    A = poisson_2d_csr(64, dtype=np.float32)
+    rng = np.random.default_rng(15)
+    x = rng.standard_normal(A.cols).astype(np.float32)
+    plan = plan_aligned(A)
+    y = np.asarray(spmv_aligned(plan, x))
+    y_ref = spmv_oracle(A, x).astype(np.float32)
+    scale = max(1.0, float(np.abs(y_ref).max()))
+    np.testing.assert_allclose(y / scale, y_ref / scale, atol=2e-5)
+
+
+def test_aligned_kernel_with_spill_parity(monkeypatch, tmp_path):
+    # force the spill path on-device: huge aligned slab cost makes the
+    # planner spill the straddlers to the general kernel
+    import json
+
+    from sparse_matrix_tpu.formats.aligned import plan_aligned
+    from sparse_matrix_tpu.ops.spmv import spmv_aligned
+    from sparse_matrix_tpu.utils import autotune
+
+    p = tmp_path / "autotune.json"
+    p.write_text(json.dumps({"lanepack_aligned_slab_ns": 1e6}))
+    monkeypatch.setenv("SPMX_AUTOTUNE_CACHE", str(p))
+    autotune.reset_cache()
+    try:
+        rng = np.random.default_rng(16)
+        A, a = _rand_csr(rng, 512, 512, 0.03)
+        plan = plan_aligned(A, spill_k=32)
+        assert plan.spill is not None
+        x = rng.standard_normal(512).astype(np.float32)
+        y = np.asarray(spmv_aligned(plan, x))
+        np.testing.assert_allclose(y, a @ x, rtol=1e-3, atol=1e-3)
+    finally:
+        autotune.reset_cache()
