@@ -123,8 +123,9 @@ class SpmvOperator:
                 return
 
         # aligned vs general LanePack: compare estimated kernel times
-        # (autotuned per-slab costs x estimated slab counts)
-        if self._aligned_wins(m):
+        # (autotuned per-slab costs x estimated slab counts); an explicit
+        # force="lanepack" bypasses the comparison
+        if force is None and self._aligned_wins(m):
             self.format = "aligned"
             self._set_aligned(m, dtype)
             return

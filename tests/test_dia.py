@@ -123,3 +123,12 @@ def test_operator_plan_save_load(tmp_path):
     assert op2.format == "dia"
     x = rng.standard_normal(256).astype(np.float32)
     np.testing.assert_allclose(np.asarray(op2(x)), np.asarray(op(x)), rtol=1e-6)
+
+
+def test_operator_force_lanepack_is_respected():
+    # force="lanepack" must bypass the aligned-vs-lanepack cost comparison
+    A = poisson_2d_csr(16, dtype=np.float32)
+    op = SpmvOperator(A, force="lanepack")
+    assert op.format == "lanepack"
+    op2 = SpmvOperator(A, force="aligned")
+    assert op2.format == "aligned"
