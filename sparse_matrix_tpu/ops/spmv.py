@@ -132,9 +132,10 @@ def _make_lanepack_kernel(b: int, kw: int, pack: str = "dense"):
 
 
 def _pick_b(num_slabs: int) -> int:
-    # larger B amortizes per-step overhead but grows compile time; 32 only
-    # pays off once there are many steps
-    for cand in (32, 16, 8, 4, 2):
+    # larger B amortizes per-step overhead but grows compile time; the
+    # round-2 sweep (experiments/sweep_spmv.out, aligned_spmv.py) measured
+    # B=64 ~10% faster than B=32 at >=512 slabs on both kernels
+    for cand in (64, 32, 16, 8, 4, 2):
         if num_slabs >= cand * 8:
             return cand
     return 1
