@@ -1,0 +1,87 @@
+"""Tour of the framework surface a `sparse_matrix` (Rust) user would reach
+for, end to end on one page. Run: python examples/framework_tour.py
+
+Covers: MatrixMarket I/O (incl. the variants the reference todo!()s),
+DOK <-> CSR, elementwise ops, SpGEMM dispatch, planned SpMV operators,
+solvers, plan persistence, and the accuracy oracle.
+"""
+import io
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from sparse_matrix_tpu.core import (
+    DokMatrix,
+    parse_matrix_market,
+    to_matrix_market_string,
+)
+from sparse_matrix_tpu.core.accuracy import is_good_approx_of_mul
+from sparse_matrix_tpu.formats import CsrMatrix
+from sparse_matrix_tpu.ops.operator import (
+    SpmvOperator,
+    load_operator_plan,
+    save_operator_plan,
+)
+from sparse_matrix_tpu.ops.spgemm_block import spgemm_auto
+from sparse_matrix_tpu.solvers import cg_solve, minres_solve, poisson_2d_csr
+
+# --- MatrixMarket in (a skew-symmetric file: todo!() upstream, works here)
+text = """%%MatrixMarket matrix coordinate real skew-symmetric
+4 4 3
+2 1 1.5
+3 2 -0.5
+4 1 2.0
+"""
+m = parse_matrix_market(text).matrix
+print("parsed skew-symmetric:", m.shape, "nnz", m.nnz())
+
+# --- DOK edits with reference semantics (old-value returns, zero deletion)
+old = m.set_element((0, 3), np.float64(7.0))
+print("set_element returned previous value:", old)
+
+# --- CSR + elementwise + SpGEMM (engine picked by measured cost model)
+a = CsrMatrix.from_dok(m)
+s = a + a
+c = spgemm_auto(a, a)
+print("A+A nnz:", s.nnz(), "| A@A nnz:", c.nnz())
+print("Higham bound holds:", is_good_approx_of_mul(c.to_dok(), m, m))
+
+# --- round-trip persistence
+rt = parse_matrix_market(to_matrix_market_string(c.to_dok())).matrix
+assert rt == c.to_dok()
+print("MatrixMarket round-trip: exact")
+
+# --- planned SpMV operators: structure-aware format selection
+p = poisson_2d_csr(64, dtype=np.float32)
+op = SpmvOperator(p)  # banded -> DIA
+print("poisson 64^2 operator format:", op.format)
+rng = np.random.default_rng(0)
+dense = (rng.random((600, 600)) < 0.02) * rng.standard_normal((600, 600))
+g = CsrMatrix.from_dok(DokMatrix.from_dense(dense.astype(np.float32)))
+opg = SpmvOperator(g)  # unstructured -> aligned or lanepack by cost
+print("unstructured operator format:", opg.format)
+
+# --- solvers on the operator (CG for SPD, MINRES for indefinite shifts)
+b = rng.standard_normal(p.rows).astype(np.float32)
+res = cg_solve(op, b, tol=1e-5)
+print(f"CG: {int(res.iterations)} iters, residual {float(res.residual_norm):.2e}")
+res2 = minres_solve(lambda v: op(v) - 3.0 * v, b, tol=1e-3, maxiter=4000)
+print(
+    f"MINRES (A-3I, indefinite): {int(res2.iterations)} iters, "
+    f"residual {float(res2.residual_norm):.2e}"
+)
+
+# --- plan persistence (checkpoint/resume for operators)
+with tempfile.TemporaryDirectory() as d:
+    path = os.path.join(d, "plan.npz")
+    save_operator_plan(opg, path)
+    op2 = load_operator_plan(path)
+    x = rng.standard_normal(600).astype(np.float32)
+    assert np.allclose(np.asarray(op2(x)), np.asarray(opg(x)))
+    print("operator plan save/load: bitwise-identical apply")
+
+print("tour complete")

@@ -1,6 +1,7 @@
 """Iterative solvers (CG) and model problems (2D Poisson)."""
 
 from .cg import CgResult, cg_solve, cg_solve_multi, pcg_solve, jacobi_preconditioner  # noqa: F401
+from .minres import minres_solve  # noqa: F401
 from .eigen import (  # noqa: F401
     PowerResult,
     power_iteration,
