@@ -97,8 +97,11 @@ def _chunk_keys(m: CsrMatrix):
     nnz = m.nnz()
     r = m.row_ids().astype(np.int64)
     c = m.indices.astype(np.int64)
-    order = np.lexsort((c, r))
-    r, c = r[order], c[order]
+    if m.is_sorted:
+        order = np.arange(nnz)  # CSR invariant 6: already (row, col)-sorted
+    else:
+        order = np.lexsort((c, r))
+        r, c = r[order], c[order]
     w = c // LANES
     new_rw = np.r_[True, (r[1:] != r[:-1]) | (w[1:] != w[:-1])] if nnz else np.zeros(0, bool)
     start_rw = np.maximum.accumulate(np.where(new_rw, np.arange(nnz), 0))
@@ -189,7 +192,10 @@ def plan_aligned(
     num_chunks = len(head)
 
     # two-target slab packing (same rule as plan_lanepack: at most two row
-    # blocks per slab, split sublane recorded)
+    # blocks per slab, split sublane recorded). The placement is a position
+    # state machine over rbs (O(1) python per rb), with all per-chunk and
+    # per-slab arrays derived vectorized from the start positions — the
+    # naive per-chunk loop was the planning hotspot at multi-M nnz.
     rb_change = np.r_[True, head_rb[1:] != head_rb[:-1]] if num_chunks else np.zeros(0, bool)
     counts = (
         np.diff(np.append(np.nonzero(rb_change)[0], num_chunks))
@@ -197,32 +203,48 @@ def plan_aligned(
         else np.zeros(0, np.int64)
     )
     uniq_rbs = head_rb[rb_change] if num_chunks else np.zeros(0, np.int64)
-    chunk_slab = np.zeros(num_chunks, np.int64)
-    chunk_sub = np.zeros(num_chunks, np.int64)
-    meta: list = []
-    cur = 0
-    k = 0
-    for rbi, cnt_i in zip(uniq_rbs, counts):
-        cnt_i = int(cnt_i)
-        placed = 0
-        while placed < cnt_i:
-            if cur == 0:
-                meta.append([rbi, rbi, SUBLANES])
-            elif meta[-1][1] != rbi:
-                if meta[-1][0] != meta[-1][1]:
-                    cur = 0
-                    meta.append([rbi, rbi, SUBLANES])
-                else:
-                    meta[-1][1] = rbi
-                    meta[-1][2] = cur
-            take = min(cnt_i - placed, SUBLANES - cur)
-            sl = len(meta) - 1
-            chunk_slab[k : k + take] = sl
-            chunk_sub[k : k + take] = np.arange(cur, cur + take)
-            k += take
-            placed += take
-            cur = (cur + take) % SUBLANES
-    s = len(meta)
+
+    pos0 = np.zeros(len(counts), np.int64)
+    pos = 0  # global sublane position, pads included
+    nrb = 1  # row blocks in the currently open slab
+    for i, cnt_i in enumerate(counts):
+        cur = pos % SUBLANES
+        if cur != 0 and nrb == 2:
+            pos += SUBLANES - cur  # slab already holds two rbs: close (pad)
+            cur = 0
+        pos0[i] = pos
+        entered_shared = cur != 0
+        pos += int(cnt_i)
+        if pos % SUBLANES == 0:
+            nrb = 1
+        else:
+            # open slab holds two rbs only if this rb started mid-slab and
+            # did not spill past the shared slab
+            nrb = 2 if entered_shared and cnt_i < SUBLANES - cur else 1
+
+    if num_chunks:
+        gpos = np.repeat(pos0, counts) + (
+            np.arange(num_chunks) - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+        chunk_slab = gpos // SUBLANES
+        chunk_sub = gpos % SUBLANES
+        chunk_rb_of = np.repeat(uniq_rbs, counts)
+        s = int(gpos[-1] // SUBLANES) + 1
+        uslab, first = np.unique(chunk_slab, return_index=True)
+        last = np.r_[first[1:] - 1, num_chunks - 1]
+        rb_a_full = np.zeros(s, np.int64)
+        rb_b_full = np.zeros(s, np.int64)
+        rb_a_full[uslab] = chunk_rb_of[first]
+        rb_b_full[uslab] = chunk_rb_of[last]
+        split_full = np.full(s, SUBLANES, np.int64)
+        two = rb_a_full[chunk_slab] != chunk_rb_of
+        np.minimum.at(split_full, chunk_slab[two], chunk_sub[two])
+        meta = np.stack([rb_a_full, rb_b_full, split_full], axis=1)
+    else:
+        chunk_slab = np.zeros(0, np.int64)
+        chunk_sub = np.zeros(0, np.int64)
+        meta = np.zeros((0, 3), np.int64)
+        s = 0
 
     vals_s = np.zeros((s, SUBLANES, LANES), dtype)
     lane_s = np.zeros((s, SUBLANES, LANES), np.int8)

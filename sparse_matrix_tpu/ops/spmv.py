@@ -331,37 +331,55 @@ def _make_aligned_kernel(b: int, nbuf: int = 2):
     return kernel
 
 
+# scalar-prefetch SMEM budget: rb_a/rb_b/split (4B each) + col_off
+# (8 x 4B) per slab = 44 B/slab against the ~1 MB SMEM; segment above this
+_SMEM_SLAB_SEGMENT = 16384
+
+
 def aligned_device_arrays(plan, *, b: Optional[int] = None):
     """Device arrays for an :class:`~..formats.aligned.AlignedPlan`, padded
     to whole B-slab steps; includes the spill sub-plan's arrays when one
-    exists."""
+    exists.
+
+    Plans beyond the SMEM scalar-prefetch budget are split into uniform
+    slab segments (key ``"segments"``): one kernel compilation, several
+    calls per apply, partial y's summed by :func:`spmv_aligned`."""
     b = b if b is not None else _pick_b(plan.num_slabs)
     s = plan.num_slabs
-    sp = max(b, -(-s // b) * b)
 
-    def pad(a):
-        if a.shape[0] == sp:
-            return jnp.asarray(a)
-        out = np.zeros((sp,) + a.shape[1:], dtype=a.dtype)
-        out[: a.shape[0]] = a
-        return jnp.asarray(out)
+    def build(lo: int, hi: int, sp: int):
+        def pad(a):
+            out = np.zeros((sp,) + a.shape[1:], dtype=a.dtype)
+            out[: hi - lo] = a[lo:hi]
+            return jnp.asarray(out)
 
-    def pad1(a, fill, n):
-        out = np.full(n, fill, dtype=np.int32)
-        out[: min(len(a), n)] = a[:n] if len(a) >= n else a
-        return jnp.asarray(out)
+        def pad1(a, fill, scale=1):
+            out = np.full(sp * scale, fill, dtype=np.int32)
+            out[: (hi - lo) * scale] = a[lo * scale : hi * scale]
+            return jnp.asarray(out)
 
-    arrs = dict(
-        b=b,
-        vals=pad(plan.vals),
-        lane=pad(plan.lane),
-        rb_a=pad1(plan.rb_a[:s], 0, sp),
-        rb_b=pad1(plan.rb_b[:s], 0, sp),
-        split=pad1(plan.split[:s], SUBLANES, sp),
-        chunk_rb=pad1(plan.chunk_rb[: s * SUBLANES], 0, sp * SUBLANES),
-        col_off=pad1(plan.col_off[: s * SUBLANES], 0, sp * SUBLANES),
-        rb_mask=jnp.asarray(plan.rb_mask),
-    )
+        return dict(
+            vals=pad(plan.vals),
+            lane=pad(plan.lane),
+            rb_a=pad1(plan.rb_a, 0),
+            rb_b=pad1(plan.rb_b, 0),
+            split=pad1(plan.split, SUBLANES),
+            chunk_rb=pad1(plan.chunk_rb, 0, SUBLANES),
+            col_off=pad1(plan.col_off, 0, SUBLANES),
+            rb_mask=jnp.asarray(plan.rb_mask),
+        )
+
+    arrs = dict(b=b)
+    if s <= _SMEM_SLAB_SEGMENT:
+        sp = max(b, -(-s // b) * b)
+        arrs.update(build(0, s, sp))
+    else:
+        nseg = -(-s // _SMEM_SLAB_SEGMENT)
+        per_seg = -(-s // nseg)
+        seg = -(-per_seg // b) * b  # uniform, b-aligned segment size
+        arrs["segments"] = [
+            build(lo, min(s, lo + seg), seg) for lo in range(0, s, seg)
+        ]
     if plan.spill is not None:
         arrs["spill"] = lanepack_device_arrays(plan.spill)
     return arrs
@@ -423,12 +441,8 @@ def _aligned_reference(arrs, x2d, *, rows: int):
 
 def spmv_aligned(plan, x, *, device_arrays=None):
     """y = A @ x via the aligned kernel (+ the general kernel on the spill
-    sub-plan when the plan has one). See formats/aligned.py."""
-    if plan.num_slabs * 8 * 4 > 900_000:
-        raise ValueError(
-            f"aligned plan has {plan.num_slabs} slabs; scalar-prefetch arrays "
-            "exceed the SMEM budget — use the general path or ELL"
-        )
+    sub-plan when the plan has one). Plans beyond the SMEM budget run as
+    several uniform slab segments (one compilation). See formats/aligned.py."""
     if plan.cols > _VMEM_X_LIMIT:
         raise ValueError(
             f"aligned kernel keeps x in VMEM; cols={plan.cols} exceeds "
@@ -437,15 +451,24 @@ def spmv_aligned(plan, x, *, device_arrays=None):
     arrs = device_arrays if device_arrays is not None else aligned_device_arrays(plan)
     x = jnp.asarray(x, dtype=plan.dtype)
     interp = _interpret()
-    y = _spmv_aligned_jit(
-        {k: v for k, v in arrs.items() if k not in ("b", "spill")},
-        x,
-        rows=plan.rows,
-        cols=plan.cols,
-        b=arrs["b"],
-        nbuf=2,
-        interpret=interp,
-    )
+
+    def one(seg):
+        return _spmv_aligned_jit(
+            {k: v for k, v in seg.items() if k not in ("b", "spill")},
+            x,
+            rows=plan.rows,
+            cols=plan.cols,
+            b=arrs["b"],
+            nbuf=2,
+            interpret=interp,
+        )
+
+    if "segments" in arrs:
+        y = one(arrs["segments"][0])
+        for seg in arrs["segments"][1:]:
+            y = y + one(seg)
+    else:
+        y = one(arrs)
     if plan.spill is not None:
         sp_arrs = arrs.get("spill")
         if sp_arrs is None:

@@ -228,3 +228,21 @@ def test_operator_aligned_force_and_plan_roundtrip(tmp_path):
     op2 = load_operator_plan(pth)
     assert op2.format == "aligned"
     np.testing.assert_allclose(np.asarray(op2(x)), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_aligned_segments_beyond_smem_budget(monkeypatch):
+    # plans over the scalar-prefetch budget split into uniform segments
+    import sparse_matrix_tpu.ops.spmv as sp
+    from sparse_matrix_tpu.formats.aligned import plan_aligned
+    from sparse_matrix_tpu.ops.spmv import aligned_device_arrays, spmv_aligned
+    from sparse_matrix_tpu.solvers import poisson_2d_csr
+
+    A = poisson_2d_csr(48, dtype=np.float32)
+    plan = plan_aligned(A)
+    monkeypatch.setattr(sp, "_SMEM_SLAB_SEGMENT", max(2, plan.num_slabs // 3))
+    arrs = aligned_device_arrays(plan)
+    assert "segments" in arrs and len(arrs["segments"]) >= 3
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal(A.cols).astype(np.float32)
+    y = np.asarray(spmv_aligned(plan, x, device_arrays=arrs))
+    np.testing.assert_allclose(y, spmv_oracle(A, x).astype(np.float32), rtol=1e-4, atol=1e-4)
