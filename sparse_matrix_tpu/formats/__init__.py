@@ -1,3 +1,9 @@
 """Matrix formats: host CSR plus device-resident pytree/tiled formats."""
 
 from .csr import CsrMatrix, INDEX_DTYPE, OFFSET_DTYPE, SENTINEL  # noqa: F401
+from .reorder import (  # noqa: F401
+    bandwidth,
+    permute_symmetric,
+    rcm_permutation,
+    rcm_reordered,
+)
