@@ -36,6 +36,7 @@ __all__ = [
     "add_device",
     "sub_device",
     "spgemm_esc_device",
+    "EscSpgemm",
     "expand_plan",
     "padded_to_host",
 ]
@@ -201,6 +202,48 @@ def _esc_impl(lhs_vals, rhs_vals, rhs_indices, src, q, out_r, *, rows: int, cols
     out_v = lhs_vals[src] * rhs_vals[q]
     r_s, c_s, v_s = jax.lax.sort((out_r, out_c, out_v), num_keys=2)
     return _run_reduce(r_s, c_s, v_s, rows)
+
+
+class EscSpgemm:
+    """Amortized ESC SpGEMM: the expansion plan and operand arrays live on
+    device, reusable across repeated multiplies — the sort-engine analog of
+    :class:`~.spgemm_block.BlockSpgemm`. Queued-dispatch rate is
+    structure-independent (~75 Mprod/s measured on v5e across uniform,
+    powerlaw, and hyper-sparse inputs, experiments/esc_queued.out) because
+    the engine is one multi-key ``lax.sort`` + segmented scan, not a
+    per-row gather loop: 2-4x the 1-core host hash engine everywhere,
+    including the hyper-sparse regime where every 128-slot chunking scheme
+    is fill-starved (docs/PERF.md, VMEM-probe negative).
+
+    ``multiply_device(lhs_vals=, rhs_vals=)`` accepts fresh values with the
+    SAME sparsity patterns (iterative algorithms re-multiply updated
+    operators without re-planning).
+    """
+
+    def __init__(self, lhs: CsrMatrix, rhs: CsrMatrix, *, dtype=np.float32):
+        if lhs.cols != rhs.rows:
+            raise ValueError("LHS cols != RHS rows")
+        src, q, out_r = expand_plan(lhs, rhs)
+        self.num_products = len(src)
+        self.src = jnp.asarray(src)
+        self.q = jnp.asarray(q)
+        self.out_r = jnp.asarray(out_r)
+        self.lhs_vals = jnp.asarray(lhs.vals.astype(dtype))
+        self.rhs_vals = jnp.asarray(rhs.vals.astype(dtype))
+        self.rhs_indices = jnp.asarray(rhs.indices.astype(np.int32))
+        self.rows, self.cols = lhs.rows, rhs.cols
+
+    def multiply_device(self, lhs_vals=None, rhs_vals=None) -> PaddedCoo:
+        lv = self.lhs_vals if lhs_vals is None else lhs_vals
+        rv = self.rhs_vals if rhs_vals is None else rhs_vals
+        row, col, val, nnz = _esc_impl(
+            lv, rv, self.rhs_indices, self.src, self.q, self.out_r,
+            rows=self.rows, cols=self.cols,
+        )
+        return PaddedCoo(row, col, val, nnz, self.rows, self.cols)
+
+    def multiply(self) -> CsrMatrix:
+        return padded_to_host(self.multiply_device())
 
 
 def spgemm_esc_device(lhs: DeviceCsr, rhs: DeviceCsr, plan=None, host_pair=None) -> PaddedCoo:

@@ -358,16 +358,25 @@ def spgemm_cost_estimates(lhs: CsrMatrix, rhs: CsrMatrix) -> dict:
     host_touch = autotune.get("spgemm_host_touch_s_per_byte")
     mxu_pair = autotune.get("spgemm_mxu_pair_s")
     dense_rate = autotune.get("spgemm_dense_mac_per_s")
+    esc_rate = autotune.get("spgemm_esc_products_per_s")
+    sync = autotune.get("device_call_sync_s")
 
+    products = float(flops_per_row(lhs, rhs).sum())
     return {
-        "host": float(flops_per_row(lhs, rhs).sum()) / host_rate,
-        "mxu": pair_est * mxu_pair + c_blocks_est * bs * bs * 4 * host_touch,
+        "host": products / host_rate,
+        "mxu": pair_est * mxu_pair + c_blocks_est * bs * bs * 4 * host_touch + sync,
         "dense": (
             lhs.rows * lhs.cols * rhs.cols * 2 / dense_rate
             + (lhs.rows * lhs.cols + rhs.rows * rhs.cols + lhs.rows * rhs.cols)
             * 4
             * host_touch
+            + sync
         ),
+        # ESC sort engine: host plan build (3 int32 streams) + kernel + sync.
+        # The sync term is what keeps one-shot calls off the device engines
+        # on tunnel-attached hosts; calibration on direct-attached hardware
+        # shrinks it to microseconds and the device engines win one-shot too.
+        "esc": products * 12 * host_touch + products / esc_rate + sync,
     }
 
 
@@ -403,13 +412,16 @@ def spgemm_auto(lhs: CsrMatrix, rhs: CsrMatrix, *, output_sorted: bool = True) -
         return spgemm_hash_host(lhs, rhs, output_sorted=output_sorted)
 
     costs = spgemm_cost_estimates(lhs, rhs)
-    host_cost, mxu_cost, dense_cost = costs["host"], costs["mxu"], costs["dense"]
 
-    best = min(host_cost, mxu_cost, dense_cost)
-    if best == host_cost:
+    best = min(costs, key=costs.get)
+    if best == "host":
         return spgemm_hash_host(lhs, rhs, output_sorted=output_sorted)
-    if best == dense_cost:
+    if best == "dense":
         out = spgemm_dense_xla(lhs, rhs)
+    elif best == "esc":
+        from .device_sorted import EscSpgemm
+
+        out = EscSpgemm(lhs, rhs).multiply()
     else:
         out = spgemm_block_device(lhs, rhs)
     return out if output_sorted else CsrMatrix(

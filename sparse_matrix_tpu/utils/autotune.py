@@ -45,6 +45,14 @@ DEFAULTS: Dict[str, float] = {
     "spgemm_host_touch_s_per_byte": 4e-9,  # numpy densify/sparsify passes
     "spgemm_mxu_pair_s": 4.5e-7,  # per 128x128 block pair (MXU + HBM)
     "spgemm_dense_mac_per_s": 2e13,
+    # device ESC sort engine, queued-dispatch rate (structure-independent;
+    # measured 72-84 Mprod/s across uniform/powerlaw/hyper-sparse,
+    # experiments/esc_queued.out)
+    "spgemm_esc_products_per_s": 7.5e7,
+    # one-shot device-call overhead (upload+dispatch+readback sync); ~25-50ms
+    # on this axon tunnel, microseconds on direct-attached hardware — the
+    # constant that decides whether one-shot calls may use device engines
+    "device_call_sync_s": 0.03,
 }
 
 _cache: Optional[Dict[str, float]] = None
@@ -197,6 +205,17 @@ def calibrate(save: bool = True, *, verbose: bool = False) -> Dict[str, float]:
         out["spgemm_host_touch_s_per_byte"] = touch_s / d.nbytes
         log(f"host touch: {out['spgemm_host_touch_s_per_byte']:.3g} s/byte")
 
+        # --- one-shot device-call sync (any backend) ---
+        f0 = jax.jit(lambda s: s + 1.0)
+        float(f0(jnp.float32(0)))
+        ls = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(f0(jnp.float32(0)))
+            ls.append(time.perf_counter() - t0)
+        out["device_call_sync_s"] = float(min(ls))
+        log(f"device sync: {out['device_call_sync_s']:.3g} s")
+
         if jax.default_backend() == "tpu":
             from ..formats.lanepack import plan_lanepack
             from ..ops.spmv import _spmv_lanepack_jit, lanepack_device_arrays
@@ -259,6 +278,26 @@ def calibrate(save: bool = True, *, verbose: bool = False) -> Dict[str, float]:
             per = _bench_loop(pairfn, jnp.float32(0), 200)
             out["spgemm_mxu_pair_s"] = float(per / npairs)
             log(f"mxu pair: {out['spgemm_mxu_pair_s']:.3g} s/pair")
+
+            # --- device ESC sort-engine rate (queued) ---
+            from ..ops.device_sorted import _esc_impl, expand_plan
+
+            src, q, out_r = expand_plan(m, m)
+            esc_prods = len(src)
+            lv = jnp.asarray(m.vals.astype(np.float32))
+            ri = jnp.asarray(m.indices.astype(np.int32))
+            srcj, qj, orj = jnp.asarray(src), jnp.asarray(q), jnp.asarray(out_r)
+
+            def escfn(v):
+                _row, _col, val, _nnz = _esc_impl(
+                    lv * (1.0 + v * 0.0), lv, ri, srcj, qj, orj,
+                    rows=m.rows, cols=m.cols,
+                )
+                return v + jnp.sum(val) * 1e-30
+
+            per = _bench_loop(escfn, jnp.float32(0), 30)
+            out["spgemm_esc_products_per_s"] = float(esc_prods / per)
+            log(f"esc: {out['spgemm_esc_products_per_s']:.3g} products/s")
 
             # --- dense MAC rate ---
             a = jnp.asarray(np.ones((2048, 2048), np.float32))

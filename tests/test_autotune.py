@@ -105,3 +105,22 @@ def test_calibrate_host_constants_and_persist(cache, tmp_path, monkeypatch):
     assert autotune.get("spgemm_host_products_per_s") == pytest.approx(
         got["spgemm_host_products_per_s"]
     )
+
+
+def test_esc_engine_choice_follows_calibration(cache):
+    rng = np.random.default_rng(3)
+    m = _scatter_matrix(rng, n=1024, per_row=4)
+    cache(
+        spgemm_esc_products_per_s=1e30,
+        device_call_sync_s=1e-30,
+        spgemm_host_products_per_s=1e-3,
+        spgemm_host_touch_s_per_byte=1e-30,
+        spgemm_mxu_pair_s=1e3,
+        spgemm_dense_mac_per_s=1e-3,
+    )
+    c = spgemm_cost_estimates(m, m)
+    assert c["esc"] < min(c["host"], c["mxu"], c["dense"])
+    # a slow tunnel sync keeps one-shot calls off the device engines
+    cache(device_call_sync_s=1e9)
+    c = spgemm_cost_estimates(m, m)
+    assert c["host"] < min(c["esc"], c["mxu"], c["dense"])

@@ -88,3 +88,30 @@ def test_cancellation_zero_kept_explicit():
     # explicit zero stays (union structure), vanishes through DOK
     assert out.nnz() == 1
     assert out.to_dok() == DokMatrix.new(2, 2, dtype=np.float32)
+
+
+def test_esc_spgemm_amortized_and_value_reuse():
+    from sparse_matrix_tpu.ops.device_sorted import EscSpgemm
+
+    rng = np.random.default_rng(4)
+    n = 64
+    a = (rng.random((n, n)) < 0.06) * rng.standard_normal((n, n))
+    b = (rng.random((n, n)) < 0.06) * rng.standard_normal((n, n))
+    A = CsrMatrix.from_dok(DokMatrix.from_dense(a.astype(np.float32)))
+    B = CsrMatrix.from_dok(DokMatrix.from_dense(b.astype(np.float32)))
+    eng = EscSpgemm(A, B)
+    C = eng.multiply()
+    assert C.invariants()
+    np.testing.assert_allclose(
+        C.to_dense(), a.astype(np.float32) @ b.astype(np.float32), rtol=1e-4, atol=1e-5
+    )
+    # fresh values, same sparsity: no re-plan needed
+    C2 = padded_to_host(eng.multiply_device(lhs_vals=eng.lhs_vals * 2.0))
+    np.testing.assert_allclose(C2.to_dense(), 2.0 * C.to_dense(), rtol=1e-5, atol=1e-6)
+
+
+def test_esc_spgemm_dim_mismatch():
+    from sparse_matrix_tpu.ops.device_sorted import EscSpgemm
+
+    with pytest.raises(ValueError, match="LHS cols != RHS rows"):
+        EscSpgemm(CsrMatrix.new(2, 3, dtype=np.float32), CsrMatrix.new(2, 3, dtype=np.float32))
