@@ -75,6 +75,36 @@ print(
     f"residual {float(res2.residual_norm):.2e}"
 )
 
+# --- rectangular least squares (LSQR on A / A^T closures)
+from sparse_matrix_tpu.solvers import lsqr_solve
+
+tall = ((rng.random((200, 80)) < 0.1) * rng.standard_normal((200, 80))).astype(np.float32)
+tall[:80] += np.eye(80, dtype=np.float32)
+import jax.numpy as jnp
+
+av = jnp.asarray(tall)
+res3 = lsqr_solve(lambda v: av @ v, lambda u: av.T @ u,
+                  jnp.asarray(rng.standard_normal(200).astype(np.float32)),
+                  n=80, tol=1e-6, maxiter=400)
+print(f"LSQR (200x80): {int(res3.iterations)} iters, "
+      f"|A^T r| {float(res3.atr_norm):.2e}")
+
+# --- reordering: recover locality for arbitrarily-numbered corpora
+from sparse_matrix_tpu.formats import bandwidth, permute_symmetric, rcm_reordered
+
+shuffled = permute_symmetric(p, rng.permutation(p.rows))
+recovered, perm = rcm_reordered(shuffled)
+print(f"RCM: bandwidth {bandwidth(shuffled)} -> {bandwidth(recovered)} "
+      f"(solvers run in permuted space; x = x_perm un-permuted once)")
+
+# --- amortized device SpGEMM engines (plan once, multiply repeatedly)
+from sparse_matrix_tpu.ops.device_sorted import EscSpgemm
+
+eng = EscSpgemm(g, g)
+c_esc = eng.multiply()
+assert np.allclose(c_esc.to_dense(), spgemm_auto(g, g).to_dense(), atol=1e-4)
+print(f"EscSpgemm amortized: {eng.num_products} products -> nnz {c_esc.nnz()}")
+
 # --- plan persistence (checkpoint/resume for operators)
 with tempfile.TemporaryDirectory() as d:
     path = os.path.join(d, "plan.npz")
