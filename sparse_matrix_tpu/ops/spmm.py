@@ -22,7 +22,15 @@ import numpy as np
 from ..formats.bcsr import BsrMatrix
 from ..formats.dia import DiaMatrix
 
-__all__ = ["spmm_dia", "spmm_bcsr"]
+__all__ = [
+    "spmm_dia",
+    "spmm_bcsr",
+    "spmm_aligned",
+    "spmm_aligned_packed",
+    "aligned_matvec_multi",
+    "pack_rhs",
+    "unpack_rhs",
+]
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "rows"))
@@ -83,6 +91,227 @@ def _spmm_bcsr_jit(a_blocks, brow, bcol, x3, *, brows, bs, interpret, precision)
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((brows, bs, f), a_blocks.dtype),
     )(brow, bcol, a_blocks, x3)
+
+
+# ---------------------------------------------------------------------------
+# Aligned multi-RHS SpMM (general unstructured-with-locality operators)
+# ---------------------------------------------------------------------------
+#
+# The aligned SpMV kernel's dominant per-slab cost is the 8 dynamic x-window
+# loads (docs/PERF.md round-2 ablation: ~8.5 of 18.5 ns); with K right-hand
+# sides those loads amortize K-fold while the gather+multiply scales. The
+# RHS block lives in a *packed* layout (c128+1, K, 128) — window-major, K in
+# the sublane dimension, lanes last — so the kernel's window loads are
+# (1, K, 128) dynamic slices on the leading axis and the within-row lane
+# gather stays the known-fast 2-D take_along_axis(axis=1) shape. Solvers
+# keep every vector in this layout (see cg_solve_multi's packed mode): the
+# (n, K) <-> packed relayout happens once per solve, not per apply.
+
+LANES = 128
+SUBLANES = 8
+
+
+def _make_aligned_spmm_kernel(b: int, k: int, nbuf: int = 2):
+    from jax.experimental import pallas as pl
+
+    def kernel(rb_a_ref, rb_b_ref, split_ref, col_off_ref, x_ref, vals_ref, lane_ref, y_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            y_ref[...] = jnp.zeros_like(y_ref)
+
+        base = i * b * SUBLANES
+        xw = jnp.concatenate(
+            [x_ref[pl.ds(col_off_ref[base + j], 1), :, :] for j in range(b * SUBLANES)],
+            axis=0,
+        )  # (b*8, K, 128)
+        lane = lane_ref[...].reshape(b * SUBLANES, 1, LANES).astype(jnp.int32)
+        idx2 = jnp.broadcast_to(lane, (b * SUBLANES, k, LANES)).reshape(
+            b * SUBLANES * k, LANES
+        )
+        g = jnp.take_along_axis(xw.reshape(b * SUBLANES * k, LANES), idx2, axis=1)
+        p = vals_ref[...].reshape(b * SUBLANES, 1, LANES) * g.reshape(
+            b * SUBLANES, k, LANES
+        )
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+        for bb in range(b):
+            c8 = p[bb * SUBLANES : (bb + 1) * SUBLANES]  # (8, K, 128)
+            total = jnp.sum(c8, axis=0)  # (K, 128)
+            sp = split_ref[i * b + bb]
+            # f32 mask (2-D, broadcast over K): Mosaic can't 3-D-broadcast i1
+            maskf = jnp.where(sub_iota < sp, 1.0, 0.0).astype(c8.dtype)
+            pa = jnp.sum(c8 * maskf[:, None, :], axis=0)
+            buf = bb % nbuf
+            y_ref[buf, pl.ds(rb_a_ref[i * b + bb], 1), :, :] += pa[None]
+            y_ref[buf, pl.ds(rb_b_ref[i * b + bb], 1), :, :] += (total - pa)[None]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "b", "k", "nbuf", "interpret"))
+def _spmm_aligned_jit(arrs, x3, *, rows: int, b: int, k: int, nbuf: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r128 = -(-rows // LANES)
+    if interpret:
+        return _aligned_spmm_reference(arrs, x3, rows=rows)
+
+    num_slabs = arrs["vals"].shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_slabs // b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((b, SUBLANES, LANES), lambda i, *refs: (i, 0, 0))] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    y = pl.pallas_call(
+        _make_aligned_spmm_kernel(b, k, nbuf),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbuf, r128, k, LANES), x3.dtype),
+    )(
+        arrs["rb_a"],
+        arrs["rb_b"],
+        arrs["split"],
+        arrs["col_off"],
+        x3,
+        arrs["vals"],
+        arrs["lane"],
+    )
+    y = jnp.sum(y, axis=0)
+    return jnp.where(arrs["rb_mask"][:, None, None] > 0, y, 0.0)
+
+
+def _aligned_spmm_reference(arrs, x3, *, rows: int):
+    """Pure-XLA evaluation (CPU path + semantics oracle), packed layout."""
+    s8 = arrs["vals"].shape[0] * SUBLANES
+    k = x3.shape[1]
+    vals = arrs["vals"].reshape(s8, 1, LANES)
+    lane = arrs["lane"].reshape(s8, 1, LANES).astype(jnp.int32)
+    xw = x3[arrs["col_off"].astype(jnp.int32)]  # (s8, K, 128)
+    idx = jnp.broadcast_to(lane, (s8, k, LANES))
+    p = vals * jnp.take_along_axis(xw, idx, axis=2)
+    r128 = arrs["rb_mask"].shape[0]
+    y = jnp.zeros((r128, k, LANES), vals.dtype).at[arrs["chunk_rb"]].add(p)
+    return jnp.where(arrs["rb_mask"][:, None, None] > 0, y, 0.0)
+
+
+def pack_rhs(x, cols: int):
+    """(cols, K) -> packed (c128+1, K, 128). The one relayout per solve."""
+    x = jnp.asarray(x)
+    k = x.shape[1]
+    c128 = -(-cols // LANES)
+    xpad = jnp.zeros((c128 * LANES, k), x.dtype).at[: x.shape[0]].set(x)
+    x3 = jnp.transpose(xpad.reshape(c128, LANES, k), (0, 2, 1))
+    return jnp.concatenate([x3, jnp.zeros((1, k, LANES), x.dtype)], axis=0)
+
+
+def unpack_rhs(y3, rows: int):
+    """Packed (r128[+pad], K, 128) -> (rows, K)."""
+    r128, k = y3.shape[0], y3.shape[1]
+    return jnp.transpose(y3, (0, 2, 1)).reshape(r128 * LANES, k)[:rows]
+
+
+def _pick_b_spmm(k: int) -> int:
+    # per-step gather scratch is ~3 arrays of (b*8, K, 128) f32; keep it a
+    # few MB so the pipeline double-buffers comfortably
+    return max(8, min(64, 512 // max(1, k)))
+
+
+# packed VMEM budget: x3 + nbuf*y3 must stay well under the ~128 MB VMEM
+_VMEM_SPMM_LIMIT = 24_000_000  # floats
+
+
+def spmm_aligned_packed(plan, x3, *, device_arrays=None, nbuf: int = 2):
+    """Y = A @ X on an :class:`~..formats.aligned.AlignedPlan`, packed
+    layout in AND out: ``x3`` is (c128+1, K, 128), the result is
+    (r128, K, 128). Iterative multi-RHS solvers stay in this layout so the
+    kernel's K-fold x-window-load amortization is free of per-apply
+    relayouts. ``plan.spill`` is applied per-column via the general
+    LanePack kernel (spills are small by construction)."""
+    from .spmv import _interpret, _spmv_lanepack_jit, aligned_device_arrays, lanepack_device_arrays
+
+    k = int(x3.shape[1])
+    r128 = -(-plan.rows // LANES)
+    c128 = -(-plan.cols // LANES)
+    if (c128 + 1 + nbuf * r128) * k * LANES > _VMEM_SPMM_LIMIT:
+        raise ValueError(
+            f"aligned SpMM keeps X and Y VMEM-resident; (rows={plan.rows}, "
+            f"cols={plan.cols}, K={k}) exceeds the budget — shard over a mesh "
+            "or split K"
+        )
+    arrs = device_arrays
+    if arrs is None or arrs.get("b") != _pick_b_spmm(k):
+        arrs = aligned_device_arrays(plan, b=_pick_b_spmm(k))
+    interp = _interpret()
+
+    def one(seg):
+        return _spmm_aligned_jit(
+            {kk: v for kk, v in seg.items() if kk not in ("b", "spill")},
+            x3,
+            rows=plan.rows,
+            b=arrs["b"],
+            k=k,
+            nbuf=nbuf,
+            interpret=interp,
+        )
+
+    if "segments" in arrs:
+        y = one(arrs["segments"][0])
+        for seg in arrs["segments"][1:]:
+            y = y + one(seg)
+    else:
+        y = one(arrs)
+    if plan.spill is not None:
+        sp_arrs = arrs.get("spill")
+        if sp_arrs is None:
+            sp_arrs = lanepack_device_arrays(plan.spill)
+        x2 = unpack_rhs(x3, plan.cols)
+        cols_y = []
+        for kk in range(k):
+            cols_y.append(
+                _spmv_lanepack_jit(
+                    {a: v for a, v in sp_arrs.items() if a != "b"},
+                    x2[:, kk],
+                    rows=plan.rows,
+                    cols=plan.cols,
+                    kw=plan.spill.kw,
+                    b=sp_arrs["b"],
+                    interpret=interp,
+                    pack=plan.spill.pack,
+                )
+            )
+        y = y + pack_rhs(jnp.stack(cols_y, axis=1), plan.rows)[:r128]
+    return y
+
+
+def aligned_matvec_multi(plan, k: int, *, nbuf: int = 2):
+    """Packed-layout multi-RHS matvec closure for a SQUARE aligned plan:
+    (c128+1, K, 128) -> (c128+1, K, 128) (the guard row re-appended), ready
+    for ``cg_solve_multi(..., rhs_axis=1)``. Device arrays are built once
+    and captured."""
+    from .spmv import aligned_device_arrays
+
+    if plan.rows != plan.cols:
+        raise ValueError("packed multi-RHS matvec needs a square operator")
+    arrs = aligned_device_arrays(plan, b=_pick_b_spmm(k))
+
+    def mv(x3):
+        y = spmm_aligned_packed(plan, x3, device_arrays=arrs, nbuf=nbuf)
+        guard = jnp.zeros((x3.shape[0] - y.shape[0], x3.shape[1], LANES), y.dtype)
+        return jnp.concatenate([y, guard], axis=0)
+
+    return mv
+
+
+def spmm_aligned(plan, x, *, device_arrays=None):
+    """Y = A @ X (X is (cols, K)) via the aligned kernel; convenience
+    wrapper over :func:`spmm_aligned_packed` paying one relayout each way.
+    """
+    x3 = pack_rhs(x, plan.cols)
+    y3 = spmm_aligned_packed(plan, x3, device_arrays=device_arrays)
+    return unpack_rhs(y3, plan.rows)
 
 
 def spmm_bcsr(m: BsrMatrix, x, *, precision=None):

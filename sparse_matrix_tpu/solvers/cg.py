@@ -68,18 +68,34 @@ def cg_solve_multi(
     *,
     tol: float = 1e-6,
     maxiter: int = 1000,
+    rhs_axis: int = -1,
 ) -> CgResult:
-    """CG over K right-hand sides at once: ``b`` is (n, K), ``matvec_multi``
-    maps (n, K) -> (n, K) (e.g. :func:`~sparse_matrix_tpu.ops.spmm.spmm_dia`).
-    Each column runs its own CG recurrence (per-column alpha/beta); columns
-    iterate in lockstep until all converge — the multi-RHS form that makes
-    SpMM's operand reuse pay."""
+    """CG over K right-hand sides at once: ``b`` carries K systems on
+    ``rhs_axis`` and ``matvec_multi`` maps that layout to itself. The
+    default is the classic (n, K) column layout
+    (e.g. :func:`~sparse_matrix_tpu.ops.spmm.spmm_dia`); the aligned-SpMM
+    *packed* layout (c128+1, K, 128) runs with ``rhs_axis=1``
+    (:func:`~sparse_matrix_tpu.ops.spmm.aligned_matvec_multi`) so no
+    per-iteration relayout happens. Each system runs its own CG recurrence
+    (per-column alpha/beta); columns iterate in lockstep until all
+    converge — the multi-RHS form that makes SpMM's operand reuse pay."""
     b = jnp.asarray(b)
+    ax = rhs_axis % b.ndim
+    red = tuple(i for i in range(b.ndim) if i != ax)
+    bshape = [1] * b.ndim
+    bshape[ax] = b.shape[ax]
+
+    def colsum(u, v):
+        return jnp.sum(u * v, axis=red)  # (K,)
+
+    def bc(s):  # broadcast a (K,) scalar row over the vector layout
+        return s.reshape(bshape)
+
     x = jnp.zeros_like(b)
     r = b - matvec_multi(x)
     p = r
-    rs = jnp.sum(r * r, axis=0)  # (K,)
-    b_norm2 = jnp.sum(b * b, axis=0)
+    rs = colsum(r, r)  # (K,)
+    b_norm2 = colsum(b, b)
     tol2 = jnp.asarray(tol, rs.dtype) ** 2 * jnp.where(b_norm2 > 0, b_norm2, 1.0)
 
     def cond(state):
@@ -90,13 +106,13 @@ def cg_solve_multi(
         x, p, r, rs, k = state
         live = rs > tol2  # (K,) columns still iterating
         ap = matvec_multi(p)
-        pap = jnp.sum(p * ap, axis=0)
+        pap = colsum(p, ap)
         alpha = jnp.where(live, rs / jnp.where(pap == 0, 1.0, pap), 0.0)
-        x = x + alpha[None, :] * p
-        r = r - alpha[None, :] * ap
-        rs_new = jnp.sum(r * r, axis=0)
+        x = x + bc(alpha) * p
+        r = r - bc(alpha) * ap
+        rs_new = colsum(r, r)
         beta = jnp.where(live, rs_new / jnp.where(rs == 0, 1.0, rs), 0.0)
-        p = jnp.where(live[None, :], r + beta[None, :] * p, p)
+        p = jnp.where(bc(live), r + bc(beta) * p, p)
         rs = jnp.where(live, rs_new, rs)
         return x, p, r, rs, k + 1
 

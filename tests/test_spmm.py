@@ -38,3 +38,81 @@ def test_spmm_bcsr_empty_block_rows():
     y = np.asarray(spmm_bcsr(B, x))
     assert y[299, 0] == 3.0
     assert np.all(y[:299] == 0)
+
+
+def test_spmm_aligned_matches_dense():
+    import jax.numpy as jnp
+    from sparse_matrix_tpu.formats.aligned import plan_aligned
+    from sparse_matrix_tpu.ops.spmm import pack_rhs, spmm_aligned, unpack_rhs
+    from sparse_matrix_tpu.solvers import poisson_2d_csr
+
+    rng = np.random.default_rng(0)
+    m = poisson_2d_csr(24, dtype=np.float32)
+    plan = plan_aligned(m)
+    x = rng.standard_normal((m.cols, 8)).astype(np.float32)
+    y = np.asarray(spmm_aligned(plan, x))
+    np.testing.assert_allclose(y, m.to_dense().astype(np.float32) @ x, rtol=1e-4, atol=1e-4)
+    # pack/unpack round-trip
+    x3 = pack_rhs(x, m.cols)
+    np.testing.assert_allclose(np.asarray(unpack_rhs(x3, m.cols)), x)
+
+
+def test_spmm_aligned_with_spill_plan(tmp_path, monkeypatch):
+    # poisson + a handful of far-scattered entries: the scattered chunks
+    # hold 1 slot each; a calibration that makes aligned slabs expensive
+    # forces the spill sub-plan, exercising spmm's per-column spill path
+    import json
+
+    from sparse_matrix_tpu.formats.aligned import plan_aligned
+    from sparse_matrix_tpu.ops.spmm import spmm_aligned
+    from sparse_matrix_tpu.solvers import poisson_2d_csr
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+    from sparse_matrix_tpu.utils import autotune
+
+    cache = tmp_path / "autotune.json"
+    cache.write_text(json.dumps({
+        "lanepack_aligned_slab_ns": 1e6, "lanepack_dense_slab_ns": 1e-3,
+    }))
+    monkeypatch.setenv("SPMX_AUTOTUNE_CACHE", str(cache))
+    autotune.reset_cache()
+    try:
+        rng = np.random.default_rng(1)
+        m = poisson_2d_csr(32, dtype=np.float32)
+        r = m.row_ids()
+        c = m.indices.astype(np.int64)
+        v = m.vals
+        extra = 60
+        re = rng.integers(0, m.rows, extra)
+        ce = (re * 37 + 511) % m.cols  # scattered, far from the band
+        ve = rng.standard_normal(extra).astype(np.float32)
+        m2 = CsrMatrix.from_coo(m.rows, m.cols, np.r_[r, re], np.r_[c, ce], np.r_[v, ve])
+        plan = plan_aligned(m2)
+        assert plan.spill is not None
+        x = rng.standard_normal((m2.cols, 4)).astype(np.float32)
+        y = np.asarray(spmm_aligned(plan, x))
+        np.testing.assert_allclose(
+            y, m2.to_dense().astype(np.float32) @ x, rtol=1e-4, atol=1e-4
+        )
+    finally:
+        autotune.reset_cache()
+
+
+def test_cg_solve_multi_packed_layout():
+    import jax.numpy as jnp
+    from sparse_matrix_tpu.formats.aligned import plan_aligned
+    from sparse_matrix_tpu.ops.spmm import aligned_matvec_multi, pack_rhs, unpack_rhs
+    from sparse_matrix_tpu.solvers import cg_solve, cg_solve_multi, poisson_2d_csr
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+
+    rng = np.random.default_rng(2)
+    m = poisson_2d_csr(16, dtype=np.float32)
+    plan = plan_aligned(m)
+    k = 4
+    b = rng.standard_normal((m.rows, k)).astype(np.float32)
+    mv = aligned_matvec_multi(plan, k)
+    res = cg_solve_multi(mv, pack_rhs(b, m.cols), tol=1e-6, maxiter=2000, rhs_axis=1)
+    x = np.asarray(unpack_rhs(res.x, m.rows))
+    dense = m.to_dense().astype(np.float64)
+    for j in range(k):
+        r = dense @ x[:, j] - b[:, j]
+        assert np.linalg.norm(r) < 1e-4 * np.linalg.norm(b[:, j])
