@@ -245,6 +245,35 @@ class SpmvOperator:
             y = y3 if y is None else y + y3
         return y
 
+    def matmat(self, x):
+        """Y = A @ X for X of shape (cols, K) — the multi-RHS apply.
+
+        DIA and aligned formats run true SpMM kernels (the gathered
+        operand/window loads amortize K-fold — docs/PERF.md); hybrid,
+        lanepack, and ELL formats fall back to a per-column loop (correct,
+        no reuse). Iterative multi-RHS solvers on aligned operators should
+        prefer the packed layout directly
+        (:func:`~.spmm.aligned_matvec_multi` + ``cg_solve_multi(rhs_axis=1)``)
+        to also skip the per-apply relayout."""
+        import jax.numpy as jnp
+
+        x = jnp.asarray(x)
+        if self.format == "dia":
+            from .spmm import spmm_dia
+
+            return spmm_dia(self._dia, x)
+        if self.format == "aligned":
+            from .spmm import _pick_b_spmm, spmm_aligned
+            from .spmv import aligned_device_arrays
+
+            bk = _pick_b_spmm(int(x.shape[1]))
+            cache = getattr(self, "_ali_spmm_arrs", {})
+            if bk not in cache:
+                cache[bk] = aligned_device_arrays(self._aligned, b=bk)
+                self._ali_spmm_arrs = cache
+            return spmm_aligned(self._aligned, x, device_arrays=cache[bk])
+        return jnp.stack([self(x[:, k]) for k in range(x.shape[1])], axis=1)
+
     def bytes_per_apply(self) -> int:
         """HBM bytes streamed per SpMV (operator data only)."""
         if self.format == "ell":

@@ -116,3 +116,28 @@ def test_cg_solve_multi_packed_layout():
     for j in range(k):
         r = dense @ x[:, j] - b[:, j]
         assert np.linalg.norm(r) < 1e-4 * np.linalg.norm(b[:, j])
+
+
+def test_operator_matmat_all_formats():
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+    from sparse_matrix_tpu.solvers import poisson_2d_csr
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+    from sparse_matrix_tpu.core import DokMatrix
+
+    rng = np.random.default_rng(5)
+    p = poisson_2d_csr(16, dtype=np.float32)
+    dense_g = ((rng.random((300, 300)) < 0.03) * rng.standard_normal((300, 300))).astype(np.float32)
+    g = CsrMatrix.from_dok(DokMatrix.from_dense(dense_g))
+    X = rng.standard_normal((p.cols, 6)).astype(np.float32)
+    for m, force in ((p, "dia"), (p, "aligned"), (p, "lanepack")):
+        op = SpmvOperator(m, force=force)
+        y = np.asarray(op.matmat(X))
+        np.testing.assert_allclose(
+            y, m.to_dense().astype(np.float32) @ X, rtol=1e-4, atol=1e-4,
+            err_msg=force,
+        )
+    Xg = rng.standard_normal((g.cols, 3)).astype(np.float32)
+    opg = SpmvOperator(g)
+    np.testing.assert_allclose(
+        np.asarray(opg.matmat(Xg)), dense_g @ Xg, rtol=1e-3, atol=1e-3
+    )
