@@ -1,9 +1,14 @@
 """Conjugate-gradient solver driven by a pluggable SpMV.
 
 North-star scope (not in the Rust reference): exercises the sparse kernels
-end-to-end. Pure ``lax.while_loop`` — one jit, no host round-trips per
-iteration; works with any matvec closure (LanePack Pallas kernel, XLA ELL,
-or the mesh-sharded distributed SpMV).
+end-to-end. Pure ``lax.while_loop`` — one compiled loop, no host
+round-trips per iteration; works with any matvec closure (LanePack Pallas
+kernel, XLA ELL, or the mesh-sharded distributed SpMV).
+
+Call solvers UNDER ``jax.jit`` (``jax.jit(lambda b: cg_solve(op, b, ...))``)
+when solving repeatedly: an eager call re-traces and re-lowers the whole
+while-loop every time (measured ~36 ms/iter apparent vs 0.25 real on the
+remote-compile tunnel, experiments/cgprobe.out).
 """
 
 from __future__ import annotations

@@ -194,3 +194,41 @@ def test_aligned_kernel_with_spill_parity(monkeypatch, tmp_path):
         np.testing.assert_allclose(y, a @ x, rtol=1e-3, atol=1e-3)
     finally:
         autotune.reset_cache()
+
+
+def test_spmm_aligned_kernel_parity():
+    from sparse_matrix_tpu.formats.aligned import plan_aligned
+    from sparse_matrix_tpu.ops.spmm import spmm_aligned
+
+    rng = np.random.default_rng(11)
+    A = poisson_2d_csr(48, dtype=np.float32)
+    plan = plan_aligned(A)
+    X = rng.standard_normal((A.cols, 8)).astype(np.float32)
+    Y = np.asarray(spmm_aligned(plan, X))
+    Yref = A.to_dense().astype(np.float32) @ X
+    scale = max(1.0, float(np.abs(Yref).max()))
+    np.testing.assert_allclose(Y / scale, Yref / scale, atol=2e-5)
+
+
+def test_cg_solve_multi_packed_on_tpu():
+    import jax.numpy as jnp
+
+    from sparse_matrix_tpu.formats.aligned import plan_aligned
+    from sparse_matrix_tpu.ops.spmm import aligned_matvec_multi, pack_rhs, unpack_rhs
+    from sparse_matrix_tpu.solvers import cg_solve_multi
+
+    rng = np.random.default_rng(12)
+    A = poisson_2d_csr(32, dtype=np.float32)
+    plan = plan_aligned(A)
+    k = 4
+    b = rng.standard_normal((A.rows, k)).astype(np.float32)
+    mv = aligned_matvec_multi(plan, k)
+    solve = jax.jit(
+        lambda b3: cg_solve_multi(mv, b3, tol=1e-5, maxiter=3000, rhs_axis=1)
+    )
+    res = solve(pack_rhs(b, A.cols))
+    x = np.asarray(unpack_rhs(res.x, A.rows))
+    dense = A.to_dense().astype(np.float64)
+    for j in range(k):
+        r = dense @ x[:, j] - b[:, j]
+        assert np.linalg.norm(r) < 2e-4 * np.linalg.norm(b[:, j])
