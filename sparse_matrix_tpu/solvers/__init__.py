@@ -11,5 +11,6 @@ from .eigen import (  # noqa: F401
 )
 from .bicgstab import bicgstab_solve  # noqa: F401
 from .lsqr import LsqrResult, lsqr_solve  # noqa: F401
+from .lobpcg import LobpcgResult, lobpcg  # noqa: F401
 from .gmres import gmres_solve  # noqa: F401
 from .poisson import poisson_2d_csr  # noqa: F401

@@ -126,7 +126,10 @@ def cg_solve_multi(
 
 
 def jacobi_preconditioner(m) -> Callable:
-    """M^-1 = diag(A)^-1 as a vector multiply (host CsrMatrix input)."""
+    """M^-1 = diag(A)^-1 as a vector multiply (host CsrMatrix input).
+
+    Broadcasts over multi-RHS blocks: a (n,) residual gets ``inv * r``, a
+    (n, K) block gets ``inv[:, None] * r`` (the LOBPCG/block-CG case)."""
     import numpy as np
 
     rids = m.row_ids()
@@ -135,7 +138,12 @@ def jacobi_preconditioner(m) -> Callable:
     d[rids[on_diag]] = m.vals[on_diag].astype(np.float64)
     d[d == 0.0] = 1.0
     inv = jnp.asarray((1.0 / d).astype(np.float32))
-    return lambda r: inv * r
+
+    def apply(r):
+        r = jnp.asarray(r)
+        return inv.reshape((-1,) + (1,) * (r.ndim - 1)) * r
+
+    return apply
 
 
 def pcg_solve(
