@@ -13,4 +13,10 @@ from .bicgstab import bicgstab_solve  # noqa: F401
 from .lsqr import LsqrResult, lsqr_solve  # noqa: F401
 from .lobpcg import LobpcgResult, lobpcg  # noqa: F401
 from .gmres import gmres_solve  # noqa: F401
+from .amg import (  # noqa: F401
+    AmgHierarchy,
+    amg_pcg_solve,
+    amg_preconditioner,
+    amg_setup,
+)
 from .poisson import poisson_2d_csr  # noqa: F401

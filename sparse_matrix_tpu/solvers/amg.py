@@ -1,0 +1,406 @@
+"""Smoothed-aggregation algebraic multigrid (AMG) preconditioner.
+
+New scope beyond the reference (whose solver layer does not exist; the
+nearest analog is the SpGEMM engine family this module composes — the
+reference's centerpiece kernel ``mul_hash`` at
+``spam_csr/src/mul_hash.rs:13-36`` corresponds to the engines behind
+``CsrMatrix.__matmul__`` used here for the Galerkin triple products).
+
+TPU-first design:
+
+* **Setup** runs on the host (numpy aggregation + the framework's own
+  SpGEMM engines for ``P^T A P``), once per operator.
+* **The V-cycle is a fixed linear operator**: static level count, static
+  shapes, symmetric smoothing (weighted Jacobi or Chebyshev, identical
+  pre/post), restriction = ``P^T``. It therefore jits into straight-line
+  XLA — every level's ``A``/``P``/``P^T`` apply is a planned
+  :class:`~sparse_matrix_tpu.ops.operator.SpmvOperator` (DIA / aligned /
+  LanePack / ELL picked per level by structure), the coarsest solve is one
+  small dense matmul on the MXU, and the whole preconditioned CG runs as
+  one ``lax.while_loop`` with zero host round-trips per iteration.
+* Symmetry of ``M^{-1}`` (required by PCG) holds because pre- and
+  post-smoothers are the same symmetric operator (``w*D^{-1}`` sweeps, or a
+  fixed polynomial in ``D^{-1}A`` — both are l2-symmetric for symmetric
+  ``A``) and restriction is the exact adjoint of prolongation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "AmgHierarchy",
+    "AmgLevel",
+    "aggregate_strong",
+    "amg_preconditioner",
+    "amg_pcg_solve",
+    "amg_setup",
+    "strength_graph",
+    "tentative_prolongator",
+]
+
+
+# -- setup: strength, aggregation, prolongator (host, numpy) -----------------
+
+
+def strength_graph(a, theta: float = 0.08) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric strength-of-connection graph of a CSR matrix.
+
+    Edge (i, j), i != j, is *strong* when
+    ``|a_ij| >= theta * sqrt(|a_ii| * |a_jj|)``. Returns the strong
+    adjacency in CSR form ``(offsets, indices)`` (vectorized; no symmetry
+    enforcement beyond what the input has — AMG callers pass symmetric
+    operators).
+    """
+    n = a.rows
+    rids = a.row_ids().astype(np.int64)
+    cids = a.indices.astype(np.int64)
+    vals = np.abs(a.vals.astype(np.float64))
+
+    diag = np.zeros(n, dtype=np.float64)
+    on_diag = cids == rids
+    diag[rids[on_diag]] = vals[on_diag]
+    # rows with zero/missing diagonal: fall back to the row max so the
+    # threshold stays meaningful instead of dividing by zero
+    missing = diag == 0.0
+    if missing.any():
+        rowmax = np.zeros(n, dtype=np.float64)
+        np.maximum.at(rowmax, rids, vals)
+        diag[missing] = np.where(rowmax[missing] > 0, rowmax[missing], 1.0)
+
+    keep = (~on_diag) & (vals >= theta * np.sqrt(diag[rids] * diag[cids]))
+    sr, sc = rids[keep], cids[keep]
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(offsets, sr + 1, 1)
+    np.cumsum(offsets, out=offsets)
+    return offsets, sc.astype(np.int64)
+
+
+def aggregate_strong(
+    n: int, s_offsets: np.ndarray, s_indices: np.ndarray
+) -> Tuple[np.ndarray, int]:
+    """Standard greedy smoothed-aggregation node clustering.
+
+    Pass 1: a node whose strong neighborhood is entirely unaggregated seeds
+    a new aggregate containing itself + all strong neighbors. Pass 2
+    (vectorized): leftover nodes attach to an adjacent pass-1 aggregate.
+    Pass 3: remaining connected leftovers form their own aggregates;
+    fully isolated nodes become singletons. Returns ``(agg_id[n], n_agg)``
+    with every node assigned.
+    """
+    agg = np.full(n, -1, dtype=np.int64)
+    na = 0
+    so, si = s_offsets, s_indices
+    # pass 1 — order-dependent greedy (deterministic, natural ordering)
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nb = si[so[i] : so[i + 1]]
+        if nb.size and (agg[nb] >= 0).any():
+            continue
+        agg[nb] = na
+        agg[i] = na
+        na += 1
+
+    # pass 2 — attach stragglers to a neighboring pass-1 aggregate (all
+    # decisions read the pass-1 state, so this is safely vectorized)
+    un = agg < 0
+    if un.any():
+        deg = np.diff(so)
+        edge_src = np.repeat(np.arange(n, dtype=np.int64), deg)
+        emask = un[edge_src] & (agg[si] >= 0)
+        if emask.any():
+            src, tgt_agg = edge_src[emask], agg[si[emask]]
+            # deterministic pick: the smallest adjacent aggregate id
+            choice = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(choice, src, tgt_agg)
+            attach = choice < np.iinfo(np.int64).max
+            agg[attach] = choice[attach]
+
+    # pass 3 — remaining nodes (connected only to other leftovers)
+    for i in np.flatnonzero(agg < 0):
+        if agg[i] >= 0:
+            continue
+        nb = si[so[i] : so[i + 1]]
+        grp = nb[agg[nb] < 0] if nb.size else nb
+        agg[i] = na
+        if grp.size:
+            agg[grp] = na
+        na += 1
+    return agg, na
+
+
+def tentative_prolongator(agg: np.ndarray, n_agg: int, *, dtype=np.float64):
+    """Piecewise-constant tentative prolongator ``P0`` (n x n_agg).
+
+    Column j is the indicator of aggregate j normalized to unit 2-norm
+    (the standard SA choice for the constant near-null-space vector), so
+    ``P0^T P0 = I``.
+    """
+    from ..formats.csr import CsrMatrix
+
+    n = agg.shape[0]
+    counts = np.bincount(agg, minlength=n_agg).astype(np.float64)
+    v = (1.0 / np.sqrt(counts[agg])).astype(dtype)
+    return CsrMatrix.from_coo(n, n_agg, np.arange(n, dtype=np.int64), agg, v)
+
+
+def _diag_of(a) -> np.ndarray:
+    rids = a.row_ids().astype(np.int64)
+    on_diag = a.indices.astype(np.int64) == rids
+    d = np.zeros(a.rows, dtype=np.float64)
+    d[rids[on_diag]] = a.vals[on_diag].astype(np.float64)
+    return d
+
+
+def _lambda_max_dinv_a(a, dinv: np.ndarray) -> float:
+    """Gershgorin upper bound on rho(D^-1 A): max_i sum_j |a_ij| / |a_ii|."""
+    rids = a.row_ids().astype(np.int64)
+    s = np.zeros(a.rows, dtype=np.float64)
+    np.add.at(s, rids, np.abs(a.vals.astype(np.float64)))
+    return float(np.max(s * np.abs(dinv))) if a.nnz() else 1.0
+
+
+def _scale_rows(a, s: np.ndarray):
+    """Row-scaled copy ``diag(s) @ A`` (host CSR)."""
+    from ..formats.csr import CsrMatrix
+
+    rids = a.row_ids().astype(np.int64)
+    return CsrMatrix(
+        a.rows,
+        a.cols,
+        (a.vals.astype(np.float64) * s[rids]).astype(np.float64),
+        a.indices.copy(),
+        a.offsets.copy(),
+        is_sorted=a.is_sorted,
+    )
+
+
+# -- the hierarchy -----------------------------------------------------------
+
+
+class AmgLevel(NamedTuple):
+    a_op: Callable  # SpmvOperator for A_l
+    p_op: Callable  # SpmvOperator for P_l  (n_l x n_{l+1})
+    pt_op: Callable  # SpmvOperator for P_l^T
+    dinv: object  # jnp (n_l,) inverse diagonal
+    lam: float  # Gershgorin bound on rho(D^-1 A_l) (Chebyshev smoother)
+    n: int
+    nnz: int
+
+
+class AmgHierarchy:
+    """Immutable multigrid hierarchy; ``vcycle`` is jit-compatible."""
+
+    def __init__(
+        self,
+        levels: List[AmgLevel],
+        coarse_inv,
+        *,
+        smoother: str,
+        nu: int,
+        omega: float,
+        cheb_degree: int,
+    ):
+        self.levels = levels
+        self.coarse_inv = coarse_inv  # jnp (nc, nc) dense inverse
+        self.smoother = smoother
+        self.nu = nu
+        self.omega = omega
+        self.cheb_degree = cheb_degree
+
+    # -- smoothers (pre and post use the same symmetric operator) ----------
+    def _smooth(self, lv: AmgLevel, x, r):
+        """nu sweeps toward ``A x = r`` starting from ``x``."""
+        import jax.numpy as jnp
+
+        if self.smoother == "chebyshev":
+            return _chebyshev_apply(
+                lv, x, r, degree=self.cheb_degree, lam_max=lv.lam
+            )
+        w = jnp.asarray(self.omega, dtype=r.dtype)
+        for _ in range(self.nu):
+            x = x + w * lv.dinv * (r - lv.a_op(x))
+        return x
+
+    def vcycle(self, r, level: int = 0):
+        """One V-cycle applied to a residual: returns ``M^{-1} r``."""
+        import jax.numpy as jnp
+
+        if level == len(self.levels):
+            return self.coarse_inv @ r
+        lv = self.levels[level]
+        x = self._smooth(lv, jnp.zeros_like(r), r)
+        d = r - lv.a_op(x)
+        ec = self.vcycle(lv.pt_op(d), level + 1)
+        x = x + lv.p_op(ec)
+        return self._smooth(lv, x, r)
+
+    def preconditioner(self) -> Callable:
+        return lambda r: self.vcycle(r)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        rows = ", ".join(f"{lv.n}({lv.nnz}nnz)" for lv in self.levels)
+        return (
+            f"AmgHierarchy[{rows} -> coarse {self.coarse_inv.shape[0]}; "
+            f"{self.smoother} nu={self.nu}]"
+        )
+
+
+def _chebyshev_apply(lv: AmgLevel, x, r, *, degree: int, lam_max: float):
+    """Fixed-degree Chebyshev smoother on the interval
+    ``[lam_max/30, 1.1*lam_max]`` of ``D^{-1} A`` (hypre's default window).
+    Preconditioned Chebyshev iteration (Templates, alg. on p.35); a fixed
+    polynomial in ``D^{-1}A`` applied identically pre/post, hence symmetric.
+    """
+    hi = 1.1 * lam_max
+    lo = lam_max / 30.0
+    d = (hi + lo) / 2.0
+    c = (hi - lo) / 2.0
+    res = r - lv.a_op(x)
+    p = None
+    alpha = 0.0
+    for i in range(degree):
+        z = lv.dinv * res
+        if i == 0:
+            p = z
+            alpha = 1.0 / d
+        else:
+            beta = (c * alpha / 2.0) ** 2
+            alpha = 1.0 / (d - beta / alpha)
+            p = z + beta * p
+        x = x + alpha * p
+        if i + 1 < degree:
+            res = r - lv.a_op(x)
+    return x
+
+
+def amg_setup(
+    a,
+    *,
+    theta: float = 0.08,
+    smooth_prolongator: bool = True,
+    max_levels: int = 12,
+    coarse_size: int = 400,
+    dtype=np.float32,
+    smoother: str = "jacobi",
+    nu: int = 1,
+    omega: float = 2.0 / 3.0,
+    cheb_degree: int = 3,
+    operator_force: Optional[str] = None,
+    verbose: bool = False,
+) -> AmgHierarchy:
+    """Build a smoothed-aggregation hierarchy for symmetric M-matrix-like
+    ``a`` (host CsrMatrix).
+
+    Per level: strength graph -> greedy aggregation -> normalized tentative
+    ``P0`` -> (optional) one damped-Jacobi smoothing step
+    ``P = (I - omega_p D^{-1} A) P0`` with ``omega_p = 4/3 / lambda_max`` ->
+    Galerkin coarse operator ``A_c = P^T A P`` through the framework's
+    SpGEMM engines. Device operators are planned per level
+    (:class:`SpmvOperator` auto format). ``operator_force`` pins the SpMV
+    format on every level (tests / format ablations).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.operator import SpmvOperator
+
+    if a.rows != a.cols:
+        raise ValueError("AMG requires a square operator")
+
+    levels: List[AmgLevel] = []
+    cur = a
+    while cur.rows > coarse_size and len(levels) < max_levels:
+        so, si = strength_graph(cur, theta)
+        agg, n_agg = aggregate_strong(cur.rows, so, si)
+        if n_agg >= cur.rows:  # no coarsening possible (e.g. diagonal A)
+            break
+        p = tentative_prolongator(agg, n_agg)
+        dvec = _diag_of(cur)
+        dinv = np.where(dvec != 0.0, 1.0 / np.where(dvec == 0.0, 1.0, dvec), 1.0)
+        lam = _lambda_max_dinv_a(cur, dinv)
+        if smooth_prolongator:
+            omega_p = (4.0 / 3.0) / lam
+            # P = P0 - omega_p * (D^-1 A) P0   (one Jacobi smoothing step);
+            # the union-merge subtraction outputs sorted CSR for the planners
+            p = p - (_scale_rows(cur, omega_p * dinv) @ p)
+        ac = _galerkin(p, cur)
+        lv_ops = (
+            SpmvOperator(cur, dtype=dtype, force=operator_force),
+            SpmvOperator(p, dtype=dtype, force=operator_force),
+            SpmvOperator(p.transpose(), dtype=dtype, force=operator_force),
+        )
+        levels.append(
+            AmgLevel(
+                a_op=lv_ops[0],
+                p_op=lv_ops[1],
+                pt_op=lv_ops[2],
+                dinv=jnp.asarray(dinv.astype(dtype)),
+                lam=lam,
+                n=cur.rows,
+                nnz=cur.nnz(),
+            )
+        )
+        if verbose:  # pragma: no cover
+            print(
+                f"amg level {len(levels)-1}: n={cur.rows} nnz={cur.nnz()} "
+                f"-> n_agg={n_agg} (P nnz={p.nnz()}), A_c nnz={ac.nnz()}, "
+                f"fmt={lv_ops[0].format}/{lv_ops[1].format}/{lv_ops[2].format}"
+            )
+        cur = ac
+
+    dense = cur.to_dense().astype(np.float64)
+    coarse_inv = jnp.asarray(np.linalg.pinv(dense).astype(dtype))
+    return AmgHierarchy(
+        levels,
+        coarse_inv,
+        smoother=smoother,
+        nu=nu,
+        omega=omega,
+        cheb_degree=cheb_degree,
+    )
+
+
+def _galerkin(p, a):
+    """Coarse operator ``P^T A P`` via the framework SpGEMM engines, with a
+    sorted-output final product (level operators feed format planners that
+    expect sorted CSR)."""
+    from ..ops.spgemm_block import spgemm_auto
+
+    ap = spgemm_auto(a, p, output_sorted=False)
+    return spgemm_auto(p.transpose(), ap, output_sorted=True)
+
+
+def amg_preconditioner(a, **kw) -> Callable:
+    """One-call convenience: setup + return the ``M^{-1}`` closure for
+    :func:`~sparse_matrix_tpu.solvers.cg.pcg_solve`."""
+    return amg_setup(a, **kw).preconditioner()
+
+
+def amg_pcg_solve(
+    a,
+    b,
+    *,
+    tol: float = 1e-6,
+    maxiter: int = 200,
+    hierarchy: Optional[AmgHierarchy] = None,
+    **setup_kw,
+):
+    """PCG with an AMG V-cycle preconditioner, end to end.
+
+    ``hierarchy`` reuses a prior :func:`amg_setup` (the amortized regime —
+    setup once, solve many). Solve repeatedly UNDER ``jax.jit`` (see
+    ``cg.py`` docstring)."""
+    from .cg import pcg_solve
+
+    hier = hierarchy if hierarchy is not None else amg_setup(a, **setup_kw)
+    if hier.levels:
+        matvec = hier.levels[0].a_op
+    else:
+        # degenerate: the whole problem fit on the coarse level
+        from ..ops.operator import SpmvOperator
+
+        matvec = SpmvOperator(a)
+    return pcg_solve(matvec, b, hier.preconditioner(), tol=tol, maxiter=maxiter)

@@ -1,0 +1,180 @@
+"""Smoothed-aggregation AMG: setup pieces, V-cycle symmetry, PCG end-to-end.
+
+The V-cycle composes the framework's own SpGEMM (Galerkin products),
+planned SpMV operators, and PCG — so these are also integration tests of
+that whole stack on rectangular operators."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sparse_matrix_tpu.solvers import (
+    amg_pcg_solve,
+    amg_setup,
+    cg_solve,
+    pcg_solve,
+    poisson_2d_csr,
+)
+from sparse_matrix_tpu.solvers.amg import (
+    aggregate_strong,
+    strength_graph,
+    tentative_prolongator,
+)
+
+
+def test_strength_and_aggregation_poisson():
+    a = poisson_2d_csr(16)  # 256 nodes, 5-point stencil
+    so, si = strength_graph(a, theta=0.08)
+    # every off-diagonal of the Poisson stencil is strong at theta=0.08
+    assert so[-1] == a.nnz() - a.rows
+    agg, n_agg = aggregate_strong(a.rows, so, si)
+    assert agg.min() >= 0 and agg.max() == n_agg - 1
+    # star aggregates: coarsening factor should be meaningful
+    assert n_agg < a.rows // 2
+    # every aggregate non-empty
+    assert np.all(np.bincount(agg, minlength=n_agg) > 0)
+
+
+def test_tentative_prolongator_orthonormal_columns():
+    rng = np.random.default_rng(0)
+    agg = rng.integers(0, 7, size=40)
+    agg[:7] = np.arange(7)  # ensure all aggregates non-empty
+    p = tentative_prolongator(agg, 7)
+    assert p.invariants()
+    ptp = (p.transpose() @ p).to_dense()
+    np.testing.assert_allclose(ptp, np.eye(7), atol=1e-12)
+
+
+def test_setup_hierarchy_shapes_and_galerkin_symmetry():
+    a = poisson_2d_csr(24, dtype=np.float32)  # 576 rows
+    hier = amg_setup(a, coarse_size=60, dtype=np.float32)
+    assert len(hier.levels) >= 1
+    sizes = [lv.n for lv in hier.levels] + [hier.coarse_inv.shape[0]]
+    assert all(sizes[i] > sizes[i + 1] for i in range(len(sizes) - 1))
+    # coarse inverse is of an SPD Galerkin product -> symmetric
+    ci = np.asarray(hier.coarse_inv, dtype=np.float64)
+    np.testing.assert_allclose(ci, ci.T, atol=1e-5 * np.abs(ci).max())
+
+
+def _dense_m_inv(hier, n, dtype=np.float32):
+    """Materialize M^{-1} by applying the V-cycle to the identity."""
+    cols = []
+    vc = jax.jit(hier.vcycle)
+    for i in range(n):
+        e = np.zeros(n, dtype=dtype)
+        e[i] = 1.0
+        cols.append(np.asarray(vc(jnp.asarray(e))))
+    return np.stack(cols, axis=1)
+
+
+@pytest.mark.parametrize("smoother", ["jacobi", "chebyshev"])
+def test_vcycle_is_symmetric_preconditioner(smoother):
+    # PCG requires M^{-1} symmetric: same smoother pre/post + P^T restriction
+    a = poisson_2d_csr(8, dtype=np.float32)  # 64 rows, 2 levels
+    hier = amg_setup(a, coarse_size=12, smoother=smoother, dtype=np.float32)
+    assert len(hier.levels) >= 1
+    m = _dense_m_inv(hier, a.rows)
+    np.testing.assert_allclose(m, m.T, atol=2e-5 * np.abs(m).max())
+    # and positive definite (eigenvalues of the symmetrized part > 0)
+    w = np.linalg.eigvalsh(0.5 * (m + m.T).astype(np.float64))
+    assert w.min() > 0
+
+
+@pytest.mark.parametrize("smoother", ["jacobi", "chebyshev"])
+def test_amg_pcg_poisson_converges_fast(smoother):
+    n = 32  # 1024 unknowns
+    a = poisson_2d_csr(n, dtype=np.float32)
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(a.rows).astype(np.float32)
+
+    hier = amg_setup(a, coarse_size=100, smoother=smoother, dtype=np.float32)
+    res = jax.jit(
+        lambda bb: amg_pcg_solve(a, bb, tol=1e-6, maxiter=60, hierarchy=hier)
+    )(b)
+    it_amg = int(res.iterations)
+    x = np.asarray(res.x, dtype=np.float64)
+
+    # converged to the right answer
+    dense = a.to_dense().astype(np.float64)
+    np.testing.assert_allclose(dense @ x, b, atol=5e-4)
+
+    # and meaningfully faster than plain CG (mesh-size-independent-ish)
+    res_cg = jax.jit(
+        lambda bb: cg_solve(hier.levels[0].a_op, bb, tol=1e-6, maxiter=500)
+    )(b)
+    it_cg = int(res_cg.iterations)
+    assert it_amg <= 25
+    assert it_amg * 3 < it_cg, (it_amg, it_cg)
+
+
+def test_amg_reused_hierarchy_multiple_rhs():
+    a = poisson_2d_csr(16, dtype=np.float32)
+    hier = amg_setup(a, coarse_size=40, dtype=np.float32)
+    solve = jax.jit(
+        lambda bb: pcg_solve(
+            hier.levels[0].a_op, bb, hier.preconditioner(), tol=1e-6, maxiter=60
+        )
+    )
+    dense = a.to_dense().astype(np.float64)
+    rng = np.random.default_rng(5)
+    for _ in range(2):
+        b = rng.standard_normal(a.rows).astype(np.float32)
+        x = np.asarray(solve(b).x, dtype=np.float64)
+        np.testing.assert_allclose(dense @ x, b, atol=5e-4)
+
+
+def test_amg_anisotropic_poisson_beats_jacobi_pcg():
+    """Anisotropic 2-D Laplacian (eps=0.01 in y): the problem class where
+    plain/Jacobi CG degrades; semicoarsening-by-strength keeps AMG fast."""
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+    from sparse_matrix_tpu.solvers.cg import jacobi_preconditioner
+
+    n, eps = 24, 0.01
+    idx = lambda i, j: i * n + j
+    r, c, v = [], [], []
+    for i in range(n):
+        for j in range(n):
+            r.append(idx(i, j)); c.append(idx(i, j)); v.append(2 + 2 * eps)
+            if i > 0: r.append(idx(i, j)); c.append(idx(i - 1, j)); v.append(-eps)
+            if i < n - 1: r.append(idx(i, j)); c.append(idx(i + 1, j)); v.append(-eps)
+            if j > 0: r.append(idx(i, j)); c.append(idx(i, j - 1)); v.append(-1.0)
+            if j < n - 1: r.append(idx(i, j)); c.append(idx(i, j + 1)); v.append(-1.0)
+    a = CsrMatrix.from_coo(n * n, n * n, np.array(r), np.array(c),
+                           np.array(v, dtype=np.float32))
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(n * n).astype(np.float32)
+
+    # strength threshold separates the strong (-1) from the weak (-eps) axis
+    hier = amg_setup(a, theta=0.08, coarse_size=80, dtype=np.float32)
+    res = jax.jit(
+        lambda bb: amg_pcg_solve(a, bb, tol=1e-6, maxiter=80, hierarchy=hier)
+    )(b)
+    it_amg = int(res.iterations)
+    np.testing.assert_allclose(
+        a.to_dense().astype(np.float64) @ np.asarray(res.x, np.float64), b,
+        atol=5e-4,
+    )
+    res_j = jax.jit(
+        lambda bb: pcg_solve(
+            hier.levels[0].a_op, bb, jacobi_preconditioner(a),
+            tol=1e-6, maxiter=2000,
+        )
+    )(b)
+    assert it_amg < 40
+    assert it_amg * 4 < int(res_j.iterations), (it_amg, int(res_j.iterations))
+
+
+def test_amg_diagonal_matrix_degenerates_gracefully():
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+
+    n = 600  # above coarse_size, but no strong connections -> no coarsening
+    vals = np.linspace(1.0, 3.0, n).astype(np.float32)
+    a = CsrMatrix.from_coo(n, n, np.arange(n), np.arange(n), vals)
+    hier = amg_setup(a, coarse_size=400, dtype=np.float32)
+    assert len(hier.levels) == 0  # aggregation found nothing to merge
+    b = np.ones(n, dtype=np.float32)
+    res = amg_pcg_solve(a, b, tol=1e-6, maxiter=20, hierarchy=hier)
+    np.testing.assert_allclose(
+        np.asarray(res.x) * vals, b, atol=1e-4
+    )

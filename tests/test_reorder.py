@@ -68,11 +68,15 @@ def test_rcm_permutation_properties(dok):
     for _ in range(10):
         i, j = int(rng.integers(m.rows)), int(rng.integers(m.cols))
         assert b.get_element((i, j)) == m.get_element((int(p[i]), int(p[j])))
-    # matvec identity: B @ x[p] == (A @ x)[p]
-    x = rng.standard_normal(m.cols)
-    ya = m.to_dense() @ x
-    yb = b.to_dense() @ x[p]
-    np.testing.assert_allclose(yb, ya[p], rtol=1e-12, atol=1e-12)
+    # matvec identity: B @ x[p] == (A @ x)[p]. Bitwise equality can only be
+    # asserted away from the overflow boundary: permuting columns reorders
+    # each row sum, and with |a_ij| near DBL_MAX one order overflows to inf
+    # while the other stays finite (hypothesis found exactly that case).
+    if m.nnz() == 0 or np.max(np.abs(m.vals)) < 1e150:
+        x = rng.standard_normal(m.cols)
+        ya = m.to_dense() @ x
+        yb = b.to_dense() @ x[p]
+        np.testing.assert_allclose(yb, ya[p], rtol=1e-12, atol=1e-12)
 
 
 def test_rcm_disconnected_components():
