@@ -393,6 +393,11 @@ def spgemm_auto(lhs: CsrMatrix, rhs: CsrMatrix, *, output_sorted: bool = True) -
     """
     from .spgemm_host import spgemm_hash_host
 
+    # dims first: the cost estimator gathers rhs row counts through lhs
+    # column indices and would raise an unrelated IndexError otherwise
+    if lhs.cols != rhs.rows:
+        raise ValueError("LHS cols != RHS rows")
+
     # banded x banded: band convolution is the closed-form product
     # (measured ~58x the host hash engine on Poisson squaring)
     from ..formats.dia import try_dia_from_csr

@@ -1,6 +1,13 @@
 """Iterative solvers (CG) and model problems (2D Poisson)."""
 
-from .cg import CgResult, cg_solve, cg_solve_multi, pcg_solve, jacobi_preconditioner  # noqa: F401
+from .cg import (  # noqa: F401
+    CgResult,
+    cg_solve,
+    cg_solve_multi,
+    pcg_solve,
+    pcg_solve_multi,
+    jacobi_preconditioner,
+)
 from .minres import minres_solve  # noqa: F401
 from .eigen import (  # noqa: F401
     PowerResult,

@@ -181,6 +181,15 @@ def _scale_rows(a, s: np.ndarray):
 # -- the hierarchy -----------------------------------------------------------
 
 
+def _apply(op, v):
+    """Apply a planned SpmvOperator to a vector or an (n, K) block.
+
+    ``v.ndim`` is static under jit, so this Python branch traces to the
+    right kernel: the SpMV path for vectors, the true SpMM path
+    (K-fold operand-load amortization, docs/PERF.md) for blocks."""
+    return op(v) if v.ndim == 1 else op.matmat(v)
+
+
 class AmgLevel(NamedTuple):
     a_op: Callable  # SpmvOperator for A_l
     p_op: Callable  # SpmvOperator for P_l  (n_l x n_{l+1})
@@ -213,7 +222,10 @@ class AmgHierarchy:
 
     # -- smoothers (pre and post use the same symmetric operator) ----------
     def _smooth(self, lv: AmgLevel, x, r):
-        """nu sweeps toward ``A x = r`` starting from ``x``."""
+        """nu sweeps toward ``A x = r`` starting from ``x``.
+
+        Broadcasts over (n, K) residual blocks: the level apply dispatches
+        to the SpMM path and ``D^{-1}`` gains a trailing RHS axis."""
         import jax.numpy as jnp
 
         if self.smoother == "chebyshev":
@@ -221,21 +233,27 @@ class AmgHierarchy:
                 lv, x, r, degree=self.cheb_degree, lam_max=lv.lam
             )
         w = jnp.asarray(self.omega, dtype=r.dtype)
+        dinv = lv.dinv if r.ndim == 1 else lv.dinv[:, None]
         for _ in range(self.nu):
-            x = x + w * lv.dinv * (r - lv.a_op(x))
+            x = x + w * dinv * (r - _apply(lv.a_op, x))
         return x
 
     def vcycle(self, r, level: int = 0):
-        """One V-cycle applied to a residual: returns ``M^{-1} r``."""
+        """One V-cycle applied to a residual: returns ``M^{-1} r``.
+
+        ``r`` may be a vector (n,) or a column block (n, K) — the block
+        form runs one V-cycle over all K residuals at once through the
+        SpMM kernels (the multi-RHS PCG regime,
+        :func:`~sparse_matrix_tpu.solvers.cg.pcg_solve_multi`)."""
         import jax.numpy as jnp
 
         if level == len(self.levels):
             return self.coarse_inv @ r
         lv = self.levels[level]
         x = self._smooth(lv, jnp.zeros_like(r), r)
-        d = r - lv.a_op(x)
-        ec = self.vcycle(lv.pt_op(d), level + 1)
-        x = x + lv.p_op(ec)
+        d = r - _apply(lv.a_op, x)
+        ec = self.vcycle(_apply(lv.pt_op, d), level + 1)
+        x = x + _apply(lv.p_op, ec)
         return self._smooth(lv, x, r)
 
     def preconditioner(self) -> Callable:
@@ -259,11 +277,12 @@ def _chebyshev_apply(lv: AmgLevel, x, r, *, degree: int, lam_max: float):
     lo = lam_max / 30.0
     d = (hi + lo) / 2.0
     c = (hi - lo) / 2.0
-    res = r - lv.a_op(x)
+    dinv = lv.dinv if r.ndim == 1 else lv.dinv[:, None]
+    res = r - _apply(lv.a_op, x)
     p = None
     alpha = 0.0
     for i in range(degree):
-        z = lv.dinv * res
+        z = dinv * res
         if i == 0:
             p = z
             alpha = 1.0 / d
@@ -273,7 +292,7 @@ def _chebyshev_apply(lv: AmgLevel, x, r, *, degree: int, lam_max: float):
             p = z + beta * p
         x = x + alpha * p
         if i + 1 < degree:
-            res = r - lv.a_op(x)
+            res = r - _apply(lv.a_op, x)
     return x
 
 
@@ -391,16 +410,24 @@ def amg_pcg_solve(
     """PCG with an AMG V-cycle preconditioner, end to end.
 
     ``hierarchy`` reuses a prior :func:`amg_setup` (the amortized regime —
-    setup once, solve many). Solve repeatedly UNDER ``jax.jit`` (see
-    ``cg.py`` docstring)."""
-    from .cg import pcg_solve
+    setup once, solve many). A 2-D ``b`` of shape (n, K) solves all K
+    systems in one lockstep block PCG (:func:`~.cg.pcg_solve_multi`), each
+    iteration running ONE block V-cycle + ONE SpMM over all live columns.
+    Solve repeatedly UNDER ``jax.jit`` (see ``cg.py`` docstring)."""
+    import jax.numpy as jnp
+
+    from .cg import pcg_solve, pcg_solve_multi
 
     hier = hierarchy if hierarchy is not None else amg_setup(a, **setup_kw)
     if hier.levels:
-        matvec = hier.levels[0].a_op
+        op = hier.levels[0].a_op
     else:
         # degenerate: the whole problem fit on the coarse level
         from ..ops.operator import SpmvOperator
 
-        matvec = SpmvOperator(a)
-    return pcg_solve(matvec, b, hier.preconditioner(), tol=tol, maxiter=maxiter)
+        op = SpmvOperator(a)
+    if jnp.asarray(b).ndim == 2:
+        return pcg_solve_multi(
+            op.matmat, b, hier.preconditioner(), tol=tol, maxiter=maxiter
+        )
+    return pcg_solve(op, b, hier.preconditioner(), tol=tol, maxiter=maxiter)

@@ -19,7 +19,14 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CgResult", "cg_solve", "cg_solve_multi", "pcg_solve", "jacobi_preconditioner"]
+__all__ = [
+    "CgResult",
+    "cg_solve",
+    "cg_solve_multi",
+    "pcg_solve",
+    "pcg_solve_multi",
+    "jacobi_preconditioner",
+]
 
 
 class CgResult(NamedTuple):
@@ -123,6 +130,72 @@ def cg_solve_multi(
 
     x, p, r, rs, k = jax.lax.while_loop(cond, body, (x, p, r, rs, jnp.int32(0)))
     return CgResult(x=x, iterations=k, residual_norm=jnp.sqrt(rs))
+
+
+def pcg_solve_multi(
+    matvec_multi: Callable,
+    b,
+    precond: Callable,
+    *,
+    tol: float = 1e-6,
+    maxiter: int = 1000,
+    rhs_axis: int = -1,
+) -> CgResult:
+    """Preconditioned CG over K right-hand sides in lockstep.
+
+    Layout-generic like :func:`cg_solve_multi`: ``b`` carries K systems on
+    ``rhs_axis`` and both ``matvec_multi`` and ``precond`` map that layout
+    to itself. With the default (n, K) column layout this composes with
+    block-broadcasting preconditioners (:func:`jacobi_preconditioner`, the
+    AMG ``hierarchy.preconditioner()`` — both broadcast over trailing RHS
+    axes). Each column runs its own PCG recurrence (per-column alpha/beta
+    on the M-inner product r.z); converged columns freeze while the rest
+    iterate, so one V-cycle/SpMM per iteration serves all live systems."""
+    b = jnp.asarray(b)
+    ax = rhs_axis % b.ndim
+    red = tuple(i for i in range(b.ndim) if i != ax)
+    bshape = [1] * b.ndim
+    bshape[ax] = b.shape[ax]
+
+    def colsum(u, v):
+        return jnp.sum(u * v, axis=red)  # (K,)
+
+    def bc(s):
+        return s.reshape(bshape)
+
+    x = jnp.zeros_like(b)
+    r = b - matvec_multi(x)
+    z = precond(r)
+    p = z
+    rz = colsum(r, z)  # (K,) M-inner products
+    rr = colsum(r, r)  # (K,) true residuals (convergence test)
+    b_norm2 = colsum(b, b)
+    tol2 = jnp.asarray(tol, rr.dtype) ** 2 * jnp.where(b_norm2 > 0, b_norm2, 1.0)
+
+    def cond(state):
+        _x, _p, _r, _rz, rr, k = state
+        return jnp.logical_and(jnp.any(rr > tol2), k < maxiter)
+
+    def body(state):
+        x, p, r, rz, rr, k = state
+        live = rr > tol2  # (K,) columns still iterating
+        ap = matvec_multi(p)
+        pap = colsum(p, ap)
+        alpha = jnp.where(live, rz / jnp.where(pap == 0, 1.0, pap), 0.0)
+        x = x + bc(alpha) * p
+        r = r - bc(alpha) * ap
+        z = precond(r)
+        rz_new = colsum(r, z)
+        beta = jnp.where(live, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+        p = jnp.where(bc(live), z + bc(beta) * p, p)
+        rz = jnp.where(live, rz_new, rz)
+        rr = jnp.where(live, colsum(r, r), rr)
+        return x, p, r, rz, rr, k + 1
+
+    x, p, r, rz, rr, k = jax.lax.while_loop(
+        cond, body, (x, p, r, rz, rr, jnp.int32(0))
+    )
+    return CgResult(x=x, iterations=k, residual_norm=jnp.sqrt(rr))
 
 
 def jacobi_preconditioner(m) -> Callable:

@@ -124,6 +124,42 @@ def test_amg_reused_hierarchy_multiple_rhs():
         np.testing.assert_allclose(dense @ x, b, atol=5e-4)
 
 
+@pytest.mark.parametrize("smoother", ["jacobi", "chebyshev"])
+def test_amg_block_pcg_multi_rhs(smoother):
+    """(n, K) right-hand sides through ONE block V-cycle + SpMM per
+    iteration (amg_pcg_solve auto-routes 2-D b to pcg_solve_multi)."""
+    n, K = 24, 4
+    a = poisson_2d_csr(n, dtype=np.float32)
+    rng = np.random.default_rng(9)
+    B = rng.standard_normal((n * n, K)).astype(np.float32)
+
+    hier = amg_setup(a, coarse_size=80, smoother=smoother, dtype=np.float32)
+    res = jax.jit(
+        lambda bb: amg_pcg_solve(a, bb, tol=1e-6, maxiter=60, hierarchy=hier)
+    )(B)
+    assert res.x.shape == (n * n, K)
+    assert res.residual_norm.shape == (K,)
+    assert int(res.iterations) <= 25
+
+    dense = a.to_dense().astype(np.float64)
+    X = np.asarray(res.x, dtype=np.float64)
+    for k in range(K):
+        np.testing.assert_allclose(dense @ X[:, k], B[:, k], atol=5e-4)
+
+
+def test_amg_block_vcycle_matches_per_column():
+    """The block V-cycle is exactly K independent V-cycles (linearity +
+    column independence of every stage)."""
+    a = poisson_2d_csr(12, dtype=np.float32)
+    hier = amg_setup(a, coarse_size=30, dtype=np.float32)
+    rng = np.random.default_rng(13)
+    R = rng.standard_normal((a.rows, 3)).astype(np.float32)
+    blk = np.asarray(jax.jit(hier.vcycle)(jnp.asarray(R)))
+    for k in range(3):
+        one = np.asarray(jax.jit(hier.vcycle)(jnp.asarray(R[:, k])))
+        np.testing.assert_allclose(blk[:, k], one, rtol=2e-4, atol=2e-5)
+
+
 def test_amg_anisotropic_poisson_beats_jacobi_pcg():
     """Anisotropic 2-D Laplacian (eps=0.01 in y): the problem class where
     plain/Jacobi CG degrades; semicoarsening-by-strength keeps AMG fast."""
