@@ -248,31 +248,70 @@ class SpmvOperator:
     def matmat(self, x):
         """Y = A @ X for X of shape (cols, K) — the multi-RHS apply.
 
-        DIA and aligned formats run true SpMM kernels (the gathered
-        operand/window loads amortize K-fold — docs/PERF.md); hybrid,
-        lanepack, and ELL formats fall back to a per-column loop (correct,
-        no reuse). Iterative multi-RHS solvers on aligned operators should
-        prefer the packed layout directly
-        (:func:`~.spmm.aligned_matvec_multi` + ``cg_solve_multi(rhs_axis=1)``)
+        Every format runs a true SpMM path (the gathered operand/window
+        loads amortize K-fold — docs/PERF.md): DIA shifted-slice SpMM,
+        aligned and lanepack packed-RHS Pallas kernels, ELL gather-reuse
+        XLA; hybrid sums its DIA and lanepack parts. Iterative multi-RHS
+        solvers on aligned/lanepack operators should prefer the packed
+        layout directly (:func:`~.spmm.aligned_matvec_multi` /
+        :func:`~.spmm.lanepack_matvec_multi` + ``cg_solve_multi(rhs_axis=1)``)
         to also skip the per-apply relayout."""
         import jax.numpy as jnp
 
         x = jnp.asarray(x)
-        if self.format == "dia":
+        y = None
+        if self._dia is not None:
             from .spmm import spmm_dia
 
-            return spmm_dia(self._dia, x)
-        if self.format == "aligned":
-            from .spmm import _pick_b_spmm, spmm_aligned
-            from .spmv import aligned_device_arrays
+            y = spmm_dia(self._dia, x)
+        if self._aligned is not None:
+            from .spmm import spmm_aligned
 
-            bk = _pick_b_spmm(int(x.shape[1]))
-            cache = getattr(self, "_ali_spmm_arrs", {})
-            if bk not in cache:
-                cache[bk] = aligned_device_arrays(self._aligned, b=bk)
-                self._ali_spmm_arrs = cache
-            return spmm_aligned(self._aligned, x, device_arrays=cache[bk])
-        return jnp.stack([self(x[:, k]) for k in range(x.shape[1])], axis=1)
+            y2 = spmm_aligned(
+                self._aligned, x, device_arrays=self._spmm_cache(int(x.shape[1]))
+            )
+            y = y2 if y is None else y + y2
+        if self._plan is not None:
+            from .spmm import spmm_lanepack
+
+            y2 = spmm_lanepack(
+                self._plan, x, device_arrays=self._spmm_cache(int(x.shape[1]))
+            )
+            y = y2 if y is None else y + y2
+        if self._ell is not None:
+            from .spmm import spmm_ell_xla
+
+            y2 = spmm_ell_xla(self._ell[0], self._ell[1], x)
+            if getattr(self, "_ell_spill", None) is not None:
+                sr, sc, sv = self._ell_spill
+                y2 = y2.at[sr].add(sv[:, None] * x[sc])
+            y = y2 if y is None else y + y2
+        return y
+
+    def _spmm_cache(self, k: int):
+        """Per-K device arrays for the packed SpMM kernels, built once.
+
+        The first matmat may run inside a jit trace; without the eager
+        guard the cached constants would be tracers that leak into later
+        traces (UnexpectedTracerError)."""
+        import jax
+
+        from .spmm import _pick_b_spmm
+
+        bk = _pick_b_spmm(k)
+        cache = getattr(self, "_spmm_arrs", {})
+        if bk not in cache:
+            with jax.ensure_compile_time_eval():
+                if self._aligned is not None:
+                    from .spmv import aligned_device_arrays
+
+                    cache[bk] = aligned_device_arrays(self._aligned, b=bk)
+                else:
+                    from .spmv import lanepack_device_arrays
+
+                    cache[bk] = lanepack_device_arrays(self._plan, b=bk)
+            self._spmm_arrs = cache
+        return cache[bk]
 
     def bytes_per_apply(self) -> int:
         """HBM bytes streamed per SpMV (operator data only)."""

@@ -391,12 +391,26 @@ def spgemm_auto(lhs: CsrMatrix, rhs: CsrMatrix, *, output_sorted: bool = True) -
     * dense XLA matmul: n*k*m MACs at ~2e13/s plus host densify/sparsify —
       wins for small/medium near-block-dense problems.
     """
-    from .spgemm_host import spgemm_hash_host
+    import os
+
+    from ..utils import autotune
+    from .spgemm_host import flops_per_row, spgemm_hash_host
 
     # dims first: the cost estimator gathers rhs row counts through lhs
     # column indices and would raise an unrelated IndexError otherwise
     if lhs.cols != rhs.rows:
         raise ValueError("LHS cols != RHS rows")
+
+    # Tiny products can never win on device: every device engine pays the
+    # one-shot dispatch sync (and, first time, a remote compile measured in
+    # tens of seconds on the tunnel). If the host estimate is below the
+    # sync constant, answer on host without touching the jax backend.
+    host_rate = autotune.get("spgemm_host_products_per_s") * max(
+        1, os.cpu_count() or 1
+    )
+    products = float(flops_per_row(lhs, rhs).sum())
+    if products / host_rate <= autotune.get("device_call_sync_s"):
+        return spgemm_hash_host(lhs, rhs, output_sorted=output_sorted)
 
     # banded x banded: band convolution is the closed-form product
     # (measured ~58x the host hash engine on Poisson squaring)

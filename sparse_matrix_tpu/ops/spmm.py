@@ -28,6 +28,10 @@ __all__ = [
     "spmm_aligned",
     "spmm_aligned_packed",
     "aligned_matvec_multi",
+    "spmm_lanepack",
+    "spmm_lanepack_packed",
+    "lanepack_matvec_multi",
+    "spmm_ell_xla",
     "pack_rhs",
     "unpack_rhs",
 ]
@@ -197,14 +201,16 @@ def _aligned_spmm_reference(arrs, x3, *, rows: int):
     return jnp.where(arrs["rb_mask"][:, None, None] > 0, y, 0.0)
 
 
-def pack_rhs(x, cols: int):
-    """(cols, K) -> packed (c128+1, K, 128). The one relayout per solve."""
+def pack_rhs(x, cols: int, guard: int = 1):
+    """(cols, K) -> packed (c128+guard, K, 128). The one relayout per
+    solve. ``guard`` zero windows let kernel window slices of width
+    ``guard`` never run off the end (aligned uses 1; lanepack uses kw)."""
     x = jnp.asarray(x)
     k = x.shape[1]
     c128 = -(-cols // LANES)
     xpad = jnp.zeros((c128 * LANES, k), x.dtype).at[: x.shape[0]].set(x)
     x3 = jnp.transpose(xpad.reshape(c128, LANES, k), (0, 2, 1))
-    return jnp.concatenate([x3, jnp.zeros((1, k, LANES), x.dtype)], axis=0)
+    return jnp.concatenate([x3, jnp.zeros((guard, k, LANES), x.dtype)], axis=0)
 
 
 def unpack_rhs(y3, rows: int):
@@ -312,6 +318,237 @@ def spmm_aligned(plan, x, *, device_arrays=None):
     x3 = pack_rhs(x, plan.cols)
     y3 = spmm_aligned_packed(plan, x3, device_arrays=device_arrays)
     return unpack_rhs(y3, plan.rows)
+
+
+# ---------------------------------------------------------------------------
+# LanePack multi-RHS SpMM (the GENERAL path — no locality assumption)
+# ---------------------------------------------------------------------------
+#
+# Same packed-RHS idea as the aligned SpMM, applied to the general LanePack
+# kernel (ops/spmv.py::_make_lanepack_kernel): every per-chunk operand
+# stream (vals/lane/ends/starts, the dominant 8 B/slot of the general
+# path) and every dynamic x-window load is issued ONCE and reused across
+# all K right-hand sides; only the lane gather, the MXU prefix sum (batched
+# into one (chunks*K, 128) triangular matmul), and the boundary gathers
+# scale with K. This removes SpmvOperator.matmat's per-column SpMV loop on
+# lanepack/hybrid operators (the block-AMG V-cycle's P^T apply).
+
+
+def _make_lanepack_spmm_kernel(b: int, kw: int, k: int, pack: str, nbuf: int):
+    from jax.experimental import pallas as pl
+
+    from .spmv import _lane_cumsum_mxu
+
+    def kernel(rb_a_ref, rb_b_ref, split_ref, col_off_ref, x_ref, vals_ref, lane_ref, ends_ref, starts_ref, y_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            y_ref[...] = jnp.zeros_like(y_ref)
+
+        base = i * b * SUBLANES
+        n = b * SUBLANES
+        # one (kw, K, 128) window load per chunk serves all K columns
+        xw = jnp.concatenate(
+            [x_ref[pl.ds(col_off_ref[base + j], kw), :, :] for j in range(n)],
+            axis=0,
+        ).reshape(n, kw, k, LANES)
+
+        lane = lane_ref[...].reshape(n, 1, LANES).astype(jnp.int32)
+        v = vals_ref[...].reshape(n, 1, LANES)
+        if kw == 1:
+            idx2 = jnp.broadcast_to(lane, (n, k, LANES)).reshape(n * k, LANES)
+            xg = jnp.take_along_axis(
+                xw[:, 0].reshape(n * k, LANES), idx2, axis=1
+            ).reshape(n, k, LANES)
+        else:
+            sub = jax.lax.shift_right_logical(lane, 7)
+            l = jax.lax.bitwise_and(lane, 127)
+            idx2 = jnp.broadcast_to(l, (n, k, LANES)).reshape(n * k, LANES)
+            xg = jnp.zeros((n, k, LANES), v.dtype)
+            for w in range(kw):
+                g = jnp.take_along_axis(
+                    xw[:, w].reshape(n * k, LANES), idx2, axis=1
+                ).reshape(n, k, LANES)
+                # f32 mask (Mosaic can't 3-D-broadcast i1)
+                mw = jnp.where(sub == w, 1.0, 0.0).astype(v.dtype)
+                xg = xg + g * mw
+        p = v * xg  # (n, K, 128)
+
+        # per-chunk inclusive lane scan, all K batched into one MXU matmul
+        c = _lane_cumsum_mxu(p.reshape(n * k, LANES))
+        e2 = jnp.broadcast_to(
+            ends_ref[...].reshape(n, 1, LANES).astype(jnp.int32), (n, k, LANES)
+        ).reshape(n * k, LANES)
+        s2 = jnp.broadcast_to(
+            starts_ref[...].reshape(n, 1, LANES).astype(jnp.int32), (n, k, LANES)
+        ).reshape(n * k, LANES)
+        g_end = jnp.take_along_axis(c, e2, axis=1)
+        g_start = jnp.where(
+            s2 < 0, 0.0, jnp.take_along_axis(c, jnp.maximum(s2, 0), axis=1)
+        )
+        contrib = (g_end - g_start).reshape(n, k, LANES)
+
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
+        for bb in range(b):
+            c8 = contrib[bb * SUBLANES : (bb + 1) * SUBLANES]  # (8, K, 128)
+            total = jnp.sum(c8, axis=0)  # (K, 128)
+            buf = bb % nbuf
+            if pack == "per_rb":
+                # single-target slabs: one unmasked accumulate
+                y_ref[buf, pl.ds(rb_a_ref[i * b + bb], 1)] += total[None]
+            else:
+                sp = split_ref[i * b + bb]
+                maskf = jnp.where(sub_iota < sp, 1.0, 0.0).astype(c8.dtype)
+                pa = jnp.sum(c8 * maskf[:, None, :], axis=0)
+                y_ref[buf, pl.ds(rb_a_ref[i * b + bb], 1)] += pa[None]
+                y_ref[buf, pl.ds(rb_b_ref[i * b + bb], 1)] += (total - pa)[None]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows", "kw", "b", "k", "nbuf", "interpret", "pack")
+)
+def _spmm_lanepack_jit(arrs, x3, *, rows, kw, b, k, nbuf, interpret, pack):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r128 = -(-rows // LANES)
+    if interpret:
+        return _lanepack_spmm_reference(arrs, x3, rows=rows, kw=kw)
+
+    num_slabs = arrs["vals"].shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_slabs // b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((b, SUBLANES, LANES), lambda i, *refs: (i, 0, 0))] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    y = pl.pallas_call(
+        _make_lanepack_spmm_kernel(b, kw, k, pack, nbuf),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbuf, r128, k, LANES), x3.dtype),
+    )(
+        arrs["rb_a"],
+        arrs["rb_b"],
+        arrs["split"],
+        arrs["col_off"],
+        x3,
+        arrs["vals"],
+        arrs["lane"],
+        arrs["ends"],
+        arrs["starts"],
+    )
+    y = jnp.sum(y, axis=0)
+    return jnp.where(arrs["rb_mask"][:, None, None] > 0, y, 0.0)
+
+
+def _lanepack_spmm_reference(arrs, x3, *, rows: int, kw: int):
+    """Pure-XLA evaluation (CPU path + semantics oracle), packed layout."""
+    s8 = arrs["vals"].shape[0] * SUBLANES
+    k = x3.shape[1]
+    vals = arrs["vals"].reshape(s8, 1, LANES)
+    lane = arrs["lane"].reshape(s8, 1, LANES).astype(jnp.int32)
+    ends = arrs["ends"].reshape(s8, 1, LANES).astype(jnp.int32)
+    starts = arrs["starts"].reshape(s8, 1, LANES).astype(jnp.int32)
+    co = arrs["col_off"].astype(jnp.int32)
+
+    win = x3[co[:, None] + jnp.arange(kw)[None, :]]  # (s8, kw, K, 128)
+    win = jnp.transpose(win, (0, 2, 1, 3)).reshape(s8, k, kw * LANES)
+    xg = jnp.take_along_axis(win, jnp.broadcast_to(lane, (s8, k, LANES)), axis=2)
+    p = vals * xg
+    c = jnp.cumsum(p, axis=2)
+    g_end = jnp.take_along_axis(c, jnp.broadcast_to(ends, (s8, k, LANES)), axis=2)
+    s3 = jnp.broadcast_to(starts, (s8, k, LANES))
+    g_start = jnp.where(
+        s3 < 0, 0.0, jnp.take_along_axis(c, jnp.maximum(s3, 0), axis=2)
+    )
+    contrib = g_end - g_start  # (s8, K, 128)
+    r128 = arrs["rb_mask"].shape[0]
+    y = jnp.zeros((r128, k, LANES), vals.dtype).at[arrs["chunk_rb"]].add(contrib)
+    return jnp.where(arrs["rb_mask"][:, None, None] > 0, y, 0.0)
+
+
+def _pick_b_lp_spmm(k: int, kw: int) -> int:
+    # per-step scratch is ~5 arrays of (b*8, K(pad 8), 128) f32 plus the
+    # (b*8*kw, K, 128) window concat; the Mosaic scoped-vmem stack limit is
+    # 16 MB (hit at b=64, kw=2, K=5 — experiments/tpu_tests_r2c.out)
+    return max(4, min(64, 256 // max(1, k * kw)))
+
+
+def spmm_lanepack_packed(plan, x3, *, device_arrays=None, nbuf: int = 2):
+    """Y = A @ X on a :class:`~..formats.lanepack.LanePackPlan`, packed
+    layout in AND out: ``x3`` is (c128+kw, K, 128) (see :func:`pack_rhs`
+    with ``guard=plan.kw``), the result is (r128, K, 128)."""
+    from .spmv import _VMEM_X_LIMIT, _interpret, lanepack_device_arrays
+
+    k = int(x3.shape[1])
+    r128 = -(-plan.rows // LANES)
+    c128 = -(-plan.cols // LANES)
+    if plan.num_slabs * 8 * 4 > 900_000:
+        raise ValueError(
+            f"LanePack plan has {plan.num_slabs} slabs; its scalar-prefetch "
+            "arrays exceed the 1 MB SMEM budget — use spmm_ell_xla"
+        )
+    if (c128 + plan.kw + nbuf * r128) * k * LANES > _VMEM_X_LIMIT:
+        raise ValueError(
+            f"lanepack SpMM keeps X and Y VMEM-resident; (rows={plan.rows}, "
+            f"cols={plan.cols}, K={k}) exceeds the budget — split K or use "
+            "spmm_ell_xla"
+        )
+    arrs = device_arrays
+    if arrs is None or arrs.get("b") != _pick_b_lp_spmm(k, plan.kw):
+        arrs = lanepack_device_arrays(plan, b=_pick_b_lp_spmm(k, plan.kw))
+    return _spmm_lanepack_jit(
+        {kk: v for kk, v in arrs.items() if kk != "b"},
+        x3,
+        rows=plan.rows,
+        kw=plan.kw,
+        b=arrs["b"],
+        k=k,
+        nbuf=nbuf,
+        interpret=_interpret(),
+        pack=plan.pack,
+    )
+
+
+def lanepack_matvec_multi(plan, k: int, *, nbuf: int = 2):
+    """Packed-layout multi-RHS matvec closure for a SQUARE lanepack plan
+    (general path analog of :func:`aligned_matvec_multi`), ready for
+    ``cg_solve_multi(..., rhs_axis=1)``."""
+    from .spmv import lanepack_device_arrays
+
+    if plan.rows != plan.cols:
+        raise ValueError("packed multi-RHS matvec needs a square operator")
+    arrs = lanepack_device_arrays(plan, b=_pick_b_lp_spmm(k, plan.kw))
+
+    def mv(x3):
+        y = spmm_lanepack_packed(plan, x3, device_arrays=arrs, nbuf=nbuf)
+        guard = jnp.zeros((x3.shape[0] - y.shape[0], x3.shape[1], LANES), y.dtype)
+        return jnp.concatenate([y, guard], axis=0)
+
+    return mv
+
+
+def spmm_lanepack(plan, x, *, device_arrays=None, nbuf: int = 2):
+    """Y = A @ X (X is (cols, K)) via the general LanePack kernel;
+    convenience wrapper over :func:`spmm_lanepack_packed` paying one
+    relayout each way."""
+    x3 = pack_rhs(jnp.asarray(x, dtype=plan.dtype), plan.cols, guard=plan.kw)
+    y3 = spmm_lanepack_packed(plan, x3, device_arrays=device_arrays, nbuf=nbuf)
+    return unpack_rhs(y3, plan.rows)
+
+
+def spmm_ell_xla(ev, ec, x):
+    """Y = A @ X for a padded-ELL operator (pure XLA, any backend/sharding;
+    the matmat fallback that never loops per column). ``ev``/``ec`` as in
+    :func:`~.spmv.spmv_ell_xla`; gathered X rows are reused across K."""
+    ev = jnp.asarray(ev)
+    ec = jnp.asarray(ec)
+    x = jnp.asarray(x)
+    return jnp.einsum("rw,rwk->rk", ev, x[ec])
 
 
 def spmm_bcsr(m: BsrMatrix, x, *, precision=None):

@@ -1,6 +1,7 @@
 """SpMM (sparse x dense block) tests."""
 
 import numpy as np
+import pytest
 
 from sparse_matrix_tpu.core import DokMatrix
 from sparse_matrix_tpu.formats import CsrMatrix
@@ -128,8 +129,8 @@ def test_operator_matmat_all_formats():
     p = poisson_2d_csr(16, dtype=np.float32)
     dense_g = ((rng.random((300, 300)) < 0.03) * rng.standard_normal((300, 300))).astype(np.float32)
     g = CsrMatrix.from_dok(DokMatrix.from_dense(dense_g))
-    X = rng.standard_normal((p.cols, 6)).astype(np.float32)
-    for m, force in ((p, "dia"), (p, "aligned"), (p, "lanepack")):
+    for m, force in ((p, "dia"), (p, "aligned"), (p, "lanepack"), (p, "ell"), (g, "lanepack"), (g, "ell")):
+        X = rng.standard_normal((m.cols, 6)).astype(np.float32)
         op = SpmvOperator(m, force=force)
         y = np.asarray(op.matmat(X))
         np.testing.assert_allclose(
@@ -141,3 +142,87 @@ def test_operator_matmat_all_formats():
     np.testing.assert_allclose(
         np.asarray(opg.matmat(Xg)), dense_g @ Xg, rtol=1e-3, atol=1e-3
     )
+
+
+@pytest.mark.parametrize("kw", [1, 2, 4])
+@pytest.mark.parametrize("pack", ["dense", "per_rb"])
+def test_spmm_lanepack_matches_dense(kw, pack):
+    """General-path multi-RHS SpMM vs dense, both pack modes, kw windows,
+    rectangular shape."""
+    from sparse_matrix_tpu.core import DokMatrix
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+    from sparse_matrix_tpu.formats.lanepack import plan_lanepack
+    from sparse_matrix_tpu.ops.spmm import spmm_lanepack
+
+    rng = np.random.default_rng(kw * 7 + (pack == "per_rb"))
+    rows, cols, K = 220, 150 + kw * 128, 5
+    dense = ((rng.random((rows, cols)) < 0.04) * rng.standard_normal((rows, cols))).astype(np.float32)
+    m = CsrMatrix.from_dok(DokMatrix.from_dense(dense))
+    plan = plan_lanepack(m, kw=kw, pack=pack)
+    X = rng.standard_normal((cols, K)).astype(np.float32)
+    y = np.asarray(spmm_lanepack(plan, X))
+    np.testing.assert_allclose(y, dense @ X, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_lanepack_packed_matvec_multi():
+    """Square packed-layout closure: matches per-column SpMV results."""
+    from sparse_matrix_tpu.formats.lanepack import plan_lanepack
+    from sparse_matrix_tpu.ops.spmm import lanepack_matvec_multi, pack_rhs, unpack_rhs
+    from sparse_matrix_tpu.ops.spmv import spmv_lanepack
+    from sparse_matrix_tpu.solvers import poisson_2d_csr
+
+    m = poisson_2d_csr(14, dtype=np.float32)
+    plan = plan_lanepack(m)
+    rng = np.random.default_rng(3)
+    K = 4
+    X = rng.standard_normal((m.cols, K)).astype(np.float32)
+    mv = lanepack_matvec_multi(plan, K)
+    x3 = pack_rhs(X, m.cols, guard=plan.kw)
+    y3 = mv(x3)
+    assert y3.shape == x3.shape  # layout maps to itself (guard re-appended)
+    Y = np.asarray(unpack_rhs(y3, m.rows))
+    for k in range(K):
+        np.testing.assert_allclose(
+            Y[:, k], np.asarray(spmv_lanepack(plan, X[:, k])), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_spmm_ell_with_spill_matches_dense():
+    """Skewed matrix: operator picks ELL+COO spill; matmat must include the
+    spill contribution."""
+    from sparse_matrix_tpu.core import DokMatrix
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+
+    rng = np.random.default_rng(17)
+    rows = cols = 400
+    dense = ((rng.random((rows, cols)) < 0.01) * rng.standard_normal((rows, cols))).astype(np.float32)
+    dense[7, :] = rng.standard_normal(cols).astype(np.float32)  # one dense row
+    m = CsrMatrix.from_dok(DokMatrix.from_dense(dense))
+    op = SpmvOperator(m, force="ell")
+    assert op._ell_spill is not None  # the guard kicked in
+    X = rng.standard_normal((cols, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(op.matmat(X)), dense @ X, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_operator_matmat_lazy_cache_across_jit_traces():
+    """Regression: the aligned matmat device-array cache is built on first
+    use, which can happen INSIDE a jit trace; the cached constants must be
+    concrete, not tracers, or the next trace raises UnexpectedTracerError
+    (hit by experiments/amg_block.py's second jitted solve)."""
+    import jax
+
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+    from sparse_matrix_tpu.solvers import poisson_2d_csr
+
+    p = poisson_2d_csr(16, dtype=np.float32)
+    op = SpmvOperator(p, force="aligned")
+    rng = np.random.default_rng(8)
+    X = rng.standard_normal((p.cols, 4)).astype(np.float32)
+    y1 = np.asarray(jax.jit(lambda xx: op.matmat(xx))(X))  # builds the cache
+    y2 = np.asarray(jax.jit(lambda xx: op.matmat(xx))(X))  # fresh trace, reuses it
+    ref = p.to_dense().astype(np.float32) @ X
+    np.testing.assert_allclose(y1, ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(y2, ref, rtol=1e-4, atol=1e-4)

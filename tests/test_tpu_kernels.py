@@ -232,3 +232,38 @@ def test_cg_solve_multi_packed_on_tpu():
     for j in range(k):
         r = dense @ x[:, j] - b[:, j]
         assert np.linalg.norm(r) < 2e-4 * np.linalg.norm(b[:, j])
+
+
+@pytest.mark.parametrize("kw,pack", [(1, "dense"), (2, "per_rb")])
+def test_spmm_lanepack_kernel_parity(kw, pack):
+    """General-path multi-RHS Mosaic kernel vs dense (both pack modes)."""
+    from sparse_matrix_tpu.ops.spmm import spmm_lanepack
+
+    rng = np.random.default_rng(19 + kw)
+    A, dense = _rand_csr(rng, 512, 600, 0.02)
+    plan = plan_lanepack(A, kw=kw, pack=pack)
+    X = rng.standard_normal((A.cols, 5)).astype(np.float32)
+    Y = np.asarray(spmm_lanepack(plan, X))
+    Yref = dense @ X
+    scale = max(1.0, float(np.abs(Yref).max()))
+    np.testing.assert_allclose(Y / scale, Yref / scale, atol=2e-5)
+
+
+def test_block_amg_pcg_on_tpu():
+    """Block V-cycle + pcg_solve_multi end-to-end on hardware (exercises
+    spmm_lanepack through the level P^T operators)."""
+    from sparse_matrix_tpu.solvers import amg_pcg_solve, amg_setup
+
+    A = poisson_2d_csr(48, dtype=np.float32)
+    rng = np.random.default_rng(23)
+    B = rng.standard_normal((A.rows, 4)).astype(np.float32)
+    hier = amg_setup(A, coarse_size=120, dtype=np.float32)
+    res = jax.jit(
+        lambda bb: amg_pcg_solve(A, bb, tol=1e-6, maxiter=60, hierarchy=hier)
+    )(B)
+    assert int(res.iterations) <= 25
+    dense = A.to_dense().astype(np.float64)
+    X = np.asarray(res.x, np.float64)
+    for j in range(4):
+        r = dense @ X[:, j] - B[:, j]
+        assert np.linalg.norm(r) < 5e-4 * np.linalg.norm(B[:, j])
