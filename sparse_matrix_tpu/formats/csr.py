@@ -327,7 +327,13 @@ class CsrMatrix(Matrix):
         tag = np.concatenate(
             [np.zeros(len(ra), np.int8), np.ones(len(rb), np.int8)]
         )
-        order = np.lexsort((tag, c, r))
+        if self._rows * self._cols < 2**62:
+            # packed single-key stable sort (radix) == lexsort((tag, c, r)):
+            # stability preserves lhs-before-rhs concatenation order for
+            # equal (row, col), which is exactly the tag order
+            order = np.argsort(r * self._cols + c, kind="stable")
+        else:  # packed key would overflow int64
+            order = np.lexsort((tag, c, r))
         r, c, v, tag = r[order], c[order], v[order], tag[order]
         n = len(r)
         if n == 0:

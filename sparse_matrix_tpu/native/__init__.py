@@ -14,5 +14,6 @@ from .loader import (  # noqa: F401
     spgemm_hash_native,
     flops_per_row_native,
     parse_entries_native,
+    aggregate_pass_native,
     load_library,
 )

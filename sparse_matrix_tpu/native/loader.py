@@ -19,6 +19,7 @@ __all__ = [
     "spgemm_hash_native",
     "flops_per_row_native",
     "parse_entries_native",
+    "aggregate_pass_native",
 ]
 
 _LIB: Optional[ctypes.CDLL] = None
@@ -65,6 +66,10 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.spmx_blocks_to_coo.argtypes = [
         _F32P, c_i64, c_i64, _I64P, _U32P, c_i64, c_i64, _I64P, _I64P, _F32P,
     ]
+    lib.spmx_aggregate_pass1.restype = c_i64
+    lib.spmx_aggregate_pass1.argtypes = [c_i64, _I64P, _I64P, _I64P]
+    lib.spmx_aggregate_pass3.restype = c_i64
+    lib.spmx_aggregate_pass3.argtypes = [c_i64, _I64P, _I64P, c_i64, _I64P]
     lib.spmx_parse_entries.restype = c_i64
     lib.spmx_parse_entries.argtypes = [
         ctypes.c_char_p, c_i64, c_i64, _I64P, _I64P, _F64P, ctypes.c_int, ctypes.c_void_p,
@@ -145,6 +150,21 @@ def spgemm_hash_native(lhs, rhs, *, output_sorted: bool = False, num_threads: in
     return CsrMatrix(
         lhs.rows, rhs.cols, out_vals, out_indices, offsets, is_sorted=output_sorted
     )
+
+
+def aggregate_pass_native(which: int, so, si, agg, na: int = 0):
+    """Run greedy-aggregation pass 1 or 3 (solvers/amg.py) in the native
+    runtime; mutates ``agg`` in place and returns the new aggregate count,
+    or None when the library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    so = np.ascontiguousarray(so, dtype=np.int64)
+    si = np.ascontiguousarray(si, dtype=np.int64)
+    assert agg.dtype == np.int64 and agg.flags["C_CONTIGUOUS"]
+    if which == 1:
+        return int(lib.spmx_aggregate_pass1(len(agg), so, si, agg))
+    return int(lib.spmx_aggregate_pass3(len(agg), so, si, na, agg))
 
 
 def parse_entries_native(text: str, expect: int, n_value_cols: int):

@@ -360,3 +360,41 @@ extern "C" i64 spmx_blocks_to_coo(const float* blocks, i64 nnzb, i64 bs,
   }
   return k;
 }
+
+// ---------------------------------------------------------------------------
+// Greedy smoothed-aggregation clustering, passes 1 and 3 (solvers/amg.py).
+// The natural-order greedy is a lexicographically-first MIS of the
+// neighborhood-overlap conflict graph — inherently sequential (P-complete),
+// so it belongs in the native runtime rather than a Python node loop
+// (measured ~2.3 us/node in numpy vs ~5 ns/edge here).
+// agg[] is -1 for unassigned on entry; returns the updated aggregate count.
+// ---------------------------------------------------------------------------
+
+extern "C" i64 spmx_aggregate_pass1(i64 n, const i64* so, const i64* si, i64* agg) {
+  i64 na = 0;
+  for (i64 i = 0; i < n; ++i) {
+    if (agg[i] >= 0) continue;
+    i64 b = so[i], e = so[i + 1];
+    bool blocked = false;
+    for (i64 k = b; k < e; ++k)
+      if (agg[si[k]] >= 0) { blocked = true; break; }
+    if (blocked) continue;
+    for (i64 k = b; k < e; ++k) agg[si[k]] = na;
+    agg[i] = na;
+    ++na;
+  }
+  return na;
+}
+
+extern "C" i64 spmx_aggregate_pass3(i64 n, const i64* so, const i64* si, i64 na, i64* agg) {
+  for (i64 i = 0; i < n; ++i) {
+    if (agg[i] >= 0) continue;
+    agg[i] = na;
+    for (i64 k = so[i]; k < so[i + 1]; ++k) {
+      i64 j = si[k];
+      if (agg[j] < 0) agg[j] = na;
+    }
+    ++na;
+  }
+  return na;
+}

@@ -90,19 +90,27 @@ def aggregate_strong(
     fully isolated nodes become singletons. Returns ``(agg_id[n], n_agg)``
     with every node assigned.
     """
+    from ..native import aggregate_pass_native
+
     agg = np.full(n, -1, dtype=np.int64)
-    na = 0
     so, si = s_offsets, s_indices
-    # pass 1 — order-dependent greedy (deterministic, natural ordering)
-    for i in range(n):
-        if agg[i] >= 0:
-            continue
-        nb = si[so[i] : so[i + 1]]
-        if nb.size and (agg[nb] >= 0).any():
-            continue
-        agg[nb] = na
-        agg[i] = na
-        na += 1
+    # pass 1 — order-dependent greedy (deterministic, natural ordering).
+    # This is a lexicographically-first MIS of the neighborhood-overlap
+    # conflict graph: inherently sequential (P-complete), so it runs in
+    # the native runtime (exact same semantics; the Python loop below is
+    # the SPMX_NO_NATIVE fallback and the parity oracle in test_amg.py)
+    na = aggregate_pass_native(1, so, si, agg)
+    if na is None:
+        na = 0
+        for i in range(n):
+            if agg[i] >= 0:
+                continue
+            nb = si[so[i] : so[i + 1]]
+            if nb.size and (agg[nb] >= 0).any():
+                continue
+            agg[nb] = na
+            agg[i] = na
+            na += 1
 
     # pass 2 — attach stragglers to a neighboring pass-1 aggregate (all
     # decisions read the pass-1 state, so this is safely vectorized)
@@ -120,15 +128,19 @@ def aggregate_strong(
             agg[attach] = choice[attach]
 
     # pass 3 — remaining nodes (connected only to other leftovers)
-    for i in np.flatnonzero(agg < 0):
-        if agg[i] >= 0:
-            continue
-        nb = si[so[i] : so[i + 1]]
-        grp = nb[agg[nb] < 0] if nb.size else nb
-        agg[i] = na
-        if grp.size:
-            agg[grp] = na
-        na += 1
+    if (agg < 0).any():
+        na3 = aggregate_pass_native(3, so, si, agg, na)
+        if na3 is not None:
+            return agg, na3
+        for i in np.flatnonzero(agg < 0):
+            if agg[i] >= 0:
+                continue
+            nb = si[so[i] : so[i + 1]]
+            grp = nb[agg[nb] < 0] if nb.size else nb
+            agg[i] = na
+            if grp.size:
+                agg[grp] = na
+            na += 1
     return agg, na
 
 
@@ -171,7 +183,7 @@ def _scale_rows(a, s: np.ndarray):
     return CsrMatrix(
         a.rows,
         a.cols,
-        (a.vals.astype(np.float64) * s[rids]).astype(np.float64),
+        (a.vals.astype(np.float64) * s[rids]).astype(a.vals.dtype),
         a.indices.copy(),
         a.offsets.copy(),
         is_sorted=a.is_sorted,
@@ -336,7 +348,10 @@ def amg_setup(
         agg, n_agg = aggregate_strong(cur.rows, so, si)
         if n_agg >= cur.rows:  # no coarsening possible (e.g. diagonal A)
             break
-        p = tentative_prolongator(agg, n_agg)
+        # build P in A's value dtype: mixed dtypes would route every
+        # smoothing/Galerkin product onto the Python hash fallback
+        # (measured 10x the native engine at the finest level)
+        p = tentative_prolongator(agg, n_agg, dtype=cur.vals.dtype)
         dvec = _diag_of(cur)
         dinv = np.where(dvec != 0.0, 1.0 / np.where(dvec == 0.0, 1.0, dvec), 1.0)
         lam = _lambda_max_dinv_a(cur, dinv)

@@ -214,3 +214,66 @@ def test_amg_diagonal_matrix_degenerates_gracefully():
     np.testing.assert_allclose(
         np.asarray(res.x) * vals, b, atol=1e-4
     )
+
+
+def test_native_aggregation_matches_python_loop():
+    """The native greedy passes must be bit-equal to the sequential Python
+    loops they replaced (exact lex-first-MIS semantics, natural order)."""
+    from sparse_matrix_tpu.native import aggregate_pass_native
+    from sparse_matrix_tpu.solvers.amg import aggregate_strong, strength_graph
+    from sparse_matrix_tpu.solvers import poisson_2d_csr
+    from sparse_matrix_tpu.core import DokMatrix
+    from sparse_matrix_tpu.formats import CsrMatrix
+
+    if aggregate_pass_native(1, np.zeros(1, np.int64), np.zeros(0, np.int64),
+                             np.full(0, -1, np.int64)) is None:
+        import pytest
+        pytest.skip("native runtime unavailable")
+
+    def python_reference(n, so, si):
+        agg = np.full(n, -1, dtype=np.int64)
+        na = 0
+        for i in range(n):
+            if agg[i] >= 0:
+                continue
+            nb = si[so[i]:so[i + 1]]
+            if nb.size and (agg[nb] >= 0).any():
+                continue
+            agg[nb] = na
+            agg[i] = na
+            na += 1
+        un = agg < 0
+        if un.any():
+            deg = np.diff(so)
+            edge_src = np.repeat(np.arange(n, dtype=np.int64), deg)
+            emask = un[edge_src] & (agg[si] >= 0)
+            if emask.any():
+                src, tgt = edge_src[emask], agg[si[emask]]
+                choice = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(choice, src, tgt)
+                attach = choice < np.iinfo(np.int64).max
+                agg[attach] = choice[attach]
+        for i in np.flatnonzero(agg < 0):
+            if agg[i] >= 0:
+                continue
+            nb = si[so[i]:so[i + 1]]
+            grp = nb[agg[nb] < 0] if nb.size else nb
+            agg[i] = na
+            if grp.size:
+                agg[grp] = na
+            na += 1
+        return agg, na
+
+    rng = np.random.default_rng(5)
+    cases = [poisson_2d_csr(24, dtype=np.float32)]
+    for n, dens in ((97, 0.06), (200, 0.02), (64, 0.0)):
+        d = (rng.random((n, n)) < dens) * rng.standard_normal((n, n))
+        d = d + d.T + np.eye(n) * 4.0  # symmetric w/ diagonal
+        cases.append(CsrMatrix.from_dok(DokMatrix.from_dense(d.astype(np.float64))))
+    for m in cases:
+        so, si = strength_graph(m)
+        agg, na = aggregate_strong(m.rows, so, si)
+        ref_agg, ref_na = python_reference(m.rows, so, si)
+        assert na == ref_na
+        np.testing.assert_array_equal(agg, ref_agg)
+        assert (agg >= 0).all() and agg.max() == na - 1
