@@ -15,5 +15,7 @@ from .loader import (  # noqa: F401
     flops_per_row_native,
     parse_entries_native,
     aggregate_pass_native,
+    ilu0_native,
+    trisolve_native,
     load_library,
 )

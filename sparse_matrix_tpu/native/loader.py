@@ -20,6 +20,8 @@ __all__ = [
     "flops_per_row_native",
     "parse_entries_native",
     "aggregate_pass_native",
+    "ilu0_native",
+    "trisolve_native",
 ]
 
 _LIB: Optional[ctypes.CDLL] = None
@@ -66,6 +68,12 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.spmx_blocks_to_coo.argtypes = [
         _F32P, c_i64, c_i64, _I64P, _U32P, c_i64, c_i64, _I64P, _I64P, _F32P,
     ]
+    for name, vp in [("spmx_ilu0_f64", _F64P), ("spmx_ilu0_f32", _F32P)]:
+        getattr(lib, name).restype = c_i64
+        getattr(lib, name).argtypes = [c_i64, c_i64, _I64P, _U32P, vp, _I64P]
+    for name, vp in [("spmx_trisolve_f64", _F64P), ("spmx_trisolve_f32", _F32P)]:
+        getattr(lib, name).restype = c_i64
+        getattr(lib, name).argtypes = [c_i64, _I64P, _U32P, vp, _I64P, vp, c_int, c_int]
     lib.spmx_aggregate_pass1.restype = c_i64
     lib.spmx_aggregate_pass1.argtypes = [c_i64, _I64P, _I64P, _I64P]
     lib.spmx_aggregate_pass3.restype = c_i64
@@ -149,6 +157,55 @@ def spgemm_hash_native(lhs, rhs, *, output_sorted: bool = False, num_threads: in
     )
     return CsrMatrix(
         lhs.rows, rhs.cols, out_vals, out_indices, offsets, is_sorted=output_sorted
+    )
+
+
+_ILU_BY_DTYPE = {
+    np.dtype(np.float64): "spmx_ilu0_f64",
+    np.dtype(np.float32): "spmx_ilu0_f32",
+}
+_TRI_BY_DTYPE = {
+    np.dtype(np.float64): "spmx_trisolve_f64",
+    np.dtype(np.float32): "spmx_trisolve_f32",
+}
+
+
+def ilu0_native(rows, cols, offsets, indices, vals, diag_pos):
+    """In-place ILU(0) on the CSR value array (solvers/ilu.py). Returns the
+    first zero-pivot row, -1 on success, or None when unavailable."""
+    lib = load_library()
+    name = _ILU_BY_DTYPE.get(vals.dtype)
+    if lib is None or name is None:
+        return None
+    assert vals.flags["C_CONTIGUOUS"]
+    return int(
+        getattr(lib, name)(
+            rows, cols,
+            np.ascontiguousarray(offsets, dtype=np.int64),
+            np.ascontiguousarray(indices, dtype=np.uint32),
+            vals,
+            np.ascontiguousarray(diag_pos, dtype=np.int64),
+        )
+    )
+
+
+def trisolve_native(rows, offsets, indices, vals, diag_pos, x, *, lower, unit):
+    """In-place exact CSR triangular solve (x holds b on entry). Returns
+    the zero-pivot row, -1 on success, or None when unavailable."""
+    lib = load_library()
+    name = _TRI_BY_DTYPE.get(vals.dtype)
+    if lib is None or name is None or x.dtype != vals.dtype:
+        return None
+    assert x.flags["C_CONTIGUOUS"]
+    return int(
+        getattr(lib, name)(
+            rows,
+            np.ascontiguousarray(offsets, dtype=np.int64),
+            np.ascontiguousarray(indices, dtype=np.uint32),
+            np.ascontiguousarray(vals),
+            np.ascontiguousarray(diag_pos, dtype=np.int64),
+            x, 1 if lower else 0, 1 if unit else 0,
+        )
     )
 
 

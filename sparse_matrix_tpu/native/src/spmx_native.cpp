@@ -398,3 +398,86 @@ extern "C" i64 spmx_aggregate_pass3(i64 n, const i64* so, const i64* si, i64 na,
   }
   return na;
 }
+
+// ---------------------------------------------------------------------------
+// ILU(0) factorization + exact triangular solves (solvers/ilu.py).
+// IKJ row variant on the fixed CSR pattern (no fill): for each row i, fold
+// in every finished row k < i present in row i. Sequential along the row
+// dependency chain — native-runtime work, like the reference's host kernels
+// (spam_csr/src/mul_hash.rs is the same "host does the irregular part"
+// stance). Requires sorted column indices. Returns -1 on success or the
+// first row with a zero pivot.
+// ---------------------------------------------------------------------------
+
+template <typename V>
+static i64 ilu0_impl(i64 rows, const i64* offsets, const u32* indices, V* vals,
+                     const i64* diag_pos, i64* w /* size cols, init -1 */) {
+  for (i64 i = 0; i < rows; ++i) {
+    i64 b = offsets[i], e = offsets[i + 1];
+    for (i64 t = b; t < e; ++t) w[indices[t]] = t;
+    for (i64 t = b; t < e && (i64)indices[t] < i; ++t) {
+      i64 k = (i64)indices[t];
+      i64 dk = diag_pos[k];
+      if (dk < 0 || vals[dk] == (V)0) { return k; }
+      V f = vals[t] / vals[dk];
+      vals[t] = f;
+      for (i64 s = dk + 1; s < offsets[k + 1]; ++s) {
+        i64 p = w[indices[s]];
+        if (p >= 0) vals[p] -= f * vals[s];
+      }
+    }
+    if (diag_pos[i] < 0 || vals[diag_pos[i]] == (V)0) return i;
+    for (i64 t = b; t < e; ++t) w[indices[t]] = -1;
+  }
+  return -1;
+}
+
+extern "C" i64 spmx_ilu0_f64(i64 rows, i64 cols, const i64* offsets,
+                             const u32* indices, double* vals, const i64* diag_pos) {
+  std::vector<i64> w((size_t)cols, -1);
+  return ilu0_impl<double>(rows, offsets, indices, vals, diag_pos, w.data());
+}
+
+extern "C" i64 spmx_ilu0_f32(i64 rows, i64 cols, const i64* offsets,
+                             const u32* indices, float* vals, const i64* diag_pos) {
+  std::vector<i64> w((size_t)cols, -1);
+  return ilu0_impl<float>(rows, offsets, indices, vals, diag_pos, w.data());
+}
+
+// Exact host triangular solve on CSR (x overwrites b). lower=1: forward
+// sweep, rows ascending; lower=0: backward. unit=1 skips the diagonal
+// divide (unit-diagonal factor). Requires sorted indices + diag_pos.
+template <typename V>
+static i64 trisolve_impl(i64 rows, const i64* offsets, const u32* indices,
+                         const V* vals, const i64* diag_pos, V* x, int lower, int unit) {
+  for (i64 step = 0; step < rows; ++step) {
+    i64 i = lower ? step : rows - 1 - step;
+    i64 b = offsets[i], e = offsets[i + 1];
+    V acc = x[i];
+    if (lower) {
+      for (i64 t = b; t < e && (i64)indices[t] < i; ++t) acc -= vals[t] * x[indices[t]];
+    } else {
+      i64 d = diag_pos[i];
+      for (i64 t = (d >= 0 ? d + 1 : b); t < e; ++t) acc -= vals[t] * x[indices[t]];
+    }
+    if (!unit) {
+      i64 d = diag_pos[i];
+      if (d < 0 || vals[d] == (V)0) return i;
+      acc /= vals[d];
+    }
+    x[i] = acc;
+  }
+  return -1;
+}
+
+extern "C" i64 spmx_trisolve_f64(i64 rows, const i64* offsets, const u32* indices,
+                                 const double* vals, const i64* diag_pos,
+                                 double* x, int lower, int unit) {
+  return trisolve_impl<double>(rows, offsets, indices, vals, diag_pos, x, lower, unit);
+}
+
+extern "C" i64 spmx_trisolve_f32(i64 rows, const i64* offsets, const u32* indices,
+                                 const float* vals, const i64* diag_pos,
+                                 float* x, int lower, int unit) {
+  return trisolve_impl<float>(rows, offsets, indices, vals, diag_pos, x, lower, unit);
+}

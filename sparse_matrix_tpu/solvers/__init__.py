@@ -26,4 +26,14 @@ from .amg import (  # noqa: F401
     amg_preconditioner,
     amg_setup,
 )
+from .ilu import (  # noqa: F401
+    IluFactors,
+    TriangularJacobi,
+    ic0,
+    ic_pcg_solve,
+    ic_preconditioner,
+    ilu0,
+    ilu_preconditioner,
+    trisolve_host,
+)
 from .poisson import poisson_2d_csr  # noqa: F401

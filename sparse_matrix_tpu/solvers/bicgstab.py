@@ -26,10 +26,19 @@ def bicgstab_solve(
     *,
     tol: float = 1e-6,
     maxiter: int = 1000,
+    m_inv: Callable = None,
 ) -> CgResult:
-    """Solve ``A x = b`` for general square ``A``; ||r|| <= tol*||b||."""
+    """Solve ``A x = b`` for general square ``A``; ||r|| <= tol*||b||.
+
+    ``m_inv`` right-preconditions (van der Vorst's variant: the search
+    directions are preconditioned, the recurrence tracks the TRUE
+    residual, so the stopping test needs no unpreconditioned re-check);
+    pass e.g. :func:`~.ilu.ilu_preconditioner`.
+    """
     b = jnp.asarray(b)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    if m_inv is None:
+        m_inv = lambda v: v  # noqa: E731
 
     r = b - matvec(x)
     r_hat = r
@@ -45,14 +54,16 @@ def bicgstab_solve(
 
     def body(state):
         x, p, r, rho, _rr, _ok, k = state
-        v = matvec(p)
+        p_hat = m_inv(p)
+        v = matvec(p_hat)
         denom = jnp.vdot(r_hat, v).real
         alpha = rho / jnp.where(jnp.abs(denom) < _EPS, _EPS, denom)
         s = r - alpha * v
-        t = matvec(s)
+        s_hat = m_inv(s)
+        t = matvec(s_hat)
         tt = jnp.vdot(t, t).real
         omega = jnp.vdot(t, s).real / jnp.where(tt < _EPS, _EPS, tt)
-        x = x + alpha * p + omega * s
+        x = x + alpha * p_hat + omega * s_hat
         r = s - omega * t
         rho_new = jnp.vdot(r_hat, r).real
         beta = (rho_new / jnp.where(jnp.abs(rho) < _EPS, _EPS, rho)) * (

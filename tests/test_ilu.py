@@ -1,0 +1,206 @@
+"""ILU(0)/IC(0) factorization + triangular solve tests."""
+
+import numpy as np
+import pytest
+
+from sparse_matrix_tpu.core import DokMatrix
+from sparse_matrix_tpu.formats import CsrMatrix
+from sparse_matrix_tpu.solvers import (
+    TriangularJacobi,
+    ic0,
+    ic_pcg_solve,
+    ic_preconditioner,
+    ilu0,
+    ilu_preconditioner,
+    poisson_2d_csr,
+    trisolve_host,
+)
+from sparse_matrix_tpu.solvers.ilu import _ilu0_python, _diag_positions
+
+
+def _dense_ilu0_reference(a_dense):
+    """Textbook IKJ ILU(0) on the dense pattern mask (oracle)."""
+    a = a_dense.copy().astype(np.float64)
+    pattern = a_dense != 0
+    n = a.shape[0]
+    for i in range(1, n):
+        for k in range(i):
+            if not pattern[i, k]:
+                continue
+            a[i, k] /= a[k, k]
+            for j in range(k + 1, n):
+                if pattern[i, j] and pattern[k, j]:
+                    a[i, j] -= a[i, k] * a[k, j]
+    l = np.tril(a, -1) + np.eye(n)
+    u = np.triu(a)
+    return l, u
+
+
+def _spd_dense(rng, n, dens=0.08):
+    m = (rng.random((n, n)) < dens) * rng.standard_normal((n, n))
+    m = (m + m.T) / 2
+    np.fill_diagonal(m, np.abs(m).sum(axis=1) + 1.0)  # strictly diag dominant
+    return m
+
+
+def test_ilu0_matches_dense_reference():
+    rng = np.random.default_rng(0)
+    for n in (7, 40, 120):
+        d = _spd_dense(rng, n)
+        a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+        f = ilu0(a)
+        lref, uref = _dense_ilu0_reference(d)
+        np.testing.assert_allclose(f.l.to_dense(), lref, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(f.u.to_dense(), uref, rtol=1e-10, atol=1e-12)
+
+
+def test_ilu0_python_fallback_matches_native():
+    rng = np.random.default_rng(1)
+    d = _spd_dense(rng, 60)
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    vals_native = ilu0(a)  # native (if available)
+    vals = a.vals.copy()
+    rc = _ilu0_python(a.rows, a.offsets, a.indices.astype(np.int64), vals, _diag_positions(a))
+    assert rc == -1
+    f2_l = np.tril(
+        CsrMatrix(a.rows, a.cols, vals, a.indices, a.offsets, is_sorted=True).to_dense(), -1
+    ) + np.eye(a.rows)
+    np.testing.assert_allclose(vals_native.l.to_dense(), f2_l, rtol=1e-12, atol=1e-14)
+
+
+def test_ilu0_exact_for_full_pattern():
+    """On a dense pattern ILU(0) == exact LU: L@U reproduces A."""
+    rng = np.random.default_rng(2)
+    d = _spd_dense(rng, 30, dens=1.0)
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    f = ilu0(a)
+    np.testing.assert_allclose(
+        f.l.to_dense() @ f.u.to_dense(), d, rtol=1e-9, atol=1e-10
+    )
+
+
+def test_ilu0_zero_pivot_raises():
+    d = np.array([[0.0, 1.0], [1.0, 1.0]])
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    with pytest.raises(ValueError, match="zero pivot in row 0"):
+        ilu0(a)
+
+
+def test_ilu0_rejects_rectangular_and_unsorted():
+    d = np.ones((2, 3))
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    with pytest.raises(ValueError, match="square"):
+        ilu0(a)
+
+
+def test_ic0_factor_spd():
+    rng = np.random.default_rng(3)
+    d = _spd_dense(rng, 80)
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    lc = ic0(a)
+    ld = lc.to_dense()
+    assert np.allclose(np.triu(ld, 1), 0.0)  # lower triangular
+    # on the pattern of A, L L^T reproduces A's entries (IC(0) property
+    # holds exactly where the pattern is closed; check diag dominance case
+    # approximately via preconditioned residual instead of entrywise)
+    prod = ld @ ld.T
+    mask = d != 0
+    np.testing.assert_allclose(prod[mask], d[mask], rtol=1e-4, atol=1e-6)
+
+
+def test_ic0_non_spd_raises():
+    d = np.array([[1.0, 2.0], [2.0, 1.0]])  # indefinite
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    with pytest.raises(ValueError, match="non-positive pivot"):
+        ic0(a)
+
+
+def test_trisolve_host_exact():
+    rng = np.random.default_rng(4)
+    d = _spd_dense(rng, 90)
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    f = ilu0(a)
+    b = rng.standard_normal(a.rows)
+    y = trisolve_host(f.l, b, lower=True, unit=True)
+    np.testing.assert_allclose(f.l.to_dense() @ y, b, rtol=1e-9, atol=1e-10)
+    x = trisolve_host(f.u, y, lower=False)
+    np.testing.assert_allclose(f.u.to_dense() @ x, y, rtol=1e-8, atol=1e-9)
+
+
+def test_trisolve_host_python_fallback(monkeypatch):
+    import sparse_matrix_tpu.solvers.ilu as ilu_mod
+
+    monkeypatch.setattr(
+        "sparse_matrix_tpu.native.loader.trisolve_native", lambda *a, **k: None
+    )
+    # module imported the symbol directly; patch there too
+    monkeypatch.setattr("sparse_matrix_tpu.native.trisolve_native", lambda *a, **k: None)
+    rng = np.random.default_rng(5)
+    d = np.tril(_spd_dense(rng, 25))
+    t = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    b = rng.standard_normal(25)
+    x = ilu_mod.trisolve_host(t, b, lower=True)
+    np.testing.assert_allclose(d @ x, b, rtol=1e-9, atol=1e-10)
+
+
+def test_triangular_jacobi_exact_after_depth_sweeps():
+    """D^{-1}N is nilpotent: enough sweeps give the exact solve."""
+    rng = np.random.default_rng(6)
+    d = _spd_dense(rng, 64)
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d.astype(np.float64)))
+    lc = ic0(a)
+    b = rng.standard_normal(64).astype(np.float32)
+    sj = TriangularJacobi(lc, sweeps=64, dtype=np.float32)  # sweeps >= depth
+    x = np.asarray(sj(np.asarray(b)))
+    ref = trisolve_host(lc, b.astype(np.float64), lower=True)
+    np.testing.assert_allclose(x, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_triangular_jacobi_block_rhs():
+    rng = np.random.default_rng(7)
+    p = poisson_2d_csr(10, dtype=np.float64)
+    lc = ic0(p)
+    B = rng.standard_normal((p.rows, 3)).astype(np.float32)
+    sj = TriangularJacobi(lc, sweeps=100, dtype=np.float32)
+    X = np.asarray(sj(B))
+    for k in range(3):
+        np.testing.assert_allclose(
+            X[:, k],
+            trisolve_host(lc, B[:, k].astype(np.float64), lower=True),
+            rtol=2e-4, atol=2e-5,
+        )
+
+
+def test_ic_pcg_beats_plain_cg_iterations():
+    """IC(0)-PCG must cut CG iterations on Poisson (the standard sanity
+    check for a working IC preconditioner)."""
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+    from sparse_matrix_tpu.solvers.cg import cg_solve
+
+    p = poisson_2d_csr(32, dtype=np.float32)
+    rng = np.random.default_rng(8)
+    b = rng.standard_normal(p.rows).astype(np.float32)
+    res_plain = cg_solve(SpmvOperator(p, dtype=np.float32), b, tol=1e-5, maxiter=2000)
+    res_ic = ic_pcg_solve(p, b, sweeps=6, tol=1e-5, maxiter=2000)
+    assert int(res_ic.iterations) < int(res_plain.iterations) * 0.6
+    x = np.asarray(res_ic.x, dtype=np.float64)
+    dense = p.to_dense().astype(np.float64)
+    r = np.linalg.norm(dense @ x - b)
+    assert r < 5e-5 * np.linalg.norm(b) * 10
+
+
+def test_ilu_preconditioner_helps_bicgstab_unsymmetric():
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+    from sparse_matrix_tpu.solvers import bicgstab_solve
+
+    rng = np.random.default_rng(9)
+    n = 200
+    d = (rng.random((n, n)) < 0.03) * rng.standard_normal((n, n))
+    np.fill_diagonal(d, np.abs(d).sum(axis=1) + 2.0)  # unsymmetric, dominant
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d.astype(np.float64)))
+    b = rng.standard_normal(n)
+    op = SpmvOperator(a, dtype=np.float64)
+    m_inv = ilu_preconditioner(a, sweeps=5, dtype=np.float64)
+    res = bicgstab_solve(op, b, m_inv=m_inv, tol=1e-8, maxiter=400)
+    x = np.asarray(res.x)
+    assert np.linalg.norm(d @ x - b) < 1e-6 * np.linalg.norm(b) * 10
