@@ -29,12 +29,19 @@ def gmres_solve(
     restart: int = 30,
     tol: float = 1e-6,
     maxiter: int = 1000,
+    m_inv: Callable = None,
 ) -> CgResult:
     """Solve ``A x = b`` for general square ``A``; ||r|| <= tol*||b||.
 
-    ``maxiter`` counts total matvecs (inner iterations).
+    ``maxiter`` counts total matvecs (inner iterations). ``m_inv`` right-
+    preconditions (the Arnoldi basis spans the Krylov space of
+    ``A M^{-1}``; the recurrence and stopping test see the TRUE residual,
+    and only the final update pays one extra ``m_inv`` apply); pair with
+    :func:`~.ilu.ilu_preconditioner`.
     """
     b = jnp.asarray(b)
+    if m_inv is None:
+        m_inv = lambda v: v  # noqa: E731
     n = b.shape[0]
     m = min(restart, n)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
@@ -58,7 +65,7 @@ def gmres_solve(
 
             def live(args):
                 basis, h, cs, sn, g = args
-                w = matvec(basis[j])
+                w = matvec(m_inv(basis[j]))
                 # modified Gram-Schmidt against all m+1 rows (rows > j are
                 # zero vectors, contributing nothing)
                 hcol = basis @ w  # (m+1,)
@@ -108,7 +115,7 @@ def gmres_solve(
             return y.at[i].set(yi)
 
         y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, b.dtype))
-        x_new = x + y @ basis[:m]
+        x_new = x + m_inv(y @ basis[:m])
         r_new = b - matvec(x_new)
         return x_new, jnp.sqrt(jnp.vdot(r_new, r_new).real)
 

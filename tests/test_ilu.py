@@ -204,3 +204,24 @@ def test_ilu_preconditioner_helps_bicgstab_unsymmetric():
     res = bicgstab_solve(op, b, m_inv=m_inv, tol=1e-8, maxiter=400)
     x = np.asarray(res.x)
     assert np.linalg.norm(d @ x - b) < 1e-6 * np.linalg.norm(b) * 10
+
+
+def test_ilu_preconditioned_gmres_cuts_iterations():
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+    from sparse_matrix_tpu.solvers import gmres_solve
+
+    rng = np.random.default_rng(10)
+    n = 300
+    d = (rng.random((n, n)) < 0.03) * rng.standard_normal((n, n))
+    np.fill_diagonal(d, np.abs(d).sum(axis=1) + 1.5)
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d.astype(np.float64)))
+    b = rng.standard_normal(n).astype(np.float32)
+    op = SpmvOperator(a, dtype=np.float32)
+    # restart=6 so convergence needs multiple cycles: the iteration counter
+    # advances per cycle, which makes the preconditioning win observable
+    res_plain = gmres_solve(op, b, restart=6, tol=1e-6, maxiter=600)
+    m_inv = ilu_preconditioner(a, sweeps=5)
+    res_pre = gmres_solve(op, b, restart=6, tol=1e-6, maxiter=600, m_inv=m_inv)
+    assert int(res_pre.iterations) < int(res_plain.iterations)
+    x = np.asarray(res_pre.x, dtype=np.float64)
+    assert np.linalg.norm(d @ x - b) < 1e-4 * np.linalg.norm(b)
