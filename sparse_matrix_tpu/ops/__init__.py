@@ -17,6 +17,11 @@ from .spgemm_block import (  # noqa: F401
 from .spgemm_dia import spgemm_dia  # noqa: F401
 from .spmm import spmm_dia, spmm_bcsr  # noqa: F401
 from .operator import SpmvOperator  # noqa: F401
+from .batched import (  # noqa: F401
+    BatchedCgResult,
+    BatchedEllOperator,
+    batched_cg_solve,
+)
 from .spmv import (  # noqa: F401
     spmv_lanepack,
     lanepack_device_arrays,
