@@ -36,4 +36,5 @@ from .ilu import (  # noqa: F401
     ilu_preconditioner,
     trisolve_host,
 )
+from .svd import SvdResult, svds, svds_csr  # noqa: F401
 from .poisson import poisson_2d_csr  # noqa: F401
