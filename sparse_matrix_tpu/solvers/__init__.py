@@ -11,10 +11,16 @@ from .cg import (  # noqa: F401
 from .minres import minres_solve  # noqa: F401
 from .eigen import (  # noqa: F401
     PowerResult,
+    eigs,
     power_iteration,
     inverse_power_iteration,
     lanczos,
     eigsh_extremal,
+)
+from .funm import (  # noqa: F401
+    expm_multiply,
+    expm_multiply_csr,
+    expm_multiply_sym,
 )
 from .bicgstab import bicgstab_solve  # noqa: F401
 from .lsqr import LsqrResult, lsqr_solve  # noqa: F401

@@ -14,7 +14,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["PowerResult", "power_iteration", "inverse_power_iteration", "lanczos", "eigsh_extremal"]
+__all__ = [
+    "PowerResult",
+    "power_iteration",
+    "inverse_power_iteration",
+    "lanczos",
+    "eigsh_extremal",
+    "eigs",
+]
 
 
 class PowerResult(NamedTuple):
@@ -105,3 +112,60 @@ def inverse_power_iteration(
         if abs(float(lam - lam_prev)) <= tol * abs(float(lam)) + 1e-30:
             break
     return PowerResult(eigenvalue=lam, eigenvector=v, iterations=jnp.int32(k))
+
+
+def eigs(matvec: Callable, n: int, k: int = 6, *, m: int = None, seed: int = 0):
+    """Top-``k`` eigenpairs (by modulus) of a GENERAL square operator by
+    m-step Arnoldi with full orthogonalization.
+
+    The Arnoldi loop is one jitted ``lax.fori_loop`` holding the Krylov
+    basis in a fixed (m+1, n) buffer (the same masked-basis trick as the
+    GMRES inner loop); only the small (m, m) Hessenberg eigenproblem runs
+    on the host. Eigenvalues/vectors of a real matrix may be complex:
+    returns numpy ``(vals (k,) complex, vecs (n, k) complex)``.
+
+    Complements :func:`eigsh_extremal` (symmetric-only Lanczos) for the
+    nonsymmetric systems served by BiCGStab/GMRES.
+    """
+    if m is None:
+        m = min(n, max(2 * k + 10, 20))
+    m = int(min(max(m, k + 1), n))
+    if k < 1 or k > n:
+        raise ValueError(f"k={k} out of range for n={n}")
+
+    @jax.jit
+    def arnoldi(v0):
+        basis = jnp.zeros((m + 1, n), jnp.float32).at[0].set(v0)
+        h = jnp.zeros((m + 1, m), jnp.float32)
+
+        def body(j, state):
+            basis, h = state
+            w = matvec(basis[j])
+            coeff = basis @ w
+            keep = jnp.arange(m + 1) <= j
+            coeff = jnp.where(keep, coeff, 0.0)
+            w = w - coeff @ basis
+            # one reorthogonalization pass (classical Gram-Schmidt twice
+            # == numerically modified; keeps the basis orthonormal at f32)
+            coeff2 = jnp.where(keep, basis @ w, 0.0)
+            w = w - coeff2 @ basis
+            hnext = jnp.linalg.norm(w)
+            live = hnext > 1e-6
+            basis = basis.at[j + 1].set(
+                jnp.where(live, w / jnp.maximum(hnext, 1e-30), 0.0)
+            )
+            hcol = (coeff + coeff2).at[j + 1].set(jnp.where(live, hnext, 0.0))
+            return basis, h.at[:, j].set(hcol)
+
+        return jax.lax.fori_loop(0, m, body, (basis, h))
+
+    v0 = jax.random.normal(jax.random.PRNGKey(seed), (n,), dtype=jnp.float32)
+    v0 = v0 / jnp.linalg.norm(v0)
+    basis, h = arnoldi(v0)
+    hm = np.asarray(h)[:m, :m].astype(np.float64)
+    vals, vecs = np.linalg.eig(hm)
+    order = np.argsort(-np.abs(vals))[:k]
+    ritz_vals = vals[order]
+    ritz_vecs = np.asarray(basis)[:m].T.astype(np.complex128) @ vecs[:, order]
+    ritz_vecs = ritz_vecs / np.linalg.norm(ritz_vecs, axis=0, keepdims=True)
+    return ritz_vals, ritz_vecs
