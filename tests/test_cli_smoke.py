@@ -28,3 +28,19 @@ def test_fuzz_cli():
         env={"PYTHONPATH": ".", "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root"},
     )
     assert "20 cases OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_examples_smoke(tmp_path):
+    """New examples run end-to-end on CPU at toy sizes."""
+    env = {"PYTHONPATH": ".", "PATH": "/usr/bin:/bin:/usr/local/bin",
+           "HOME": "/root", "JAX_PLATFORMS": "cpu"}
+    out = subprocess.run(
+        [sys.executable, "examples/batched_systems.py", "8"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert "solved all 8" in out.stdout, out.stderr[-2000:]
+    out = subprocess.run(
+        [sys.executable, "examples/preconditioners.py", "48"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert "AMG-PCG" in out.stdout, out.stderr[-2000:]

@@ -73,3 +73,80 @@ def test_matmul_operator_unsorted_output():
     assert not C.is_sorted
     assert C.invariants()
     np.testing.assert_allclose(C.to_dense(), a @ a, rtol=1e-12)
+
+
+def test_complex_device_operator_matches_dense():
+    """ComplexSpmvOperator: device apply via two real K=2 SpMMs."""
+    import numpy as np
+
+    from sparse_matrix_tpu.core import DokMatrix
+    from sparse_matrix_tpu.formats import CsrMatrix
+    from sparse_matrix_tpu.ops import ComplexSpmvOperator
+
+    rng = np.random.default_rng(0)
+    n = 120
+    mask = rng.random((n, n)) < 0.05
+    d = mask * (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+    np.fill_diagonal(d, d.diagonal() + 3.0)
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d.astype(np.complex128)))
+    op = ComplexSpmvOperator(a)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    y = np.asarray(op(x))
+    np.testing.assert_allclose(y, d.astype(np.complex64) @ x, rtol=1e-4, atol=1e-4)
+    # block apply
+    X = (rng.standard_normal((n, 3)) + 1j * rng.standard_normal((n, 3))).astype(np.complex64)
+    Y = np.asarray(op.matmat(X))
+    np.testing.assert_allclose(Y, d.astype(np.complex64) @ X, rtol=1e-4, atol=1e-4)
+
+
+def test_complex_device_operator_pure_real_skips_imag_part():
+    import numpy as np
+
+    from sparse_matrix_tpu.core import DokMatrix
+    from sparse_matrix_tpu.formats import CsrMatrix
+    from sparse_matrix_tpu.ops import ComplexSpmvOperator
+
+    rng = np.random.default_rng(1)
+    d = ((rng.random((40, 40)) < 0.1) * rng.standard_normal((40, 40))).astype(np.complex128)
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    op = ComplexSpmvOperator(a)
+    assert op._ai is None
+    x = (rng.standard_normal(40) + 1j * rng.standard_normal(40)).astype(np.complex64)
+    np.testing.assert_allclose(
+        np.asarray(op(x)), d.astype(np.complex64) @ x, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_complex_operator_rejects_real_matrix():
+    import numpy as np
+    import pytest
+
+    from sparse_matrix_tpu.ops import ComplexSpmvOperator
+    from sparse_matrix_tpu.solvers import poisson_2d_csr
+
+    with pytest.raises(ValueError, match="complex values"):
+        ComplexSpmvOperator(poisson_2d_csr(4, dtype=np.float32))
+
+
+def test_complex_hermitian_cg_converges():
+    """CG on a Hermitian positive-definite complex system through the
+    device operator (cg_solve's vdot handles complex)."""
+    import numpy as np
+
+    from sparse_matrix_tpu.core import DokMatrix
+    from sparse_matrix_tpu.formats import CsrMatrix
+    from sparse_matrix_tpu.ops import ComplexSpmvOperator
+    from sparse_matrix_tpu.solvers.cg import cg_solve
+
+    rng = np.random.default_rng(2)
+    n = 64
+    mask = rng.random((n, n)) < 0.06
+    m = mask * (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+    d = (m + m.conj().T) / 2
+    np.fill_diagonal(d, np.abs(d).sum(axis=1).real + 1.0)  # HPD
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    op = ComplexSpmvOperator(a)
+    b = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    res = cg_solve(op, b, tol=1e-6, maxiter=500)
+    x = np.asarray(res.x)
+    assert np.linalg.norm(d @ x - b) < 1e-4 * np.linalg.norm(b)
