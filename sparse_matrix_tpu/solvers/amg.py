@@ -34,6 +34,7 @@ __all__ = [
     "AmgHierarchy",
     "AmgLevel",
     "aggregate_strong",
+    "amg_coarsen",
     "amg_preconditioner",
     "amg_pcg_solve",
     "amg_setup",
@@ -342,6 +343,68 @@ def amg_setup(
         raise ValueError("AMG requires a square operator")
 
     levels: List[AmgLevel] = []
+    host_levels, cur = amg_coarsen(
+        a,
+        theta=theta,
+        smooth_prolongator=smooth_prolongator,
+        max_levels=max_levels,
+        coarse_size=coarse_size,
+    )
+    for cur_l, p, dinv, lam in host_levels:
+        lv_ops = (
+            SpmvOperator(cur_l, dtype=dtype, force=operator_force),
+            SpmvOperator(p, dtype=dtype, force=operator_force),
+            SpmvOperator(p.transpose(), dtype=dtype, force=operator_force),
+        )
+        levels.append(
+            AmgLevel(
+                a_op=lv_ops[0],
+                p_op=lv_ops[1],
+                pt_op=lv_ops[2],
+                dinv=jnp.asarray(dinv.astype(dtype)),
+                lam=lam,
+                n=cur_l.rows,
+                nnz=cur_l.nnz(),
+            )
+        )
+        if verbose:  # pragma: no cover
+            print(
+                f"amg level {len(levels)-1}: n={cur_l.rows} nnz={cur_l.nnz()} "
+                f"(P nnz={p.nnz()}), "
+                f"fmt={lv_ops[0].format}/{lv_ops[1].format}/{lv_ops[2].format}"
+            )
+
+    dense = cur.to_dense().astype(np.float64)
+    coarse_inv = jnp.asarray(np.linalg.pinv(dense).astype(dtype))
+    return AmgHierarchy(
+        levels,
+        coarse_inv,
+        smoother=smoother,
+        nu=nu,
+        omega=omega,
+        cheb_degree=cheb_degree,
+    )
+
+
+def amg_coarsen(
+    a,
+    *,
+    theta: float = 0.08,
+    smooth_prolongator: bool = True,
+    max_levels: int = 12,
+    coarse_size: int = 400,
+):
+    """Host coarsening loop shared by the single-chip and distributed
+    hierarchies: returns ``(levels, coarse)`` where each level is
+    ``(A_l, P_l, dinv_l, lam_l)`` (host CSRs / numpy) and ``coarse`` is
+    the final small operator for a dense direct solve.
+
+    Per level: strength graph -> greedy aggregation (native runtime) ->
+    normalized tentative ``P0`` -> (optional) one damped-Jacobi smoothing
+    step ``P = (I - omega_p D^{-1} A) P0``, ``omega_p = 4/3 / lambda_max``
+    -> Galerkin ``A_c = P^T A P`` through the SpGEMM engines.
+    """
+    levels = []
     cur = a
     while cur.rows > coarse_size and len(levels) < max_levels:
         so, si = strength_graph(cur, theta)
@@ -360,41 +423,9 @@ def amg_setup(
             # P = P0 - omega_p * (D^-1 A) P0   (one Jacobi smoothing step);
             # the union-merge subtraction outputs sorted CSR for the planners
             p = p - (_scale_rows(cur, omega_p * dinv) @ p)
-        ac = _galerkin(p, cur)
-        lv_ops = (
-            SpmvOperator(cur, dtype=dtype, force=operator_force),
-            SpmvOperator(p, dtype=dtype, force=operator_force),
-            SpmvOperator(p.transpose(), dtype=dtype, force=operator_force),
-        )
-        levels.append(
-            AmgLevel(
-                a_op=lv_ops[0],
-                p_op=lv_ops[1],
-                pt_op=lv_ops[2],
-                dinv=jnp.asarray(dinv.astype(dtype)),
-                lam=lam,
-                n=cur.rows,
-                nnz=cur.nnz(),
-            )
-        )
-        if verbose:  # pragma: no cover
-            print(
-                f"amg level {len(levels)-1}: n={cur.rows} nnz={cur.nnz()} "
-                f"-> n_agg={n_agg} (P nnz={p.nnz()}), A_c nnz={ac.nnz()}, "
-                f"fmt={lv_ops[0].format}/{lv_ops[1].format}/{lv_ops[2].format}"
-            )
-        cur = ac
-
-    dense = cur.to_dense().astype(np.float64)
-    coarse_inv = jnp.asarray(np.linalg.pinv(dense).astype(dtype))
-    return AmgHierarchy(
-        levels,
-        coarse_inv,
-        smoother=smoother,
-        nu=nu,
-        omega=omega,
-        cheb_degree=cheb_degree,
-    )
+        levels.append((cur, p, dinv, lam))
+        cur = _galerkin(p, cur)
+    return levels, cur
 
 
 def _galerkin(p, a):
