@@ -43,4 +43,10 @@ from .ilu import (  # noqa: F401
     trisolve_host,
 )
 from .svd import SvdResult, svds, svds_csr  # noqa: F401
+from .chebyshev import chebyshev_solve  # noqa: F401
+from .stochastic import (  # noqa: F401
+    HutchinsonResult,
+    diag_estimate,
+    trace_estimate,
+)
 from .poisson import poisson_2d_csr  # noqa: F401
