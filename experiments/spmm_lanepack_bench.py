@@ -20,7 +20,7 @@ def probe_latency():
         t0 = time.perf_counter(); _ = float(f0(jnp.float32(0))); ls.append(time.perf_counter() - t0)
     return min(ls)
 
-def bench_chain(apply_fn, x0, ch=50, reps=4):
+def bench_chain(apply_fn, x0, ch=150, reps=6):
     @jax.jit
     def chain(x):
         def body(_, v): return apply_fn(v) * 1e-3

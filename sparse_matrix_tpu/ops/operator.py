@@ -272,11 +272,25 @@ class SpmvOperator:
             )
             y = y2 if y is None else y + y2
         if self._plan is not None:
-            from .spmm import spmm_lanepack
+            from .spmm import _LP_SPMM_MIN_K, spmm_lanepack
 
-            y2 = spmm_lanepack(
-                self._plan, x, device_arrays=self._spmm_cache(int(x.shape[1]))
-            )
+            if x.shape[1] < _LP_SPMM_MIN_K:
+                # per-column loop on the operator's own SpMV arrays — the
+                # packed kernel's cost is nearly K-independent and loses
+                # below K=8 (experiments/spmm_lp_bsweep.out)
+                from .spmv import spmv_lanepack
+
+                y2 = jnp.stack(
+                    [
+                        spmv_lanepack(self._plan, x[:, k], device_arrays=self._lp_arrs)
+                        for k in range(x.shape[1])
+                    ],
+                    axis=1,
+                )
+            else:
+                y2 = spmm_lanepack(
+                    self._plan, x, device_arrays=self._spmm_cache(int(x.shape[1]))
+                )
             y = y2 if y is None else y + y2
         if self._ell is not None:
             from .spmm import spmm_ell_xla

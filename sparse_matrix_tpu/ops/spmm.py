@@ -532,11 +532,33 @@ def lanepack_matvec_multi(plan, k: int, *, nbuf: int = 2):
     return mv
 
 
+# Below this K the packed kernel loses to a per-column SpMV loop: its
+# per-apply cost is nearly K-independent (~200 us on Poisson 512^2 — the
+# (n, K, 128) <-> (n*K, 128) relayouts around the batched cumsum dominate;
+# experiments/spmm_lp_bsweep.out: K=2 0.5x, K=4 0.7x, K=8 1.7x vs K SpMVs).
+_LP_SPMM_MIN_K = 8
+
+
 def spmm_lanepack(plan, x, *, device_arrays=None, nbuf: int = 2):
-    """Y = A @ X (X is (cols, K)) via the general LanePack kernel;
-    convenience wrapper over :func:`spmm_lanepack_packed` paying one
-    relayout each way."""
-    x3 = pack_rhs(jnp.asarray(x, dtype=plan.dtype), plan.cols, guard=plan.kw)
+    """Y = A @ X (X is (cols, K)) via the general LanePack path.
+
+    K >= ``_LP_SPMM_MIN_K``: the packed multi-RHS kernel (one relayout
+    each way). Smaller K: a per-column :func:`~.spmv.spmv_lanepack` loop —
+    measured faster (the kernel's batched-cumsum relayout cost is nearly
+    K-independent, experiments/spmm_lp_bsweep.out)."""
+    x = jnp.asarray(x, dtype=plan.dtype)
+    if x.shape[1] < _LP_SPMM_MIN_K:
+        from .spmv import lanepack_device_arrays, spmv_lanepack
+
+        arrs = lanepack_device_arrays(plan)  # SpMV-shaped step size, built once
+        return jnp.stack(
+            [
+                spmv_lanepack(plan, x[:, k], device_arrays=arrs)
+                for k in range(x.shape[1])
+            ],
+            axis=1,
+        )
+    x3 = pack_rhs(x, plan.cols, guard=plan.kw)
     y3 = spmm_lanepack_packed(plan, x3, device_arrays=device_arrays, nbuf=nbuf)
     return unpack_rhs(y3, plan.rows)
 

@@ -88,24 +88,45 @@ def inverse_power_iteration(
     matvec: Callable,
     n: int,
     *,
+    sigma: float = 0.0,
     tol: float = 1e-5,
     maxiter: int = 100,
     inner_tol: float = 1e-6,
     inner_maxiter: int = 500,
     seed: int = 0,
 ) -> PowerResult:
-    """Smallest eigenpair of an SPD operator by inverse iteration, with the
-    linear solves done by the library's own CG — solvers composing solvers."""
+    """Eigenpair of a symmetric operator by (shift-)inverse iteration, with
+    the linear solves done by the library's own solvers — solvers
+    composing solvers.
+
+    ``sigma = 0`` (default): smallest eigenpair of an SPD operator, inner
+    solves by CG. ``sigma != 0``: the eigenpair NEAREST ``sigma``
+    (shift-invert); ``A - sigma I`` is symmetric indefinite, so the inner
+    solves switch to MINRES. Returns the eigenvalue of ``A`` itself (the
+    Rayleigh quotient), not of the shifted operator.
+    """
     from .cg import cg_solve
+    from .minres import minres_solve
+
+    if sigma == 0.0:
+        solve = lambda rhs: cg_solve(  # noqa: E731
+            matvec, rhs, tol=inner_tol, maxiter=inner_maxiter
+        ).x
+        op = matvec
+    else:
+        op = lambda u: matvec(u) - jnp.float32(sigma) * u  # noqa: E731
+        solve = lambda rhs: minres_solve(  # noqa: E731
+            op, rhs, tol=inner_tol, maxiter=inner_maxiter
+        ).x
 
     v = jax.random.normal(jax.random.PRNGKey(seed), (n,), dtype=jnp.float32)
     v = v / jnp.linalg.norm(v)
     lam = jnp.float32(0)
     lam_prev = jnp.float32(jnp.inf)
     k = 0
-    # host loop: each step is a full jitted CG solve
+    # host loop: each step is a full jitted solve
     for k in range(1, maxiter + 1):
-        w = cg_solve(matvec, v, tol=inner_tol, maxiter=inner_maxiter).x
+        w = solve(v)
         w = w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
         lam_prev, lam = lam, jnp.vdot(w, matvec(w)).real
         v = w

@@ -50,3 +50,26 @@ def test_scipy_interop_on_class():
     A = CsrMatrix.from_scipy(s)
     assert A.invariants()
     np.testing.assert_allclose(A.to_scipy().toarray(), s.toarray())
+
+
+def test_shift_invert_finds_interior_eigenvalue():
+    """sigma != 0: shift-invert targets the eigenvalue NEAREST sigma
+    (MINRES inner solves on the indefinite shifted operator)."""
+    import numpy as np
+
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+    from sparse_matrix_tpu.solvers import inverse_power_iteration, poisson_2d_csr
+
+    p = poisson_2d_csr(10, dtype=np.float32)
+    ev = np.linalg.eigvalsh(p.to_dense().astype(np.float64))
+    # pick a shift near an interior eigenvalue, away from its neighbors
+    target_idx = len(ev) // 2
+    gaps = np.diff(ev)
+    sigma = float(ev[target_idx]) + 0.3 * float(min(gaps[target_idx - 1], gaps[target_idx]))
+    res = inverse_power_iteration(
+        SpmvOperator(p, dtype=np.float32), p.rows, sigma=sigma,
+        tol=1e-6, inner_tol=1e-8, inner_maxiter=2000,
+    )
+    lam = float(res.eigenvalue)
+    nearest = float(ev[np.argmin(np.abs(ev - sigma))])
+    assert abs(lam - nearest) < 1e-3 * max(1.0, abs(nearest)), (lam, nearest, sigma)

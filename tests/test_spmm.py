@@ -155,13 +155,15 @@ def test_spmm_lanepack_matches_dense(kw, pack):
     from sparse_matrix_tpu.ops.spmm import spmm_lanepack
 
     rng = np.random.default_rng(kw * 7 + (pack == "per_rb"))
-    rows, cols, K = 220, 150 + kw * 128, 5
+    rows, cols = 220, 150 + kw * 128
     dense = ((rng.random((rows, cols)) < 0.04) * rng.standard_normal((rows, cols))).astype(np.float32)
     m = CsrMatrix.from_dok(DokMatrix.from_dense(dense))
     plan = plan_lanepack(m, kw=kw, pack=pack)
-    X = rng.standard_normal((cols, K)).astype(np.float32)
-    y = np.asarray(spmm_lanepack(plan, X))
-    np.testing.assert_allclose(y, dense @ X, rtol=1e-4, atol=1e-4)
+    # K=5 exercises the per-column dispatch branch, K=9 the packed kernel
+    for K in (5, 9):
+        X = rng.standard_normal((cols, K)).astype(np.float32)
+        y = np.asarray(spmm_lanepack(plan, X))
+        np.testing.assert_allclose(y, dense @ X, rtol=1e-4, atol=1e-4)
 
 
 def test_spmm_lanepack_packed_matvec_multi():

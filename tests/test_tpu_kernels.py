@@ -242,7 +242,9 @@ def test_spmm_lanepack_kernel_parity(kw, pack):
     rng = np.random.default_rng(19 + kw)
     A, dense = _rand_csr(rng, 512, 600, 0.02)
     plan = plan_lanepack(A, kw=kw, pack=pack)
-    X = rng.standard_normal((A.cols, 5)).astype(np.float32)
+    # K=9 >= _LP_SPMM_MIN_K so the packed Mosaic kernel (not the
+    # per-column dispatch branch) is what runs on hardware here
+    X = rng.standard_normal((A.cols, 9)).astype(np.float32)
     Y = np.asarray(spmm_lanepack(plan, X))
     Yref = dense @ X
     scale = max(1.0, float(np.abs(Yref).max()))
