@@ -114,4 +114,41 @@ with tempfile.TemporaryDirectory() as d:
     assert np.allclose(np.asarray(op2(x)), np.asarray(opg(x)))
     print("operator plan save/load: bitwise-identical apply")
 
+# --- round 3: preconditioners, spectral tools, batched systems
+from sparse_matrix_tpu.solvers import (
+    chebyshev_solve, eigs, expm_multiply_csr, ic_pcg_solve, svds_csr,
+    trace_estimate,
+)
+
+res_ic = ic_pcg_solve(p, b, sweeps=4, tol=1e-5, maxiter=2000)
+print(f"IC(0)-PCG: {int(res_ic.iterations)} iters "
+      f"(plain CG above took {int(res.iterations)})")
+
+res_cheb = chebyshev_solve(op, b, n=p.rows, tol=1e-5, maxiter=3000)
+print(f"Chebyshev (dot-free): {int(res_cheb.iterations)} iters")
+
+sv = svds_csr(g, k=3)
+print("top-3 singular values of the 600^2 matrix:", np.round(np.asarray(sv.s), 3))
+
+vals_g, _ = eigs(SpmvOperator(g, dtype=np.float32), g.rows, k=2, m=40)
+print("dominant |eig| (arnoldi):", np.round(np.abs(vals_g), 3))
+
+heat = expm_multiply_csr(p, b, t=-0.1)
+print(f"exp(-0.1 L) b: |y| = {float(np.linalg.norm(np.asarray(heat))):.3f} "
+      f"(|b| = {np.linalg.norm(b):.3f})")
+
+tr = trace_estimate(op, p.rows, probes=64)
+print(f"Hutchinson trace(A) = {float(tr.estimate):.1f} "
+      f"+- {float(tr.stderr):.1f} (exact {4.0 * p.rows:.1f})")
+
+from sparse_matrix_tpu.ops import BatchedEllOperator, batched_cg_solve
+
+pat = poisson_2d_csr(8, dtype=np.float32)
+vals_b = np.stack([pat.vals * sc for sc in (0.5 + rng.random(16))]).astype(np.float32)
+bres = batched_cg_solve(BatchedEllOperator(pat, vals_b),
+                        rng.standard_normal((16, pat.rows)).astype(np.float32),
+                        tol=1e-5, maxiter=200)
+print(f"batched CG: 16 systems in one while_loop, "
+      f"max iters {int(np.asarray(bres.iterations).max())}")
+
 print("tour complete")
