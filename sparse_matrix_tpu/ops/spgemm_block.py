@@ -359,24 +359,30 @@ def spgemm_cost_estimates(lhs: CsrMatrix, rhs: CsrMatrix) -> dict:
     mxu_pair = autotune.get("spgemm_mxu_pair_s")
     dense_rate = autotune.get("spgemm_dense_mac_per_s")
     esc_rate = autotune.get("spgemm_esc_products_per_s")
-    sync = autotune.get("device_call_sync_s")
+    # every device engine pays sync AND, being one-shot at an arbitrary new
+    # shape, the first-call XLA compile (compiles cache per process+shape;
+    # one-shot dispatch has no history to hit that cache). Without the
+    # compile term a calibrated cache made amg_setup's Galerkin products
+    # pick the ESC engine and stall minutes per level on tunnel compiles.
+    # Amortizing callers (EscSpgemm/BlockSpgemm re-multiply) bypass this
+    # dispatcher entirely.
+    dev_fixed = autotune.get("device_call_sync_s") + autotune.get(
+        "device_oneshot_compile_s"
+    )
 
     products = float(flops_per_row(lhs, rhs).sum())
     return {
         "host": products / host_rate,
-        "mxu": pair_est * mxu_pair + c_blocks_est * bs * bs * 4 * host_touch + sync,
+        "mxu": pair_est * mxu_pair + c_blocks_est * bs * bs * 4 * host_touch + dev_fixed,
         "dense": (
             lhs.rows * lhs.cols * rhs.cols * 2 / dense_rate
             + (lhs.rows * lhs.cols + rhs.rows * rhs.cols + lhs.rows * rhs.cols)
             * 4
             * host_touch
-            + sync
+            + dev_fixed
         ),
-        # ESC sort engine: host plan build (3 int32 streams) + kernel + sync.
-        # The sync term is what keeps one-shot calls off the device engines
-        # on tunnel-attached hosts; calibration on direct-attached hardware
-        # shrinks it to microseconds and the device engines win one-shot too.
-        "esc": products * 12 * host_touch + products / esc_rate + sync,
+        # ESC sort engine: host plan build (3 int32 streams) + kernel + fixed
+        "esc": products * 12 * host_touch + products / esc_rate + dev_fixed,
     }
 
 

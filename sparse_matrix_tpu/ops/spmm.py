@@ -558,9 +558,13 @@ def spmm_lanepack(plan, x, *, device_arrays=None, nbuf: int = 2):
             ],
             axis=1,
         )
+    k = int(x.shape[1])
+    kpad = -(-k // 8) * 8  # keep the (n, K, 128) <-> (n*K, 128) reshapes
+    if kpad != k:  # on natural (8, 128) sublane tiles (the measured win)
+        x = jnp.concatenate([x, jnp.zeros((x.shape[0], kpad - k), x.dtype)], axis=1)
     x3 = pack_rhs(x, plan.cols, guard=plan.kw)
     y3 = spmm_lanepack_packed(plan, x3, device_arrays=device_arrays, nbuf=nbuf)
-    return unpack_rhs(y3, plan.rows)
+    return unpack_rhs(y3, plan.rows)[:, :k]
 
 
 def spmm_ell_xla(ev, ec, x):

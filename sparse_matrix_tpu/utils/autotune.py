@@ -53,6 +53,15 @@ DEFAULTS: Dict[str, float] = {
     # on this axon tunnel, microseconds on direct-attached hardware — the
     # constant that decides whether one-shot calls may use device engines
     "device_call_sync_s": 0.03,
+    # first-call XLA compile for a device engine at a NEW shape. One-shot
+    # dispatch (spgemm_auto) must bear it: compiles are cached per
+    # (process, shape), and a one-shot call by definition has no history.
+    # Minutes over the remote-compile tunnel (a calibrated-ESC amg_setup
+    # stalled >16 min paying one per Galerkin level before this term
+    # existed); seconds on direct-attached hardware (calibration measures
+    # it). Amortizing callers (EscSpgemm/BlockSpgemm re-multiply) bypass
+    # spgemm_auto and never pay this in the model.
+    "device_oneshot_compile_s": 40.0,
 }
 
 _cache: Optional[Dict[str, float]] = None
@@ -295,9 +304,19 @@ def calibrate(save: bool = True, *, verbose: bool = False) -> Dict[str, float]:
                 )
                 return v + jnp.sum(val) * 1e-30
 
+            # first call = XLA compile at a fresh shape: the one-shot
+            # compile burden spgemm_auto's device entries must carry
+            t0 = time.perf_counter()
+            float(escfn(jnp.float32(0)))
+            first_s = time.perf_counter() - t0
+
             per = _bench_loop(escfn, jnp.float32(0), 30)
             out["spgemm_esc_products_per_s"] = float(esc_prods / per)
+            out["device_oneshot_compile_s"] = float(
+                max(0.5, first_s - per - out["device_call_sync_s"])
+            )
             log(f"esc: {out['spgemm_esc_products_per_s']:.3g} products/s")
+            log(f"oneshot compile: {out['device_oneshot_compile_s']:.3g} s")
 
             # --- dense MAC rate ---
             a = jnp.asarray(np.ones((2048, 2048), np.float32))

@@ -124,3 +124,41 @@ def test_esc_engine_choice_follows_calibration(cache):
     cache(device_call_sync_s=1e9)
     c = spgemm_cost_estimates(m, m)
     assert c["host"] < min(c["esc"], c["mxu"], c["dense"])
+
+
+def test_oneshot_compile_term_guards_device_engines(monkeypatch, tmp_path):
+    """spgemm_auto's device entries must carry the first-call XLA compile
+    cost: a calibrated cache with fast device rates but a large compile
+    constant keeps one-shot dispatch on host (regression: a calibrated
+    cache routed amg_setup's Galerkin products to the ESC engine, which
+    stalled minutes per level on tunnel compiles)."""
+    import json
+
+    import numpy as np
+
+    from sparse_matrix_tpu.core import DokMatrix
+    from sparse_matrix_tpu.formats import CsrMatrix
+    from sparse_matrix_tpu.ops.spgemm_block import spgemm_cost_estimates
+
+    rng = np.random.default_rng(0)
+    d = ((rng.random((400, 400)) < 0.05) * rng.standard_normal((400, 400)))
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d.astype(np.float32)))
+
+    base = {
+        "spgemm_esc_products_per_s": 1e12,  # absurdly fast device engine
+        "spgemm_host_products_per_s": 1e6,  # slow host
+        "spgemm_host_touch_s_per_byte": 1e-12,
+        "device_call_sync_s": 1e-9,  # loader drops non-positive values
+    }
+    for compile_s, device_should_win in ((1000.0, False), (1e-9, True)):
+        p = tmp_path / f"cache_{compile_s}.json"
+        p.write_text(json.dumps({**base, "device_oneshot_compile_s": compile_s}))
+        monkeypatch.setenv("SPMX_AUTOTUNE_CACHE", str(p))
+        autotune.reset_cache()
+        costs = spgemm_cost_estimates(a, a)
+        best = min(costs, key=costs.get)
+        if device_should_win:
+            assert best != "host", costs
+        else:
+            assert best == "host", costs
+    autotune.reset_cache()
