@@ -3,8 +3,10 @@ single-RHS solves (real TPU).
 
 The block path runs ONE block V-cycle + ONE SpMM per iteration for all
 live columns, so operator loads amortize K-fold (docs/PERF.md SpMM
-section). Timing methodology = experiments/amg_poisson.py (min over
-repeats minus tunnel round-trip latency).
+section). Timing: R solves CHAINED inside one jit with a data dependency
+(single-solve wall is below the tunnel RTT variance — un-chained
+min-minus-latency measurements of this workload moved 0.0-6 ms between
+runs), minus latency, divided by R.
 """
 
 import sys
@@ -35,17 +37,25 @@ def probe_latency():
     return min(ls)
 
 
-def timed(fn, arg, repeats=4):
-    res = fn(arg)
-    jax.block_until_ready(res)
+def timed_chain(solve_fn, b0, R=20, reps=4):
+    """solve_fn(b) -> CgResult; chains R solves with a data dependency."""
+
+    @jax.jit
+    def chain(b):
+        def body(i, acc):
+            res = solve_fn(b + acc * 1e-6)
+            return acc + jnp.max(res.residual_norm)
+
+        return jax.lax.fori_loop(0, R, body, jnp.float32(0))
+
+    _ = float(chain(b0))
     lat = probe_latency()
     ts = []
-    for _ in range(repeats):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        res = fn(arg)
-        _ = float(jnp.max(res.residual_norm))  # host readback forces completion
+        _ = float(chain(b0))
         ts.append(time.perf_counter() - t0)
-    return max(0.0, min(ts) - lat), res
+    return max(0.0, min(ts) - lat) / R
 
 
 def run(n, ks):
@@ -58,32 +68,26 @@ def run(n, ks):
     log(f"setup {time.time()-t0:.1f}s: {hier!r}")
     op = hier.levels[0].a_op
     m_inv = hier.preconditioner()
-    tol = 1e-5
-
-    solve_one = jax.jit(lambda bb: pcg_solve(op, bb, m_inv, tol=tol, maxiter=100))
-    solve_blk = jax.jit(
-        lambda bb: pcg_solve_multi(op.matmat, bb, m_inv, tol=tol, maxiter=100)
-    )
 
     b1 = jnp.asarray(rng.standard_normal(a.rows).astype(np.float32))
-    t1, r1 = timed(solve_one, b1)
-    log(f"K=1 single: {t1*1e3:.2f} ms, iters={int(r1.iterations)}")
+    t1 = timed_chain(lambda bb: pcg_solve(op, bb, m_inv, tol=1e-5, maxiter=60), b1)
+    res1 = jax.jit(lambda bb: pcg_solve(op, bb, m_inv, tol=1e-5, maxiter=60))(b1)
+    log(f"K=1 single: {t1*1e3:.2f} ms, iters={int(res1.iterations)}")
 
     for k in ks:
         B = jnp.asarray(rng.standard_normal((a.rows, k)).astype(np.float32))
-        tb, rb = timed(solve_blk, B)
-        # sequential baseline: K independent single solves (measured once,
-        # scaled — each column is statistically identical)
-        seq = t1 * k
+        solve = lambda bb: pcg_solve_multi(
+            lambda X: op.matmat(X), bb, m_inv, tol=1e-5, maxiter=60, rhs_axis=-1
+        )
+        tk = timed_chain(solve, B, R=10)
+        resk = jax.jit(solve)(B)
+        it = int(jnp.max(resk.iterations)) if hasattr(resk.iterations, "shape") else int(resk.iterations)
         log(
-            f"K={k:2d} block: {tb*1e3:7.2f} ms ({tb/k*1e3:6.2f} ms/rhs), "
-            f"iters={int(rb.iterations)}, max|r|={float(jnp.max(rb.residual_norm)):.2e} "
-            f"| sequential {seq*1e3:7.2f} ms -> {seq/max(tb,1e-9):4.2f}x"
+            f"K={k:2d} block: {tk*1e3:8.2f} ms ({tk/k*1e3:6.2f} ms/rhs), "
+            f"iters={it}, max|r|={float(jnp.max(resk.residual_norm)):.2e} "
+            f"| sequential {t1*k*1e3:8.2f} ms -> {t1*k/tk:.2f}x"
         )
 
 
 if __name__ == "__main__":
-    ns = [int(x) for x in (sys.argv[1:] or ["512"])]
-    log(f"backend: {jax.default_backend()}")
-    for n in ns:
-        run(n, ks=[4, 8, 16])
+    run(512, (4, 8, 16))

@@ -272,12 +272,12 @@ class SpmvOperator:
             )
             y = y2 if y is None else y + y2
         if self._plan is not None:
-            from .spmm import _LP_SPMM_MIN_K, spmm_lanepack
+            from .spmm import _lp_spmm_use_kernel, spmm_lanepack
 
-            if x.shape[1] < _LP_SPMM_MIN_K:
-                # per-column loop on the operator's own SpMV arrays — the
-                # packed kernel's cost is nearly K-independent and loses
-                # below K=8 (experiments/spmm_lp_bsweep.out)
+            if not _lp_spmm_use_kernel(self._plan, int(x.shape[1])):
+                # per-column loop on the operator's own SpMV arrays: on
+                # large plans at small K the packed kernel's relayout cost
+                # loses to K launches (measured dispatch note in spmm.py)
                 from .spmv import spmv_lanepack
 
                 y2 = jnp.stack(
@@ -310,20 +310,25 @@ class SpmvOperator:
         traces (UnexpectedTracerError)."""
         import jax
 
-        from .spmm import _pick_b_spmm
+        from .spmm import _pick_b_lp_spmm, _pick_b_spmm
 
-        bk = _pick_b_spmm(k)
+        # each kernel family has its own step-size picker; a mismatched b
+        # makes spmm_*_packed silently rebuild (re-upload) per apply
+        if self._aligned is not None:
+            bk = ("ali", _pick_b_spmm(k))
+        else:
+            bk = ("lp", _pick_b_lp_spmm(k, self._plan.kw))
         cache = getattr(self, "_spmm_arrs", {})
         if bk not in cache:
             with jax.ensure_compile_time_eval():
                 if self._aligned is not None:
                     from .spmv import aligned_device_arrays
 
-                    cache[bk] = aligned_device_arrays(self._aligned, b=bk)
+                    cache[bk] = aligned_device_arrays(self._aligned, b=bk[1])
                 else:
                     from .spmv import lanepack_device_arrays
 
-                    cache[bk] = lanepack_device_arrays(self._plan, b=bk)
+                    cache[bk] = lanepack_device_arrays(self._plan, b=bk[1])
             self._spmm_arrs = cache
         return cache[bk]
 

@@ -532,22 +532,30 @@ def lanepack_matvec_multi(plan, k: int, *, nbuf: int = 2):
     return mv
 
 
-# Below this K the packed kernel loses to a per-column SpMV loop: its
-# per-apply cost is nearly K-independent (~200 us on Poisson 512^2 — the
-# (n, K, 128) <-> (n*K, 128) relayouts around the batched cumsum dominate;
-# experiments/spmm_lp_bsweep.out: K=2 0.5x, K=4 0.7x, K=8 1.7x vs K SpMVs).
+# Kernel-vs-loop dispatch (measured, experiments/spmm_lp_bsweep.out +
+# spmm_lp_crossover.out): the packed kernel's per-slab cost at K < 8 is
+# ~4-5x the single-SpMV slab cost (the (n, K, 128) <-> (n*K, 128)
+# relayouts around the batched cumsum), but a per-column loop pays K
+# kernel launches. So the loop only wins on LARGE plans at small K
+# (Poisson 512^2, ~1k slabs: K=4 loop is 1.37x the kernel), while small
+# plans (AMG level operators) and any K >= 8 (natural sublane tiling)
+# belong to the kernel — the K-only rule inverted the block-AMG win.
 _LP_SPMM_MIN_K = 8
+_LP_SPMM_LOOP_MIN_SLABS = 512
+
+
+def _lp_spmm_use_kernel(plan, k: int) -> bool:
+    return k >= _LP_SPMM_MIN_K or plan.num_slabs < _LP_SPMM_LOOP_MIN_SLABS
 
 
 def spmm_lanepack(plan, x, *, device_arrays=None, nbuf: int = 2):
     """Y = A @ X (X is (cols, K)) via the general LanePack path.
 
-    K >= ``_LP_SPMM_MIN_K``: the packed multi-RHS kernel (one relayout
-    each way). Smaller K: a per-column :func:`~.spmv.spmv_lanepack` loop —
-    measured faster (the kernel's batched-cumsum relayout cost is nearly
-    K-independent, experiments/spmm_lp_bsweep.out)."""
+    Packed multi-RHS kernel when K >= 8 or the plan is small; per-column
+    :func:`~.spmv.spmv_lanepack` loop for small K on large plans (see the
+    measured dispatch note above)."""
     x = jnp.asarray(x, dtype=plan.dtype)
-    if x.shape[1] < _LP_SPMM_MIN_K:
+    if not _lp_spmm_use_kernel(plan, int(x.shape[1])):
         from .spmv import lanepack_device_arrays, spmv_lanepack
 
         arrs = lanepack_device_arrays(plan)  # SpMV-shaped step size, built once
@@ -559,8 +567,11 @@ def spmm_lanepack(plan, x, *, device_arrays=None, nbuf: int = 2):
             axis=1,
         )
     k = int(x.shape[1])
-    kpad = -(-k // 8) * 8  # keep the (n, K, 128) <-> (n*K, 128) reshapes
-    if kpad != k:  # on natural (8, 128) sublane tiles (the measured win)
+    # pad K >= 8 to sublane multiples (natural (8, 128) reshape tiles);
+    # small-K kernel calls on small plans keep their exact K — padding to
+    # 8 would quadruple their compute for launch-bound work
+    if k >= _LP_SPMM_MIN_K and k % 8:
+        kpad = -(-k // 8) * 8
         x = jnp.concatenate([x, jnp.zeros((x.shape[0], kpad - k), x.dtype)], axis=1)
     x3 = pack_rhs(x, plan.cols, guard=plan.kw)
     y3 = spmm_lanepack_packed(plan, x3, device_arrays=device_arrays, nbuf=nbuf)
