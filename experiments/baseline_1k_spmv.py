@@ -22,7 +22,7 @@ def probe_latency():
         t0 = time.perf_counter(); _ = float(f0(jnp.float32(0))); ls.append(time.perf_counter() - t0)
     return min(ls)
 
-def bench_chain(apply_fn, x0, ch=400, reps=6):
+def bench_chain(apply_fn, x0, ch=5000, reps=6):
     @jax.jit
     def chain(x):
         def body(_, v): return apply_fn(v) * 1e-3
@@ -45,7 +45,7 @@ print(f"random 1k x 1k @ 1%: nnz={nnz}", flush=True)
 op = SpmvOperator(a, dtype=np.float32)
 x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
 t = bench_chain(lambda v: op(v), x)
-bw = nnz * 8 / t  # ideal-CSR bytes (4B val + 4B idx)
+t = max(t, 1e-9); bw = nnz * 8 / t  # ideal-CSR bytes (4B val + 4B idx)
 print(f"single operator ({op.format}): {t*1e6:6.2f} us/apply -> {nnz/t/1e9:.2f} Gnnz/s, "
       f"{bw/1e9:.0f} GB/s ideal-CSR effective ({bw/8.1e11*100:.0f}% of HBM roofline)", flush=True)
 
@@ -59,6 +59,6 @@ B = 512
 vals = np.stack([a.vals.astype(np.float32) * s for s in (0.5 + rng.random(B))])
 bop = BatchedEllOperator(a, vals, dtype=np.float32)
 X = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
-tb = bench_chain(lambda v: bop(v), X, ch=50)
+tb = bench_chain(lambda v: bop(v), X, ch=300)
 print(f"batched x{B} (onehot={bop.use_onehot}): {tb*1e6:8.1f} us/apply -> "
       f"{B*nnz/tb/1e9:6.1f} Gnnz/s aggregate", flush=True)
