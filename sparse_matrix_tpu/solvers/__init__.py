@@ -44,6 +44,10 @@ from .ilu import (  # noqa: F401
 )
 from .svd import SvdResult, svds, svds_csr  # noqa: F401
 from .chebyshev import chebyshev_solve  # noqa: F401
+from .block_jacobi import (  # noqa: F401
+    block_jacobi_preconditioner,
+    chebyshev_preconditioner,
+)
 from .stochastic import (  # noqa: F401
     HutchinsonResult,
     diag_estimate,
