@@ -1,0 +1,127 @@
+"""Sparse construction utilities: ``eye`` / ``diags`` / ``random_csr`` /
+``kron`` / ``block_diag``.
+
+New scope beyond the reference (which constructs only via DOK inserts and
+MatrixMarket); the scipy.sparse-shaped builders users reach for first.
+Everything is vectorized numpy emitting sorted :class:`~.csr.CsrMatrix`
+(the planners' expected input).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from .csr import CsrMatrix
+
+__all__ = ["eye", "diags", "random_csr", "kron", "block_diag"]
+
+
+def eye(n: int, m: int = None, k: int = 0, *, dtype=np.float64) -> CsrMatrix:
+    """Identity / shifted-identity: ones on diagonal ``k`` of an (n, m)
+    matrix (``m`` defaults to ``n``)."""
+    m = n if m is None else m
+    r0 = max(0, -k)
+    c0 = max(0, k)
+    d = max(0, min(n - r0, m - c0))
+    rows = np.arange(r0, r0 + d, dtype=np.int64)
+    cols = np.arange(c0, c0 + d, dtype=np.int64)
+    return CsrMatrix.from_coo(n, m, rows, cols, np.ones(d, dtype=dtype))
+
+
+def diags(
+    diagonals: Sequence, offsets: Sequence[int] = None, shape=None, *, dtype=None
+) -> CsrMatrix:
+    """Matrix from diagonals: ``diagonals[i]`` goes on offset
+    ``offsets[i]`` (scalars broadcast along the diagonal). Default
+    offsets are ``0, 1, ..`` for one list; shape defaults to the smallest
+    square that fits every diagonal."""
+    if offsets is None:
+        offsets = list(range(len(diagonals)))
+    if len(diagonals) != len(offsets):
+        raise ValueError("diagonals and offsets must have the same length")
+    lens = []
+    for d, k in zip(diagonals, offsets):
+        d = np.atleast_1d(np.asarray(d))
+        lens.append((len(d) if d.size > 1 else None, k))
+    if shape is None:
+        n = 0
+        for ln, k in lens:
+            if ln is None:
+                raise ValueError("scalar diagonals need an explicit shape")
+            n = max(n, ln + abs(k))
+        shape = (n, n)
+    n, m = shape
+    rr, cc, vv = [], [], []
+    for d, k in zip(diagonals, offsets):
+        d = np.atleast_1d(np.asarray(d))
+        r0, c0 = max(0, -k), max(0, k)
+        length = max(0, min(n - r0, m - c0))
+        if d.size == 1:
+            vals = np.full(length, d[0])
+        else:
+            if len(d) < length:
+                raise ValueError(
+                    f"diagonal for offset {k} has {len(d)} entries, needs {length}"
+                )
+            vals = d[:length]
+        rr.append(np.arange(r0, r0 + length, dtype=np.int64))
+        cc.append(np.arange(c0, c0 + length, dtype=np.int64))
+        vv.append(vals)
+    v = np.concatenate(vv) if vv else np.zeros(0)
+    if dtype is not None:
+        v = v.astype(dtype)
+    return CsrMatrix.from_coo(
+        n, m, np.concatenate(rr) if rr else np.zeros(0, np.int64),
+        np.concatenate(cc) if cc else np.zeros(0, np.int64), v,
+    )
+
+
+def random_csr(
+    rows: int, cols: int, density: float, rng: np.random.Generator, *,
+    dtype=np.float64,
+) -> CsrMatrix:
+    """Uniform-random sparsity with standard-normal values. The rng is a
+    REQUIRED argument (capability discipline: no ambient randomness —
+    ``clippy.toml``'s ban list is the reference's version of this rule)."""
+    if not 0.0 <= density <= 1.0:
+        raise ValueError(f"density must be in [0, 1], got {density}")
+    nnz = int(round(rows * cols * density))
+    flat = rng.choice(rows * cols, size=min(nnz, rows * cols), replace=False)
+    r = (flat // cols).astype(np.int64)
+    c = (flat % cols).astype(np.int64)
+    return CsrMatrix.from_coo(
+        rows, cols, r, c, rng.standard_normal(len(flat)).astype(dtype)
+    )
+
+
+def kron(a: CsrMatrix, b: CsrMatrix) -> CsrMatrix:
+    """Kronecker product ``A (x) B`` (the classic way to build 2-D/3-D
+    operators from 1-D stencils: ``poisson2d = kron(L, I) + kron(I, L)``)."""
+    ra = a.row_ids()
+    ca = a.indices.astype(np.int64)
+    rb = b.row_ids()
+    cb = b.indices.astype(np.int64)
+    # outer expansion: every A entry spawns all B entries
+    rows = (ra[:, None] * b.rows + rb[None, :]).ravel()
+    cols = (ca[:, None] * b.cols + cb[None, :]).ravel()
+    vals = (a.vals[:, None] * b.vals[None, :]).ravel()
+    return CsrMatrix.from_coo(a.rows * b.rows, a.cols * b.cols, rows, cols, vals)
+
+
+def block_diag(blocks: Sequence[CsrMatrix]) -> CsrMatrix:
+    """Direct sum: blocks stacked along the diagonal."""
+    if not blocks:
+        raise ValueError("need at least one block")
+    rr, cc, vv = [], [], []
+    r0 = c0 = 0
+    for blk in blocks:
+        rr.append(blk.row_ids() + r0)
+        cc.append(blk.indices.astype(np.int64) + c0)
+        vv.append(blk.vals)
+        r0 += blk.rows
+        c0 += blk.cols
+    return CsrMatrix.from_coo(
+        r0, c0, np.concatenate(rr), np.concatenate(cc), np.concatenate(vv)
+    )

@@ -53,4 +53,5 @@ from .stochastic import (  # noqa: F401
     diag_estimate,
     trace_estimate,
 )
+from .solve import lstsq, solve  # noqa: F401
 from .poisson import poisson_2d_csr  # noqa: F401

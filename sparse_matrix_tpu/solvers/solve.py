@@ -1,0 +1,110 @@
+"""One-call ``solve(a, b)`` / ``lstsq(a, b)`` with measured-stack dispatch.
+
+New scope beyond the reference: the "just solve it" entry point a
+scipy.sparse.linalg user expects, routing to the framework's own pieces:
+
+* small systems -> one dense MXU solve (exact; a 2k x 2k dense solve is
+  microseconds of MXU time, far under any iterative setup);
+* symmetric (detected or declared): IC(0)-PCG, degrading to Jacobi-PCG if
+  the factorization hits a non-positive pivot (not SPD), then to MINRES
+  if PCG stagnates (indefinite);
+* unsymmetric: ILU(0)-right-preconditioned BiCGStab, degrading to
+  GMRES(m) on breakdown/stagnation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["solve", "lstsq"]
+
+_DENSE_N = 2048
+
+
+def _is_symmetric(a, tol: float = 0.0) -> bool:
+    at = a.transpose()
+    if not np.array_equal(a.offsets, at.offsets) or not np.array_equal(
+        a.indices, at.indices
+    ):
+        return False
+    if tol == 0.0:
+        return bool(np.array_equal(a.vals, at.vals))
+    scale = max(1.0, float(np.abs(a.vals).max())) if a.nnz() else 1.0
+    return bool(np.abs(a.vals - at.vals).max() <= tol * scale)
+
+
+def solve(
+    a,
+    b,
+    *,
+    symmetric: Optional[bool] = None,
+    tol: float = 1e-6,
+    maxiter: int = 5000,
+    dtype=np.float32,
+):
+    """Solve ``A x = b`` for square host-CSR ``A``; returns a
+    :class:`~.cg.CgResult` (for the dense path ``iterations`` is 0 and the
+    residual norm is computed explicitly)."""
+    import jax.numpy as jnp
+
+    from ..ops.operator import SpmvOperator
+    from .cg import CgResult, jacobi_preconditioner, pcg_solve
+    from .minres import minres_solve
+
+    if a.rows != a.cols:
+        raise ValueError("solve needs a square operator; use lstsq")
+    b = np.asarray(b)
+
+    if a.rows <= _DENSE_N:
+        dense = jnp.asarray(a.to_dense().astype(dtype))
+        bj = jnp.asarray(b.astype(dtype))
+        x = jnp.linalg.solve(dense, bj)
+        r = bj - dense @ x
+        return CgResult(
+            x=x, iterations=jnp.int32(0),
+            residual_norm=jnp.sqrt(jnp.vdot(r, r).real),
+        )
+
+    if symmetric is None:
+        symmetric = _is_symmetric(a, tol=1e-12)
+    op = SpmvOperator(a, dtype=dtype)
+    b_norm = float(np.linalg.norm(b))
+
+    if symmetric:
+        from .ilu import ic_preconditioner
+
+        try:
+            m_inv = ic_preconditioner(a, sweeps=4, dtype=dtype)
+        except ValueError:  # non-positive pivot: not SPD-like
+            m_inv = jacobi_preconditioner(a)
+        res = pcg_solve(op, b, m_inv, tol=tol, maxiter=maxiter)
+        if float(res.residual_norm) <= tol * max(b_norm, 1e-30) * 1.01:
+            return res
+        # PCG stagnated (indefinite operator): MINRES handles it
+        return minres_solve(op, b, tol=tol, maxiter=maxiter)
+
+    from .bicgstab import bicgstab_solve
+    from .gmres import gmres_solve
+    from .ilu import ilu_preconditioner
+
+    try:
+        m_inv = ilu_preconditioner(a, sweeps=4, dtype=dtype)
+    except ValueError:  # zero pivot on the pattern
+        m_inv = None
+    res = bicgstab_solve(op, b, tol=tol, maxiter=maxiter, m_inv=m_inv)
+    if float(res.residual_norm) <= tol * max(b_norm, 1e-30) * 1.01:
+        return res
+    return gmres_solve(op, b, tol=tol, maxiter=maxiter, m_inv=m_inv)
+
+
+def lstsq(a, b, *, tol: float = 1e-8, maxiter: int = 2000, dtype=np.float32):
+    """Least-squares ``min |A x - b|`` for rectangular host-CSR ``A``
+    (LSQR on planned operators for ``A`` and ``A^T``)."""
+    from ..ops.operator import SpmvOperator
+    from .lsqr import lsqr_solve
+
+    op = SpmvOperator(a, dtype=dtype)
+    opt = SpmvOperator(a.transpose(), dtype=dtype)
+    return lsqr_solve(op, opt, np.asarray(b), n=a.cols, tol=tol, maxiter=maxiter)

@@ -1,0 +1,135 @@
+"""Construction utilities (eye/diags/random/kron/block_diag) and the
+one-call solve()/lstsq() dispatch."""
+
+import numpy as np
+import pytest
+
+from sparse_matrix_tpu.core import DokMatrix
+from sparse_matrix_tpu.formats import (
+    CsrMatrix,
+    block_diag,
+    diags,
+    eye,
+    kron,
+    random_csr,
+)
+from sparse_matrix_tpu.solvers import lstsq, poisson_2d_csr, solve
+
+
+def test_eye_variants():
+    np.testing.assert_array_equal(eye(4).to_dense(), np.eye(4))
+    np.testing.assert_array_equal(eye(3, 5, 1).to_dense(), np.eye(3, 5, 1))
+    np.testing.assert_array_equal(eye(5, 3, -2).to_dense(), np.eye(5, 3, -2))
+    assert eye(4, k=10).nnz() == 0  # off the matrix entirely
+
+
+def test_diags_matches_scipy_semantics():
+    d = diags([[1.0, 2.0, 3.0], [4.0, 5.0]], [0, -1])
+    ref = np.diag([1.0, 2.0, 3.0]) + np.diag([4.0, 5.0], -1)
+    np.testing.assert_array_equal(d.to_dense(), ref)
+    # scalar broadcast with explicit shape
+    t = diags([2.0, -1.0, -1.0], [0, -1, 1], shape=(5, 5))
+    ref = 2 * np.eye(5) - np.eye(5, k=1) - np.eye(5, k=-1)
+    np.testing.assert_array_equal(t.to_dense(), ref)
+    with pytest.raises(ValueError, match="explicit shape"):
+        diags([2.0], [0])
+    with pytest.raises(ValueError, match="same length"):
+        diags([[1.0]], [0, 1])
+
+
+def test_random_csr_properties():
+    rng = np.random.default_rng(0)
+    m = random_csr(50, 70, 0.1, rng, dtype=np.float32)
+    assert m.shape == (50, 70)
+    assert abs(m.nnz() - 350) <= 1
+    assert m.invariants()
+    with pytest.raises(ValueError, match="density"):
+        random_csr(5, 5, 1.5, rng)
+
+
+def test_kron_builds_poisson_2d():
+    """kron(L1, I) + kron(I, L1) == the framework's own 2D Poisson."""
+    n = 12
+    l1 = diags([2.0, -1.0, -1.0], [0, -1, 1], shape=(n, n))
+    i = eye(n)
+    p2 = kron(l1, i) + kron(i, l1)
+    ref = poisson_2d_csr(n, dtype=np.float64)
+    np.testing.assert_allclose(p2.to_dense(), ref.to_dense(), atol=1e-12)
+
+
+def test_kron_rectangular_matches_numpy():
+    rng = np.random.default_rng(1)
+    a = random_csr(4, 6, 0.4, rng)
+    b = random_csr(3, 2, 0.5, rng)
+    np.testing.assert_allclose(
+        kron(a, b).to_dense(), np.kron(a.to_dense(), b.to_dense()), atol=1e-12
+    )
+
+
+def test_block_diag():
+    rng = np.random.default_rng(2)
+    blocks = [random_csr(3, 4, 0.5, rng), random_csr(2, 2, 0.9, rng)]
+    d = block_diag(blocks).to_dense()
+    assert d.shape == (5, 6)
+    np.testing.assert_allclose(d[:3, :4], blocks[0].to_dense(), atol=1e-12)
+    np.testing.assert_allclose(d[3:, 4:], blocks[1].to_dense(), atol=1e-12)
+    assert np.all(d[:3, 4:] == 0) and np.all(d[3:, :4] == 0)
+
+
+def test_solve_small_dense_path():
+    rng = np.random.default_rng(3)
+    d = rng.standard_normal((40, 40)) + np.eye(40) * 10
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    b = rng.standard_normal(40)
+    res = solve(a, b)
+    assert int(res.iterations) == 0  # dense path
+    x = np.asarray(res.x, dtype=np.float64)
+    assert np.linalg.norm(d @ x - b) < 1e-3 * np.linalg.norm(b)
+
+
+def test_solve_spd_large_uses_ic_pcg():
+    p = poisson_2d_csr(64, dtype=np.float32)  # 4096 > dense threshold
+    rng = np.random.default_rng(4)
+    b = rng.standard_normal(p.rows).astype(np.float32)
+    res = solve(p, b, tol=1e-5)
+    assert int(res.iterations) > 0
+    x = np.asarray(res.x, dtype=np.float64)
+    rid = p.row_ids()
+    ax = np.zeros(p.rows)
+    np.add.at(ax, rid, p.vals.astype(np.float64) * x[p.indices.astype(np.int64)])
+    assert np.linalg.norm(ax - b) < 1e-4 * np.linalg.norm(b)
+
+
+def test_solve_unsymmetric_dispatch():
+    rng = np.random.default_rng(5)
+    n = 3000  # above the dense threshold
+    m = random_csr(n, n, 0.002, rng, dtype=np.float64)
+    d_add = np.abs(np.asarray(m.to_scipy().sum(axis=1))).ravel() + 2.0
+    a = m + CsrMatrix.from_coo(n, n, np.arange(n), np.arange(n), d_add)
+    b = rng.standard_normal(n)
+    res = solve(a, b, tol=1e-6)
+    x = np.asarray(res.x, dtype=np.float64)
+    rid = a.row_ids()
+    ax = np.zeros(n)
+    np.add.at(ax, rid, a.vals.astype(np.float64) * x[a.indices.astype(np.int64)])
+    assert np.linalg.norm(ax - b) < 1e-4 * np.linalg.norm(b)
+
+
+def test_solve_rejects_rectangular():
+    rng = np.random.default_rng(6)
+    a = random_csr(4, 6, 0.5, rng)
+    with pytest.raises(ValueError, match="square"):
+        solve(a, np.ones(4))
+
+
+def test_lstsq_rectangular():
+    rng = np.random.default_rng(7)
+    tall = random_csr(150, 60, 0.1, rng, dtype=np.float64)
+    tall = tall + CsrMatrix.from_coo(
+        150, 60, np.arange(60), np.arange(60), np.full(60, 3.0)
+    )
+    b = rng.standard_normal(150)
+    res = lstsq(tall, b, tol=1e-8, maxiter=800)
+    x = np.asarray(res.x, dtype=np.float64)
+    ref, *_ = np.linalg.lstsq(tall.to_dense(), b, rcond=None)
+    np.testing.assert_allclose(x, ref, rtol=2e-3, atol=2e-3)
