@@ -16,6 +16,7 @@ from .loader import (  # noqa: F401
     parse_entries_native,
     aggregate_pass_native,
     ilu0_native,
+    ilut_native,
     trisolve_native,
     load_library,
 )

@@ -21,6 +21,7 @@ __all__ = [
     "parse_entries_native",
     "aggregate_pass_native",
     "ilu0_native",
+    "ilut_native",
     "trisolve_native",
 ]
 
@@ -71,6 +72,12 @@ def _declare(lib: ctypes.CDLL) -> None:
     for name, vp in [("spmx_ilu0_f64", _F64P), ("spmx_ilu0_f32", _F32P)]:
         getattr(lib, name).restype = c_i64
         getattr(lib, name).argtypes = [c_i64, c_i64, _I64P, _U32P, vp, _I64P]
+    for name, vp in [("spmx_ilut_f64", _F64P), ("spmx_ilut_f32", _F32P)]:
+        getattr(lib, name).restype = c_i64
+        getattr(lib, name).argtypes = [
+            c_i64, c_i64, _I64P, _U32P, vp, ctypes.c_double, c_i64,
+            _I64P, _U32P, vp, _I64P, _U32P, vp,
+        ]
     for name, vp in [("spmx_trisolve_f64", _F64P), ("spmx_trisolve_f32", _F32P)]:
         getattr(lib, name).restype = c_i64
         getattr(lib, name).argtypes = [c_i64, _I64P, _U32P, vp, _I64P, vp, c_int, c_int]
@@ -187,6 +194,42 @@ def ilu0_native(rows, cols, offsets, indices, vals, diag_pos):
             np.ascontiguousarray(diag_pos, dtype=np.int64),
         )
     )
+
+
+_ILUT_BY_DTYPE = {
+    np.dtype(np.float64): "spmx_ilut_f64",
+    np.dtype(np.float32): "spmx_ilut_f32",
+}
+
+
+def ilut_native(rows, cols, offsets, indices, vals, *, tau: float, p: int):
+    """ILUT(p, tau) via the native runtime. Returns
+    ``(l_cnt, l_idx, l_val, u_cnt, u_idx, u_val)`` fixed-cap row arrays
+    (caps p and p+1; U rows start with the diagonal), or None when the
+    library/dtype is unavailable. Raises ValueError on a zero pivot."""
+    lib = load_library()
+    name = _ILUT_BY_DTYPE.get(vals.dtype)
+    if lib is None or name is None:
+        return None
+    l_cnt = np.zeros(rows, dtype=np.int64)
+    l_idx = np.zeros(rows * p, dtype=np.uint32)
+    l_val = np.zeros(rows * p, dtype=vals.dtype)
+    u_cnt = np.zeros(rows, dtype=np.int64)
+    u_idx = np.zeros(rows * (p + 1), dtype=np.uint32)
+    u_val = np.zeros(rows * (p + 1), dtype=vals.dtype)
+    rc = int(
+        getattr(lib, name)(
+            rows, cols,
+            np.ascontiguousarray(offsets, dtype=np.int64),
+            np.ascontiguousarray(indices, dtype=np.uint32),
+            np.ascontiguousarray(vals),
+            float(tau), int(p),
+            l_cnt, l_idx, l_val, u_cnt, u_idx, u_val,
+        )
+    )
+    if rc >= 0:
+        raise ValueError(f"ilut: zero pivot in row {rc}")
+    return l_cnt, l_idx, l_val, u_cnt, u_idx, u_val
 
 
 def trisolve_native(rows, offsets, indices, vals, diag_pos, x, *, lower, unit):

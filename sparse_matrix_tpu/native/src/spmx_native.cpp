@@ -481,3 +481,131 @@ extern "C" i64 spmx_trisolve_f32(i64 rows, const i64* offsets, const u32* indice
                                  float* x, int lower, int unit) {
   return trisolve_impl<float>(rows, offsets, indices, vals, diag_pos, x, lower, unit);
 }
+
+// ---------------------------------------------------------------------------
+// ILUT(p, tau): threshold incomplete LU with per-row fill cap (solvers/ilu.py).
+// Saad's IKJ row variant with a lazy min-heap driving the ascending-k
+// elimination order (fill can create new L-part entries mid-row). Dual
+// dropping: entries below tau * ||row||_2 vanish during elimination; then
+// only the p largest-|.| survive per part (diagonal always kept).
+// Outputs fixed-cap row arrays (L cap p, U cap p+1 incl. diagonal);
+// columns within a row are unsorted (host sorts once). Returns the first
+// zero-pivot row or -1.
+// ---------------------------------------------------------------------------
+
+#include <queue>
+#include <cmath>
+#include <algorithm>
+
+template <typename V>
+static i64 ilut_impl(i64 rows, const i64* offsets, const u32* indices, const V* vals,
+                     double tau, i64 p,
+                     i64* l_cnt, u32* l_idx, V* l_val,
+                     i64* u_cnt, u32* u_idx, V* u_val,
+                     i64 cols) {
+  std::vector<double> w((size_t)cols, 0.0);
+  std::vector<char> inw((size_t)cols, 0);
+  std::vector<u32> touched;
+  std::priority_queue<i64, std::vector<i64>, std::greater<i64>> heap;
+
+  for (i64 i = 0; i < rows; ++i) {
+    touched.clear();
+    double norm2 = 0.0;
+    for (i64 t = offsets[i]; t < offsets[i + 1]; ++t) {
+      u32 j = indices[t];
+      double v = (double)vals[t];
+      if (!inw[j]) { inw[j] = 1; touched.push_back(j); w[j] = v; }
+      else w[j] += v;
+      norm2 += v * v;
+      if ((i64)j < i) heap.push((i64)j);
+    }
+    double taui = tau * std::sqrt(norm2);
+
+    i64 last = -1;
+    while (!heap.empty()) {
+      i64 k = heap.top(); heap.pop();
+      if (k == last) continue;  // lazy dedup
+      last = k;
+      if (!inw[k]) continue;
+      double wk = w[k];
+      if (std::fabs(wk) < taui) { w[k] = 0.0; continue; }  // drop, stays touched
+      // divide by U_kk (first stored entry of U row k is the diagonal)
+      double piv = (double)u_val[k * (p + 1)];
+      wk /= piv;
+      w[k] = wk;
+      for (i64 s = 1; s < u_cnt[k]; ++s) {
+        u32 j = u_idx[k * (p + 1) + s];
+        double upd = wk * (double)u_val[k * (p + 1) + s];
+        if (!inw[j]) {
+          if (std::fabs(upd) < taui) continue;  // don't create tiny fill
+          inw[j] = 1; touched.push_back(j); w[j] = -upd;
+          if ((i64)j < i) heap.push((i64)j);
+        } else {
+          w[j] -= upd;
+        }
+      }
+    }
+
+    // partition touched into L (k < i) and U (j > i), diag separate
+    static thread_local std::vector<std::pair<double, u32>> lpart, upart;
+    lpart.clear(); upart.clear();
+    double diag = 0.0;
+    for (u32 j : touched) {
+      double v = w[j];
+      if ((i64)j == i) diag = v;
+      else if (std::fabs(v) >= taui && v != 0.0) {
+        if ((i64)j < i) lpart.push_back({std::fabs(v), j});
+        else upart.push_back({std::fabs(v), j});
+      }
+    }
+    if (diag == 0.0) {
+      for (u32 j : touched) { inw[j] = 0; w[j] = 0.0; }
+      return i;
+    }
+    auto keep_top = [](std::vector<std::pair<double, u32>>& part, i64 cap) {
+      if ((i64)part.size() > cap) {
+        std::nth_element(part.begin(), part.begin() + cap, part.end(),
+                         [](const std::pair<double, u32>& a, const std::pair<double, u32>& b) { return a.first > b.first; });
+        part.resize((size_t)cap);
+      }
+    };
+    keep_top(lpart, p);
+    keep_top(upart, p);
+    i64 lc = 0;
+    for (auto& pr : lpart) {
+      l_idx[i * p + lc] = pr.second;
+      l_val[i * p + lc] = (V)w[pr.second];
+      ++lc;
+    }
+    l_cnt[i] = lc;
+    // U row: diagonal first (factorization scans rely on this layout)
+    u_idx[i * (p + 1)] = (u32)i;
+    u_val[i * (p + 1)] = (V)diag;
+    i64 uc = 1;
+    for (auto& pr : upart) {
+      u_idx[i * (p + 1) + uc] = pr.second;
+      u_val[i * (p + 1) + uc] = (V)w[pr.second];
+      ++uc;
+    }
+    u_cnt[i] = uc;
+
+    for (u32 j : touched) { inw[j] = 0; w[j] = 0.0; }
+  }
+  return -1;
+}
+
+extern "C" i64 spmx_ilut_f64(i64 rows, i64 cols, const i64* offsets, const u32* indices,
+                             const double* vals, double tau, i64 p,
+                             i64* l_cnt, u32* l_idx, double* l_val,
+                             i64* u_cnt, u32* u_idx, double* u_val) {
+  return ilut_impl<double>(rows, offsets, indices, vals, tau, p,
+                           l_cnt, l_idx, l_val, u_cnt, u_idx, u_val, cols);
+}
+
+extern "C" i64 spmx_ilut_f32(i64 rows, i64 cols, const i64* offsets, const u32* indices,
+                             const float* vals, double tau, i64 p,
+                             i64* l_cnt, u32* l_idx, float* l_val,
+                             i64* u_cnt, u32* u_idx, float* u_val) {
+  return ilut_impl<float>(rows, offsets, indices, vals, tau, p,
+                          l_cnt, l_idx, l_val, u_cnt, u_idx, u_val, cols);
+}

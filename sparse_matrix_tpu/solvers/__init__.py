@@ -40,6 +40,8 @@ from .ilu import (  # noqa: F401
     ic_preconditioner,
     ilu0,
     ilu_preconditioner,
+    ilut,
+    ilut_preconditioner,
     trisolve_host,
 )
 from .svd import SvdResult, svds, svds_csr  # noqa: F401

@@ -31,6 +31,8 @@ import numpy as np
 __all__ = [
     "IluFactors",
     "ilu0",
+    "ilut",
+    "ilut_preconditioner",
     "ic0",
     "trisolve_host",
     "TriangularJacobi",
@@ -266,3 +268,127 @@ def ic_pcg_solve(a, b, *, sweeps: int = 4, tol: float = 1e-6, maxiter: int = 100
     op = SpmvOperator(a, dtype=dtype, force=force)
     m_inv = ic_preconditioner(a, sweeps=sweeps, dtype=dtype, force=force)
     return pcg_solve(op, b, m_inv, tol=tol, maxiter=maxiter)
+
+
+def _ilut_python(rows, cols, offsets, indices, vals, tau, p):
+    """Pure-Python ILUT fallback (same semantics as spmx_ilut_*)."""
+    import heapq
+
+    l_rows, u_rows = [], []
+    u_store = []  # per-row list [(col, val)], diagonal first
+    for i in range(rows):
+        w = {}
+        norm2 = 0.0
+        heap = []
+        for t in range(int(offsets[i]), int(offsets[i + 1])):
+            j = int(indices[t])
+            v = float(vals[t])
+            w[j] = w.get(j, 0.0) + v
+            norm2 += v * v
+            if j < i:
+                heapq.heappush(heap, j)
+        taui = tau * np.sqrt(norm2)
+        last = -1
+        while heap:
+            k = heapq.heappop(heap)
+            if k == last or k not in w:
+                continue
+            last = k
+            wk = w[k]
+            if abs(wk) < taui:
+                w[k] = 0.0
+                continue
+            urow = u_store[k]
+            wk /= urow[0][1]
+            w[k] = wk
+            for j, uv in urow[1:]:
+                upd = wk * uv
+                if j not in w:
+                    if abs(upd) < taui:
+                        continue
+                    w[j] = -upd
+                    if j < i:
+                        heapq.heappush(heap, j)
+                else:
+                    w[j] -= upd
+        diag = w.get(i, 0.0)
+        if diag == 0.0:
+            raise ValueError(f"ilut: zero pivot in row {i}")
+        lpart = sorted(
+            ((abs(v), j, v) for j, v in w.items() if j < i and v != 0.0 and abs(v) >= taui),
+            reverse=True,
+        )[:p]
+        upart = sorted(
+            ((abs(v), j, v) for j, v in w.items() if j > i and v != 0.0 and abs(v) >= taui),
+            reverse=True,
+        )[:p]
+        l_rows.append([(j, v) for _a, j, v in lpart])
+        u_store.append([(i, diag)] + [(j, v) for _a, j, v in upart])
+    return l_rows, u_store
+
+
+def ilut(a, *, tau: float = 1e-3, p: int = 10) -> IluFactors:
+    """ILUT(p, tau): threshold incomplete LU with per-row fill cap
+    (Saad's dual-dropping rule — entries under ``tau * ||row||_2`` vanish,
+    then only the ``p`` largest survive per L/U part; the diagonal always
+    stays). Stronger than :func:`ilu0` on matrices whose inverse needs
+    fill; ``tau=0, p>=n`` degenerates to exact LU.
+
+    Native C++ (the sequential row elimination with a lazy min-heap);
+    Python fallback when the library is absent.
+    """
+    from ..formats.csr import CsrMatrix
+    from ..native import ilut_native
+
+    if not a.is_sorted:
+        raise ValueError("ilut requires sorted CSR")
+    if a.rows != a.cols:
+        raise ValueError("ilut requires a square matrix")
+    if p < 1:
+        raise ValueError("ilut needs p >= 1")
+    vals = np.ascontiguousarray(a.vals)
+    out = ilut_native(a.rows, a.cols, a.offsets, a.indices, vals, tau=tau, p=p)
+    dtype = vals.dtype
+    n = a.rows
+    if out is not None:
+        l_cnt, l_idx, l_val, u_cnt, u_idx, u_val = out
+        li = np.repeat(np.arange(n, dtype=np.int64), l_cnt)
+        keep_l = (np.arange(n * p) % p) < np.repeat(l_cnt, p)
+        lr = np.concatenate([li, np.arange(n, dtype=np.int64)])
+        lc = np.concatenate([l_idx[keep_l].astype(np.int64), np.arange(n, dtype=np.int64)])
+        lv = np.concatenate([l_val[keep_l], np.ones(n, dtype=dtype)])
+        ui = np.repeat(np.arange(n, dtype=np.int64), u_cnt)
+        keep_u = (np.arange(n * (p + 1)) % (p + 1)) < np.repeat(u_cnt, p + 1)
+        ur, uc, uv = ui, u_idx[keep_u].astype(np.int64), u_val[keep_u]
+    else:
+        l_rows, u_rows = _ilut_python(
+            a.rows, a.cols, a.offsets, a.indices.astype(np.int64), vals, tau, p
+        )
+        lr = np.concatenate(
+            [np.full(len(rw), i, np.int64) for i, rw in enumerate(l_rows)]
+            + [np.arange(n, dtype=np.int64)]
+        ) if n else np.zeros(0, np.int64)
+        lc = np.concatenate(
+            [np.array([j for j, _ in rw], np.int64) for rw in l_rows]
+            + [np.arange(n, dtype=np.int64)]
+        ) if n else np.zeros(0, np.int64)
+        lv = np.concatenate(
+            [np.array([v for _, v in rw], dtype) for rw in l_rows]
+            + [np.ones(n, dtype=dtype)]
+        ) if n else np.zeros(0, dtype)
+        ur = np.concatenate([np.full(len(rw), i, np.int64) for i, rw in enumerate(u_rows)])
+        uc = np.concatenate([np.array([j for j, _ in rw], np.int64) for rw in u_rows])
+        uv = np.concatenate([np.array([v for _, v in rw], dtype) for rw in u_rows])
+    l = CsrMatrix.from_coo(n, n, lr, lc, lv)
+    u = CsrMatrix.from_coo(n, n, ur, uc, uv)
+    return IluFactors(l, u)
+
+
+def ilut_preconditioner(a, *, tau: float = 1e-3, p: int = 10, sweeps: int = 4,
+                        dtype=np.float32, force=None) -> Callable:
+    """``M^{-1} r ~= U^{-1} L^{-1} r`` from ILUT — the stronger (more
+    fill) sibling of :func:`ilu_preconditioner`."""
+    f = ilut(a, tau=tau, p=p)
+    sl = TriangularJacobi(f.l, sweeps=sweeps, dtype=dtype, force=force)
+    su = TriangularJacobi(f.u, sweeps=sweeps, dtype=dtype, force=force)
+    return lambda r: su(sl(r))

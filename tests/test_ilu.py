@@ -225,3 +225,96 @@ def test_ilu_preconditioned_gmres_cuts_iterations():
     assert int(res_pre.iterations) < int(res_plain.iterations)
     x = np.asarray(res_pre.x, dtype=np.float64)
     assert np.linalg.norm(d @ x - b) < 1e-4 * np.linalg.norm(b)
+
+
+def test_ilut_full_fill_is_exact_lu():
+    """tau=0, p=n: ILUT degenerates to exact LU (L@U == A)."""
+    from sparse_matrix_tpu.solvers import ilut
+
+    rng = np.random.default_rng(20)
+    d = _spd_dense(rng, 40, dens=0.3)
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    f = ilut(a, tau=0.0, p=40)
+    np.testing.assert_allclose(
+        f.l.to_dense() @ f.u.to_dense(), d, rtol=1e-9, atol=1e-10
+    )
+
+
+def test_ilut_python_fallback_matches_native(monkeypatch):
+    from sparse_matrix_tpu.solvers import ilut
+
+    rng = np.random.default_rng(21)
+    d = _spd_dense(rng, 35, dens=0.2)
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    f_native = ilut(a, tau=1e-3, p=6)
+    monkeypatch.setattr("sparse_matrix_tpu.native.loader.ilut_native",
+                        lambda *ar, **kw: None)
+    monkeypatch.setattr("sparse_matrix_tpu.native.ilut_native",
+                        lambda *ar, **kw: None)
+    import sparse_matrix_tpu.solvers.ilu as ilu_mod
+
+    f_py = ilu_mod.ilut(a, tau=1e-3, p=6)
+    np.testing.assert_allclose(
+        f_py.l.to_dense(), f_native.l.to_dense(), rtol=1e-12, atol=1e-14
+    )
+    np.testing.assert_allclose(
+        f_py.u.to_dense(), f_native.u.to_dense(), rtol=1e-12, atol=1e-14
+    )
+
+
+def test_ilut_dropping_monotone():
+    """Larger tau / smaller p -> no more fill than looser settings."""
+    from sparse_matrix_tpu.solvers import ilut
+
+    rng = np.random.default_rng(22)
+    d = _spd_dense(rng, 60, dens=0.15)
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    loose = ilut(a, tau=1e-6, p=30)
+    tight = ilut(a, tau=1e-1, p=3)
+    assert tight.l.nnz() <= loose.l.nnz()
+    assert tight.u.nnz() <= loose.u.nnz()
+    # caps respected
+    assert np.diff(tight.l.offsets).max() <= 3 + 1  # p + unit diag
+    assert np.diff(tight.u.offsets).max() <= 3 + 1  # p + pivot
+
+
+def test_ilut_beats_ilu0_on_fill_needing_matrix():
+    """A matrix whose inverse needs fill: ILUT(p, tau) preconditions
+    BiCGStab better than ILU(0)."""
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+    from sparse_matrix_tpu.solvers import bicgstab_solve
+    from sparse_matrix_tpu.solvers.ilu import ilu_preconditioner, ilut_preconditioner
+
+    rng = np.random.default_rng(23)
+    n = 400
+    # anisotropic-ish unsymmetric banded + random couplings, mildly dominant
+    d = np.zeros((n, n))
+    idx = np.arange(n)
+    d[idx, idx] = 4.0
+    d[idx[1:], idx[:-1]] = -1.9
+    d[idx[:-1], idx[1:]] = -0.7
+    far = idx[:-17]
+    d[far, far + 17] = -0.9
+    d[far + 17, far] = -0.4
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    b = rng.standard_normal(n)
+    op = SpmvOperator(a, dtype=np.float64)
+    m0 = ilu_preconditioner(a, sweeps=5, dtype=np.float64)
+    mt = ilut_preconditioner(a, tau=1e-4, p=12, sweeps=5, dtype=np.float64)
+    r0 = bicgstab_solve(op, b, tol=1e-8, maxiter=500, m_inv=m0)
+    rt = bicgstab_solve(op, b, tol=1e-8, maxiter=500, m_inv=mt)
+    assert int(rt.iterations) <= int(r0.iterations)
+    x = np.asarray(rt.x)
+    # f32 working precision (x64 disabled in the test config)
+    assert np.linalg.norm(d @ x - b) < 1e-5 * np.linalg.norm(b)
+
+
+def test_ilut_zero_pivot_and_validation():
+    from sparse_matrix_tpu.solvers import ilut
+
+    d = np.array([[0.0, 1.0], [1.0, 1.0]])
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    with pytest.raises(ValueError, match="zero pivot in row 0"):
+        ilut(a)
+    with pytest.raises(ValueError, match="p >= 1"):
+        ilut(poisson_2d_csr(4), p=0)
