@@ -29,3 +29,48 @@ print("UBSAN CLEAN")
              "PATH": "/usr/bin:/bin:/usr/local/bin", "JAX_PLATFORMS": "cpu"},
     )
     assert "UBSAN CLEAN" in out.stdout, (out.stdout[-1000:], out.stderr[-3000:])
+
+
+def test_native_ubsan_round3_kernels():
+    """The round-3 native kernels (aggregation, ILU0/ILUT, trisolve) under
+    the UBSan build."""
+    code = """
+import ctypes
+import numpy as np
+from sparse_matrix_tpu.native import build as bmod
+from sparse_matrix_tpu.native import loader
+lib = ctypes.CDLL(bmod.build(sanitize=True))
+loader._declare(lib)
+loader._LIB = lib
+loader._TRIED = True
+
+from sparse_matrix_tpu.core import DokMatrix
+from sparse_matrix_tpu.formats import CsrMatrix
+from sparse_matrix_tpu.solvers.amg import aggregate_strong, strength_graph
+from sparse_matrix_tpu.solvers.ilu import ilu0, ilut, trisolve_host
+from sparse_matrix_tpu.solvers import poisson_2d_csr
+
+rng = np.random.default_rng(0)
+for trial in range(25):
+    n = int(rng.integers(2, 40))
+    d = (rng.random((n, n)) < 0.3) * rng.standard_normal((n, n))
+    d = (d + d.T) / 2
+    np.fill_diagonal(d, np.abs(d).sum(axis=1) + 1.0)
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    so, si = strength_graph(a)
+    agg, na = aggregate_strong(a.rows, so, si)
+    assert (agg >= 0).all() and na >= 1
+    f = ilu0(a)
+    ft = ilut(a, tau=float(rng.random() * 0.1), p=int(rng.integers(1, 12)))
+    b = rng.standard_normal(n)
+    y = trisolve_host(f.l, b, lower=True, unit=True)
+    x = trisolve_host(f.u, y, lower=False)
+    assert np.isfinite(x).all()
+print("UBSAN R3 CLEAN")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=600,
+        env={"PYTHONPATH": ".", "HOME": "/root",
+             "PATH": "/usr/bin:/bin:/usr/local/bin", "JAX_PLATFORMS": "cpu"},
+    )
+    assert "UBSAN R3 CLEAN" in out.stdout, (out.stdout[-1000:], out.stderr[-3000:])
