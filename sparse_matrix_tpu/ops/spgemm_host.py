@@ -19,7 +19,7 @@ host runtime. Three entry points:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

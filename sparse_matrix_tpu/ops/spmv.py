@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..formats.csr import CsrMatrix
-from ..formats.lanepack import LANES, SUBLANES, LanePackPlan, plan_lanepack
+from ..formats.lanepack import LANES, SUBLANES, LanePackPlan
 
 __all__ = [
     "spmv_lanepack",

@@ -56,4 +56,4 @@ from .stochastic import (  # noqa: F401
     trace_estimate,
 )
 from .solve import lstsq, solve  # noqa: F401
-from .poisson import poisson_2d_csr  # noqa: F401
+from .poisson import poisson_2d_csr, poisson_3d_csr  # noqa: F401

@@ -13,7 +13,6 @@ remote-compile tunnel, experiments/cgprobe.out).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

@@ -6,7 +6,7 @@ import numpy as np
 
 from ..formats.csr import CsrMatrix
 
-__all__ = ["poisson_2d_csr"]
+__all__ = ["poisson_2d_csr", "poisson_3d_csr"]
 
 
 def poisson_2d_csr(n: int, *, dtype=np.float64) -> CsrMatrix:
@@ -37,3 +37,15 @@ def poisson_2d_csr(n: int, *, dtype=np.float64) -> CsrMatrix:
         np.concatenate(vals),
         sum_duplicates=False,
     )
+
+
+def poisson_3d_csr(n: int, *, dtype=np.float64) -> CsrMatrix:
+    """The n^3 x n^3 seven-point Laplacian on an n^3 grid (Dirichlet),
+    assembled from the 1-D stencil with the framework's own Kronecker
+    product: ``L (x) I (x) I + I (x) L (x) I + I (x) I (x) L``."""
+    from ..formats.construct import diags, eye, kron
+
+    l1 = diags([2.0, -1.0, -1.0], [0, -1, 1], shape=(n, n), dtype=dtype)
+    i1 = eye(n, dtype=dtype)
+    i2 = eye(n * n, dtype=dtype)
+    return kron(l1, i2) + kron(i1, kron(l1, i1)) + kron(i2, l1)

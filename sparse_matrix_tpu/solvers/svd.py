@@ -16,7 +16,6 @@ SpmvOperator` applies (DIA/aligned/LanePack/ELL) carry the hot path.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

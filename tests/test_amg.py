@@ -277,3 +277,34 @@ def test_native_aggregation_matches_python_loop():
         assert na == ref_na
         np.testing.assert_array_equal(agg, ref_agg)
         assert (agg >= 0).all() and agg.max() == na - 1
+
+
+def test_poisson_3d_and_amg():
+    """7-point 3D Laplacian (built via the framework's kron): AMG-PCG
+    converges in O(10) iterations where plain CG needs many more."""
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+    from sparse_matrix_tpu.solvers import amg_setup, poisson_3d_csr
+    from sparse_matrix_tpu.solvers.cg import cg_solve, pcg_solve
+
+    a = poisson_3d_csr(12, dtype=np.float32)  # 1728 unknowns
+    assert a.rows == 12**3
+    # spot-check the stencil: interior row has 7 entries, diag 6
+    interior = 12 * 12 * 6 + 12 * 6 + 6
+    lo, hi = int(a.offsets[interior]), int(a.offsets[interior + 1])
+    assert hi - lo == 7
+    d_pos = np.flatnonzero(a.indices[lo:hi].astype(np.int64) == interior)
+    assert a.vals[lo:hi][d_pos[0]] == 6.0
+
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(a.rows).astype(np.float32)
+    op = SpmvOperator(a, dtype=np.float32)
+    plain = cg_solve(op, b, tol=1e-5, maxiter=2000)
+    hier = amg_setup(a, coarse_size=100, dtype=np.float32)
+    res = pcg_solve(op, b, hier.preconditioner(), tol=1e-5, maxiter=200)
+    assert int(res.iterations) <= 25
+    assert int(res.iterations) * 2 < int(plain.iterations)
+    x = np.asarray(res.x, dtype=np.float64)
+    rid = a.row_ids()
+    ax = np.zeros(a.rows)
+    np.add.at(ax, rid, a.vals.astype(np.float64) * x[a.indices.astype(np.int64)])
+    assert np.linalg.norm(ax - b) < 1e-4 * np.linalg.norm(b)
