@@ -269,3 +269,61 @@ def test_block_amg_pcg_on_tpu():
     for j in range(4):
         r = dense @ X[:, j] - B[:, j]
         assert np.linalg.norm(r) < 5e-4 * np.linalg.norm(B[:, j])
+
+
+def test_round3_solvers_on_tpu():
+    """Hardware pass over the round-3 solver surfaces in one test (shared
+    operator plans keep the compile count down): IC(0)-PCG, batched CG,
+    complex operator, chebyshev solve, svds."""
+    from sparse_matrix_tpu.ops import BatchedEllOperator, ComplexSpmvOperator, batched_cg_solve
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+    from sparse_matrix_tpu.solvers import (
+        chebyshev_solve,
+        ic_pcg_solve,
+        svds_csr,
+    )
+
+    rng = np.random.default_rng(0)
+    p = poisson_2d_csr(48, dtype=np.float32)  # 2304 unknowns
+    b = rng.standard_normal(p.rows).astype(np.float32)
+    dense64 = p.to_dense().astype(np.float64)
+
+    # IC(0)-PCG (nilpotent-sweep trisolves on hardware)
+    res = ic_pcg_solve(p, b, sweeps=4, tol=1e-5, maxiter=2000)
+    x = np.asarray(res.x, dtype=np.float64)
+    assert np.linalg.norm(dense64 @ x - b) < 1e-4 * np.linalg.norm(b)
+
+    # chebyshev (dot-free) on the same operator
+    op = SpmvOperator(p, dtype=np.float32)
+    resc = chebyshev_solve(op, b, n=p.rows, tol=1e-5, maxiter=4000)
+    xc = np.asarray(resc.x, dtype=np.float64)
+    assert np.linalg.norm(dense64 @ xc - b) < 1e-4 * np.linalg.norm(b)
+
+    # batched CG (one-hot MXU apply)
+    pat = poisson_2d_csr(12, dtype=np.float32)
+    vals = np.stack([pat.vals * s for s in (0.5 + rng.random(32))]).astype(np.float32)
+    bop = BatchedEllOperator(pat, vals)
+    assert bop.use_onehot
+    B = rng.standard_normal((32, pat.rows)).astype(np.float32)
+    bres = batched_cg_solve(bop, B, tol=1e-5, maxiter=300)
+    d7 = CsrMatrix(pat.rows, pat.cols, vals[7], pat.indices, pat.offsets,
+                   is_sorted=True).to_dense()
+    assert np.linalg.norm(
+        d7 @ np.asarray(bres.x)[7] - B[7]
+    ) < 1e-3 * np.linalg.norm(B[7])
+
+    # complex operator (two K=2 SpMMs on hardware)
+    mask = rng.random((200, 200)) < 0.04
+    dc = mask * (rng.standard_normal((200, 200)) + 1j * rng.standard_normal((200, 200)))
+    ac = CsrMatrix.from_dok(DokMatrix.from_dense(dc.astype(np.complex128)))
+    copz = ComplexSpmvOperator(ac)
+    xcx = (rng.standard_normal(200) + 1j * rng.standard_normal(200)).astype(np.complex64)
+    yc = np.asarray(copz(xcx))
+    np.testing.assert_allclose(yc, dc.astype(np.complex64) @ xcx, rtol=1e-4, atol=1e-4)
+
+    # svds (GKL loop on hardware)
+    dsv = ((rng.random((300, 120)) < 0.05) * rng.standard_normal((300, 120))).astype(np.float64)
+    asv = CsrMatrix.from_dok(DokMatrix.from_dense(dsv))
+    sv = svds_csr(asv, k=3, steps=30)
+    ref = np.linalg.svd(dsv, compute_uv=False)[:3]
+    np.testing.assert_allclose(np.asarray(sv.s), ref, rtol=3e-3)
