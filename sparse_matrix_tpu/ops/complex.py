@@ -56,21 +56,38 @@ class ComplexSpmvOperator:
         return self._ar.format
 
     def __call__(self, x):
+        import jax
         import jax.numpy as jnp
 
-        x = jnp.asarray(x)
+        # The TPU backend has no complex dtypes at all (uploading a
+        # complex64 array raises UNIMPLEMENTED — measured on v5e), so on
+        # TPU the split/combine happens in host numpy around the real
+        # device SpMMs; complex-capable backends (CPU) keep the traced
+        # jnp path so the operator composes with jitted solvers there.
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and isinstance(x, jax.core.Tracer):
+            raise TypeError(
+                "ComplexSpmvOperator cannot be traced on the TPU backend "
+                "(no complex dtype support); call it eagerly"
+            )
+        xp = np if (on_tpu and not isinstance(x, jax.core.Tracer)) else jnp
+        x = xp.asarray(x)
         vec = x.ndim == 1
         if vec:
             x = x[:, None]
         k = x.shape[1]
         # pack [Re x | Im x] as a 2K-column real block: one SpMM per part
-        xs = jnp.concatenate([jnp.real(x), jnp.imag(x)], axis=1).astype(
+        xs = xp.concatenate([xp.real(x), xp.imag(x)], axis=1).astype(
             self._real_dtype
         )
         yr = self._ar.matmat(xs)  # [Ar xr | Ar xi]
+        if xp is np:
+            yr = np.asarray(yr)
         re, im = yr[:, :k], yr[:, k:]
         if self._ai is not None:
             yi = self._ai.matmat(xs)  # [Ai xr | Ai xi]
+            if xp is np:
+                yi = np.asarray(yi)
             re = re - yi[:, k:]
             im = im + yi[:, :k]
         y = re + 1j * im
