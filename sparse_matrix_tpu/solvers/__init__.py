@@ -28,6 +28,9 @@ from .lobpcg import LobpcgResult, lobpcg  # noqa: F401
 from .gmres import gmres_solve  # noqa: F401
 from .amg import (  # noqa: F401
     AmgHierarchy,
+    amg_coarsen,
+    load_amg_coarsening,
+    save_amg_coarsening,
     amg_pcg_solve,
     amg_preconditioner,
     amg_setup,
@@ -42,6 +45,8 @@ from .ilu import (  # noqa: F401
     ilu_preconditioner,
     ilut,
     ilut_preconditioner,
+    load_ilu_factors,
+    save_ilu_factors,
     trisolve_host,
 )
 from .svd import SvdResult, svds, svds_csr  # noqa: F401

@@ -35,6 +35,8 @@ __all__ = [
     "AmgLevel",
     "aggregate_strong",
     "amg_coarsen",
+    "save_amg_coarsening",
+    "load_amg_coarsening",
     "amg_preconditioner",
     "amg_pcg_solve",
     "amg_setup",
@@ -323,6 +325,7 @@ def amg_setup(
     cheb_degree: int = 3,
     operator_force: Optional[str] = None,
     verbose: bool = False,
+    coarsening=None,
 ) -> AmgHierarchy:
     """Build a smoothed-aggregation hierarchy for symmetric M-matrix-like
     ``a`` (host CsrMatrix).
@@ -343,13 +346,18 @@ def amg_setup(
         raise ValueError("AMG requires a square operator")
 
     levels: List[AmgLevel] = []
-    host_levels, cur = amg_coarsen(
-        a,
-        theta=theta,
-        smooth_prolongator=smooth_prolongator,
-        max_levels=max_levels,
-        coarse_size=coarse_size,
-    )
+    if coarsening is not None:
+        # precomputed / loaded host coarsening (save_amg_coarsening):
+        # skip strength, aggregation, and the Galerkin products entirely
+        host_levels, cur = coarsening
+    else:
+        host_levels, cur = amg_coarsen(
+            a,
+            theta=theta,
+            smooth_prolongator=smooth_prolongator,
+            max_levels=max_levels,
+            coarse_size=coarse_size,
+        )
     for cur_l, p, dinv, lam in host_levels:
         lv_ops = (
             SpmvOperator(cur_l, dtype=dtype, force=operator_force),
@@ -477,3 +485,46 @@ def amg_pcg_solve(
             op.matmat, b, hier.preconditioner(), tol=tol, maxiter=maxiter
         )
     return pcg_solve(op, b, hier.preconditioner(), tol=tol, maxiter=maxiter)
+
+
+def save_amg_coarsening(path, levels, coarse) -> None:
+    """Persist an :func:`amg_coarsen` result (npz) — the checkpoint/resume
+    analog for hierarchies: a later process skips strength/aggregation and
+    every Galerkin product and only re-plans device operators."""
+    payload = {"n_levels": np.int64(len(levels))}
+
+    def put(prefix, m):
+        payload[prefix + "vals"] = m.vals
+        payload[prefix + "indices"] = m.indices
+        payload[prefix + "offsets"] = m.offsets
+        payload[prefix + "shape"] = np.array([m.rows, m.cols], np.int64)
+
+    for i, (a_l, p_l, dinv, lam) in enumerate(levels):
+        put(f"l{i}_a_", a_l)
+        put(f"l{i}_p_", p_l)
+        payload[f"l{i}_dinv"] = dinv
+        payload[f"l{i}_lam"] = np.float64(lam)
+    put("coarse_", coarse)
+    np.savez(path, **payload)
+
+
+def load_amg_coarsening(path):
+    """Inverse of :func:`save_amg_coarsening`; returns ``(levels, coarse)``
+    in :func:`amg_coarsen`'s format."""
+    from ..formats.csr import CsrMatrix
+
+    z = np.load(path)
+
+    def get(prefix):
+        rows, cols = (int(v) for v in z[prefix + "shape"])
+        return CsrMatrix(
+            rows, cols, z[prefix + "vals"], z[prefix + "indices"],
+            z[prefix + "offsets"], is_sorted=True,
+        )
+
+    levels = []
+    for i in range(int(z["n_levels"])):
+        levels.append(
+            (get(f"l{i}_a_"), get(f"l{i}_p_"), z[f"l{i}_dinv"], float(z[f"l{i}_lam"]))
+        )
+    return levels, get("coarse_")

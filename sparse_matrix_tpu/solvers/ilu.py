@@ -39,6 +39,8 @@ __all__ = [
     "ilu_preconditioner",
     "ic_preconditioner",
     "ic_pcg_solve",
+    "save_ilu_factors",
+    "load_ilu_factors",
 ]
 
 
@@ -392,3 +394,25 @@ def ilut_preconditioner(a, *, tau: float = 1e-3, p: int = 10, sweeps: int = 4,
     sl = TriangularJacobi(f.l, sweeps=sweeps, dtype=dtype, force=force)
     su = TriangularJacobi(f.u, sweeps=sweeps, dtype=dtype, force=force)
     return lambda r: su(sl(r))
+
+
+def save_ilu_factors(path, f: IluFactors) -> None:
+    """Persist ILU/ILUT factors (npz) — resume skips the factorization."""
+    np.savez(
+        path,
+        l_vals=f.l.vals, l_indices=f.l.indices, l_offsets=f.l.offsets,
+        u_vals=f.u.vals, u_indices=f.u.indices, u_offsets=f.u.offsets,
+        shape=np.array([f.l.rows, f.l.cols], np.int64),
+    )
+
+
+def load_ilu_factors(path) -> IluFactors:
+    """Inverse of :func:`save_ilu_factors`."""
+    from ..formats.csr import CsrMatrix
+
+    z = np.load(path)
+    rows, cols = (int(v) for v in z["shape"])
+    return IluFactors(
+        CsrMatrix(rows, cols, z["l_vals"], z["l_indices"], z["l_offsets"], is_sorted=True),
+        CsrMatrix(rows, cols, z["u_vals"], z["u_indices"], z["u_offsets"], is_sorted=True),
+    )

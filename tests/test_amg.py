@@ -308,3 +308,39 @@ def test_poisson_3d_and_amg():
     ax = np.zeros(a.rows)
     np.add.at(ax, rid, a.vals.astype(np.float64) * x[a.indices.astype(np.int64)])
     assert np.linalg.norm(ax - b) < 1e-4 * np.linalg.norm(b)
+
+
+def test_amg_coarsening_save_load_roundtrip(tmp_path):
+    """Hierarchy rebuilt from a saved coarsening solves identically and
+    skips the coarsening work."""
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+    from sparse_matrix_tpu.solvers import (
+        amg_coarsen,
+        amg_setup,
+        load_amg_coarsening,
+        poisson_2d_csr,
+        save_amg_coarsening,
+    )
+    from sparse_matrix_tpu.solvers.cg import pcg_solve
+
+    a = poisson_2d_csr(24, dtype=np.float32)
+    levels, coarse = amg_coarsen(a, coarse_size=60)
+    p = tmp_path / "coarsening.npz"
+    save_amg_coarsening(p, levels, coarse)
+    l2, c2 = load_amg_coarsening(p)
+    assert len(l2) == len(levels)
+    for (a1, p1, d1, lam1), (a2, p2, d2, lam2) in zip(levels, l2):
+        np.testing.assert_array_equal(a1.vals, a2.vals)
+        np.testing.assert_array_equal(p1.indices, p2.indices)
+        np.testing.assert_array_equal(d1, d2)
+        assert lam1 == lam2
+
+    h_fresh = amg_setup(a, coarse_size=60, dtype=np.float32)
+    h_loaded = amg_setup(a, coarse_size=60, dtype=np.float32, coarsening=(l2, c2))
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(a.rows).astype(np.float32)
+    op = SpmvOperator(a, dtype=np.float32)
+    r1 = pcg_solve(op, b, h_fresh.preconditioner(), tol=1e-6, maxiter=100)
+    r2 = pcg_solve(op, b, h_loaded.preconditioner(), tol=1e-6, maxiter=100)
+    assert int(r1.iterations) == int(r2.iterations)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), rtol=1e-5, atol=1e-6)

@@ -318,3 +318,22 @@ def test_ilut_zero_pivot_and_validation():
         ilut(a)
     with pytest.raises(ValueError, match="p >= 1"):
         ilut(poisson_2d_csr(4), p=0)
+
+
+def test_ilu_factors_save_load_roundtrip(tmp_path):
+    from sparse_matrix_tpu.solvers import ilut, load_ilu_factors, save_ilu_factors
+
+    rng = np.random.default_rng(30)
+    d = _spd_dense(rng, 50, dens=0.2)
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    f = ilut(a, tau=1e-3, p=8)
+    p = tmp_path / "factors.npz"
+    save_ilu_factors(p, f)
+    f2 = load_ilu_factors(p)
+    np.testing.assert_array_equal(f.l.vals, f2.l.vals)
+    np.testing.assert_array_equal(f.u.offsets, f2.u.offsets)
+    b = rng.standard_normal(50)
+    np.testing.assert_allclose(
+        trisolve_host(f2.l, b, lower=True, unit=True),
+        trisolve_host(f.l, b, lower=True, unit=True),
+    )
