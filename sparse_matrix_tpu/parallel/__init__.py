@@ -12,6 +12,11 @@ from .spgemm import dist_spgemm  # noqa: F401
 from .dia import shard_dia, dist_spmv_dia, dist_spmv_dia_halo, dist_cg_solve_dia  # noqa: F401
 from .spmm2d import make_mesh2d, shard_ell_2d, dist_spmm_2d  # noqa: F401
 from .cg import dist_cg_step, dist_cg_solve, prepare_dist_cg  # noqa: F401
+from .ilu import (  # noqa: F401
+    DistIcFactor,
+    dist_ic_pcg_solve,
+    dist_ic_setup,
+)
 from .amg import (  # noqa: F401
     DistAmgHierarchy,
     DistAmgLevel,
