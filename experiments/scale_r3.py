@@ -15,7 +15,19 @@ def probe_latency():
         t0 = time.perf_counter(); _ = float(f0(jnp.float32(0))); ls.append(time.perf_counter() - t0)
     return min(ls)
 
-def timed_chain(solve_fn, b0, R=8, reps=3):
+def timed_chain(solve_fn, b0, R=8, reps=3, chained=True):
+    if not chained:
+        # 2048^2: the chained program embeds ~84 MB of operator constants
+        # and exceeds the remote-compile payload limit (HTTP 413, the
+        # known env artifact); single solves are >>RTT there, so plain
+        # min-minus-latency is accurate enough
+        jf = jax.jit(solve_fn)
+        res = jf(b0); jax.block_until_ready(res.x)
+        lat = probe_latency(); ts = []
+        for _ in range(reps + 2):
+            t0 = time.perf_counter(); res = jf(b0); _ = float(res.residual_norm)
+            ts.append(time.perf_counter() - t0)
+        return max(0.0, min(ts) - lat)
     @jax.jit
     def chain(b):
         def body(i, acc):
@@ -29,19 +41,20 @@ def timed_chain(solve_fn, b0, R=8, reps=3):
     return max(0.0, min(ts) - lat) / R
 
 print("backend:", jax.default_backend(), flush=True)
-for n in (512, 1024, 2048):
+for n in (2048,):  # 512/1024 recorded in the same .out already
     a = poisson_2d_csr(n, dtype=np.float32)
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal(a.rows).astype(np.float32))
     op = SpmvOperator(a, dtype=np.float32)
-    t_cg = timed_chain(lambda bb: cg_solve(op, bb, tol=1e-5, maxiter=8000), b, R=4)
+    ch = n < 2048
+    t_cg = timed_chain(lambda bb: cg_solve(op, bb, tol=1e-5, maxiter=8000), b, R=4, chained=ch)
     r_cg = jax.jit(lambda bb: cg_solve(op, bb, tol=1e-5, maxiter=8000))(b)
     t0=time.time(); mic = ic_preconditioner(a, sweeps=4); ic_setup = time.time()-t0
-    t_ic = timed_chain(lambda bb: pcg_solve(op, bb, mic, tol=1e-5, maxiter=8000), b, R=4)
+    t_ic = timed_chain(lambda bb: pcg_solve(op, bb, mic, tol=1e-5, maxiter=8000), b, R=4, chained=ch)
     r_ic = jax.jit(lambda bb: pcg_solve(op, bb, mic, tol=1e-5, maxiter=8000))(b)
     t0=time.time(); hier = amg_setup(a, coarse_size=400, dtype=np.float32); amg_t = time.time()-t0
     mamg = hier.preconditioner()
-    t_amg = timed_chain(lambda bb: pcg_solve(op, bb, mamg, tol=1e-5, maxiter=200), b)
+    t_amg = timed_chain(lambda bb: pcg_solve(op, bb, mamg, tol=1e-5, maxiter=200), b, chained=ch)
     r_amg = jax.jit(lambda bb: pcg_solve(op, bb, mamg, tol=1e-5, maxiter=200))(b)
     print(f"poisson {n}^2 ({a.rows} rows, {a.nnz()} nnz, fmt={op.format}):", flush=True)
     print(f"  CG      {t_cg*1e3:8.1f} ms ({int(r_cg.iterations)} it)", flush=True)
