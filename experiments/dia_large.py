@@ -1,0 +1,71 @@
+"""Large-DIA SpMV (out-of-VMEM regime, Poisson 2048^2, 84 MB band data):
+variants vs the shipped slice-accumulate kernel. All args passed to jit
+(constants would trip the tunnel payload limit)."""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+from functools import partial
+from sparse_matrix_tpu.formats.dia import try_dia_from_csr
+from sparse_matrix_tpu.solvers import poisson_2d_csr
+
+def probe_latency():
+    f0 = jax.jit(lambda s: s + 1.0); _ = float(f0(jnp.float32(0)))
+    ls = []
+    for _ in range(5):
+        t0 = time.perf_counter(); _ = float(f0(jnp.float32(0))); ls.append(time.perf_counter() - t0)
+    return min(ls)
+
+def bench(fn, data, x, ch=50, reps=4):
+    @jax.jit
+    def chain(dd, v):
+        def body(_, vv): return fn(dd, vv) * 1e-3
+        return jax.lax.fori_loop(0, ch, body, v)
+    out = chain(data, x); jax.block_until_ready(out)
+    lat = probe_latency(); ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter(); out = chain(data, x); _ = float(out[0])
+        ts.append(time.perf_counter() - t0)
+    return max(0.0, min(ts) - lat) / ch
+
+print("backend:", jax.default_backend(), flush=True)
+n = 2048
+a = poisson_2d_csr(n, dtype=np.float32)
+dia = try_dia_from_csr(a)
+offs, rows = dia.offsets, dia.rows
+lo = -min(0, min(offs)); hi = max(0, max(offs)) + rows
+rng = np.random.default_rng(0)
+x = jnp.asarray(rng.standard_normal(rows).astype(np.float32))
+data = jnp.asarray(dia.data)
+nnz = a.nnz()
+print(f"bands {offs}, rows {rows}, data {data.nbytes/1e6:.0f} MB", flush=True)
+
+def v_shipped(dd, v):
+    xpad = jnp.zeros(lo + hi, v.dtype).at[lo:lo + rows].set(v)
+    y = jnp.zeros(rows, v.dtype)
+    for b, off in enumerate(offs):
+        y = y + dd[b] * jax.lax.dynamic_slice(xpad, (lo + off,), (rows,))
+    return y
+
+def v_stacked(dd, v):
+    # one (nb, rows) window stack * data, summed: single fused reduction
+    xpad = jnp.zeros(lo + hi, v.dtype).at[lo:lo + rows].set(v)
+    wins = jnp.stack([jax.lax.dynamic_slice(xpad, (lo + off,), (rows,)) for off in offs])
+    return jnp.sum(dd * wins, axis=0)
+
+def v_roll(dd, v):
+    y = jnp.zeros(rows, v.dtype)
+    for b, off in enumerate(offs):
+        # roll + mask instead of pad/slice
+        shifted = jnp.roll(v, -off)
+        idx = jnp.arange(rows)
+        valid = ((idx + off) >= 0) & ((idx + off) < rows)
+        y = y + dd[b] * jnp.where(valid, shifted, 0.0)
+    return y
+
+for name, fn in (("shipped slice-acc", v_shipped), ("stacked-sum", v_stacked), ("roll-mask", v_roll)):
+    t = bench(fn, data, x)
+    # correctness spot check
+    y = np.asarray(jax.jit(fn)(data, x))
+    ref = np.asarray(jax.jit(v_shipped)(data, x))
+    ok = np.allclose(y, ref, rtol=1e-5, atol=1e-5)
+    print(f"{name:18s}: {t*1e6:7.1f} us -> {nnz/t/1e9:6.1f} Gnnz/s  eff {(data.nbytes + 8*rows)/t/1e9:5.0f} GB/s  ok={ok}", flush=True)
