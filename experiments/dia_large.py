@@ -69,3 +69,13 @@ for name, fn in (("shipped slice-acc", v_shipped), ("stacked-sum", v_stacked), (
     ref = np.asarray(jax.jit(v_shipped)(data, x))
     ok = np.allclose(y, ref, rtol=1e-5, atol=1e-5)
     print(f"{name:18s}: {t*1e6:7.1f} us -> {nnz/t/1e9:6.1f} Gnnz/s  eff {(data.nbytes + 8*rows)/t/1e9:5.0f} GB/s  ok={ok}", flush=True)
+
+# --- Pallas streaming kernel (added after the XLA variant measurements)
+from sparse_matrix_tpu.ops.spmv_dia import _dia_pallas_blocked_data, _spmv_dia_pallas
+dpad = jax.block_until_ready(_dia_pallas_blocked_data(data, rows=rows))
+fn_pallas = lambda dd, v: _spmv_dia_pallas(dd, v, offsets=offs, rows=rows, interpret=False)
+t = bench(fn_pallas, dpad, x)
+y = np.asarray(jax.jit(fn_pallas)(dpad, x))
+ref = np.asarray(jax.jit(v_shipped)(data, x))
+ok = np.allclose(y, ref, rtol=1e-5, atol=1e-5)
+print(f"{'pallas-stream':18s}: {t*1e6:7.1f} us -> {nnz/t/1e9:6.1f} Gnnz/s  eff {(data.nbytes + 8*rows)/t/1e9:5.0f} GB/s  ok={ok}", flush=True)

@@ -7,7 +7,7 @@ import sys, time
 sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
 from sparse_matrix_tpu.formats.dia import try_dia_from_csr
-from sparse_matrix_tpu.ops.spmv_dia import _spmv_dia_jit
+from sparse_matrix_tpu.ops.spmv_dia import _dia_pallas_blocked_data, _spmv_dia_pallas
 from sparse_matrix_tpu.solvers import poisson_2d_csr
 from sparse_matrix_tpu.solvers.cg import cg_solve
 
@@ -28,15 +28,17 @@ data = jnp.asarray(dia.data)
 offs, rows, cols = dia.offsets, dia.rows, dia.cols
 print(f"poisson {n}^2: {a.rows} rows, {a.nnz()} nnz, dia data {data.nbytes/1e6:.0f} MB", flush=True)
 
+dpad = jax.block_until_ready(_dia_pallas_blocked_data(data, rows=rows))
+
 @jax.jit
 def solve_cg(dd, bb):
-    mv = lambda v: _spmv_dia_jit(dd, v, offsets=offs, rows=rows, cols=cols)
+    mv = lambda v: _spmv_dia_pallas(dd, v, offsets=offs, rows=rows, interpret=False)
     return cg_solve(mv, bb, tol=1e-5, maxiter=10000)
 
-res = solve_cg(data, b); jax.block_until_ready(res.x)
+res = solve_cg(dpad, b); jax.block_until_ready(res.x)
 lat = probe_latency(); ts = []
 for _ in range(4):
-    t0 = time.perf_counter(); res = solve_cg(data, b); _ = float(res.residual_norm)
+    t0 = time.perf_counter(); res = solve_cg(dpad, b); _ = float(res.residual_norm)
     ts.append(time.perf_counter() - t0)
 t = max(0.0, min(ts) - lat)
 print(f"CG: {t*1e3:.1f} ms ({int(res.iterations)} iters)", flush=True)

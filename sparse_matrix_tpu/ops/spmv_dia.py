@@ -47,7 +47,117 @@ def _spmv_dia_jit(data, x, *, offsets: tuple, rows: int, cols: int):
     return y
 
 
+# -- Pallas streaming kernel for band data beyond VMEM ----------------------
+#
+# The XLA path walls at ~175 GB/s effective once the working set spills
+# VMEM (experiments/dia_large.out). This kernel keeps x VMEM-RESIDENT
+# (x is rows*4 bytes — 16 MB even at 4M rows — while the band data is
+# nb times that) and STREAMS the data in (nb, BR, 128) blocks; each band
+# offset decomposes into a row shift (whole 128-lane rows of the 2-D x
+# view) plus a lane shift r realized as a two-view lane concatenation —
+# no gathers, no scatters, every access a contiguous slice.
+
+_DIA_PALLAS_BR = 512  # rows of 128 lanes per grid step (256 KB/band/step)
+
+
+def _make_dia_kernel(offsets, lo_rows: int, br: int, nb: int):
+    from jax.experimental import pallas as pl
+
+    def kernel(data_ref, x_ref, y_ref):
+        i = pl.program_id(0)
+        base = lo_rows + i * br  # first x2d row this block's diagonal hits
+        acc = jnp.zeros((br, 128), x_ref.dtype)
+        for b, off in enumerate(offsets):
+            q, r = off // 128, off % 128  # python divmod: r in [0, 128)
+            a = x_ref[pl.ds(base + q, br), :]
+            if r == 0:
+                win = a
+            else:
+                bview = x_ref[pl.ds(base + q + 1, br), :]
+                win = jnp.concatenate([a[:, r:], bview[:, :r]], axis=1)
+            acc = acc + data_ref[b] * win
+        y_ref[...] = acc
+
+    return kernel
+
+
+def _dia_pallas_blocked_data(data, *, rows: int, br: int = None):
+    """One-time reformat of (nb, rows) band data to the kernel's
+    (nb, rpad, 128) blocked layout — 2x the data bytes in pure copies, so
+    it must NOT sit inside the per-apply jit (measured ~200 us of the
+    356 us apply before it was hoisted)."""
+    br = br if br is not None else _DIA_PALLAS_BR
+    nb = data.shape[0]
+    r128 = -(-rows // 128)
+    rpad = -(-r128 // br) * br
+    dpad = jnp.zeros((nb, rpad, 128), data.dtype)
+    return dpad.at[:, :r128, :].set(
+        jnp.pad(data, ((0, 0), (0, r128 * 128 - data.shape[1]))).reshape(nb, r128, 128)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "rows", "interpret", "br"))
+def _spmv_dia_pallas(dpad, x, *, offsets: tuple, rows: int, interpret: bool, br: int = None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    br = br if br is not None else _DIA_PALLAS_BR
+    nb = dpad.shape[0]
+    r128 = -(-rows // 128)
+    rpad = dpad.shape[1]
+    lo_rows = -min(0, min(offsets)) // 128 + 1  # guard rows before x
+    hi_rows = max(0, max(offsets)) // 128 + 2  # and after (lane concat peeks +1)
+
+    # padded 2-D x view: [lo_rows zero rows | x | hi_rows zero rows]
+    xflat = jnp.zeros(rpad * 128, x.dtype).at[:rows].set(x)
+    x2d = jnp.concatenate(
+        [
+            jnp.zeros((lo_rows, 128), x.dtype),
+            xflat.reshape(rpad, 128),
+            jnp.zeros((hi_rows, 128), x.dtype),
+        ],
+        axis=0,
+    )
+
+    y2d = pl.pallas_call(
+        _make_dia_kernel(offsets, lo_rows, br, nb),
+        grid=(rpad // br,),
+        in_specs=[
+            pl.BlockSpec((nb, br, 128), lambda i: (0, i, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole padded x resident
+        ],
+        out_specs=pl.BlockSpec((br, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rpad, 128), x.dtype),
+        interpret=interpret,
+    )(dpad, x2d)
+    return y2d.reshape(rpad * 128)[:rows]
+
+
 def spmv_dia(m: DiaMatrix, x, *, device_arrays=None):
     arrs = device_arrays if device_arrays is not None else dia_device_arrays(m)
     x = jnp.asarray(x)
+    data = arrs["data"]
+    if (
+        data.nbytes > _DIA_STACK_BYTES
+        and m.rows == m.cols
+        and _DIA_PALLAS_BR * 128 <= m.rows <= 24_000_000  # x VMEM-resident
+    ):
+        dpad = arrs.get("data_blocked")
+        if dpad is None:
+            if isinstance(data, jax.core.Tracer):
+                # traced operand (operator passed as a jit argument): the
+                # reformat joins the caller's program; pre-block outside
+                # the jit to pay it once
+                dpad = _dia_pallas_blocked_data(data, rows=m.rows)
+            else:
+                # first use may happen inside a trace: build the cached
+                # constant eagerly or it would leak a tracer into later
+                # traces (same pattern as SpmvOperator._spmm_cache)
+                with jax.ensure_compile_time_eval():
+                    dpad = _dia_pallas_blocked_data(data, rows=m.rows)
+                arrs["data_blocked"] = dpad
+        return _spmv_dia_pallas(
+            dpad, x, offsets=m.offsets, rows=m.rows,
+            interpret=jax.default_backend() != "tpu",
+        )
     return _spmv_dia_jit(arrs["data"], x, offsets=m.offsets, rows=m.rows, cols=m.cols)
