@@ -327,3 +327,32 @@ def test_round3_solvers_on_tpu():
     sv = svds_csr(asv, k=3, steps=30)
     ref = np.linalg.svd(dsv, compute_uv=False)[:3]
     np.testing.assert_allclose(np.asarray(sv.s), ref, rtol=3e-3)
+
+
+def test_dia_streaming_kernel_parity(monkeypatch):
+    """The large-DIA Pallas streaming kernel on hardware (thresholds
+    shrunk so Poisson 512^2 takes the streaming branch)."""
+    import jax.numpy as jnp
+
+    from sparse_matrix_tpu.formats.dia import try_dia_from_csr
+    from sparse_matrix_tpu.ops import spmv_dia as sd
+
+    a = poisson_2d_csr(512, dtype=np.float32)
+    dia = try_dia_from_csr(a)
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal(a.rows).astype(np.float32)
+    ref = np.asarray(
+        sd._spmv_dia_jit(
+            jnp.asarray(dia.data), jnp.asarray(x),
+            offsets=dia.offsets, rows=dia.rows, cols=dia.cols,
+        )
+    )
+    dpad = sd._dia_pallas_blocked_data(jnp.asarray(dia.data), rows=dia.rows)
+    y = np.asarray(
+        sd._spmv_dia_pallas(
+            dpad, jnp.asarray(x), offsets=dia.offsets, rows=dia.rows,
+            interpret=False,
+        )
+    )
+    scale = max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(y / scale, ref / scale, atol=2e-6)
