@@ -245,6 +245,66 @@ class SpmvOperator:
             y = y3 if y is None else y + y3
         return y
 
+    def as_pytree(self):
+        """The operator's DEVICE arrays as a pytree, for passing the
+        operator as a jit ARGUMENT via :meth:`apply`.
+
+        Why: closure-captured operators embed their arrays as program
+        constants; at 2048² Poisson that is 84 MB per compiled program —
+        past the remote-compile tunnel's payload limit and wasteful
+        anywhere (docs/PERF.md scaling section). ``jax.jit(lambda params,
+        b: cg_solve(lambda v: op.apply(params, v), b))(op.as_pytree(), b)``
+        keeps the program small and the arrays as runtime operands.
+        """
+        def arrays_only(d):  # the step size "b" is static config, not data
+            return {k: v for k, v in d.items() if k != "b"}
+
+        params = {}
+        if self._dia is not None:
+            params["dia"] = dict(self._dia_arrs)
+        if self._aligned is not None:
+            params["ali"] = arrays_only(self._ali_arrs)
+        if self._plan is not None:
+            params["lp"] = arrays_only(self._lp_arrs)
+        if self._ell is not None:
+            params["ell"] = self._ell
+            if getattr(self, "_ell_spill", None) is not None:
+                params["ell_spill"] = self._ell_spill
+        return params
+
+    def apply(self, params, x):
+        """``y = A @ x`` using :meth:`as_pytree` params instead of the
+        operator's own (constant-embedding) arrays; jit-traceable with
+        ``params`` as an argument."""
+        y = None
+        if self._aligned is not None:
+            from .spmv import spmv_aligned
+
+            ali = dict(params["ali"], b=self._ali_arrs["b"])
+            y = spmv_aligned(self._aligned, x, device_arrays=ali)
+        if self._dia is not None:
+            from .spmv_dia import spmv_dia
+
+            y2 = spmv_dia(self._dia, x, device_arrays=params["dia"])
+            y = y2 if y is None else y + y2
+        if self._plan is not None:
+            from .spmv import spmv_lanepack
+
+            lp = dict(params["lp"], b=self._lp_arrs["b"])
+            y2 = spmv_lanepack(self._plan, x, device_arrays=lp)
+            y = y2 if y is None else y + y2
+        if self._ell is not None:
+            if params.get("ell_spill") is not None:
+                from .spmv import spmv_ell_spill_xla
+
+                y3 = spmv_ell_spill_xla(*params["ell"], *params["ell_spill"], x)
+            else:
+                from .spmv import spmv_ell_xla
+
+                y3 = spmv_ell_xla(*params["ell"], x)
+            y = y3 if y is None else y + y3
+        return y
+
     def matmat(self, x):
         """Y = A @ X for X of shape (cols, K) — the multi-RHS apply.
 

@@ -246,3 +246,46 @@ def test_aligned_segments_beyond_smem_budget(monkeypatch):
     x = rng.standard_normal(A.cols).astype(np.float32)
     y = np.asarray(spmv_aligned(plan, x, device_arrays=arrs))
     np.testing.assert_allclose(y, spmv_oracle(A, x).astype(np.float32), rtol=1e-4, atol=1e-4)
+
+
+def test_operator_as_pytree_apply_matches_call():
+    """op.apply(op.as_pytree(), x) under jit-with-params-as-argument must
+    match op(x) for every format (the large-operator pattern: arrays as
+    runtime operands, not 84 MB program constants — docs/PERF.md)."""
+    import jax
+    import numpy as np
+
+    from sparse_matrix_tpu.core import DokMatrix
+    from sparse_matrix_tpu.formats import CsrMatrix
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+    from sparse_matrix_tpu.solvers import poisson_2d_csr
+    from sparse_matrix_tpu.solvers.cg import cg_solve
+
+    rng = np.random.default_rng(0)
+    p = poisson_2d_csr(16, dtype=np.float32)
+    g = CsrMatrix.from_dok(DokMatrix.from_dense(
+        ((rng.random((300, 300)) < 0.03) * rng.standard_normal((300, 300))).astype(np.float32)
+    ))
+    skew = ((rng.random((200, 200)) < 0.01) * rng.standard_normal((200, 200)))
+    skew[3, :] = rng.standard_normal(200)  # dense row -> ELL + spill
+    sk = CsrMatrix.from_dok(DokMatrix.from_dense(skew.astype(np.float32)))
+    cases = [(p, f) for f in ("dia", "aligned", "lanepack", "ell")] + [
+        (g, None), (sk, "ell"),
+    ]
+    for m, force in cases:
+        op = SpmvOperator(m, force=force)
+        params = op.as_pytree()
+        x = rng.standard_normal(m.cols).astype(np.float32)
+        ref = np.asarray(op(x))
+        y = np.asarray(jax.jit(lambda pp, v: op.apply(pp, v))(params, x))
+        np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6, err_msg=str(force))
+
+    # the intended composition: a full CG solve with params as an argument
+    op = SpmvOperator(p, force="dia")
+    params = op.as_pytree()
+    b = rng.standard_normal(p.rows).astype(np.float32)
+    res = jax.jit(
+        lambda pp, bb: cg_solve(lambda v: op.apply(pp, v), bb, tol=1e-5, maxiter=500)
+    )(params, b)
+    x = np.asarray(res.x, dtype=np.float64)
+    assert np.linalg.norm(p.to_dense().astype(np.float64) @ x - b) < 1e-4 * np.linalg.norm(b)
