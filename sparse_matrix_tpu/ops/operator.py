@@ -27,6 +27,10 @@ __all__ = ["SpmvOperator", "split_bands"]
 # hold nonzeros (the HYB-style split threshold)
 BAND_FILL_THRESHOLD = 0.5
 MIN_BAND_NNZ_FRACTION = 0.3  # hybrid only pays if bands cover enough nnz
+# the aligned/LanePack kernels hold nbuf=2 (ceil(rows/128), 128) f32 y
+# buffers VMEM-resident: rows beyond this blow the 16 MB scoped-vmem stack
+# (hit at 4.2M rows by Poisson 2048^2's prolongator); 1024^2 (1.05M) fits
+_ROWS_SPLIT_LIMIT = 1_600_000
 
 
 def split_bands(
@@ -56,6 +60,37 @@ def split_bands(
     return subset(in_band), subset(~in_band)
 
 
+
+
+def _strip_static(d):
+    """Drop static config entries (step sizes "b") from a device-array
+    dict at ANY depth (aligned plans nest "spill" / "segments" dicts) so
+    they never become traced pytree leaves."""
+    if isinstance(d, dict):
+        return {k: _strip_static(v) for k, v in d.items() if k != "b"}
+    if isinstance(d, (list, tuple)):
+        return type(d)(_strip_static(e) for e in d)
+    return d
+
+
+def _graft_static(params, ref):
+    """Re-insert the static entries stripped by :func:`_strip_static`,
+    taking them from the operator's own (concrete) arrays."""
+    if isinstance(ref, dict):
+        out = {}
+        for k, v in ref.items():
+            if k == "b":
+                out[k] = v
+            elif isinstance(v, (dict, list, tuple)):
+                out[k] = _graft_static(params[k], v)
+            else:
+                out[k] = params[k]
+        return out
+    if isinstance(ref, (list, tuple)):
+        return type(ref)(_graft_static(p_, r_) for p_, r_ in zip(params, ref))
+    return params
+
+
 class SpmvOperator:
     """``op = SpmvOperator(csr); y = op(x)`` — jit-friendly planned SpMV.
 
@@ -73,6 +108,58 @@ class SpmvOperator:
         self._aligned = None
         self._ell = None
         self._ell_spill = None
+        self._colsplit = None
+
+        # Wide/tall operators: the aligned/LanePack kernels keep x AND the
+        # nbuf y accumulation buffers VMEM-resident, and Mosaic's 16 MB
+        # scoped-vmem stack caps those at ~3.5M cols / ~1.6M rows. Unless
+        # the matrix is banded (the DIA kernel streams both sides), split
+        # into shards that fit: column shards sum their partial applies
+        # (the single-chip analog of parallel/spmv.py's column-split), row
+        # shards concatenate theirs. A giant general matrix recurses into
+        # a grid of both.
+        from .spmv import _VMEM_X_LIMIT
+
+        self._rowsplit = None
+        if (m.cols > _VMEM_X_LIMIT or m.rows > _ROWS_SPLIT_LIMIT) and force != "ell":
+            banded = (
+                try_dia_from_csr(m, dtype=dtype) if force in (None, "dia") else None
+            )
+            if banded is not None:
+                self.format = "dia"
+                self._set_dia(banded)
+                return
+            if force == "dia":
+                raise ValueError("matrix is not band-structured enough for DIA")
+            cid = m.indices.astype(np.int64)
+            rid = m.row_ids()
+            if m.cols > _VMEM_X_LIMIT:
+                nsplit = -(-m.cols // _VMEM_X_LIMIT)
+                bounds = np.linspace(0, m.cols, nsplit + 1).astype(np.int64)
+                self.format = "colsplit"
+                self._colsplit = []
+                for lo, hi in zip(bounds[:-1], bounds[1:]):
+                    mask = (cid >= lo) & (cid < hi)
+                    sub = CsrMatrix.from_coo(
+                        m.rows, int(hi - lo), rid[mask], cid[mask] - lo, m.vals[mask]
+                    )
+                    self._colsplit.append(
+                        (int(lo), int(hi), SpmvOperator(sub, dtype=dtype, force=force))
+                    )
+                return
+            nsplit = -(-m.rows // _ROWS_SPLIT_LIMIT)
+            bounds = np.linspace(0, m.rows, nsplit + 1).astype(np.int64)
+            self.format = "rowsplit"
+            self._rowsplit = []
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                mask = (rid >= lo) & (rid < hi)
+                sub = CsrMatrix.from_coo(
+                    int(hi - lo), m.cols, rid[mask] - lo, cid[mask], m.vals[mask]
+                )
+                self._rowsplit.append(
+                    (int(lo), int(hi), SpmvOperator(sub, dtype=dtype, force=force))
+                )
+            return
 
         if force == "aligned":
             self.format = "aligned"
@@ -117,7 +204,22 @@ class SpmvOperator:
             ell_bytes = m.rows * max(1, row_max) * 8
             if force == "ell" or (
                 plan_est > 4 * m.nnz() * 8 and ell_bytes < plan_est / 2
-            ) or not self._lanepack_viable(m):
+            ):
+                self.format = "ell"
+                self._set_ell(m, dtype)
+                return
+            if not self._lanepack_viable(m):
+                # too many slabs for the 1 MB SMEM scalar prefetch — but the
+                # aligned kernel runs big plans as uniform SEGMENTS, so ELL
+                # (whose x-gather crawls at ~0.14 Gelem/s) is only the last
+                # resort. Regression: Poisson 2048^2's prolongators (21M
+                # nnz) fell to ELL and the V-cycle ran ~100x slow.
+                from .spmv import _VMEM_X_LIMIT
+
+                if m.nnz() > 0 and m.cols <= _VMEM_X_LIMIT:
+                    self.format = "aligned"
+                    self._set_aligned(m, dtype)
+                    return
                 self.format = "ell"
                 self._set_ell(m, dtype)
                 return
@@ -217,6 +319,16 @@ class SpmvOperator:
         self._lp_arrs = lanepack_device_arrays(self._plan)
 
     def __call__(self, x):
+        if getattr(self, "_rowsplit", None) is not None:
+            import jax.numpy as jnp
+
+            return jnp.concatenate([sub(x) for _lo, _hi, sub in self._rowsplit])
+        if getattr(self, "_colsplit", None) is not None:
+            y = None
+            for lo, hi, sub in self._colsplit:
+                yp = sub(x[lo:hi])
+                y = yp if y is None else y + yp
+            return y
         y = None
         if self._aligned is not None:
             from .spmv import spmv_aligned
@@ -256,16 +368,27 @@ class SpmvOperator:
         b: cg_solve(lambda v: op.apply(params, v), b))(op.as_pytree(), b)``
         keeps the program small and the arrays as runtime operands.
         """
-        def arrays_only(d):  # the step size "b" is static config, not data
-            return {k: v for k, v in d.items() if k != "b"}
-
+        if getattr(self, "_rowsplit", None) is not None:
+            return {"rowsplit": [sub.as_pytree() for _lo, _hi, sub in self._rowsplit]}
+        if getattr(self, "_colsplit", None) is not None:
+            return {"colsplit": [sub.as_pytree() for _lo, _hi, sub in self._colsplit]}
         params = {}
         if self._dia is not None:
-            params["dia"] = dict(self._dia_arrs)
+            from .spmv_dia import _DIA_STACK_BYTES, _dia_pallas_blocked_data
+
+            d = dict(self._dia_arrs)
+            if d["data"].nbytes > _DIA_STACK_BYTES and "data_blocked" not in d:
+                # pre-block once so the traced apply never pays the 2x-data
+                # reformat copies per call (docs/PERF.md large-DIA section)
+                d["data_blocked"] = _dia_pallas_blocked_data(
+                    d["data"], rows=self.rows
+                )
+                self._dia_arrs["data_blocked"] = d["data_blocked"]
+            params["dia"] = d
         if self._aligned is not None:
-            params["ali"] = arrays_only(self._ali_arrs)
+            params["ali"] = _strip_static(self._ali_arrs)
         if self._plan is not None:
-            params["lp"] = arrays_only(self._lp_arrs)
+            params["lp"] = _strip_static(self._lp_arrs)
         if self._ell is not None:
             params["ell"] = self._ell
             if getattr(self, "_ell_spill", None) is not None:
@@ -276,11 +399,26 @@ class SpmvOperator:
         """``y = A @ x`` using :meth:`as_pytree` params instead of the
         operator's own (constant-embedding) arrays; jit-traceable with
         ``params`` as an argument."""
+        if getattr(self, "_rowsplit", None) is not None:
+            import jax.numpy as jnp
+
+            return jnp.concatenate(
+                [
+                    sub.apply(pp, x)
+                    for (_lo, _hi, sub), pp in zip(self._rowsplit, params["rowsplit"])
+                ]
+            )
+        if getattr(self, "_colsplit", None) is not None:
+            y = None
+            for (lo, hi, sub), pp in zip(self._colsplit, params["colsplit"]):
+                yp = sub.apply(pp, x[lo:hi])
+                y = yp if y is None else y + yp
+            return y
         y = None
         if self._aligned is not None:
             from .spmv import spmv_aligned
 
-            ali = dict(params["ali"], b=self._ali_arrs["b"])
+            ali = _graft_static(params["ali"], self._ali_arrs)
             y = spmv_aligned(self._aligned, x, device_arrays=ali)
         if self._dia is not None:
             from .spmv_dia import spmv_dia
@@ -290,7 +428,7 @@ class SpmvOperator:
         if self._plan is not None:
             from .spmv import spmv_lanepack
 
-            lp = dict(params["lp"], b=self._lp_arrs["b"])
+            lp = _graft_static(params["lp"], self._lp_arrs)
             y2 = spmv_lanepack(self._plan, x, device_arrays=lp)
             y = y2 if y is None else y + y2
         if self._ell is not None:
@@ -319,6 +457,16 @@ class SpmvOperator:
         import jax.numpy as jnp
 
         x = jnp.asarray(x)
+        if getattr(self, "_rowsplit", None) is not None:
+            return jnp.concatenate(
+                [sub.matmat(x) for _lo, _hi, sub in self._rowsplit], axis=0
+            )
+        if getattr(self, "_colsplit", None) is not None:
+            y = None
+            for lo, hi, sub in self._colsplit:
+                yp = sub.matmat(x[lo:hi])
+                y = yp if y is None else y + yp
+            return y
         y = None
         if self._dia is not None:
             from .spmm import spmm_dia

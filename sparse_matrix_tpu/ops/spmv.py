@@ -256,7 +256,12 @@ def _lanepack_reference(arrs, x2d, *, rows: int, kw: int):
     return y2d.reshape(-1)[:rows]
 
 
-_VMEM_X_LIMIT = 24_000_000  # floats; x must be VMEM-resident in this kernel
+# floats; x must be VMEM-resident in these kernels. The binding constraint
+# is Mosaic's 16 MB scoped-vmem stack (an x operand beyond ~15 MB fails AOT
+# compilation with "Ran out of memory in memory space vmem ... on stack" —
+# hit at 4.2M cols by Poisson 2048^2's prolongators); SpmvOperator
+# column-splits wider operators automatically.
+_VMEM_X_LIMIT = 3_500_000
 
 
 def spmv_lanepack(plan: LanePackPlan, x, *, device_arrays=None):

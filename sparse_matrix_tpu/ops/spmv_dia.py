@@ -64,16 +64,19 @@ def _make_dia_kernel(offsets, lo_rows: int, br: int, nb: int):
     from jax.experimental import pallas as pl
 
     def kernel(data_ref, x_ref, y_ref):
-        i = pl.program_id(0)
-        base = lo_rows + i * br  # first x2d row this block's diagonal hits
+        # x_ref is this step's WINDOW (lo_rows + br + hi_rows, 128): rows
+        # [i*br, ...) of the padded x2d, element-indexed by the BlockSpec —
+        # x itself stays in HBM and only ~br*128 floats stream per step
+        # (the whole-x-VMEM variant blew the 16 MB scoped-vmem stack once
+        # embedded in larger programs like the AMG V-cycle)
         acc = jnp.zeros((br, 128), x_ref.dtype)
         for b, off in enumerate(offsets):
             q, r = off // 128, off % 128  # python divmod: r in [0, 128)
-            a = x_ref[pl.ds(base + q, br), :]
+            a = x_ref[pl.ds(lo_rows + q, br), :]
             if r == 0:
                 win = a
             else:
-                bview = x_ref[pl.ds(base + q + 1, br), :]
+                bview = x_ref[pl.ds(lo_rows + q + 1, br), :]
                 win = jnp.concatenate([a[:, r:], bview[:, :r]], axis=1)
             acc = acc + data_ref[b] * win
         y_ref[...] = acc
@@ -107,6 +110,9 @@ def _spmv_dia_pallas(dpad, x, *, offsets: tuple, rows: int, interpret: bool, br:
     rpad = dpad.shape[1]
     lo_rows = -min(0, min(offsets)) // 128 + 1  # guard rows before x
     hi_rows = max(0, max(offsets)) // 128 + 2  # and after (lane concat peeks +1)
+    # Mosaic needs the window's sublane dim divisible by 8: absorb the
+    # round-up into extra (zero) tail guard rows
+    hi_rows += (-(lo_rows + br + hi_rows)) % 8
 
     # padded 2-D x view: [lo_rows zero rows | x | hi_rows zero rows]
     xflat = jnp.zeros(rpad * 128, x.dtype).at[:rows].set(x)
@@ -119,12 +125,17 @@ def _spmv_dia_pallas(dpad, x, *, offsets: tuple, rows: int, interpret: bool, br:
         axis=0,
     )
 
+    win_rows = lo_rows + br + hi_rows
     y2d = pl.pallas_call(
         _make_dia_kernel(offsets, lo_rows, br, nb),
         grid=(rpad // br,),
         in_specs=[
             pl.BlockSpec((nb, br, 128), lambda i: (0, i, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole padded x resident
+            # overlapping x windows, element-indexed rows: step i reads
+            # x2d rows [i*br, i*br + win_rows)
+            pl.BlockSpec(
+                (pl.Element(win_rows), pl.Element(128)), lambda i: (i * br, 0)
+            ),
         ],
         out_specs=pl.BlockSpec((br, 128), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((rpad, 128), x.dtype),

@@ -274,6 +274,51 @@ class AmgHierarchy:
     def preconditioner(self) -> Callable:
         return lambda r: self.vcycle(r)
 
+    # -- jit-argument form (large hierarchies) -----------------------------
+    def as_pytree(self):
+        """Every level's device arrays as one pytree, for passing the
+        hierarchy as a jit ARGUMENT via :meth:`vcycle_p` — closure-captured
+        hierarchies embed their operators as program constants (>100 MB at
+        Poisson 2048², past the remote-compile payload limit; see
+        ``SpmvOperator.as_pytree``)."""
+        return {
+            "levels": [
+                {
+                    "a": lv.a_op.as_pytree(),
+                    "p": lv.p_op.as_pytree(),
+                    "pt": lv.pt_op.as_pytree(),
+                    "dinv": lv.dinv,
+                }
+                for lv in self.levels
+            ],
+            "coarse_inv": self.coarse_inv,
+        }
+
+    def vcycle_p(self, params, r, level: int = 0):
+        """:meth:`vcycle` with the hierarchy arrays supplied as ``params``
+        (:meth:`as_pytree`); vector residuals, jacobi smoother."""
+        import jax.numpy as jnp
+
+        if self.smoother != "jacobi":
+            raise NotImplementedError("vcycle_p supports the jacobi smoother")
+        if level == len(self.levels):
+            return params["coarse_inv"] @ r
+        lv = self.levels[level]
+        lp = params["levels"][level]
+        x = self._smooth_p(lv, lp, jnp.zeros_like(r), r)
+        d = r - lv.a_op.apply(lp["a"], x)
+        ec = self.vcycle_p(params, lv.pt_op.apply(lp["pt"], d), level + 1)
+        x = x + lv.p_op.apply(lp["p"], ec)
+        return self._smooth_p(lv, lp, x, r)
+
+    def _smooth_p(self, lv, lp, x, r):
+        import jax.numpy as jnp
+
+        w = jnp.asarray(self.omega, dtype=r.dtype)
+        for _ in range(self.nu):
+            x = x + w * lp["dinv"] * (r - lv.a_op.apply(lp["a"], x))
+        return x
+
     def __repr__(self) -> str:  # pragma: no cover
         rows = ", ".join(f"{lv.n}({lv.nnz}nnz)" for lv in self.levels)
         return (

@@ -344,3 +344,36 @@ def test_amg_coarsening_save_load_roundtrip(tmp_path):
     r2 = pcg_solve(op, b, h_loaded.preconditioner(), tol=1e-6, maxiter=100)
     assert int(r1.iterations) == int(r2.iterations)
     np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), rtol=1e-5, atol=1e-6)
+
+
+def test_vcycle_params_matches_closure_form():
+    """hier.vcycle_p(hier.as_pytree(), r) under jit-with-params == the
+    closure vcycle; full PCG composition with params as arguments."""
+    import jax
+
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+    from sparse_matrix_tpu.solvers import amg_setup, poisson_2d_csr
+    from sparse_matrix_tpu.solvers.cg import pcg_solve
+
+    a = poisson_2d_csr(24, dtype=np.float32)
+    hier = amg_setup(a, coarse_size=60, dtype=np.float32)
+    params = hier.as_pytree()
+    rng = np.random.default_rng(0)
+    r = rng.standard_normal(a.rows).astype(np.float32)
+    ref = np.asarray(hier.vcycle(r))
+    y = np.asarray(jax.jit(lambda pp, rr: hier.vcycle_p(pp, rr))(params, r))
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-6)
+
+    op = hier.levels[0].a_op
+    b = rng.standard_normal(a.rows).astype(np.float32)
+    res = jax.jit(
+        lambda pp, bb: pcg_solve(
+            lambda v: op.apply(pp["levels"][0]["a"], v),
+            bb,
+            lambda rr: hier.vcycle_p(pp, rr),
+            tol=1e-6, maxiter=100,
+        )
+    )(params, b)
+    x = np.asarray(res.x, dtype=np.float64)
+    assert np.linalg.norm(a.to_dense().astype(np.float64) @ x - b) < 1e-4 * np.linalg.norm(b)
+    assert int(res.iterations) < 30
