@@ -72,6 +72,15 @@ def try_dia_from_csr(
         return None
     r = m.row_ids()
     c = m.indices.astype(np.int64)
+    if m.nnz() > 1_000_000:
+        # sampled pre-filter: a full unique over tens of millions of
+        # offsets costs ~1 s per call, and the operator planner probes
+        # MANY large non-banded candidates (AMG prolongator shards made
+        # 51 calls = 41 s of the 2048^2 setup). A 100k sample showing
+        # more than max_bands distinct offsets rejects for certain.
+        idx = np.linspace(0, m.nnz() - 1, 100_000).astype(np.int64)
+        if len(np.unique(c[idx] - r[idx])) > max_bands:
+            return None
     offs = np.unique(c - r)
     if len(offs) > max_bands:
         return None
