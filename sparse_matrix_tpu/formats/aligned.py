@@ -156,7 +156,7 @@ def plan_aligned(
     if nnz and spill_mask.any():
         rr, cc, vv = r_s[spill_mask], c_s[spill_mask], v_s[spill_mask]
         offs = np.zeros(rows + 1, np.int64)
-        np.add.at(offs, rr + 1, 1)
+        offs[1:] = np.bincount(rr, minlength=offs.shape[0] - 1)
         np.cumsum(offs, out=offs)
         sub = CsrMatrix(
             rows, cols, vv, cc.astype(np.uint32), offs, is_sorted=True

@@ -104,7 +104,7 @@ class CsrMatrix(Matrix):
         for k, ((i, j), t) in enumerate(dok.iter_entries()):
             rr[k], cc[k], vv[k] = i, j, t
         offsets = np.zeros(dok.rows + 1, dtype=OFFSET_DTYPE)
-        np.add.at(offsets, rr + 1, 1)
+        offsets[1:] = np.bincount(rr, minlength=dok.rows)
         np.cumsum(offsets, out=offsets)
         return cls(dok.rows, dok.cols, vv, cc.astype(INDEX_DTYPE), offsets, is_sorted=True)
 
@@ -145,7 +145,7 @@ class CsrMatrix(Matrix):
             v = _segsum_exact(seg, v)
             r, c = r[head], c[head]
         offsets = np.zeros(rows + 1, dtype=OFFSET_DTYPE)
-        np.add.at(offsets, r + 1, 1)
+        offsets[1:] = np.bincount(r, minlength=rows)
         np.cumsum(offsets, out=offsets)
         return cls(rows, cols, v, c.astype(INDEX_DTYPE), offsets, is_sorted=True)
 
@@ -237,7 +237,7 @@ class CsrMatrix(Matrix):
         row_ids = np.repeat(np.arange(self._rows, dtype=np.int64), np.diff(self.offsets))
         order = np.lexsort((row_ids, self.indices.astype(np.int64)))
         new_offsets = np.zeros(self._cols + 1, dtype=OFFSET_DTYPE)
-        np.add.at(new_offsets, self.indices.astype(np.int64) + 1, 1)
+        new_offsets[1:] = np.bincount(self.indices.astype(np.int64), minlength=self._cols)
         np.cumsum(new_offsets, out=new_offsets)
         return CsrMatrix(
             self._cols,
@@ -355,7 +355,7 @@ class CsrMatrix(Matrix):
         out_v = f(t1[head], t2[head])
         r_o, c_o = r[head], c[head]
         offsets = np.zeros(self._rows + 1, dtype=OFFSET_DTYPE)
-        np.add.at(offsets, r_o + 1, 1)
+        offsets[1:] = np.bincount(r_o, minlength=self._rows)
         np.cumsum(offsets, out=offsets)
         return CsrMatrix(
             self._rows,

@@ -52,7 +52,7 @@ def split_bands(
     in_band = np.isin(offs, good)
     def subset(mask):
         offsets = np.zeros(m.rows + 1, dtype=m.offsets.dtype)
-        np.add.at(offsets, r[mask] + 1, 1)
+        offsets[1:] = np.bincount(r[mask], minlength=m.rows)
         np.cumsum(offsets, out=offsets)
         return CsrMatrix(
             m.rows, m.cols, m.vals[mask], m.indices[mask], offsets, is_sorted=m.is_sorted

@@ -76,7 +76,7 @@ def strength_graph(a, theta: float = 0.08) -> Tuple[np.ndarray, np.ndarray]:
     keep = (~on_diag) & (vals >= theta * np.sqrt(diag[rids] * diag[cids]))
     sr, sc = rids[keep], cids[keep]
     offsets = np.zeros(n + 1, dtype=np.int64)
-    np.add.at(offsets, sr + 1, 1)
+    offsets[1:] = np.bincount(sr, minlength=n)
     np.cumsum(offsets, out=offsets)
     return offsets, sc.astype(np.int64)
 
@@ -173,8 +173,7 @@ def _diag_of(a) -> np.ndarray:
 def _lambda_max_dinv_a(a, dinv: np.ndarray) -> float:
     """Gershgorin upper bound on rho(D^-1 A): max_i sum_j |a_ij| / |a_ii|."""
     rids = a.row_ids().astype(np.int64)
-    s = np.zeros(a.rows, dtype=np.float64)
-    np.add.at(s, rids, np.abs(a.vals.astype(np.float64)))
+    s = np.bincount(rids, weights=np.abs(a.vals.astype(np.float64)), minlength=a.rows)
     return float(np.max(s * np.abs(dinv))) if a.nnz() else 1.0
 
 
@@ -460,6 +459,13 @@ def amg_coarsen(
     levels = []
     cur = a
     while cur.rows > coarse_size and len(levels) < max_levels:
+        # standard density stop-rule: Galerkin coarse operators densify as
+        # they shrink; once a level is >10% dense a direct coarse solve is
+        # cheaper than more (near-dense) products and aggregation stalls
+        # anyway (the 4096^2 run coarsened 1323 -> 789 -> 529(100% dense)
+        # -> ... burning minutes of setup for no convergence gain)
+        if cur.nnz() > 0.1 * cur.rows * cur.rows and cur.rows <= 20_000:
+            break
         so, si = strength_graph(cur, theta)
         agg, n_agg = aggregate_strong(cur.rows, so, si)
         if n_agg >= cur.rows:  # no coarsening possible (e.g. diagonal A)

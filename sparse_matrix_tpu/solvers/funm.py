@@ -150,8 +150,11 @@ def expm_multiply_csr(a, b, t: float = 1.0, *, dtype=np.float32, degree: int = 1
     (exact 1-norm computed on host for the scaling)."""
     from ..ops.operator import SpmvOperator
 
-    col_abs = np.zeros(a.cols, dtype=np.float64)
-    np.add.at(col_abs, a.indices.astype(np.int64), np.abs(a.vals.astype(np.float64)))
+    col_abs = np.bincount(
+        a.indices.astype(np.int64),
+        weights=np.abs(a.vals.astype(np.float64)),
+        minlength=a.cols,
+    )
     norm1 = float(col_abs.max()) if a.nnz() else 0.0
     op = SpmvOperator(a, dtype=dtype, force=force)
     return expm_multiply(op, b, t, norm_bound=max(norm1, 1e-30), degree=degree)
