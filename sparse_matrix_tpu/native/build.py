@@ -15,20 +15,32 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 SRC = os.path.join(_HERE, "src", "spmx_native.cpp")
 LIB = os.path.join(_HERE, "libspmx_native.so")
 LIB_UBSAN = os.path.join(_HERE, "libspmx_native_ubsan.so")
+LIB_TSAN = os.path.join(_HERE, "libspmx_native_tsan.so")
 
 
-def build(verbose: bool = False, *, sanitize: bool = False) -> str:
+def build(verbose: bool = False, *, sanitize=False) -> str:
     """Compile (if stale) and return the shared library path.
 
-    ``sanitize=True`` builds an UndefinedBehaviorSanitizer variant (the
-    project's miri analog, reference ``rust-toolchain.toml:3``): UB aborts
-    the process instead of corrupting results. Used by the sanitizer tests.
+    ``sanitize=True`` (or ``"undefined"``) builds an
+    UndefinedBehaviorSanitizer variant (the project's miri analog, reference
+    ``rust-toolchain.toml:3``): UB aborts the process instead of corrupting
+    results. ``sanitize="thread"`` builds a ThreadSanitizer variant for the
+    cross-thread disjoint-slice writes in ``run_chunked`` (the unsafe
+    ``MaybeUninit`` analog, reference ``spam_csr/src/mul_hash.rs:38-64``).
+    Used by the sanitizer tests.
     """
-    lib = LIB_UBSAN if sanitize else LIB
+    if sanitize == "thread":
+        lib = LIB_TSAN
+    elif sanitize:
+        lib = LIB_UBSAN
+    else:
+        lib = LIB
     if os.path.exists(lib) and os.path.getmtime(lib) >= os.path.getmtime(SRC):
         return lib
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared", "-pthread"]
-    if sanitize:
+    if sanitize == "thread":
+        cmd += ["-g", "-fsanitize=thread"]
+    elif sanitize:
         cmd += ["-g", "-fsanitize=undefined", "-fno-sanitize-recover=undefined"]
     cmd += [SRC, "-o", lib]
     if verbose:

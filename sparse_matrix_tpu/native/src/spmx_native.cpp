@@ -529,8 +529,16 @@ static i64 ilut_impl(i64 rows, const i64* offsets, const u32* indices, const V* 
       if (!inw[k]) continue;
       double wk = w[k];
       if (std::fabs(wk) < taui) { w[k] = 0.0; continue; }  // drop, stays touched
-      // divide by U_kk (first stored entry of U row k is the diagonal)
+      // divide by U_kk (first stored entry of U row k is the diagonal).
+      // The pivot was nonzero in the double workspace when row k was
+      // committed, but can underflow to 0 when stored as V=float — guard
+      // so a subnormal factor reports zero-pivot row k instead of
+      // poisoning the factors with inf/NaN.
       double piv = (double)u_val[k * (p + 1)];
+      if (piv == 0.0) {
+        for (u32 j : touched) { inw[j] = 0; w[j] = 0.0; }
+        return k;
+      }
       wk /= piv;
       w[k] = wk;
       for (i64 s = 1; s < u_cnt[k]; ++s) {
@@ -558,7 +566,9 @@ static i64 ilut_impl(i64 rows, const i64* offsets, const u32* indices, const V* 
         else upart.push_back({std::fabs(v), j});
       }
     }
-    if (diag == 0.0) {
+    // check at storage precision: a double diag that underflows to 0 when
+    // stored as V would otherwise poison later rows' divisions with inf/NaN
+    if ((V)diag == (V)0) {
       for (u32 j : touched) { inw[j] = 0; w[j] = 0.0; }
       return i;
     }

@@ -542,6 +542,10 @@ class SpmvOperator:
 
     def bytes_per_apply(self) -> int:
         """HBM bytes streamed per SpMV (operator data only)."""
+        if getattr(self, "_rowsplit", None) is not None:
+            return sum(sub.bytes_per_apply() for _lo, _hi, sub in self._rowsplit)
+        if getattr(self, "_colsplit", None) is not None:
+            return sum(sub.bytes_per_apply() for _lo, _hi, sub in self._colsplit)
         if self.format == "ell":
             total = int(self._ell[0].nbytes + self._ell[1].nbytes)
             if getattr(self, "_ell_spill", None) is not None:
@@ -584,96 +588,131 @@ def _lanepack_from_payload(z, prefix: str):
 
 def save_operator_plan(op: SpmvOperator, path: str) -> None:
     """Persist a planned operator's arrays (npz) so later processes skip
-    planning (the checkpoint/resume analog for plans)."""
-    payload = {"format": op.format, "rows": op.rows, "cols": op.cols, "nnz": op.nnz}
+    planning (the checkpoint/resume analog for plans). Split (colsplit/
+    rowsplit) operators persist each shard recursively under ``s{i}_``
+    key prefixes."""
+    payload = {}
+    _payload_into(op, "", payload)
+    np.savez_compressed(path, **payload)
+
+
+def _payload_into(op: SpmvOperator, pre: str, payload: dict) -> None:
+    payload[pre + "format"] = op.format
+    payload[pre + "rows"] = op.rows
+    payload[pre + "cols"] = op.cols
+    payload[pre + "nnz"] = op.nnz
+    parts = getattr(op, "_rowsplit", None)
+    kind = "row"
+    if parts is None:
+        parts = getattr(op, "_colsplit", None)
+        kind = "col"
+    if parts is not None:
+        payload[pre + "split_kind"] = kind
+        payload[pre + "split_bounds"] = np.asarray(
+            [p[0] for p in parts] + [parts[-1][1]], np.int64
+        )
+        for i, (_lo, _hi, sub) in enumerate(parts):
+            _payload_into(sub, pre + f"s{i}_", payload)
+        return
     if getattr(op, "_aligned", None) is not None:
         al = op._aligned
-        payload.update(
-            ali_vals=al.vals, ali_lane=al.lane, ali_col_off=al.col_off,
-            ali_chunk_rb=al.chunk_rb, ali_rb_a=al.rb_a, ali_rb_b=al.rb_b,
-            ali_split=al.split, ali_rb_mask=al.rb_mask, ali_nnz=al.nnz,
-        )
+        payload.update({
+            pre + "ali_vals": al.vals, pre + "ali_lane": al.lane,
+            pre + "ali_col_off": al.col_off, pre + "ali_chunk_rb": al.chunk_rb,
+            pre + "ali_rb_a": al.rb_a, pre + "ali_rb_b": al.rb_b,
+            pre + "ali_split": al.split, pre + "ali_rb_mask": al.rb_mask,
+            pre + "ali_nnz": al.nnz,
+        })
         if al.spill is not None:
-            payload.update(_lanepack_payload(al.spill, "alisp_"))
+            payload.update(_lanepack_payload(al.spill, pre + "alisp_"))
     if op._dia is not None:
-        payload.update(
-            dia_data=op._dia.data, dia_offsets=np.asarray(op._dia.offsets, np.int64),
-            dia_rows=op._dia.rows, dia_cols=op._dia.cols,
-        )
+        payload.update({
+            pre + "dia_data": op._dia.data,
+            pre + "dia_offsets": np.asarray(op._dia.offsets, np.int64),
+            pre + "dia_rows": op._dia.rows, pre + "dia_cols": op._dia.cols,
+        })
     if op._plan is not None:
-        pl = op._plan
-        payload.update(
-            lp_kw=pl.kw, lp_pack=pl.pack, lp_rows=pl.rows, lp_cols=pl.cols,
-            lp_nnz=pl.nnz, lp_vals=pl.vals, lp_lane=pl.lane, lp_ends=pl.ends,
-            lp_starts=pl.starts, lp_rb_a=pl.rb_a, lp_rb_b=pl.rb_b,
-            lp_split=pl.split, lp_chunk_rb=pl.chunk_rb, lp_col_off=pl.col_off,
-            lp_rb_mask=pl.rb_mask,
-        )
+        payload.update(_lanepack_payload(op._plan, pre + "lp_"))
     if getattr(op, "_ell", None) is not None:
-        payload.update(ell_vals=np.asarray(op._ell[0]), ell_cols=np.asarray(op._ell[1]))
+        payload[pre + "ell_vals"] = np.asarray(op._ell[0])
+        payload[pre + "ell_cols"] = np.asarray(op._ell[1])
         if getattr(op, "_ell_spill", None) is not None:
-            payload.update(
-                ell_spill_rows=np.asarray(op._ell_spill[0]),
-                ell_spill_cols=np.asarray(op._ell_spill[1]),
-                ell_spill_vals=np.asarray(op._ell_spill[2]),
-            )
-    np.savez_compressed(path, **payload)
+            payload.update({
+                pre + "ell_spill_rows": np.asarray(op._ell_spill[0]),
+                pre + "ell_spill_cols": np.asarray(op._ell_spill[1]),
+                pre + "ell_spill_vals": np.asarray(op._ell_spill[2]),
+            })
 
 
 def load_operator_plan(path: str) -> SpmvOperator:
     """Rebuild a planned operator saved by :func:`save_operator_plan`."""
-    from ..formats.dia import DiaMatrix
-    from ..formats.lanepack import LanePackPlan
-
     z = np.load(path, allow_pickle=False)
+    return _op_from_payload(z, "")
+
+
+def _op_from_payload(z, pre: str) -> SpmvOperator:
+    from ..formats.dia import DiaMatrix
+
     op = SpmvOperator.__new__(SpmvOperator)
-    op.format = str(z["format"])
-    op.rows, op.cols, op.nnz = int(z["rows"]), int(z["cols"]), int(z["nnz"])
+    op.format = str(z[pre + "format"])
+    op.rows, op.cols, op.nnz = (
+        int(z[pre + "rows"]), int(z[pre + "cols"]), int(z[pre + "nnz"])
+    )
     op._dia = None
     op._plan = None
     op._aligned = None
     op._ell = None
     op._ell_spill = None
-    if "ali_vals" in z:
+    op._rowsplit = None
+    op._colsplit = None
+    if pre + "split_kind" in z:
+        bounds = z[pre + "split_bounds"]
+        parts = [
+            (int(bounds[i]), int(bounds[i + 1]), _op_from_payload(z, pre + f"s{i}_"))
+            for i in range(len(bounds) - 1)
+        ]
+        if str(z[pre + "split_kind"]) == "row":
+            op._rowsplit = parts
+        else:
+            op._colsplit = parts
+        return op
+    if pre + "ali_vals" in z:
         from ..formats.aligned import AlignedPlan
         from .spmv import aligned_device_arrays
 
-        spill = _lanepack_from_payload(z, "alisp_") if "alisp_vals" in z else None
+        spill = (
+            _lanepack_from_payload(z, pre + "alisp_")
+            if pre + "alisp_vals" in z
+            else None
+        )
         op._aligned = AlignedPlan(
-            rows=op.rows, cols=op.cols, vals=z["ali_vals"], lane=z["ali_lane"],
-            col_off=z["ali_col_off"], chunk_rb=z["ali_chunk_rb"],
-            rb_a=z["ali_rb_a"], rb_b=z["ali_rb_b"], split=z["ali_split"],
-            rb_mask=z["ali_rb_mask"], nnz=int(z["ali_nnz"]),
-            dtype=z["ali_vals"].dtype, spill=spill,
+            rows=op.rows, cols=op.cols, vals=z[pre + "ali_vals"],
+            lane=z[pre + "ali_lane"], col_off=z[pre + "ali_col_off"],
+            chunk_rb=z[pre + "ali_chunk_rb"], rb_a=z[pre + "ali_rb_a"],
+            rb_b=z[pre + "ali_rb_b"], split=z[pre + "ali_split"],
+            rb_mask=z[pre + "ali_rb_mask"], nnz=int(z[pre + "ali_nnz"]),
+            dtype=z[pre + "ali_vals"].dtype, spill=spill,
         )
         op._ali_arrs = aligned_device_arrays(op._aligned)
-    if "dia_data" in z:
+    if pre + "dia_data" in z:
         dia = DiaMatrix(
-            int(z["dia_rows"]), int(z["dia_cols"]), z["dia_data"],
-            tuple(int(o) for o in z["dia_offsets"]),
+            int(z[pre + "dia_rows"]), int(z[pre + "dia_cols"]), z[pre + "dia_data"],
+            tuple(int(o) for o in z[pre + "dia_offsets"]),
         )
         op._set_dia(dia)
-    if "lp_vals" in z:
-        plan = LanePackPlan(
-            rows=int(z["lp_rows"]), cols=int(z["lp_cols"]), kw=int(z["lp_kw"]),
-            pack=str(z["lp_pack"]), vals=z["lp_vals"], lane=z["lp_lane"],
-            ends=z["lp_ends"], starts=z["lp_starts"], rb_a=z["lp_rb_a"],
-            rb_b=z["lp_rb_b"], split=z["lp_split"], chunk_rb=z["lp_chunk_rb"],
-            col_off=z["lp_col_off"], rb_mask=z["lp_rb_mask"],
-            nnz=int(z["lp_nnz"]), dtype=z["lp_vals"].dtype,
-        )
+    if pre + "lp_vals" in z:
         from .spmv import lanepack_device_arrays
 
-        op._plan = plan
-        op._lp_arrs = lanepack_device_arrays(plan)
-    if "ell_vals" in z:
+        op._plan = _lanepack_from_payload(z, pre + "lp_")
+        op._lp_arrs = lanepack_device_arrays(op._plan)
+    if pre + "ell_vals" in z:
         import jax.numpy as jnp
 
-        op._ell = (jnp.asarray(z["ell_vals"]), jnp.asarray(z["ell_cols"]))
-        if "ell_spill_rows" in z:
+        op._ell = (jnp.asarray(z[pre + "ell_vals"]), jnp.asarray(z[pre + "ell_cols"]))
+        if pre + "ell_spill_rows" in z:
             op._ell_spill = (
-                jnp.asarray(z["ell_spill_rows"]),
-                jnp.asarray(z["ell_spill_cols"]),
-                jnp.asarray(z["ell_spill_vals"]),
+                jnp.asarray(z[pre + "ell_spill_rows"]),
+                jnp.asarray(z[pre + "ell_spill_cols"]),
+                jnp.asarray(z[pre + "ell_spill_vals"]),
             )
     return op

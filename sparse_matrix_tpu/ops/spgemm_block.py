@@ -24,7 +24,7 @@ cost.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -333,12 +333,17 @@ def spgemm_dense_xla(lhs: CsrMatrix, rhs: CsrMatrix, *, dtype=np.float32) -> Csr
     return CsrMatrix.from_coo(lhs.rows, rhs.cols, r, cc, c[r, cc], sum_duplicates=False)
 
 
-def spgemm_cost_estimates(lhs: CsrMatrix, rhs: CsrMatrix) -> dict:
+def spgemm_cost_estimates(
+    lhs: CsrMatrix, rhs: CsrMatrix, *, products: Optional[float] = None
+) -> dict:
     """Estimated end-to-end seconds for each SpGEMM engine on this input.
 
     Rates come from :mod:`..utils.autotune` (on-device calibration when a
     cache exists, v5e defaults otherwise), so dispatch decisions follow the
-    measured hardware, not baked-in numbers.
+    measured hardware, not baked-in numbers. ``products`` (the FLOP count,
+    ``flops_per_row(lhs, rhs).sum()``) can be passed in when the caller
+    already computed it — it is O(nnz) host work paid per dispatched
+    product otherwise.
     """
     import os
 
@@ -370,7 +375,8 @@ def spgemm_cost_estimates(lhs: CsrMatrix, rhs: CsrMatrix) -> dict:
         "device_oneshot_compile_s"
     )
 
-    products = float(flops_per_row(lhs, rhs).sum())
+    if products is None:
+        products = float(flops_per_row(lhs, rhs).sum())
     return {
         "host": products / host_rate,
         "mxu": pair_est * mxu_pair + c_blocks_est * bs * bs * 4 * host_touch + dev_fixed,
@@ -436,7 +442,7 @@ def spgemm_auto(lhs: CsrMatrix, rhs: CsrMatrix, *, output_sorted: bool = True) -
     if jax.default_backend() != "tpu":
         return spgemm_hash_host(lhs, rhs, output_sorted=output_sorted)
 
-    costs = spgemm_cost_estimates(lhs, rhs)
+    costs = spgemm_cost_estimates(lhs, rhs, products=products)
 
     best = min(costs, key=costs.get)
     if best == "host":

@@ -264,7 +264,32 @@ def _lanepack_reference(arrs, x2d, *, rows: int, kw: int):
 _VMEM_X_LIMIT = 3_500_000
 
 
-def spmv_lanepack(plan: LanePackPlan, x, *, device_arrays=None):
+def _cast_x(x, plan_dtype, allow_downcast):
+    """Cast ``x`` to the plan's dtype, refusing silent precision loss.
+
+    A float64/complex128 vector reaching a float32 plan used to truncate
+    with only a warning; for a library whose accuracy layer is
+    precision-bound (Higham-u parameterized, core/accuracy.py) that is a
+    correctness hazard. Callers that really want the downcast pass
+    ``allow_downcast=True`` or convert explicitly first.
+    """
+    in_dt = np.dtype(x.dtype) if hasattr(x, "dtype") else np.asarray(x).dtype
+    out_dt = np.dtype(plan_dtype)
+    if (
+        not allow_downcast
+        and in_dt.kind in ("f", "c")
+        and out_dt.kind in ("f", "c")
+        and in_dt.itemsize > out_dt.itemsize
+    ):
+        raise TypeError(
+            f"x has dtype {in_dt} but the plan is {out_dt}: refusing the "
+            "silent precision loss. Build the operator with "
+            f"dtype={in_dt}, cast x yourself, or pass allow_downcast=True."
+        )
+    return jnp.asarray(x, dtype=plan_dtype)
+
+
+def spmv_lanepack(plan: LanePackPlan, x, *, device_arrays=None, allow_downcast=False):
     """y = A @ x via the LanePack Pallas kernel.
 
     The kernel keeps x fully VMEM-resident; operators wider than
@@ -282,7 +307,7 @@ def spmv_lanepack(plan: LanePackPlan, x, *, device_arrays=None):
             f"{_VMEM_X_LIMIT} limit — use spmv_ell_xla or shard over a mesh"
         )
     arrs = device_arrays if device_arrays is not None else lanepack_device_arrays(plan)
-    x = jnp.asarray(x, dtype=plan.dtype)
+    x = _cast_x(x, plan.dtype, allow_downcast)
     return _spmv_lanepack_jit(
         {k: v for k, v in arrs.items() if k != "b"},
         x,
@@ -444,7 +469,7 @@ def _aligned_reference(arrs, x2d, *, rows: int):
     return y2d.reshape(-1)[:rows]
 
 
-def spmv_aligned(plan, x, *, device_arrays=None):
+def spmv_aligned(plan, x, *, device_arrays=None, allow_downcast=False):
     """y = A @ x via the aligned kernel (+ the general kernel on the spill
     sub-plan when the plan has one). Plans beyond the SMEM budget run as
     several uniform slab segments (one compilation). See formats/aligned.py."""
@@ -454,7 +479,7 @@ def spmv_aligned(plan, x, *, device_arrays=None):
             f"{_VMEM_X_LIMIT} — use spmv_ell_xla or shard over a mesh"
         )
     arrs = device_arrays if device_arrays is not None else aligned_device_arrays(plan)
-    x = jnp.asarray(x, dtype=plan.dtype)
+    x = _cast_x(x, plan.dtype, allow_downcast)
     interp = _interpret()
 
     def one(seg):

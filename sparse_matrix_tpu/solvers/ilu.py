@@ -313,7 +313,10 @@ def _ilut_python(rows, cols, offsets, indices, vals, tau, p):
                         heapq.heappush(heap, j)
                 else:
                     w[j] -= upd
-        diag = w.get(i, 0.0)
+        # commit the diagonal at storage precision (the native engine stores
+        # factors in V): a double pivot that underflows to 0 in vals.dtype
+        # must report zero-pivot here, not produce inf/NaN factors later
+        diag = float(np.asarray(w.get(i, 0.0), dtype=vals.dtype))
         if diag == 0.0:
             raise ValueError(f"ilut: zero pivot in row {i}")
         lpart = sorted(

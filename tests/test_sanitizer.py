@@ -74,3 +74,61 @@ print("UBSAN R3 CLEAN")
              "PATH": "/usr/bin:/bin:/usr/local/bin", "JAX_PLATFORMS": "cpu"},
     )
     assert "UBSAN R3 CLEAN" in out.stdout, (out.stdout[-1000:], out.stderr[-3000:])
+
+
+def _threaded_code(sanitize_arg):
+    return f"""
+import ctypes
+import numpy as np
+from sparse_matrix_tpu.native import build as bmod
+from sparse_matrix_tpu.native import loader
+lib = ctypes.CDLL(bmod.build(sanitize={sanitize_arg}))
+loader._declare(lib)
+loader._LIB = lib
+loader._TRIED = True
+from sparse_matrix_tpu.core import DokMatrix
+from sparse_matrix_tpu.formats import CsrMatrix
+rng = np.random.default_rng(3)
+for rows, density in ((300, 0.08), (64, 0.4), (512, 0.01)):
+    d = ((rng.random((rows, rows)) < density) * rng.standard_normal((rows, rows))).astype(np.float64)
+    A = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    C = loader.spgemm_hash_native(A, A, num_threads=4, output_sorted=True)
+    assert np.allclose(C.to_dense(), d @ d, atol=1e-9)
+print("THREADED SAN CLEAN")
+"""
+
+
+def test_native_threaded_chunks_ubsan():
+    """The cross-thread disjoint-slice writes in run_chunked, actually
+    exercised with 4 workers (threads interleave even on 1 core) under the
+    UBSan build — the miri analog for the unsafe-equivalent parallel writes
+    (reference rust-toolchain.toml:3, mul_hash.rs:38-64)."""
+    out = subprocess.run(
+        [sys.executable, "-c", _threaded_code("True")],
+        capture_output=True, text=True, timeout=600,
+        env={"PYTHONPATH": ".", "HOME": "/root",
+             "PATH": "/usr/bin:/bin:/usr/local/bin", "JAX_PLATFORMS": "cpu"},
+    )
+    assert "THREADED SAN CLEAN" in out.stdout, (out.stdout[-1000:], out.stderr[-3000:])
+
+
+def test_native_threaded_chunks_tsan():
+    """Same workload under ThreadSanitizer: data races on the shared output
+    buffers or the atomic chunk counter abort the subprocess. TSan's runtime
+    must be preloaded because the instrumented code lives in a dlopen()ed
+    library under an uninstrumented Python."""
+    libtsan = subprocess.run(
+        ["g++", "-print-file-name=libtsan.so"], capture_output=True, text=True
+    ).stdout.strip()
+    if not libtsan or "/" not in libtsan:
+        pytest.skip("libtsan not available")
+    out = subprocess.run(
+        [sys.executable, "-c", _threaded_code("'thread'")],
+        capture_output=True, text=True, timeout=600,
+        env={"PYTHONPATH": ".", "HOME": "/root", "LD_PRELOAD": libtsan,
+             "PATH": "/usr/bin:/bin:/usr/local/bin", "JAX_PLATFORMS": "cpu",
+             "TSAN_OPTIONS": "halt_on_error=1 exitcode=66"},
+    )
+    assert out.returncode == 0 and "THREADED SAN CLEAN" in out.stdout, (
+        out.stdout[-1000:], out.stderr[-3000:],
+    )
