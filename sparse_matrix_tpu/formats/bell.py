@@ -1,0 +1,308 @@
+"""BELL: blocked-ELL layers with *static* window offsets — the streaming
+general-path SpMV format (round-3 kernel family).
+
+Why a third family (VERDICT r2 item 1): the aligned kernel's measured wall
+is the one dynamic x-window load per chunk (scalar-prefetched ``col_off``;
+~14 of 19 ns/slab in the round-2 ablation, docs/PERF.md), while the
+streaming-DIA kernel reaches 875 GB/s with nothing but *static* slices of
+an overlapping x window delivered by the BlockSpec pipeline
+(ops/spmv_dia.py). BELL ports that recipe to general matrices:
+
+* an entry ``(r, c, v)`` lives in row block ``rb = r // 128`` at lane
+  ``r % 128`` (destination-aligned, like formats/aligned.py), with its x
+  position split as ``c = 128 * w + l``;
+* the **window offset** ``d = w - rb`` is quantized structure: local/banded
+  matrices produce a handful of distinct ``d`` values. Entries group into
+  layers ``(d, k)`` — the k-th entry of ``(d, row)`` — giving ``L`` layers
+  of ``(r128, 128)`` value planes plus int8 ``l`` lane indices;
+* the kernel's per-layer work is ``x_win[pl.ds(lo + d, BR), :]`` (a STATIC
+  slice: ``d`` is compile-time), one in-row lane gather
+  (``take_along_axis(.., axis=1)`` — the fast Mosaic gather), one fma.
+  No scalar prefetch, no dynamic loads, no cumsum, no scatter; y is
+  written once per grid step. Both slot data and x STREAM through VMEM,
+  so there is no rows/cols VMEM wall (the aligned/LanePack kernels cap at
+  ~3.5M cols / 1.6M rows).
+
+Sparse layers (e.g. the 1/128-fill lane-straddle layers of a stencil, or
+stray far-from-diagonal entries) either stay (streaming zeros is cheap) or
+spill to a general-LanePack sub-plan; the choice is a per-layer cost
+comparison with the autotuned per-(layer, row-block) kernel cost.
+
+The reference's general SpGEMM load-balances by FLOPs across threads
+(/root/reference/spam_csr/src/mul_hash.rs:38-64); BELL is the SpMV analog
+of that discipline on a TPU: fixed-size streamed work per grid step,
+irregularity absorbed at plan time on the host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .csr import CsrMatrix
+from .lanepack import LANES, SLOTS, LanePackPlan, plan_lanepack
+
+__all__ = ["BellPlan", "plan_bell", "estimate_bell"]
+
+# hard cap on kept layers: bounds kernel unroll length / compile time and
+# the (L, BR, 128) streamed block's VMEM footprint
+MAX_LAYERS = 48
+# widest kept window span (in 128-col windows): bounds the per-step x
+# window block ((lo + BR + hi) * 512 B, double-buffered)
+MAX_DSPAN = 4096
+
+# VMEM budget for picking BR: double-buffered slot blocks + x window + y
+_BELL_VMEM_BUDGET = 10 * 1024 * 1024
+_BR_CANDIDATES = (512, 256, 128, 64, 32)
+
+
+def pick_br(L: int, dmax: int) -> int:
+    """Rows-per-grid-step (in 128-row blocks x 128 lanes): the largest BR
+    whose double-buffered working set fits the VMEM budget."""
+    for br in _BR_CANDIDATES:
+        per_step = (
+            L * br * LANES * 5 + (br + max(dmax, 0) + 8) * LANES * 4 + br * LANES * 4
+        )
+        if 2 * per_step <= _BELL_VMEM_BUDGET:
+            return br
+    return _BR_CANDIDATES[-1]
+
+
+def bell_chunk_ns(br: int) -> float:
+    """Measured per-(layer, 128-row-block) kernel cost as a function of the
+    grid-step height BR (experiments/bell_spmv.out, v5e): 0.68 ns at
+    br=512, 1.79 at 256, 2.77 at 128 — a c0 + c1*(128/br) interpolation
+    over the candidate range (the c0 < 0 fit value is empirical; the floor
+    keeps the extrapolation sane)."""
+    from ..utils import autotune
+
+    c0 = autotune.get("bell_chunk_c0_ns")
+    c1 = autotune.get("bell_chunk_c1_ns")
+    return max(0.5, c0 + c1 * (128.0 / max(br, 1)))
+
+
+@dataclass(frozen=True)
+class BellPlan:
+    """Host-side BELL plan (+ optional general spill sub-plan)."""
+
+    rows: int
+    cols: int
+    ds: Tuple[int, ...]  # static per-layer window offsets, len L
+    vals: np.ndarray  # (L, r128, 128) dtype
+    lane: np.ndarray  # (L, r128, 128) int8: l = col % 128
+    nnz: int
+    dtype: np.dtype
+    spill: Optional[LanePackPlan]
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.ds)
+
+    @property
+    def r128(self) -> int:
+        return -(-self.rows // LANES)
+
+    @property
+    def c128(self) -> int:
+        return -(-self.cols // LANES)
+
+    @property
+    def fill(self) -> float:
+        kept = self.nnz - (self.spill.nnz if self.spill is not None else 0)
+        total = self.vals.size
+        return kept / total if total else 1.0
+
+    @property
+    def dspan(self) -> int:
+        return (max(self.ds) - min(self.ds) + 1) if self.ds else 0
+
+    def slot_bytes(self) -> int:
+        b = int(self.vals.nbytes + self.lane.nbytes)
+        if self.spill is not None:
+            b += self.spill.slot_bytes()
+        return b
+
+
+def _layer_keys(m: CsrMatrix):
+    """Per-entry (d, layer-within-(d,row)) keys in (d, r, c) order."""
+    nnz = m.nnz()
+    r = m.row_ids().astype(np.int64)
+    c = m.indices.astype(np.int64)
+    d = (c // LANES) - (r // LANES)
+    order = np.lexsort((c, r, d))
+    d_s, r_s, c_s = d[order], r[order], c[order]
+    if nnz:
+        new = np.r_[True, (d_s[1:] != d_s[:-1]) | (r_s[1:] != r_s[:-1])]
+        start = np.maximum.accumulate(np.where(new, np.arange(nnz), 0))
+        k = np.arange(nnz) - start
+        kmax = int(k.max()) + 1
+        dmin = int(d_s.min())
+        lkey = (d_s - dmin) * kmax + k
+    else:
+        k = np.zeros(0, np.int64)
+        kmax, dmin = 1, 0
+        lkey = np.zeros(0, np.int64)
+    return order, d_s, r_s, c_s, k, lkey, kmax, dmin
+
+
+def _spill_decision(lkey, r_s, r128: int, *, max_layers: int):
+    """Per-layer keep/spill by cost: keeping a layer streams its whole
+    (r128, 128) plane (autotuned ns per (layer, row-block)); spilling its
+    entries costs general-LanePack slabs (>= ceil(nrb/2): a slab packs at
+    most two row blocks — the reason sparse-but-wide layers usually stay).
+    Returns (kept lkey values sorted, per-entry spill mask)."""
+    from ..utils import autotune
+
+    if len(lkey) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, bool)
+    uniq, inv, cnt = np.unique(lkey, return_inverse=True, return_counts=True)
+    # row blocks present per layer
+    rb = r_s // LANES
+    pair = inv.astype(np.int64) * r128 + rb
+    upair = np.unique(pair)
+    nrb = np.bincount((upair // r128).astype(np.int64), minlength=len(uniq))
+
+    # pre-spill BR guess (the kept-layer count isn't known yet): good
+    # enough for the keep/spill comparison, which is order-of-magnitude
+    bell_ns = bell_chunk_ns(pick_br(min(len(uniq), max_layers), 4))
+    dense_ns = autotune.get("lanepack_dense_slab_ns")
+    cost_keep = r128 * bell_ns
+    slabs_est = np.maximum(-(-cnt // SLOTS), -(-nrb // 2))
+    spill_layer = slabs_est * dense_ns < cost_keep
+
+    keep_idx = np.nonzero(~spill_layer)[0]
+    if len(keep_idx) > max_layers:
+        # force-spill the smallest kept layers beyond the cap
+        order = np.argsort(cnt[keep_idx], kind="stable")
+        drop = keep_idx[order[: len(keep_idx) - max_layers]]
+        spill_layer[drop] = True
+    spill_mask = spill_layer[inv]
+    return uniq[~spill_layer], spill_mask
+
+
+def _sampled_reject(m: CsrMatrix) -> bool:
+    """O(100k) pre-filter before the O(nnz log nnz) estimate: sampled
+    window offsets showing a huge span or far more distinct values than
+    MAX_LAYERS reject for certain (the AMG-prolongator case — rectangular
+    aspect makes d drift linearly with the row, exploding the layer set;
+    the operator planner probes many such candidates per setup)."""
+    nnz = m.nnz()
+    if nnz <= 1_000_000:
+        return False
+    idx = np.linspace(0, nnz - 1, 100_000).astype(np.int64)
+    r = m.row_ids()[idx].astype(np.int64)
+    c = m.indices[idx].astype(np.int64)
+    d = (c // LANES) - (r // LANES)
+    if int(d.max() - d.min() + 1) > MAX_DSPAN:
+        return True
+    # distinct (d, .) layer keys are at least distinct d values; far more
+    # of them than the cap means nearly everything would spill
+    return len(np.unique(d)) > 4 * MAX_LAYERS
+
+
+def estimate_bell(m: CsrMatrix, *, max_layers: int = MAX_LAYERS):
+    """Cheap dispatch estimate: dict with kept layer count, kept nnz,
+    estimated kernel cost (ns), window span, and a viability flag —
+    without building the slot arrays."""
+    from ..utils import autotune
+
+    nnz = m.nnz()
+    r128 = -(-m.rows // LANES)
+    if nnz == 0:
+        return dict(layers=0, kept_nnz=0, spill_nnz=0, cost_ns=0.0, dspan=0, br=0, viable=True)
+    if _sampled_reject(m):
+        return dict(
+            layers=0, kept_nnz=0, spill_nnz=nnz, cost_ns=float("inf"),
+            dspan=0, br=0, viable=False,
+        )
+    _, d_s, r_s, _, _, lkey, kmax, dmin = _layer_keys(m)
+    kept, spill_mask = _spill_decision(lkey, r_s, r128, max_layers=max_layers)
+    layers = len(kept)
+    kept_nnz = int((~spill_mask).sum())
+    if layers:
+        kd = kept // kmax + dmin
+        dspan = int(kd.max() - kd.min() + 1)
+        dmax = int(kd.max())
+    else:
+        dspan, dmax = 0, 0
+    br = pick_br(max(layers, 1), dmax)
+    dense_ns = autotune.get("lanepack_dense_slab_ns")
+    spill_nnz = nnz - kept_nnz
+    # spilled entries' slab count is only known after packing; lower-bound
+    # by slot capacity (dispatch-grade accuracy, like _count_slabs)
+    cost = layers * r128 * bell_chunk_ns(br) + -(-spill_nnz // SLOTS) * dense_ns
+    viable = layers > 0 and dspan <= MAX_DSPAN
+    return dict(
+        layers=layers,
+        kept_nnz=kept_nnz,
+        spill_nnz=spill_nnz,
+        cost_ns=float(cost),
+        dspan=dspan,
+        br=br,
+        viable=viable,
+    )
+
+
+def plan_bell(
+    m: CsrMatrix, *, dtype=np.float32, max_layers: int = MAX_LAYERS
+) -> BellPlan:
+    """Build the BELL plan. O(nnz log nnz) vectorized host time."""
+    rows, cols, nnz = m.rows, m.cols, m.nnz()
+    r128 = -(-rows // LANES)
+    if nnz == 0:
+        return BellPlan(
+            rows=rows,
+            cols=cols,
+            ds=(),
+            vals=np.zeros((0, r128, LANES), dtype),
+            lane=np.zeros((0, r128, LANES), np.int8),
+            nnz=0,
+            dtype=np.dtype(dtype),
+            spill=None,
+        )
+
+    order, d_s, r_s, c_s, k, lkey, kmax, dmin = _layer_keys(m)
+    v_s = m.vals[order].astype(dtype)
+    kept, spill_mask = _spill_decision(lkey, r_s, r128, max_layers=max_layers)
+
+    spill_plan = None
+    if spill_mask.any():
+        rr, cc, vv = r_s[spill_mask], c_s[spill_mask], v_s[spill_mask]
+        # entries arrive in (d, r, c) order; the CSR contract is (r, c)
+        so = np.lexsort((cc, rr))
+        rr, cc, vv = rr[so], cc[so], vv[so]
+        offs = np.zeros(rows + 1, np.int64)
+        offs[1:] = np.bincount(rr, minlength=rows)
+        np.cumsum(offs, out=offs)
+        sub = CsrMatrix(rows, cols, vv, cc.astype(np.uint32), offs, is_sorted=True)
+        spill_plan = plan_lanepack(sub, dtype=dtype)
+
+    keep = ~spill_mask
+    lk, r_k, c_k, v_k = lkey[keep], r_s[keep], c_s[keep], v_s[keep]
+    # remap kept layer keys -> dense layer indices (kept is sorted; lkey
+    # sorts by (d, k), so same-d layers are adjacent — the kernel reuses
+    # the x slice across them)
+    li = np.searchsorted(kept, lk)
+    ds = tuple(int(x // kmax + dmin) for x in kept)
+
+    L = len(ds)
+    vals = np.zeros((L, r128, LANES), dtype)
+    lane = np.zeros((L, r128, LANES), np.int8)
+    if len(li):
+        rb = r_k // LANES
+        rl = r_k % LANES
+        vals[li, rb, rl] = v_k
+        lane[li, rb, rl] = (c_k % LANES).astype(np.int8)
+
+    return BellPlan(
+        rows=rows,
+        cols=cols,
+        ds=ds,
+        vals=vals,
+        lane=lane,
+        nnz=nnz,
+        dtype=np.dtype(dtype),
+        spill=spill_plan,
+    )

@@ -232,7 +232,24 @@ class CsrMatrix(Matrix):
         """Transpose by stable (col, row) sort — O(nnz log nnz), replacing the
         reference's dense O(r*c) sweep (``spam_csr/src/lib.rs:256-264``, noted
         as a simplicity artifact in SURVEY.md). Output rows end up sorted, as
-        the reference's does."""
+        the reference's does. The native runtime runs it as an O(nnz)
+        counting sort (row-major iteration makes the stable scatter emit
+        each transposed row already sorted — identical output)."""
+        from ..native import csr_transpose_native
+
+        res = csr_transpose_native(
+            self._rows, self._cols, self.offsets, self.indices, self.vals
+        )
+        if res is not None:
+            t_offsets, t_indices, t_vals = res
+            return CsrMatrix(
+                self._cols,
+                self._rows,
+                t_vals,
+                t_indices,
+                t_offsets.astype(OFFSET_DTYPE),
+                is_sorted=self.is_sorted,
+            )
         n = self.nnz()
         row_ids = np.repeat(np.arange(self._rows, dtype=np.int64), np.diff(self.offsets))
         order = np.lexsort((row_ids, self.indices.astype(np.int64)))

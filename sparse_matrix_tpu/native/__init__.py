@@ -18,5 +18,8 @@ from .loader import (  # noqa: F401
     ilu0_native,
     ilut_native,
     trisolve_native,
+    amg_strength_native,
+    scale_rows_native,
+    csr_transpose_native,
     load_library,
 )

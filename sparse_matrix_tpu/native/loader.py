@@ -23,6 +23,9 @@ __all__ = [
     "ilu0_native",
     "ilut_native",
     "trisolve_native",
+    "amg_strength_native",
+    "scale_rows_native",
+    "csr_transpose_native",
 ]
 
 _LIB: Optional[ctypes.CDLL] = None
@@ -97,6 +100,34 @@ def _declare(lib: ctypes.CDLL) -> None:
         getattr(lib, name).argtypes = [
             c_i64, _I64P, _U32P, vp, _I64P, _U32P, vp, _I64P, _I64P, _I64P,
             c_i64, c_int, c_int, _U32P, vp,
+        ]
+    for name, vp in [
+        ("spmx_amg_diag_abssum_f64", _F64P),
+        ("spmx_amg_diag_abssum_f32", _F32P),
+    ]:
+        getattr(lib, name).argtypes = [c_i64, _I64P, _U32P, vp, _F64P, _F64P, _F64P]
+    for name, vp in [
+        ("spmx_strength_count_f64", _F64P),
+        ("spmx_strength_count_f32", _F32P),
+    ]:
+        getattr(lib, name).argtypes = [
+            c_i64, _I64P, _U32P, vp, ctypes.c_double, _F64P, _I64P,
+        ]
+    for name, vp in [
+        ("spmx_strength_fill_f64", _F64P),
+        ("spmx_strength_fill_f32", _F32P),
+    ]:
+        getattr(lib, name).argtypes = [
+            c_i64, _I64P, _U32P, vp, ctypes.c_double, _F64P, _I64P, _I64P,
+        ]
+    for name, vp in [("spmx_scale_rows_f64", _F64P), ("spmx_scale_rows_f32", _F32P)]:
+        getattr(lib, name).argtypes = [c_i64, _I64P, vp, _F64P, vp]
+    for name, vp in [
+        ("spmx_csr_transpose_f64", _F64P),
+        ("spmx_csr_transpose_f32", _F32P),
+    ]:
+        getattr(lib, name).argtypes = [
+            c_i64, c_i64, _I64P, _U32P, vp, _I64P, _U32P, vp,
         ]
 
 
@@ -285,6 +316,94 @@ def parse_entries_native(text: str, expect: int, n_value_cols: int):
     if n < 0:
         return None
     return rows[:n], cols[:n], vals[:n], (vi[:n] if vi is not None else None), int(n)
+
+
+_SUFFIX_BY_DTYPE = {np.dtype(np.float64): "f64", np.dtype(np.float32): "f32"}
+
+
+def amg_strength_native(rows, offsets, indices, vals, theta: float):
+    """Fused AMG per-level analysis (solvers/amg.py strength_graph +
+    _diag_of + _lambda_max_dinv_a operands) in three native sweeps.
+
+    Returns ``(diag, abssum, s_offsets, s_indices)`` — signed diagonal,
+    per-row absolute sums, and the strong-connection graph — or None when
+    the library/dtype is unavailable. The strength test compares squares
+    (|a_ij|^2 >= theta^2 |a_ii| |a_jj|), so values beyond ~1e150 fall back
+    to the numpy path to avoid overflow."""
+    lib = load_library()
+    sfx = _SUFFIX_BY_DTYPE.get(vals.dtype)
+    if lib is None or sfx is None:
+        return None
+    n = int(rows)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.uint32)
+    vals = np.ascontiguousarray(vals)
+    diag = np.zeros(n, dtype=np.float64)
+    abssum = np.zeros(n, dtype=np.float64)
+    rowmax = np.zeros(n, dtype=np.float64)
+    getattr(lib, f"spmx_amg_diag_abssum_{sfx}")(
+        n, offsets, indices, vals, diag, abssum, rowmax
+    )
+    if len(rowmax) and float(rowmax.max()) > 1e150:
+        return None
+    sdiag = np.abs(diag)
+    missing = sdiag == 0.0
+    if missing.any():
+        sdiag[missing] = np.where(rowmax[missing] > 0, rowmax[missing], 1.0)
+    theta2 = float(theta) * float(theta)
+    counts = np.zeros(n, dtype=np.int64)
+    getattr(lib, f"spmx_strength_count_{sfx}")(
+        n, offsets, indices, vals, theta2, sdiag, counts
+    )
+    s_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=s_offsets[1:])
+    s_indices = np.zeros(max(1, int(s_offsets[-1])), dtype=np.int64)
+    getattr(lib, f"spmx_strength_fill_{sfx}")(
+        n, offsets, indices, vals, theta2, sdiag, s_offsets, s_indices
+    )
+    return diag, abssum, s_offsets, s_indices[: int(s_offsets[-1])]
+
+
+def scale_rows_native(rows, offsets, vals, s):
+    """``out[k] = vals[k] * s[row(k)]`` in one native sweep (amg.py
+    _scale_rows); returns the scaled value array or None."""
+    lib = load_library()
+    sfx = _SUFFIX_BY_DTYPE.get(vals.dtype)
+    if lib is None or sfx is None:
+        return None
+    vals = np.ascontiguousarray(vals)
+    out = np.empty_like(vals)
+    getattr(lib, f"spmx_scale_rows_{sfx}")(
+        int(rows),
+        np.ascontiguousarray(offsets, dtype=np.int64),
+        vals,
+        np.ascontiguousarray(s, dtype=np.float64),
+        out,
+    )
+    return out
+
+
+def csr_transpose_native(rows, cols, offsets, indices, vals):
+    """Counting-sort CSR transpose (formats/csr.py): returns
+    ``(t_offsets, t_indices, t_vals)`` with sorted rows, or None."""
+    lib = load_library()
+    sfx = _SUFFIX_BY_DTYPE.get(vals.dtype)
+    if lib is None or sfx is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.uint32)
+    vals = np.ascontiguousarray(vals)
+    nnz = int(offsets[-1])
+    t_offsets = np.zeros(int(cols) + 1, dtype=np.int64)
+    t_offsets[1:] = np.bincount(indices.astype(np.int64), minlength=int(cols))
+    np.cumsum(t_offsets, out=t_offsets)
+    cursor = t_offsets[:-1].copy()
+    t_indices = np.zeros(max(1, nnz), dtype=np.uint32)
+    t_vals = np.zeros(max(1, nnz), dtype=vals.dtype)
+    getattr(lib, f"spmx_csr_transpose_{sfx}")(
+        int(rows), int(cols), offsets, indices, vals, cursor, t_indices, t_vals
+    )
+    return t_offsets, t_indices[:nnz], t_vals[:nnz]
 
 
 def blocks_to_coo_native(blocks, block_rows, block_cols, rows, cols):

@@ -619,3 +619,161 @@ extern "C" i64 spmx_ilut_f32(i64 rows, i64 cols, const i64* offsets, const u32* 
   return ilut_impl<float>(rows, offsets, indices, vals, tau, p,
                           l_cnt, l_idx, l_val, u_cnt, u_idx, u_val, cols);
 }
+
+// ---------------------------------------------------------------------------
+// AMG setup analysis (solvers/amg.py). The coarsening loop's per-level host
+// passes (strength graph, diagonal extraction, Gershgorin row sums, row
+// scaling) are single sweeps over nnz that numpy pays multiple temporaries
+// for — at 4096^2 Poisson (84M nnz) they were ~100 s of the 600 s setup
+// profile. Native runtime work, same stance as the reference's host-side
+// irregular kernels (spam_csr/src/mul_hash.rs).
+//
+// Strength test (strength_graph, amg.py): edge (i, j), i != j, is strong
+// when |a_ij| >= theta * sqrt(diag_i * diag_j) — compared in squares to
+// skip the per-edge sqrt. diag[] must already have the zero/missing-row
+// fallback applied (host does that from the rowmax output of the first
+// pass; n-sized, cheap).
+// ---------------------------------------------------------------------------
+
+template <typename V>
+static void amg_diag_abssum_impl(i64 n, const i64* offsets, const u32* indices,
+                                 const V* vals, double* diag, double* abssum,
+                                 double* rowmax) {
+  for (i64 i = 0; i < n; ++i) {
+    double d = 0.0, s = 0.0, mx = 0.0;
+    for (i64 k = offsets[i]; k < offsets[i + 1]; ++k) {
+      double a = (double)vals[k];
+      double aa = a < 0 ? -a : a;
+      s += aa;
+      if (aa > mx) mx = aa;
+      if ((i64)indices[k] == i) d = a;
+    }
+    diag[i] = d;
+    abssum[i] = s;
+    rowmax[i] = mx;
+  }
+}
+
+extern "C" void spmx_amg_diag_abssum_f64(i64 n, const i64* offsets, const u32* indices,
+                                         const double* vals, double* diag,
+                                         double* abssum, double* rowmax) {
+  amg_diag_abssum_impl<double>(n, offsets, indices, vals, diag, abssum, rowmax);
+}
+
+extern "C" void spmx_amg_diag_abssum_f32(i64 n, const i64* offsets, const u32* indices,
+                                         const float* vals, double* diag,
+                                         double* abssum, double* rowmax) {
+  amg_diag_abssum_impl<float>(n, offsets, indices, vals, diag, abssum, rowmax);
+}
+
+template <typename V>
+static void strength_count_impl(i64 n, const i64* offsets, const u32* indices,
+                                const V* vals, double theta2, const double* diag,
+                                i64* counts) {
+  for (i64 i = 0; i < n; ++i) {
+    i64 c = 0;
+    double ti = theta2 * diag[i];
+    for (i64 k = offsets[i]; k < offsets[i + 1]; ++k) {
+      i64 j = (i64)indices[k];
+      if (j == i) continue;
+      double a = (double)vals[k];
+      if (a * a >= ti * diag[j]) ++c;
+    }
+    counts[i] = c;
+  }
+}
+
+template <typename V>
+static void strength_fill_impl(i64 n, const i64* offsets, const u32* indices,
+                               const V* vals, double theta2, const double* diag,
+                               const i64* s_offsets, i64* s_indices) {
+  for (i64 i = 0; i < n; ++i) {
+    i64 c = s_offsets[i];
+    double ti = theta2 * diag[i];
+    for (i64 k = offsets[i]; k < offsets[i + 1]; ++k) {
+      i64 j = (i64)indices[k];
+      if (j == i) continue;
+      double a = (double)vals[k];
+      if (a * a >= ti * diag[j]) s_indices[c++] = j;
+    }
+  }
+}
+
+extern "C" void spmx_strength_count_f64(i64 n, const i64* offsets, const u32* indices,
+                                        const double* vals, double theta2,
+                                        const double* diag, i64* counts) {
+  strength_count_impl<double>(n, offsets, indices, vals, theta2, diag, counts);
+}
+
+extern "C" void spmx_strength_count_f32(i64 n, const i64* offsets, const u32* indices,
+                                        const float* vals, double theta2,
+                                        const double* diag, i64* counts) {
+  strength_count_impl<float>(n, offsets, indices, vals, theta2, diag, counts);
+}
+
+extern "C" void spmx_strength_fill_f64(i64 n, const i64* offsets, const u32* indices,
+                                       const double* vals, double theta2,
+                                       const double* diag, const i64* s_offsets,
+                                       i64* s_indices) {
+  strength_fill_impl<double>(n, offsets, indices, vals, theta2, diag, s_offsets, s_indices);
+}
+
+extern "C" void spmx_strength_fill_f32(i64 n, const i64* offsets, const u32* indices,
+                                       const float* vals, double theta2,
+                                       const double* diag, const i64* s_offsets,
+                                       i64* s_indices) {
+  strength_fill_impl<float>(n, offsets, indices, vals, theta2, diag, s_offsets, s_indices);
+}
+
+// Row-scaled copy out[k] = vals[k] * s[row(k)]  (amg.py _scale_rows: the
+// prolongator-smoothing product's diag(s) @ A operand, one sweep, no
+// dtype-conversion temporaries).
+template <typename V>
+static void scale_rows_impl(i64 n, const i64* offsets, const V* vals,
+                            const double* s, V* out) {
+  for (i64 i = 0; i < n; ++i) {
+    double si = s[i];
+    for (i64 k = offsets[i]; k < offsets[i + 1]; ++k)
+      out[k] = (V)((double)vals[k] * si);
+  }
+}
+
+extern "C" void spmx_scale_rows_f64(i64 n, const i64* offsets, const double* vals,
+                                    const double* s, double* out) {
+  scale_rows_impl<double>(n, offsets, vals, s, out);
+}
+
+extern "C" void spmx_scale_rows_f32(i64 n, const i64* offsets, const float* vals,
+                                    const double* s, float* out) {
+  scale_rows_impl<float>(n, offsets, vals, s, out);
+}
+
+// CSR transpose by counting sort (formats/csr.py transpose): count per
+// column, prefix on the host, then one stable scatter sweep — row-sorted
+// input makes the output's per-row columns sorted by construction. The
+// lexsort path this replaces was ~2 s per 84M-nnz call.
+template <typename V>
+static void csr_transpose_impl(i64 rows, i64 cols, const i64* offsets,
+                               const u32* indices, const V* vals,
+                               i64* t_cursor /* cols, prefix-sum start positions */,
+                               u32* t_indices, V* t_vals) {
+  for (i64 i = 0; i < rows; ++i) {
+    for (i64 k = offsets[i]; k < offsets[i + 1]; ++k) {
+      i64 p = t_cursor[indices[k]]++;
+      t_indices[p] = (u32)i;
+      t_vals[p] = vals[k];
+    }
+  }
+}
+
+extern "C" void spmx_csr_transpose_f64(i64 rows, i64 cols, const i64* offsets,
+                                       const u32* indices, const double* vals,
+                                       i64* t_cursor, u32* t_indices, double* t_vals) {
+  csr_transpose_impl<double>(rows, cols, offsets, indices, vals, t_cursor, t_indices, t_vals);
+}
+
+extern "C" void spmx_csr_transpose_f32(i64 rows, i64 cols, const i64* offsets,
+                                       const u32* indices, const float* vals,
+                                       i64* t_cursor, u32* t_indices, float* t_vals) {
+  csr_transpose_impl<float>(rows, cols, offsets, indices, vals, t_cursor, t_indices, t_vals);
+}

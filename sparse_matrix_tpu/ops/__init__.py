@@ -30,6 +30,7 @@ from .spmv import (  # noqa: F401
     ell_from_csr,
     spmv_oracle,
 )
+from .spmv_bell import spmv_bell, bell_device_arrays  # noqa: F401
 from .device_sorted import (  # noqa: F401
     PaddedCoo,
     add_device,

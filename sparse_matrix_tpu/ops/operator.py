@@ -62,12 +62,15 @@ def split_bands(
 
 
 
+_STATIC_KEYS = ("b", "br")  # step sizes: python ints, not device arrays
+
+
 def _strip_static(d):
-    """Drop static config entries (step sizes "b") from a device-array
-    dict at ANY depth (aligned plans nest "spill" / "segments" dicts) so
-    they never become traced pytree leaves."""
+    """Drop static config entries (step sizes "b"/"br") from a
+    device-array dict at ANY depth (aligned plans nest "spill" /
+    "segments" dicts) so they never become traced pytree leaves."""
     if isinstance(d, dict):
-        return {k: _strip_static(v) for k, v in d.items() if k != "b"}
+        return {k: _strip_static(v) for k, v in d.items() if k not in _STATIC_KEYS}
     if isinstance(d, (list, tuple)):
         return type(d)(_strip_static(e) for e in d)
     return d
@@ -79,7 +82,7 @@ def _graft_static(params, ref):
     if isinstance(ref, dict):
         out = {}
         for k, v in ref.items():
-            if k == "b":
+            if k in _STATIC_KEYS:
                 out[k] = v
             elif isinstance(v, (dict, list, tuple)):
                 out[k] = _graft_static(params[k], v)
@@ -106,6 +109,7 @@ class SpmvOperator:
         self._dia = None
         self._plan = None
         self._aligned = None
+        self._bell = None
         self._ell = None
         self._ell_spill = None
         self._colsplit = None
@@ -166,6 +170,11 @@ class SpmvOperator:
             self._set_aligned(m, dtype)
             return
 
+        if force == "bell":
+            self.format = "bell"
+            self._set_bell(m, dtype)
+            return
+
         if force in (None, "dia"):
             dia = try_dia_from_csr(m, dtype=dtype)
             if dia is not None:
@@ -210,12 +219,19 @@ class SpmvOperator:
                 return
             if not self._lanepack_viable(m):
                 # too many slabs for the 1 MB SMEM scalar prefetch — but the
-                # aligned kernel runs big plans as uniform SEGMENTS, so ELL
-                # (whose x-gather crawls at ~0.14 Gelem/s) is only the last
-                # resort. Regression: Poisson 2048^2's prolongators (21M
-                # nnz) fell to ELL and the V-cycle ran ~100x slow.
+                # BELL and aligned kernels run big plans without scalar
+                # prefetch, so ELL (whose x-gather crawls at ~0.14 Gelem/s)
+                # is only the last resort. Regression: Poisson 2048^2's
+                # prolongators (21M nnz) fell to ELL and the V-cycle ran
+                # ~100x slow.
+                from ..formats.bell import estimate_bell
                 from .spmv import _VMEM_X_LIMIT
 
+                est = estimate_bell(m)
+                if est["viable"] and est["spill_nnz"] <= est["kept_nnz"]:
+                    self.format = "bell"
+                    self._set_bell(m, dtype)
+                    return
                 if m.nnz() > 0 and m.cols <= _VMEM_X_LIMIT:
                     self.format = "aligned"
                     self._set_aligned(m, dtype)
@@ -224,25 +240,31 @@ class SpmvOperator:
                 self._set_ell(m, dtype)
                 return
 
-        # aligned vs general LanePack: compare estimated kernel times
-        # (autotuned per-slab costs x estimated slab counts); an explicit
-        # force="lanepack" bypasses the comparison
-        if force is None and self._aligned_wins(m):
-            self.format = "aligned"
-            self._set_aligned(m, dtype)
-            return
+        # BELL vs aligned vs general LanePack: compare estimated kernel
+        # times (autotuned per-chunk/per-slab costs x estimated counts); an
+        # explicit force="lanepack" bypasses the comparison
+        if force is None:
+            choice = self._general_choice(m)
+            if choice == "bell":
+                self.format = "bell"
+                self._set_bell(m, dtype)
+                return
+            if choice == "aligned":
+                self.format = "aligned"
+                self._set_aligned(m, dtype)
+                return
 
         self.format = "lanepack"
         self._set_plan(m, dtype)
 
     @staticmethod
-    def _aligned_wins(m: CsrMatrix) -> bool:
+    def _general_costs(m: CsrMatrix):
+        """(t_aligned, t_lanepack) estimated kernel ns for the two round-2
+        general families (autotuned constants x estimated counts)."""
         from ..formats.aligned import _chunk_keys
         from ..formats.lanepack import _count_slabs, _cost_constants
         from ..utils import autotune
 
-        if m.nnz() == 0:
-            return False
         _, _, _, ck = _chunk_keys(m)
         chunks = int(len(np.unique(ck)))
         t_aligned = -(-chunks // 8) * autotune.get("lanepack_aligned_slab_ns")
@@ -253,6 +275,32 @@ class SpmvOperator:
                 break
             t = _count_slabs(m, kw) * (c_fixed + c_kw * kw)
             t_gen = t if t_gen is None else min(t_gen, t)
+        return t_aligned, t_gen
+
+    @staticmethod
+    def _general_choice(m: CsrMatrix) -> str:
+        """Pick the general-path family by estimated kernel time:
+        ``bell`` (round-3 streaming, wins on high-fill local structure —
+        135 vs 62 Gnnz/s on Poisson 512²), ``aligned``, or ``lanepack``
+        (experiments/bell_spmv.out)."""
+        from ..formats.bell import estimate_bell
+
+        if m.nnz() == 0:
+            return "lanepack"
+        est = estimate_bell(m)
+        t_bell = est["cost_ns"] if est["viable"] else float("inf")
+        t_aligned, t_gen = SpmvOperator._general_costs(m)
+        if t_bell < t_aligned and (t_gen is None or t_bell < t_gen):
+            return "bell"
+        if t_gen is None or t_aligned < t_gen:
+            return "aligned"
+        return "lanepack"
+
+    @staticmethod
+    def _aligned_wins(m: CsrMatrix) -> bool:
+        if m.nnz() == 0:
+            return False
+        t_aligned, t_gen = SpmvOperator._general_costs(m)
         return t_gen is None or t_aligned < t_gen
 
     @staticmethod
@@ -306,6 +354,13 @@ class SpmvOperator:
         self._aligned = plan_aligned(m, dtype=dtype)
         self._ali_arrs = aligned_device_arrays(self._aligned)
 
+    def _set_bell(self, m, dtype):
+        from ..formats.bell import plan_bell
+        from .spmv_bell import bell_device_arrays
+
+        self._bell = plan_bell(m, dtype=dtype)
+        self._bell_arrs = bell_device_arrays(self._bell)
+
     def _set_dia(self, dia):
         from .spmv_dia import dia_device_arrays
 
@@ -330,6 +385,10 @@ class SpmvOperator:
                 y = yp if y is None else y + yp
             return y
         y = None
+        if self._bell is not None:
+            from .spmv_bell import spmv_bell
+
+            y = spmv_bell(self._bell, x, device_arrays=self._bell_arrs)
         if self._aligned is not None:
             from .spmv import spmv_aligned
 
@@ -387,6 +446,8 @@ class SpmvOperator:
             params["dia"] = d
         if self._aligned is not None:
             params["ali"] = _strip_static(self._ali_arrs)
+        if self._bell is not None:
+            params["bell"] = _strip_static(self._bell_arrs)
         if self._plan is not None:
             params["lp"] = _strip_static(self._lp_arrs)
         if self._ell is not None:
@@ -415,6 +476,11 @@ class SpmvOperator:
                 y = yp if y is None else y + yp
             return y
         y = None
+        if self._bell is not None:
+            from .spmv_bell import spmv_bell
+
+            bl = _graft_static(params["bell"], self._bell_arrs)
+            y = spmv_bell(self._bell, x, device_arrays=bl)
         if self._aligned is not None:
             from .spmv import spmv_aligned
 
@@ -468,6 +534,19 @@ class SpmvOperator:
                 y = yp if y is None else y + yp
             return y
         y = None
+        if self._bell is not None:
+            # per-column loop over the streaming kernel (operand reuse via
+            # the shared device arrays); a packed BELL SpMM kernel is a
+            # candidate once a workload demands it
+            from .spmv_bell import spmv_bell
+
+            y = jnp.stack(
+                [
+                    spmv_bell(self._bell, x[:, k], device_arrays=self._bell_arrs)
+                    for k in range(x.shape[1])
+                ],
+                axis=1,
+            )
         if self._dia is not None:
             from .spmm import spmm_dia
 
@@ -558,6 +637,8 @@ class SpmvOperator:
             total += self._plan.slot_bytes()
         if self._aligned is not None:
             total += self._aligned.slot_bytes()
+        if self._bell is not None:
+            total += self._bell.slot_bytes()
         return total
 
 
@@ -631,6 +712,15 @@ def _payload_into(op: SpmvOperator, pre: str, payload: dict) -> None:
             pre + "dia_offsets": np.asarray(op._dia.offsets, np.int64),
             pre + "dia_rows": op._dia.rows, pre + "dia_cols": op._dia.cols,
         })
+    if getattr(op, "_bell", None) is not None:
+        bl = op._bell
+        payload.update({
+            pre + "bell_ds": np.asarray(bl.ds, np.int64),
+            pre + "bell_vals": bl.vals, pre + "bell_lane": bl.lane,
+            pre + "bell_nnz": bl.nnz,
+        })
+        if bl.spill is not None:
+            payload.update(_lanepack_payload(bl.spill, pre + "bellsp_"))
     if op._plan is not None:
         payload.update(_lanepack_payload(op._plan, pre + "lp_"))
     if getattr(op, "_ell", None) is not None:
@@ -661,6 +751,7 @@ def _op_from_payload(z, pre: str) -> SpmvOperator:
     op._dia = None
     op._plan = None
     op._aligned = None
+    op._bell = None
     op._ell = None
     op._ell_spill = None
     op._rowsplit = None
@@ -700,6 +791,23 @@ def _op_from_payload(z, pre: str) -> SpmvOperator:
             tuple(int(o) for o in z[pre + "dia_offsets"]),
         )
         op._set_dia(dia)
+    if pre + "bell_vals" in z:
+        from ..formats.bell import BellPlan
+        from .spmv_bell import bell_device_arrays
+
+        spill = (
+            _lanepack_from_payload(z, pre + "bellsp_")
+            if pre + "bellsp_vals" in z
+            else None
+        )
+        op._bell = BellPlan(
+            rows=op.rows, cols=op.cols,
+            ds=tuple(int(d) for d in z[pre + "bell_ds"]),
+            vals=z[pre + "bell_vals"], lane=z[pre + "bell_lane"],
+            nnz=int(z[pre + "bell_nnz"]), dtype=z[pre + "bell_vals"].dtype,
+            spill=spill,
+        )
+        op._bell_arrs = bell_device_arrays(op._bell)
     if pre + "lp_vals" in z:
         from .spmv import lanepack_device_arrays
 

@@ -1,0 +1,165 @@
+"""BELL streaming SpMV kernel (formats/bell.py — round-3 general path).
+
+The streaming-DIA recipe (ops/spmv_dia.py, 875 GB/s measured) applied to
+general matrices: the grid walks groups of ``BR`` 128-row blocks; per step
+the BlockSpec pipeline streams
+
+* the ``(L, BR, 128)`` value planes + int8 lane planes (640 B per
+  (layer, row-block) chunk), and
+* ONE overlapping x window ``(lo + BR + hi, 128)``, element-indexed at row
+  ``i * BR`` — consecutive steps re-read the halo, exactly like the DIA
+  kernel's window.
+
+Per layer the kernel does a STATIC window slice (``d`` is compile-time),
+one in-row lane gather, one fma; y is written once per step. There is no
+scalar prefetch and nothing VMEM-resident across steps, so the kernel has
+no SMEM slab budget and no rows/cols wall — it covers the giant operators
+that previously forced colsplit/rowsplit (ops/operator.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.bell import BellPlan, pick_br
+from ..formats.lanepack import LANES
+
+__all__ = ["spmv_bell", "bell_device_arrays"]
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def bell_device_arrays(plan: BellPlan, *, br: int | None = None):
+    """Move a plan's slot planes to device once, row-blocks padded to a
+    whole number of BR-steps (int8 tiling wants BR a multiple of 32)."""
+    from .spmv import lanepack_device_arrays
+
+    L = plan.num_layers
+    dmax = max(plan.ds) if plan.ds else 0
+    br = br if br is not None else pick_br(max(L, 1), dmax)
+    r128p = max(br, -(-plan.r128 // br) * br)
+    vals = np.zeros((L, r128p, LANES), plan.vals.dtype)
+    lane = np.zeros((L, r128p, LANES), np.int8)
+    vals[:, : plan.r128] = plan.vals
+    lane[:, : plan.r128] = plan.lane
+    arrs = dict(br=br, vals=jnp.asarray(vals), lane=jnp.asarray(lane))
+    if plan.spill is not None:
+        arrs["spill"] = lanepack_device_arrays(plan.spill)
+    return arrs
+
+
+def _make_bell_kernel(ds: tuple, lo: int, br: int):
+    from jax.experimental import pallas as pl
+
+    def kernel(vals_ref, lane_ref, x_ref, y_ref):
+        acc = jnp.zeros((br, LANES), x_ref.dtype)
+        prev_d = None
+        a = None
+        for li, d in enumerate(ds):
+            if d != prev_d:
+                a = x_ref[pl.ds(lo + d, br), :]
+                prev_d = d
+            xg = jnp.take_along_axis(a, lane_ref[li].astype(jnp.int32), axis=1)
+            acc = acc + vals_ref[li] * xg
+        y_ref[...] = acc
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ds", "rows", "cols", "br", "interpret")
+)
+def _spmv_bell_jit(vals, lane, x, *, ds: tuple, rows: int, cols: int, br: int, interpret: bool):
+    from jax.experimental import pallas as pl
+
+    r128p = vals.shape[1]
+    c128 = -(-cols // LANES)
+    dmin = min(ds) if ds else 0
+    dmax = max(ds) if ds else 0
+    lo = max(0, -dmin)
+    win_rows = lo + br + max(dmax, 0)
+    win_rows += (-win_rows) % 8
+    total_rows = max((r128p // br - 1) * br + win_rows, lo + c128)
+    hi = total_rows - lo - c128
+
+    xflat = jnp.zeros(c128 * LANES, x.dtype).at[: x.shape[0]].set(x)
+    x2d = jnp.concatenate(
+        [
+            jnp.zeros((lo, LANES), x.dtype),
+            xflat.reshape(c128, LANES),
+            jnp.zeros((hi, LANES), x.dtype),
+        ],
+        axis=0,
+    )
+
+    if interpret:
+        # non-TPU backends: the same math as vectorized XLA (per-layer
+        # static slice + lane gather) — semantics oracle for the kernel
+        y2 = jnp.zeros((r128p, LANES), x.dtype)
+        for li, d in enumerate(ds):
+            a = jax.lax.slice_in_dim(x2d, lo + d, lo + d + r128p, axis=0)
+            xg = jnp.take_along_axis(a, lane[li].astype(jnp.int32), axis=1)
+            y2 = y2 + vals[li] * xg
+        return y2.reshape(-1)[:rows]
+
+    L = len(ds)
+    y2 = pl.pallas_call(
+        _make_bell_kernel(ds, lo, br),
+        grid=(r128p // br,),
+        in_specs=[
+            pl.BlockSpec((L, br, LANES), lambda i: (0, i, 0)),
+            pl.BlockSpec((L, br, LANES), lambda i: (0, i, 0)),
+            pl.BlockSpec(
+                (pl.Element(win_rows), pl.Element(LANES)), lambda i: (i * br, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec((br, LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((r128p, LANES), x.dtype),
+    )(vals, lane, x2d)
+    return y2.reshape(-1)[:rows]
+
+
+def spmv_bell(plan: BellPlan, x, *, device_arrays=None, allow_downcast=False):
+    """y = A @ x via the BELL streaming kernel (+ the general kernel on the
+    spill sub-plan when the plan has one)."""
+    from .spmv import _cast_x, _spmv_lanepack_jit
+
+    arrs = device_arrays if device_arrays is not None else bell_device_arrays(plan)
+    x = _cast_x(x, plan.dtype, allow_downcast)
+    interp = _interpret()
+    if plan.num_layers:
+        y = _spmv_bell_jit(
+            arrs["vals"],
+            arrs["lane"],
+            x,
+            ds=plan.ds,
+            rows=plan.rows,
+            cols=plan.cols,
+            br=arrs["br"],
+            interpret=interp,
+        )
+    else:
+        y = jnp.zeros(plan.rows, dtype=plan.dtype)
+    if plan.spill is not None:
+        sp = arrs.get("spill")
+        if sp is None:
+            from .spmv import lanepack_device_arrays
+
+            sp = lanepack_device_arrays(plan.spill)
+        y = y + _spmv_lanepack_jit(
+            {k: v for k, v in sp.items() if k != "b"},
+            x,
+            rows=plan.rows,
+            cols=plan.cols,
+            kw=plan.spill.kw,
+            b=sp["b"],
+            interpret=interp,
+            pack=plan.spill.pack,
+        )
+    return y

@@ -55,8 +55,14 @@ def strength_graph(a, theta: float = 0.08) -> Tuple[np.ndarray, np.ndarray]:
     ``|a_ij| >= theta * sqrt(|a_ii| * |a_jj|)``. Returns the strong
     adjacency in CSR form ``(offsets, indices)`` (vectorized; no symmetry
     enforcement beyond what the input has — AMG callers pass symmetric
-    operators).
+    operators). Runs in the native runtime when available (the numpy path
+    below is the fallback and parity oracle).
     """
+    from ..native import amg_strength_native
+
+    res = amg_strength_native(a.rows, a.offsets, a.indices, a.vals, theta)
+    if res is not None:
+        return res[2], res[3]
     n = a.rows
     rids = a.row_ids().astype(np.int64)
     cids = a.indices.astype(np.int64)
@@ -178,14 +184,19 @@ def _lambda_max_dinv_a(a, dinv: np.ndarray) -> float:
 
 
 def _scale_rows(a, s: np.ndarray):
-    """Row-scaled copy ``diag(s) @ A`` (host CSR)."""
+    """Row-scaled copy ``diag(s) @ A`` (host CSR; native sweep when
+    available — the numpy path pays two full-nnz dtype temporaries)."""
     from ..formats.csr import CsrMatrix
+    from ..native import scale_rows_native
 
-    rids = a.row_ids().astype(np.int64)
+    vals = scale_rows_native(a.rows, a.offsets, a.vals, np.asarray(s, np.float64))
+    if vals is None:
+        rids = a.row_ids().astype(np.int64)
+        vals = (a.vals.astype(np.float64) * s[rids]).astype(a.vals.dtype)
     return CsrMatrix(
         a.rows,
         a.cols,
-        (a.vals.astype(np.float64) * s[rids]).astype(a.vals.dtype),
+        vals,
         a.indices.copy(),
         a.offsets.copy(),
         is_sorted=a.is_sorted,
@@ -456,6 +467,8 @@ def amg_coarsen(
     step ``P = (I - omega_p D^{-1} A) P0``, ``omega_p = 4/3 / lambda_max``
     -> Galerkin ``A_c = P^T A P`` through the SpGEMM engines.
     """
+    from ..native import amg_strength_native
+
     levels = []
     cur = a
     while cur.rows > coarse_size and len(levels) < max_levels:
@@ -466,7 +479,15 @@ def amg_coarsen(
         # -> ... burning minutes of setup for no convergence gain)
         if cur.nnz() > 0.1 * cur.rows * cur.rows and cur.rows <= 20_000:
             break
-        so, si = strength_graph(cur, theta)
+        # fused per-level analysis: strength graph + signed diagonal +
+        # Gershgorin row sums in three native sweeps (numpy fallback pays
+        # ~10 temporaries; was ~100 s of the 600 s 4096^2 setup profile)
+        res = amg_strength_native(cur.rows, cur.offsets, cur.indices, cur.vals, theta)
+        if res is not None:
+            dvec, abssum, so, si = res
+        else:
+            so, si = strength_graph(cur, theta)
+            dvec, abssum = _diag_of(cur), None
         agg, n_agg = aggregate_strong(cur.rows, so, si)
         if n_agg >= cur.rows:  # no coarsening possible (e.g. diagonal A)
             break
@@ -474,9 +495,11 @@ def amg_coarsen(
         # smoothing/Galerkin product onto the Python hash fallback
         # (measured 10x the native engine at the finest level)
         p = tentative_prolongator(agg, n_agg, dtype=cur.vals.dtype)
-        dvec = _diag_of(cur)
         dinv = np.where(dvec != 0.0, 1.0 / np.where(dvec == 0.0, 1.0, dvec), 1.0)
-        lam = _lambda_max_dinv_a(cur, dinv)
+        if abssum is not None:
+            lam = float(np.max(abssum * np.abs(dinv))) if cur.nnz() else 1.0
+        else:
+            lam = _lambda_max_dinv_a(cur, dinv)
         if smooth_prolongator:
             omega_p = (4.0 / 3.0) / lam
             # P = P0 - omega_p * (D^-1 A) P0   (one Jacobi smoothing step);

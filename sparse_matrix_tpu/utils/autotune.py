@@ -40,6 +40,12 @@ DEFAULTS: Dict[str, float] = {
     "lanepack_per_rb_slab_ns": 32.0,
     # aligned (dst-aligned slots, no cumsum) per-slab cost
     "lanepack_aligned_slab_ns": 19.0,
+    # BELL streaming kernel: per-(layer, 128-row-block) cost model
+    # c0 + c1*(128/BR) fit to the v5e br-sweep (formats/bell.py
+    # bell_chunk_ns; experiments/bell_spmv.out: 0.68/1.79/2.77 ns at
+    # br 512/256/128)
+    "bell_chunk_c0_ns": -0.43,
+    "bell_chunk_c1_ns": 4.44,
     # spgemm_auto rates
     "spgemm_host_products_per_s": 5e7,  # per core
     "spgemm_host_touch_s_per_byte": 4e-9,  # numpy densify/sparsify passes

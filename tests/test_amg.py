@@ -377,3 +377,76 @@ def test_vcycle_params_matches_closure_form():
     x = np.asarray(res.x, dtype=np.float64)
     assert np.linalg.norm(a.to_dense().astype(np.float64) @ x - b) < 1e-4 * np.linalg.norm(b)
     assert int(res.iterations) < 30
+
+
+def test_native_strength_scale_transpose_parity():
+    """The round-3 fused native analysis (spmx_amg_diag_abssum/strength_*,
+    scale_rows, csr_transpose) against the numpy oracles."""
+    from sparse_matrix_tpu.core import DokMatrix
+    from sparse_matrix_tpu.formats import CsrMatrix
+    from sparse_matrix_tpu.native import (
+        amg_strength_native,
+        csr_transpose_native,
+        native_available,
+        scale_rows_native,
+    )
+    from sparse_matrix_tpu.solvers.amg import (
+        _diag_of,
+        _lambda_max_dinv_a,
+        _scale_rows,
+        strength_graph,
+    )
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(11)
+    for dtype in (np.float64, np.float32):
+        a = (rng.random((90, 90)) < 0.08) * rng.standard_normal((90, 90))
+        a = a + a.T + 8.0 * np.eye(90)  # SPD-ish with signed off-diagonals
+        a[5, 5] = 0.0  # exercise the missing-diagonal fallback
+        m = CsrMatrix.from_dok(DokMatrix.from_dense(a.astype(dtype)), dtype=dtype)
+
+        res = amg_strength_native(m.rows, m.offsets, m.indices, m.vals, 0.08)
+        assert res is not None
+        diag, abssum, so, si = res
+        # numpy strength oracle (the pre-native vectorized implementation)
+        n = m.rows
+        rids = m.row_ids().astype(np.int64)
+        cids = m.indices.astype(np.int64)
+        vals = np.abs(m.vals.astype(np.float64))
+        dref = np.zeros(n)
+        on_diag = cids == rids
+        dref[rids[on_diag]] = vals[on_diag]
+        missing = dref == 0.0
+        rowmax = np.zeros(n)
+        np.maximum.at(rowmax, rids, vals)
+        dref[missing] = np.where(rowmax[missing] > 0, rowmax[missing], 1.0)
+        keep = (~on_diag) & (vals >= 0.08 * np.sqrt(dref[rids] * dref[cids]))
+        offs_ref = np.zeros(n + 1, np.int64)
+        offs_ref[1:] = np.bincount(rids[keep], minlength=n)
+        np.cumsum(offs_ref, out=offs_ref)
+        np.testing.assert_array_equal(so, offs_ref)
+        np.testing.assert_array_equal(si, cids[keep])
+        np.testing.assert_allclose(diag, _diag_of(m), rtol=1e-12)
+        dinv = np.where(diag != 0, 1.0 / np.where(diag == 0, 1.0, diag), 1.0)
+        np.testing.assert_allclose(
+            float(np.max(abssum * np.abs(dinv))), _lambda_max_dinv_a(m, dinv),
+            rtol=1e-6,
+        )
+
+        s = rng.random(m.rows) + 0.5
+        sv = scale_rows_native(m.rows, m.offsets, m.vals, s)
+        np.testing.assert_allclose(sv, _scale_rows(m, s).vals, rtol=1e-6)
+
+        t = csr_transpose_native(m.rows, m.cols, m.offsets, m.indices, m.vals)
+        assert t is not None
+        mt = m.transpose()
+        np.testing.assert_array_equal(t[0], mt.offsets)
+        np.testing.assert_array_equal(t[1], mt.indices)
+        np.testing.assert_array_equal(t[2], mt.vals)
+        # the transpose route itself must equal the lexsort oracle
+        ro = np.repeat(np.arange(m.rows, dtype=np.int64), np.diff(m.offsets))
+        order = np.lexsort((ro, cids))
+        np.testing.assert_array_equal(mt.indices.astype(np.int64), ro[order])
+        np.testing.assert_allclose(mt.vals, m.vals[order])

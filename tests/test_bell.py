@@ -1,0 +1,217 @@
+"""BELL streaming-format tests: plan postconditions, parity vs the numpy
+CSR oracle across structure classes, spill sub-plan routing, and the
+estimate/dispatch contract.
+
+The BELL family is the SpMV analog of the reference's FLOP-balanced
+streaming discipline (/root/reference/spam_csr/src/mul_hash.rs:38-64):
+fixed-size streamed work per grid step, irregularity absorbed at plan
+time. On CPU the op runs a vectorized pure-XLA reference of the same
+math (see ops/spmv_bell.py)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+
+from sparse_matrix_tpu.core import DokMatrix
+from sparse_matrix_tpu.formats import CsrMatrix
+from sparse_matrix_tpu.formats.bell import MAX_LAYERS, estimate_bell, plan_bell
+from sparse_matrix_tpu.ops.spmv import spmv_oracle
+from sparse_matrix_tpu.ops.spmv_bell import bell_device_arrays, spmv_bell
+from sparse_matrix_tpu.verify.strategies import dok_matrices, finite_f64s
+
+
+def _rand_csr(rng, rows, cols, density):
+    a = (rng.random((rows, cols)) < density) * rng.standard_normal((rows, cols))
+    return CsrMatrix.from_dok(DokMatrix.from_dense(a.astype(np.float32))), a.astype(np.float32)
+
+
+def _banded(rng, n, offs):
+    r = np.repeat(np.arange(n, dtype=np.int64), len(offs))
+    c = r + np.tile(np.asarray(offs, np.int64), n)
+    keep = (c >= 0) & (c < n)
+    r, c = r[keep], c[keep]
+    return CsrMatrix.from_coo(n, n, r, c, rng.standard_normal(len(r)))
+
+
+def _check_parity(m, rng, rtol=2e-4):
+    x = rng.standard_normal(m.cols).astype(np.float32)
+    plan = plan_bell(m)
+    y = np.asarray(spmv_bell(plan, x))
+    y_ref = spmv_oracle(m, x.astype(np.float64)).astype(np.float32)
+    scale = max(1.0, np.abs(y_ref).max())
+    np.testing.assert_allclose(y / scale, y_ref / scale, atol=rtol)
+    return plan
+
+
+def test_bell_banded_stays_resident():
+    # a 5-point stencil has <= 3 window offsets and no spill
+    rng = np.random.default_rng(0)
+    m = _banded(rng, 700, [-260, -1, 0, 1, 260])
+    plan = _check_parity(m, rng)
+    assert plan.spill is None or plan.spill.nnz == 0
+    # <=3 entries share a (d, row) for the 3 near-diagonal offsets, plus
+    # one straddle layer per far band: ~9 layers, all within d in [-3, 3]
+    assert plan.num_layers <= 12
+    assert set(np.unique([d for d in plan.ds])) <= set(range(-3, 4))
+
+
+def test_bell_plan_postconditions():
+    rng = np.random.default_rng(1)
+    m, _ = _rand_csr(rng, 300, 300, 0.03)
+    plan = plan_bell(m)
+    spill_nnz = plan.spill.nnz if plan.spill is not None else 0
+    # every nonzero accounted for exactly once: kept planes + spill
+    assert np.count_nonzero(plan.vals) <= plan.nnz - spill_nnz
+    kept_sum = float(plan.vals.sum())
+    spill_sum = float(plan.spill.vals.sum()) if plan.spill is not None else 0.0
+    assert kept_sum + spill_sum == pytest.approx(float(m.vals.sum()), rel=1e-4)
+    # same-d layers adjacent (kernel reuses the x slice across them)
+    ds = np.asarray(plan.ds)
+    if len(ds) > 1:
+        change = np.count_nonzero(ds[1:] != ds[:-1])
+        assert change == len(np.unique(ds)) - 1
+    assert plan.num_layers <= MAX_LAYERS
+    assert plan.lane.dtype == np.int8
+    assert 0.0 <= plan.fill <= 1.0
+
+
+def test_bell_rectangular_and_empty():
+    rng = np.random.default_rng(2)
+    m, a = _rand_csr(rng, 130, 520, 0.02)
+    x = rng.standard_normal(520).astype(np.float32)
+    y = np.asarray(spmv_bell(plan_bell(m), x))
+    np.testing.assert_allclose(y, a @ x, rtol=1e-4, atol=1e-4)
+
+    tall, at = _rand_csr(rng, 530, 70, 0.02)
+    xt = rng.standard_normal(70).astype(np.float32)
+    yt = np.asarray(spmv_bell(plan_bell(tall), xt))
+    np.testing.assert_allclose(yt, at @ xt, rtol=1e-4, atol=1e-4)
+
+    empty = CsrMatrix.from_dok(DokMatrix.new(64, 64))
+    ye = np.asarray(spmv_bell(plan_bell(empty), np.zeros(64, np.float32)))
+    assert ye.shape == (64,) and not ye.any()
+
+
+def test_bell_spill_engages_on_scattered_tail():
+    # local band + a few far scattered entries: scattered layers spill to
+    # the general LanePack sub-plan rather than streaming ~empty planes
+    # (at r128=32 a kept layer streams 32 row-block chunks; a 1-2 entry
+    # layer packs into one LanePack slab, so the cost model spills it)
+    rng = np.random.default_rng(3)
+    n = 4096
+    r = np.repeat(np.arange(n, dtype=np.int64), 5)
+    c = np.clip(r + np.tile(np.array([-2, -1, 0, 1, 2]), n), 0, n - 1)
+    rs = rng.integers(0, n, 40)
+    cs = rng.integers(0, n, 40)
+    r = np.r_[r, rs]
+    c = np.r_[c, cs]
+    m = CsrMatrix.from_coo(n, n, r, c, rng.standard_normal(len(r)))
+    plan = _check_parity(m, rng)
+    assert plan.spill is not None and plan.spill.nnz > 0
+    # the band itself stays resident
+    assert plan.num_layers >= 1
+    est = estimate_bell(m)
+    assert est["layers"] == plan.num_layers
+    assert est["spill_nnz"] == plan.spill.nnz
+    assert est["kept_nnz"] + est["spill_nnz"] == m.nnz()
+
+
+def test_bell_layer_cap_forces_spill():
+    rng = np.random.default_rng(4)
+    m, _ = _rand_csr(rng, 256, 4096, 0.05)
+    plan = plan_bell(m, max_layers=4)
+    assert plan.num_layers <= 4
+    _check_parity_direct(m, plan, rng)
+
+
+def _check_parity_direct(m, plan, rng):
+    x = rng.standard_normal(m.cols).astype(np.float32)
+    y = np.asarray(spmv_bell(plan, x))
+    y_ref = spmv_oracle(m, x.astype(np.float64)).astype(np.float32)
+    scale = max(1.0, np.abs(y_ref).max())
+    np.testing.assert_allclose(y / scale, y_ref / scale, atol=2e-4)
+
+
+def test_bell_device_arrays_reuse():
+    rng = np.random.default_rng(5)
+    m = _banded(rng, 512, [-16, 0, 16])
+    plan = plan_bell(m)
+    arrs = bell_device_arrays(plan)
+    x = rng.standard_normal(512).astype(np.float32)
+    y1 = np.asarray(spmv_bell(plan, x, device_arrays=arrs))
+    y2 = np.asarray(spmv_bell(plan, x))
+    np.testing.assert_array_equal(y1, y2)
+    assert arrs["br"] % 32 == 0  # int8 tiling wants sublane multiples of 32
+
+
+def test_operator_bell_force_pytree_and_plan_roundtrip(tmp_path):
+    from sparse_matrix_tpu.ops.operator import (
+        SpmvOperator,
+        load_operator_plan,
+        save_operator_plan,
+    )
+
+    rng = np.random.default_rng(6)
+    m = _banded(rng, 900, [-300, -2, -1, 0, 1, 2, 300])
+    # drop a few entries so DIA's fill gate would not be the deciding path
+    op = SpmvOperator(m, force="bell")
+    assert op.format == "bell"
+    x = rng.standard_normal(900).astype(np.float32)
+    y = np.asarray(op(x))
+    y_ref = spmv_oracle(m, x.astype(np.float64)).astype(np.float32)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+    assert op.bytes_per_apply() == op._bell.slot_bytes()
+
+    # jit-argument form
+    import jax
+
+    params = op.as_pytree()
+    y2 = np.asarray(jax.jit(op.apply)(params, x))
+    np.testing.assert_allclose(y2, y, rtol=1e-6, atol=1e-6)
+
+    # multi-RHS
+    xb = rng.standard_normal((900, 3)).astype(np.float32)
+    yb = np.asarray(op.matmat(xb))
+    for k in range(3):
+        np.testing.assert_allclose(yb[:, k], np.asarray(op(xb[:, k])), rtol=1e-6)
+
+    # save/load
+    path = str(tmp_path / "bell_plan.npz")
+    save_operator_plan(op, path)
+    op2 = load_operator_plan(path)
+    assert op2.format == "bell"
+    np.testing.assert_allclose(np.asarray(op2(x)), y, rtol=1e-6, atol=1e-6)
+
+
+def test_general_choice_picks_bell_on_stencils():
+    # the cost model must route high-fill local structure (the Poisson
+    # family, 135 vs 62 Gnnz/s measured) to BELL, and loose structure away
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+    from sparse_matrix_tpu.solvers import poisson_2d_csr
+
+    m = poisson_2d_csr(128, dtype=np.float32)
+    assert SpmvOperator._general_choice(m) == "bell"
+
+    rng = np.random.default_rng(7)
+    n = 1 << 15
+    r = np.repeat(np.arange(n, dtype=np.int64), 16)
+    c = np.clip(r + rng.integers(-4096, 4097, size=len(r)), 0, n - 1)
+    loose = CsrMatrix.from_coo(n, n, r, c, rng.standard_normal(len(r)))
+    assert SpmvOperator._general_choice(loose) != "bell"
+
+
+@settings(max_examples=15, deadline=None)
+@given(dok_matrices(finite_f64s(), dtype=np.float64, max_size=6))
+def test_bell_property_vs_oracle(m):
+    A = CsrMatrix.from_dok(m, dtype=np.float64)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.cols)
+    y_ref = spmv_oracle(A, x)
+    if not np.all(np.isfinite(y_ref.astype(np.float32))):
+        return
+    if not np.all(np.isfinite(A.vals.astype(np.float32))):
+        return
+    A32 = CsrMatrix(A.rows, A.cols, A.vals.astype(np.float32), A.indices, A.offsets, is_sorted=True)
+    y = np.asarray(spmv_bell(plan_bell(A32), x.astype(np.float32)))
+    scale = max(1.0, np.abs(y_ref).max())
+    np.testing.assert_allclose(y / scale, y_ref / scale, atol=1e-3)
