@@ -22,6 +22,7 @@ class BenchResult:
     name: str
     seconds: float  # best per-iteration time
     all_runs: list
+    iters: int = 1  # chain length the runs were divided by
 
     @property
     def millis(self) -> float:
@@ -29,6 +30,18 @@ class BenchResult:
 
     def throughput(self, units: float) -> float:
         return units / self.seconds
+
+    def stats(self) -> Dict[str, float]:
+        """min/median/max per-iteration seconds over the recorded runs —
+        the criterion-style spread VERDICT r2 asked the JSON artifacts to
+        carry (the reference benches with criterion,
+        ``spam_csr/benches/mul_hash.rs:4-11``)."""
+        runs = np.asarray(self.all_runs, dtype=np.float64) / max(self.iters, 1)
+        return {
+            "min": float(runs.min()),
+            "median": float(np.median(runs)),
+            "max": float(runs.max()),
+        }
 
     def __repr__(self):
         return f"BenchResult({self.name}: {self.millis:.4f} ms)"
@@ -68,21 +81,38 @@ def bench_device_loop(
     *,
     iters: int = 2000,
     repeats: int = 3,
+    min_loop_seconds: float = 0.4,
 ) -> BenchResult:
     """Time ``step`` by chaining ``iters`` applications inside one jit.
 
-    The tunnel round-trip (~25 ms) is noisy; keep ``iters`` large enough
-    that the loop dwarfs it. Results below the noise floor are clamped.
+    The tunnel round-trip (~25 ms) is noisy AND load-dependent; a chain
+    that is merely comparable to it measures the tunnel, not the kernel
+    (two round-2/3 headline numbers died of this). The chain length is
+    auto-scaled until one loop takes >= ``min_loop_seconds`` (~16x the
+    RTT), making the residual RTT subtraction a <5% correction. fori_loop
+    tracing is O(1) in ``iters``, so rescaling costs one extra compile.
     """
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def loop(x):
-        return jax.lax.fori_loop(0, iters, lambda i, v: step(v), x)
+    def make_loop(n):
+        @jax.jit
+        def loop(x):
+            return jax.lax.fori_loop(0, n, lambda i, v: step(v), x)
 
+        return loop
+
+    loop = make_loop(iters)
     _ = float(jnp.sum(loop(x0)))  # compile + warmup
     lat = tunnel_latency()
+    t0 = time.perf_counter()
+    _ = float(jnp.sum(loop(x0)))
+    first = time.perf_counter() - t0
+    if first < min_loop_seconds:
+        est_per = max(first - lat, first / 100) / iters
+        iters = int(min_loop_seconds / max(est_per, 1e-9)) + 1
+        loop = make_loop(iters)
+        _ = float(jnp.sum(loop(x0)))
     runs = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -91,4 +121,4 @@ def bench_device_loop(
     lat = min(lat, tunnel_latency())
     per = (min(runs) - lat) / iters
     per = max(per, min(runs) / iters / 100)  # clamp below-noise results
-    return BenchResult(name, per, runs)
+    return BenchResult(name, per, [r - lat for r in runs], iters=iters)

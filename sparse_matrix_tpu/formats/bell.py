@@ -53,8 +53,10 @@ MAX_LAYERS = 48
 # window block ((lo + BR + hi) * 512 B, double-buffered)
 MAX_DSPAN = 4096
 
-# VMEM budget for picking BR: double-buffered slot blocks + x window + y
-_BELL_VMEM_BUDGET = 10 * 1024 * 1024
+# VMEM budget for picking BR: double-buffered slot blocks + x window + y.
+# The kernel raises the scoped-vmem limit to 100 MB (spmv_bell.py); the
+# budget stays below that with headroom for compiler scratch.
+_BELL_VMEM_BUDGET = 72 * 1024 * 1024
 _BR_CANDIDATES = (512, 256, 128, 64, 32)
 
 
@@ -70,17 +72,21 @@ def pick_br(L: int, dmax: int) -> int:
     return _BR_CANDIDATES[-1]
 
 
-def bell_chunk_ns(br: int) -> float:
+def bell_chunk_ns(br: int, dspan: int = 0) -> float:
     """Measured per-(layer, 128-row-block) kernel cost as a function of the
     grid-step height BR (experiments/bell_spmv.out, v5e): 0.68 ns at
     br=512, 1.79 at 256, 2.77 at 128 — a c0 + c1*(128/br) interpolation
     over the candidate range (the c0 < 0 fit value is empirical; the floor
-    keeps the extrapolation sane)."""
+    keeps the extrapolation sane) — plus a measured linear penalty in the
+    kept window span (experiments/bell_br_sweep.out br=512 series: 1.07 ns
+    @ dspan 9, 1.22 @ 11, 3.08 @ 60; the per-layer x slices spread over
+    the window block, so span, not BR, sets the cost once VMEM is ample)."""
     from ..utils import autotune
 
     c0 = autotune.get("bell_chunk_c0_ns")
     c1 = autotune.get("bell_chunk_c1_ns")
-    return max(0.5, c0 + c1 * (128.0 / max(br, 1)))
+    c2 = autotune.get("bell_chunk_dspan_ns")
+    return max(0.5, c0 + c1 * (128.0 / max(br, 1))) + c2 * max(dspan, 0)
 
 
 @dataclass(frozen=True)
@@ -232,7 +238,7 @@ def estimate_bell(m: CsrMatrix, *, max_layers: int = MAX_LAYERS):
     spill_nnz = nnz - kept_nnz
     # spilled entries' slab count is only known after packing; lower-bound
     # by slot capacity (dispatch-grade accuracy, like _count_slabs)
-    cost = layers * r128 * bell_chunk_ns(br) + -(-spill_nnz // SLOTS) * dense_ns
+    cost = layers * r128 * bell_chunk_ns(br, dspan) + -(-spill_nnz // SLOTS) * dense_ns
     viable = layers > 0 and dspan <= MAX_DSPAN
     return dict(
         layers=layers,

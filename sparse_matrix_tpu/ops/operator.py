@@ -288,7 +288,11 @@ class SpmvOperator:
         if m.nnz() == 0:
             return "lanepack"
         est = estimate_bell(m)
-        t_bell = est["cost_ns"] if est["viable"] else float("inf")
+        # a mostly-spilled hybrid is lanepack wearing a BELL hat: require
+        # the kept planes to carry the majority of the nnz (same gate as
+        # the force path above)
+        bell_ok = est["viable"] and est["spill_nnz"] <= est["kept_nnz"]
+        t_bell = est["cost_ns"] if bell_ok else float("inf")
         t_aligned, t_gen = SpmvOperator._general_costs(m)
         if t_bell < t_aligned and (t_gen is None or t_bell < t_gen):
             return "bell"

@@ -46,6 +46,11 @@ DEFAULTS: Dict[str, float] = {
     # br 512/256/128)
     "bell_chunk_c0_ns": -0.43,
     "bell_chunk_c1_ns": 4.44,
+    # per-chunk penalty per unit of kept window span (experiments/
+    # bell_br_sweep.out, br=512 series at the 72 MB VMEM budget:
+    # 1.07 ns @ dspan 9, 1.22 @ 11, 3.08 @ 60 — linear in dspan,
+    # r^2 > 0.99; the x-window working set, not BR, is the cost axis)
+    "bell_chunk_dspan_ns": 0.04,
     # spgemm_auto rates
     "spgemm_host_products_per_s": 5e7,  # per core
     "spgemm_host_touch_s_per_byte": 4e-9,  # numpy densify/sparsify passes

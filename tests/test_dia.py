@@ -59,8 +59,10 @@ def test_operator_auto_selects():
     a = (rng.random((200, 200)) < 0.02) * rng.standard_normal((200, 200))
     B = CsrMatrix.from_dok(DokMatrix.from_dense(a.astype(np.float32)))
     op2 = SpmvOperator(B)
-    # non-banded: one of the two general formats, picked by estimated cost
-    assert op2.format in ("lanepack", "aligned")
+    # non-banded: one of the general formats, picked by estimated cost
+    # (at r128=2 streaming BELL planes is nearly free, so the round-3
+    # family can win the cost race even on scattered structure)
+    assert op2.format in ("lanepack", "aligned", "bell")
     x = rng.standard_normal(200).astype(np.float32)
     np.testing.assert_allclose(np.asarray(op2(x)), a.astype(np.float32) @ x, rtol=1e-4, atol=1e-4)
 
