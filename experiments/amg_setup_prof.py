@@ -32,7 +32,7 @@ def timed(mod, name, key=None):
 # amg.py resolves these lazily via `from ..native import ...` inside the
 # function bodies -> patch the package attr, not the amg module
 timed(native, "amg_strength_native")
-timed(native, "aggregate_greedy_native", key="aggregation_native") if hasattr(native, "aggregate_greedy_native") else None
+timed(native, "aggregate_pass_native")
 timed(amg, "aggregate_strong")
 timed(amg, "tentative_prolongator")
 timed(amg, "_scale_rows")

@@ -35,9 +35,9 @@ print("backend:", jax.default_backend(), flush=True)
 rng = np.random.default_rng(0)
 
 cases = {
-    "poisson_512": (poisson_2d_csr(512, dtype=np.float32), (512, 1024)),
-    "femlike_262k": (_fem_like(rng, 512, 2), (256, 512, 1024)),
-    "randlocal_262k": (_random_local(rng, 1 << 18, 16, 4096), (128, 256, 512)),
+    "poisson_512": (poisson_2d_csr(512, dtype=np.float32), (512,)),
+    "femlike_262k": (_fem_like(rng, 512, 2), (256, 512)),
+    "randlocal_262k": (_random_local(rng, 1 << 18, 16, 4096), (128, 512)),
 }
 
 for name, (m, brs) in cases.items():

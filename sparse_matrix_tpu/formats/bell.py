@@ -9,24 +9,38 @@ an overlapping x window delivered by the BlockSpec pipeline
 (ops/spmv_dia.py). BELL ports that recipe to general matrices:
 
 * an entry ``(r, c, v)`` lives in row block ``rb = r // 128`` at lane
-  ``r % 128`` (destination-aligned, like formats/aligned.py), with its x
-  position split as ``c = 128 * w + l``;
-* the **window offset** ``d = w - rb`` is quantized structure: local/banded
-  matrices produce a handful of distinct ``d`` values. Entries group into
-  layers ``(d, k)`` — the k-th entry of ``(d, row)`` — giving ``L`` layers
-  of ``(r128, 128)`` value planes plus int8 ``l`` lane indices;
-* the kernel's per-layer work is ``x_win[pl.ds(lo + d, BR), :]`` (a STATIC
-  slice: ``d`` is compile-time), one in-row lane gather
-  (``take_along_axis(.., axis=1)`` — the fast Mosaic gather), one fma.
-  No scalar prefetch, no dynamic loads, no cumsum, no scatter; y is
-  written once per grid step. Both slot data and x STREAM through VMEM,
-  so there is no rows/cols VMEM wall (the aligned/LanePack kernels cap at
-  ~3.5M cols / 1.6M rows).
+  ``r % 128`` (destination-aligned, like formats/aligned.py);
+* its element offset ``o = c - r`` is quantized structure: local/banded
+  matrices produce a handful of distinct ``o`` values. Distinct offsets
+  are greedily grouped into **buckets** of o-span <= ``span`` (128 or
+  256); a bucket with base ``b`` reads x elements
+  ``[128*(rb + b), 128*(rb + b) + span + 128)`` — 2 or 3 adjacent rows of
+  the streamed x window, ALL static slices. Every entry of the bucket has
+  ``pos = o - 128*b + r%128`` in ``[0, span + 127]``, valid for every row
+  phase — a constant-offset band never straddles planes (the v1 layout
+  keyed planes by ``c//128 - r//128``, which split every
+  non-multiple-of-128 stencil offset across two half-filled planes:
+  femlike fill 0.369 vs ~0.9 here);
+* entries group into layers ``(b, k)`` — the k-th entry of ``(b, row)`` —
+  giving ``L`` layers of ``(r128, 128)`` value planes plus ``pos`` lane
+  indices (int8 storing pos-128 at span 128; int16 storing pos at 256);
+* the kernel's per-layer work is 1-3 STATIC window slices (``b`` is
+  compile-time), one in-row lane gather per *used* 128-half
+  (``take_along_axis(.., axis=1)`` — the fast Mosaic gather) merged by
+  half-index selects, one fma. No scalar prefetch, no dynamic loads, no
+  cumsum, no scatter; y is written once per grid step. Both slot data and
+  x STREAM through VMEM, so there is no rows/cols VMEM wall (the
+  aligned/LanePack kernels cap at ~3.5M cols / 1.6M rows).
 
-Sparse layers (e.g. the 1/128-fill lane-straddle layers of a stencil, or
-stray far-from-diagonal entries) either stay (streaming zeros is cheap) or
-spill to a general-LanePack sub-plan; the choice is a per-layer cost
-comparison with the autotuned per-(layer, row-block) kernel cost.
+The planner builds both span candidates and keeps the cheaper one
+(streamed bytes x the measured per-chunk cost): pure 5-point stencils
+pack perfectly at span 128 (5 B/slot), jittered/clustered structure needs
+span 256 (6 B/slot) to unify each cluster into k-full planes.
+
+Sparse layers (stray far-from-diagonal entries) either stay (streaming
+zeros is cheap) or spill to a general-LanePack sub-plan; the choice is a
+per-layer cost comparison with the autotuned per-(layer, row-block)
+kernel cost.
 
 The reference's general SpGEMM load-balances by FLOPs across threads
 (/root/reference/spam_csr/src/mul_hash.rs:38-64); BELL is the SpMV analog
@@ -59,13 +73,23 @@ MAX_DSPAN = 4096
 _BELL_VMEM_BUDGET = 72 * 1024 * 1024
 _BR_CANDIDATES = (512, 256, 128, 64, 32)
 
+# candidate o-spans per bucket: span 128 -> int8 lanes (5 B/slot, window =
+# 2 halves), span 256 -> int16 lanes (6 B/slot, window = 3 halves)
+_SPANS = (128, 256)
 
-def pick_br(L: int, dmax: int) -> int:
+
+def _slot_bytes_per(span: int, dtype=np.float32) -> int:
+    return np.dtype(dtype).itemsize + (1 if span == 128 else 2)
+
+
+def pick_br(L: int, dmax: int, slot_bytes: int = 5) -> int:
     """Rows-per-grid-step (in 128-row blocks x 128 lanes): the largest BR
     whose double-buffered working set fits the VMEM budget."""
     for br in _BR_CANDIDATES:
         per_step = (
-            L * br * LANES * 5 + (br + max(dmax, 0) + 8) * LANES * 4 + br * LANES * 4
+            L * br * LANES * slot_bytes
+            + (br + max(dmax, 0) + 8) * LANES * 4
+            + br * LANES * 4
         )
         if 2 * per_step <= _BELL_VMEM_BUDGET:
             return br
@@ -95,9 +119,13 @@ class BellPlan:
 
     rows: int
     cols: int
-    ds: Tuple[int, ...]  # static per-layer window offsets, len L
+    ds: Tuple[int, ...]  # static per-layer bucket bases, len L
     vals: np.ndarray  # (L, r128, 128) dtype
-    lane: np.ndarray  # (L, r128, 128) int8: l = col % 128
+    lane: np.ndarray  # (L, r128, 128): span 128 -> int8 = pos - 128;
+    # span 256 -> int16 = pos (see _layer_keys)
+    modes: Tuple[int, ...]  # per-layer bitmask of used 128-halves
+    # (bit h set => the kernel gathers from window row b + h)
+    span: int  # bucket o-span: 128 or 256
     nnz: int
     dtype: np.dtype
     spill: Optional[LanePackPlan]
@@ -131,12 +159,32 @@ class BellPlan:
         return b
 
 
-def _layer_keys(m: CsrMatrix):
-    """Per-entry (d, layer-within-(d,row)) keys in (d, r, c) order."""
+def _bucket_bases(uo: np.ndarray, span: int) -> np.ndarray:
+    """Greedy bucketing of sorted distinct element offsets: a bucket with
+    base ``b = o_first >> 7`` holds every o <= 128*b + span, so pos =
+    o - 128*b + r%128 stays in [0, span + 127] for every row phase."""
+    bases = np.empty(len(uo), np.int64)
+    limit = None
+    cur = 0
+    for i, v in enumerate(uo):
+        if limit is None or v > limit:
+            cur = int(v) >> 7
+            limit = 128 * cur + span
+        bases[i] = cur
+    return bases
+
+
+def _layer_keys(m: CsrMatrix, span: int):
+    """Per-entry (bucket base, layer-within-(bucket,row)) keys in
+    (b, r, c) order (same-b layers adjacent; the kernel reuses window
+    slices across them)."""
     nnz = m.nnz()
     r = m.row_ids().astype(np.int64)
     c = m.indices.astype(np.int64)
-    d = (c // LANES) - (r // LANES)
+    o = c - r
+    uo = np.unique(o)
+    bases = _bucket_bases(uo, span)
+    d = bases[np.searchsorted(uo, o)]
     order = np.lexsort((c, r, d))
     d_s, r_s, c_s = d[order], r[order], c[order]
     if nnz:
@@ -153,7 +201,7 @@ def _layer_keys(m: CsrMatrix):
     return order, d_s, r_s, c_s, k, lkey, kmax, dmin
 
 
-def _spill_decision(lkey, r_s, r128: int, *, max_layers: int):
+def _spill_decision(lkey, r_s, r128: int, *, max_layers: int, count_scale: float = 1.0):
     """Per-layer keep/spill by cost: keeping a layer streams its whole
     (r128, 128) plane (autotuned ns per (layer, row-block)); spilling its
     entries costs general-LanePack slabs (>= ceil(nrb/2): a slab packs at
@@ -175,7 +223,11 @@ def _spill_decision(lkey, r_s, r128: int, *, max_layers: int):
     bell_ns = bell_chunk_ns(pick_br(min(len(uniq), max_layers), 4))
     dense_ns = autotune.get("lanepack_dense_slab_ns")
     cost_keep = r128 * bell_ns
-    slabs_est = np.maximum(-(-cnt // SLOTS), -(-nrb // 2))
+    # count_scale lifts sampled-sub-matrix entry/row-block counts back to
+    # full-operator magnitudes for the cost comparison
+    slabs_est = np.maximum(
+        -(-(cnt * count_scale) // SLOTS), -(-(nrb * count_scale) // 2)
+    )
     spill_layer = slabs_est * dense_ns < cost_keep
 
     keep_idx = np.nonzero(~spill_layer)[0]
@@ -200,7 +252,7 @@ def _sampled_reject(m: CsrMatrix) -> bool:
     idx = np.linspace(0, nnz - 1, 100_000).astype(np.int64)
     r = m.row_ids()[idx].astype(np.int64)
     c = m.indices[idx].astype(np.int64)
-    d = (c // LANES) - (r // LANES)
+    d = (c - r) >> 7
     if int(d.max() - d.min() + 1) > MAX_DSPAN:
         return True
     # distinct (d, .) layer keys are at least distinct d values; far more
@@ -208,37 +260,44 @@ def _sampled_reject(m: CsrMatrix) -> bool:
     return len(np.unique(d)) > 4 * MAX_LAYERS
 
 
-def estimate_bell(m: CsrMatrix, *, max_layers: int = MAX_LAYERS):
-    """Cheap dispatch estimate: dict with kept layer count, kept nnz,
-    estimated kernel cost (ns), window span, and a viability flag —
-    without building the slot arrays."""
+def _estimate_for_span(
+    m: CsrMatrix, span: int, *, max_layers: int, r128: Optional[int] = None,
+    total_nnz: Optional[int] = None,
+):
+    """Estimate for one span. When ``m`` is a sampled row-band sub-matrix,
+    ``r128``/``total_nnz`` carry the FULL operator's dimensions; layer
+    structure (L, dspan, kept fraction) is taken from the sample and entry
+    counts are scaled back up."""
     from ..utils import autotune
 
     nnz = m.nnz()
-    r128 = -(-m.rows // LANES)
-    if nnz == 0:
-        return dict(layers=0, kept_nnz=0, spill_nnz=0, cost_ns=0.0, dspan=0, br=0, viable=True)
-    if _sampled_reject(m):
-        return dict(
-            layers=0, kept_nnz=0, spill_nnz=nnz, cost_ns=float("inf"),
-            dspan=0, br=0, viable=False,
-        )
-    _, d_s, r_s, _, _, lkey, kmax, dmin = _layer_keys(m)
-    kept, spill_mask = _spill_decision(lkey, r_s, r128, max_layers=max_layers)
+    scale = 1.0 if total_nnz is None else total_nnz / max(1, nnz)
+    r128 = r128 if r128 is not None else -(-m.rows // LANES)
+    _, d_s, r_s, _, _, lkey, kmax, dmin = _layer_keys(m, span)
+    kept, spill_mask = _spill_decision(
+        lkey, r_s, r128, max_layers=max_layers, count_scale=scale
+    )
     layers = len(kept)
-    kept_nnz = int((~spill_mask).sum())
+    kept_nnz = int((~spill_mask).sum() * scale)
+    nnz = int(nnz * scale)
     if layers:
         kd = kept // kmax + dmin
         dspan = int(kd.max() - kd.min() + 1)
         dmax = int(kd.max())
     else:
         dspan, dmax = 0, 0
-    br = pick_br(max(layers, 1), dmax)
+    sb = _slot_bytes_per(span)
+    br = pick_br(max(layers, 1), dmax, sb)
     dense_ns = autotune.get("lanepack_dense_slab_ns")
     spill_nnz = nnz - kept_nnz
     # spilled entries' slab count is only known after packing; lower-bound
-    # by slot capacity (dispatch-grade accuracy, like _count_slabs)
-    cost = layers * r128 * bell_chunk_ns(br, dspan) + -(-spill_nnz // SLOTS) * dense_ns
+    # by slot capacity (dispatch-grade accuracy, like _count_slabs).
+    # the chunk cost scales with slot bytes (the kernel is stream-bound;
+    # the measured fit is for the 5 B/slot layout)
+    cost = (
+        layers * r128 * bell_chunk_ns(br, dspan) * (sb / 5.0)
+        + -(-spill_nnz // SLOTS) * dense_ns
+    )
     viable = layers > 0 and dspan <= MAX_DSPAN
     return dict(
         layers=layers,
@@ -247,14 +306,51 @@ def estimate_bell(m: CsrMatrix, *, max_layers: int = MAX_LAYERS):
         cost_ns=float(cost),
         dspan=dspan,
         br=br,
+        span=span,
         viable=viable,
     )
 
 
+def estimate_bell(m: CsrMatrix, *, max_layers: int = MAX_LAYERS):
+    """Cheap dispatch estimate: dict with kept layer count, kept nnz,
+    estimated kernel cost (ns), window span, and a viability flag —
+    without building the slot arrays. Evaluates both bucket spans and
+    reports the cheaper."""
+    nnz = m.nnz()
+    if nnz == 0:
+        return dict(
+            layers=0, kept_nnz=0, spill_nnz=0, cost_ns=0.0, dspan=0,
+            br=0, span=_SPANS[0], viable=True,
+        )
+    if _sampled_reject(m):
+        return dict(
+            layers=0, kept_nnz=0, spill_nnz=nnz, cost_ns=float("inf"),
+            dspan=0, br=0, span=_SPANS[0], viable=False,
+        )
+    sub, r128o, tot = m, None, None
+    if nnz > 1_500_000:
+        from .csr import sample_row_bands
+
+        sub, _ = sample_row_bands(m, 400_000)
+        r128o = -(-m.rows // LANES)
+        tot = nnz
+    best = None
+    for span in _SPANS:
+        est = _estimate_for_span(
+            sub, span, max_layers=max_layers, r128=r128o, total_nnz=tot
+        )
+        if best is None or (est["viable"] and est["cost_ns"] < best["cost_ns"]):
+            best = est
+    return best
+
+
 def plan_bell(
-    m: CsrMatrix, *, dtype=np.float32, max_layers: int = MAX_LAYERS
+    m: CsrMatrix, *, dtype=np.float32, max_layers: int = MAX_LAYERS,
+    span: Optional[int] = None,
 ) -> BellPlan:
-    """Build the BELL plan. O(nnz log nnz) vectorized host time."""
+    """Build the BELL plan. O(nnz log nnz) vectorized host time; both
+    bucket spans are estimated and the cheaper one built (``span=`` forces
+    one)."""
     rows, cols, nnz = m.rows, m.cols, m.nnz()
     r128 = -(-rows // LANES)
     if nnz == 0:
@@ -264,12 +360,17 @@ def plan_bell(
             ds=(),
             vals=np.zeros((0, r128, LANES), dtype),
             lane=np.zeros((0, r128, LANES), np.int8),
+            modes=(),
+            span=_SPANS[0],
             nnz=0,
             dtype=np.dtype(dtype),
             spill=None,
         )
 
-    order, d_s, r_s, c_s, k, lkey, kmax, dmin = _layer_keys(m)
+    if span is None:
+        span = estimate_bell(m, max_layers=max_layers)["span"]
+
+    order, d_s, r_s, c_s, k, lkey, kmax, dmin = _layer_keys(m, span)
     v_s = m.vals[order].astype(dtype)
     kept, spill_mask = _spill_decision(lkey, r_s, r128, max_layers=max_layers)
 
@@ -286,21 +387,41 @@ def plan_bell(
         spill_plan = plan_lanepack(sub, dtype=dtype)
 
     keep = ~spill_mask
-    lk, r_k, c_k, v_k = lkey[keep], r_s[keep], c_s[keep], v_s[keep]
+    lk, r_k, c_k, v_k, d_k = (
+        lkey[keep], r_s[keep], c_s[keep], v_s[keep], d_s[keep]
+    )
     # remap kept layer keys -> dense layer indices (kept is sorted; lkey
-    # sorts by (d, k), so same-d layers are adjacent — the kernel reuses
-    # the x slice across them)
+    # sorts by (b, k), so same-b layers are adjacent — the kernel reuses
+    # the x window slices across them)
     li = np.searchsorted(kept, lk)
     ds = tuple(int(x // kmax + dmin) for x in kept)
 
     L = len(ds)
+    lane_dt = np.int8 if span == 128 else np.int16
     vals = np.zeros((L, r128, LANES), dtype)
-    lane = np.zeros((L, r128, LANES), np.int8)
+    lane = np.zeros((L, r128, LANES), lane_dt)
+    masks = [0] * L
     if len(li):
         rb = r_k // LANES
         rl = r_k % LANES
+        pos = c_k - LANES * (rb + d_k)  # in [0, span + 127]
+        written = np.zeros((L, r128, LANES), bool)
         vals[li, rb, rl] = v_k
-        lane[li, rb, rl] = (c_k % LANES).astype(np.int8)
+        stored = pos - LANES if span == 128 else pos
+        lane[li, rb, rl] = stored.astype(lane_dt)
+        written[li, rb, rl] = True
+        mask_arr = np.zeros(L, np.int64)
+        np.bitwise_or.at(mask_arr, li, 1 << (pos >> 7))
+        # padded slots point at index 0 of the layer's first USED half:
+        # they contribute vals=0 and never force an unused window slice
+        for i in range(L):
+            h0 = 0
+            mi = int(mask_arr[i])
+            while mi and not (mi >> h0) & 1:
+                h0 += 1
+            pad = LANES * h0 - (LANES if span == 128 else 0)
+            lane[i][~written[i]] = lane_dt(pad)
+        masks = [int(x) for x in mask_arr]
 
     return BellPlan(
         rows=rows,
@@ -308,6 +429,8 @@ def plan_bell(
         ds=ds,
         vals=vals,
         lane=lane,
+        modes=tuple(masks),
+        span=span,
         nnz=nnz,
         dtype=np.dtype(dtype),
         spill=spill_plan,

@@ -34,7 +34,54 @@ import numpy as np
 from ..core.dok import DokMatrix
 from ..core.matrix import Matrix, check_dims
 
-__all__ = ["CsrMatrix", "INDEX_DTYPE", "OFFSET_DTYPE", "SENTINEL"]
+__all__ = [
+    "CsrMatrix", "INDEX_DTYPE", "OFFSET_DTYPE", "SENTINEL", "sample_row_bands"
+]
+
+
+def sample_row_bands(m: "CsrMatrix", target_nnz: int = 200_000):
+    """(sub_csr, scale): a few contiguous row bands totalling about
+    ``target_nnz`` entries, and the factor to scale entry/slab/chunk
+    counts back up. Contiguous bands preserve the local structure the
+    format planners' cost estimators key on; their counts scale linearly
+    in nnz. Used by the dispatch estimators on multi-million-nnz
+    operators (a full estimator pass there costs seconds of AMG setup
+    per level)."""
+    nnz = m.nnz()
+    if nnz <= target_nnz:
+        return m, 1.0
+    nbands = 4
+    band_nnz = target_nnz // nbands
+    starts = np.linspace(0, nnz - band_nnz, nbands).astype(np.int64)
+    offs = m.offsets
+    vals_parts, idx_parts, counts, bounds = [], [], [], []
+    new_row = 0
+    for st in starts:
+        r0 = int(np.searchsorted(offs, st, side="right") - 1)
+        r1 = int(np.searchsorted(offs, st + band_nnz, side="right"))
+        r1 = min(max(r1, r0 + 1), m.rows)
+        lo, hi = int(offs[r0]), int(offs[r1])
+        vals_parts.append(m.vals[lo:hi])
+        idx_parts.append(m.indices[lo:hi].astype(np.int64))
+        counts.append(np.diff(offs[r0 : r1 + 1]))
+        bounds.append(r0 - new_row)  # band's row renumbering shift
+        new_row += r1 - r0
+    # renumbering rows breaks every element offset c - r unless the
+    # band's columns shift along with its rows; a uniform extra offset C
+    # keeps shifted columns non-negative without changing the offset
+    # structure (layer/bucket/chunk patterns are shift-invariant)
+    C = max(max(bounds), 0)
+    idx_parts = [
+        (ip - sh + C).astype(INDEX_DTYPE) for ip, sh in zip(idx_parts, bounds)
+    ]
+    cnt = np.concatenate(counts)
+    sub_offs = np.zeros(len(cnt) + 1, OFFSET_DTYPE)
+    np.cumsum(cnt, out=sub_offs[1:])
+    sub = CsrMatrix(
+        len(cnt), m.cols + C, np.concatenate(vals_parts),
+        np.concatenate(idx_parts), sub_offs, is_sorted=m.is_sorted,
+    )
+    return sub, nnz / max(1, sub.nnz())
 
 INDEX_DTYPE = np.uint32
 OFFSET_DTYPE = np.int64

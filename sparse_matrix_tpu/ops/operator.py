@@ -257,23 +257,40 @@ class SpmvOperator:
         self.format = "lanepack"
         self._set_plan(m, dtype)
 
+    # above this nnz the dispatch cost estimators run on sampled row bands
+    # (full _chunk_keys + 5x _count_slabs passes cost ~50 s of a 2048^2 AMG
+    # setup; contiguous bands preserve the local structure the estimators
+    # key on, and the counts they produce scale linearly in nnz)
+    _SAMPLED_COSTS_NNZ = 1_500_000
+
     @staticmethod
     def _general_costs(m: CsrMatrix):
         """(t_aligned, t_lanepack) estimated kernel ns for the two round-2
-        general families (autotuned constants x estimated counts)."""
+        general families (autotuned constants x estimated counts); counts
+        come from sampled row bands on large matrices."""
         from ..formats.aligned import _chunk_keys
+        from ..formats.csr import sample_row_bands
         from ..formats.lanepack import _count_slabs, _cost_constants
         from ..utils import autotune
 
-        _, _, _, ck = _chunk_keys(m)
-        chunks = int(len(np.unique(ck)))
-        t_aligned = -(-chunks // 8) * autotune.get("lanepack_aligned_slab_ns")
+        scale = 1.0
+        mm = m
+        if m.nnz() > SpmvOperator._SAMPLED_COSTS_NNZ:
+            mm, scale = sample_row_bands(m)
+        _, _, _, ck = _chunk_keys(mm)
+        chunks = int(len(np.unique(ck))) * scale
+        # two-term aligned model (base per slab + per-entry): a single
+        # per-slab constant overestimates sparse-chunk matrices ~2.5x
+        # (see autotune.py aligned_slab_* calibration notes)
+        t_aligned = (chunks / 8.0) * autotune.get(
+            "aligned_slab_base_ns"
+        ) + m.nnz() * autotune.get("aligned_slab_per_entry_ns")
         c_fixed, c_kw, _, _ = _cost_constants()
         t_gen = None
         for kw in (1, 2, 4, 8, 16):
             if kw * 128 > m.cols + 128:
                 break
-            t = _count_slabs(m, kw) * (c_fixed + c_kw * kw)
+            t = _count_slabs(mm, kw) * scale * (c_fixed + c_kw * kw)
             t_gen = t if t_gen is None else min(t_gen, t)
         return t_aligned, t_gen
 
@@ -720,8 +737,11 @@ def _payload_into(op: SpmvOperator, pre: str, payload: dict) -> None:
         bl = op._bell
         payload.update({
             pre + "bell_ds": np.asarray(bl.ds, np.int64),
+            pre + "bell_modes": np.asarray(bl.modes, np.int64),
             pre + "bell_vals": bl.vals, pre + "bell_lane": bl.lane,
-            pre + "bell_nnz": bl.nnz,
+            pre + "bell_nnz": bl.nnz, pre + "bell_span": bl.span,
+            # v3 = greedy o-bucketed window assignment (formats/bell.py)
+            pre + "bell_ver": 3,
         })
         if bl.spill is not None:
             payload.update(_lanepack_payload(bl.spill, pre + "bellsp_"))
@@ -804,10 +824,17 @@ def _op_from_payload(z, pre: str) -> SpmvOperator:
             if pre + "bellsp_vals" in z
             else None
         )
+        if int(z.get(pre + "bell_ver", 1)) != 3:
+            raise ValueError(
+                "BELL plan was saved with an incompatible (pre-v3) window "
+                "assignment; re-plan the operator and save again"
+            )
         op._bell = BellPlan(
             rows=op.rows, cols=op.cols,
             ds=tuple(int(d) for d in z[pre + "bell_ds"]),
             vals=z[pre + "bell_vals"], lane=z[pre + "bell_lane"],
+            modes=tuple(int(mo) for mo in z[pre + "bell_modes"]),
+            span=int(z[pre + "bell_span"]),
             nnz=int(z[pre + "bell_nnz"]), dtype=z[pre + "bell_vals"].dtype,
             spill=spill,
         )

@@ -10,8 +10,12 @@ the BlockSpec pipeline streams
   ``i * BR`` — consecutive steps re-read the halo, exactly like the DIA
   kernel's window.
 
-Per layer the kernel does a STATIC window slice (``d`` is compile-time),
-one in-row lane gather, one fma; y is written once per step. There is no
+Per layer the kernel reads the layer's 256-wide x window as two adjacent
+STATIC slices of the streamed block (``d`` is compile-time; see
+formats/bell.py _layer_keys for the v2 window assignment), one or two
+in-row lane gathers (by the planner's per-layer mode — a layer whose
+positions stay in one 128-half needs a single gather), one fma; y is
+written once per step. There is no
 scalar prefetch and nothing VMEM-resident across steps, so the kernel has
 no SMEM slab budget and no rows/cols wall — it covers the giant operators
 that previously forced colsplit/rowsplit (ops/operator.py).
@@ -42,10 +46,19 @@ def bell_device_arrays(plan: BellPlan, *, br: int | None = None):
 
     L = plan.num_layers
     dmax = max(plan.ds) if plan.ds else 0
-    br = br if br is not None else pick_br(max(L, 1), dmax)
+    sb = plan.vals.dtype.itemsize + plan.lane.dtype.itemsize
+    br = br if br is not None else pick_br(max(L, 1), dmax, sb)
     r128p = max(br, -(-plan.r128 // br) * br)
     vals = np.zeros((L, r128p, LANES), plan.vals.dtype)
-    lane = np.zeros((L, r128p, LANES), np.int8)
+    # pad rows point at index 0 of each layer's first used half (same
+    # convention as the planner's pad slots): contribute 0, never force
+    # an unused window slice
+    lane = np.zeros((L, r128p, LANES), plan.lane.dtype)
+    for i, mask in enumerate(plan.modes):
+        h0 = 0
+        while mask and not (mask >> h0) & 1:
+            h0 += 1
+        lane[i] = LANES * h0 - (LANES if plan.span == 128 else 0)
     vals[:, : plan.r128] = plan.vals
     lane[:, : plan.r128] = plan.lane
     arrs = dict(br=br, vals=jnp.asarray(vals), lane=jnp.asarray(lane))
@@ -54,18 +67,27 @@ def bell_device_arrays(plan: BellPlan, *, br: int | None = None):
     return arrs
 
 
-def _make_bell_kernel(ds: tuple, lo: int, br: int):
+def _make_bell_kernel(ds: tuple, modes: tuple, span: int, lo: int, br: int):
     from jax.experimental import pallas as pl
+
+    bias = LANES if span == 128 else 0  # int8 lanes store pos - 128
 
     def kernel(vals_ref, lane_ref, x_ref, y_ref):
         acc = jnp.zeros((br, LANES), x_ref.dtype)
-        prev_d = None
-        a = None
-        for li, d in enumerate(ds):
-            if d != prev_d:
-                a = x_ref[pl.ds(lo + d, br), :]
-                prev_d = d
-            xg = jnp.take_along_axis(a, lane_ref[li].astype(jnp.int32), axis=1)
+        slices = {}  # absolute window-row offset -> (br, 128) static slice
+        for li, (d, mask) in enumerate(zip(ds, modes)):
+            pos = lane_ref[li].astype(jnp.int32) + bias
+            idx = jnp.bitwise_and(pos, 127)
+            half = jax.lax.shift_right_logical(pos, 7)
+            xg = None
+            for h in range(span // 128 + 1):
+                if not (mask >> h) & 1:
+                    continue
+                off = d + h
+                if off not in slices:
+                    slices[off] = x_ref[pl.ds(lo + off, br), :]
+                g = jnp.take_along_axis(slices[off], idx, axis=1)
+                xg = g if xg is None else jnp.where(half == h, g, xg)
             acc = acc + vals_ref[li] * xg
         y_ref[...] = acc
 
@@ -73,17 +95,23 @@ def _make_bell_kernel(ds: tuple, lo: int, br: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ds", "rows", "cols", "br", "interpret")
+    jax.jit,
+    static_argnames=("ds", "modes", "span", "rows", "cols", "br", "interpret"),
 )
-def _spmv_bell_jit(vals, lane, x, *, ds: tuple, rows: int, cols: int, br: int, interpret: bool):
+def _spmv_bell_jit(
+    vals, lane, x, *, ds: tuple, modes: tuple, span: int, rows: int,
+    cols: int, br: int, interpret: bool
+):
     from jax.experimental import pallas as pl
 
     r128p = vals.shape[1]
     c128 = -(-cols // LANES)
+    nh = span // 128 + 1  # 128-halves per layer window
     dmin = min(ds) if ds else 0
     dmax = max(ds) if ds else 0
     lo = max(0, -dmin)
-    win_rows = lo + br + max(dmax, 0)
+    # + (nh - 1): each layer's window also reads rows b+1 .. b+nh-1
+    win_rows = lo + br + max(dmax + nh - 1, 0)
     win_rows += (-win_rows) % 8
     total_rows = max((r128p // br - 1) * br + win_rows, lo + c128)
     hi = total_rows - lo - c128
@@ -98,13 +126,24 @@ def _spmv_bell_jit(vals, lane, x, *, ds: tuple, rows: int, cols: int, br: int, i
         axis=0,
     )
 
+    bias = LANES if span == 128 else 0
     if interpret:
         # non-TPU backends: the same math as vectorized XLA (per-layer
-        # static slice + lane gather) — semantics oracle for the kernel
+        # static slices + lane gathers) — semantics oracle for the kernel
         y2 = jnp.zeros((r128p, LANES), x.dtype)
-        for li, d in enumerate(ds):
-            a = jax.lax.slice_in_dim(x2d, lo + d, lo + d + r128p, axis=0)
-            xg = jnp.take_along_axis(a, lane[li].astype(jnp.int32), axis=1)
+        for li, (d, mask) in enumerate(zip(ds, modes)):
+            pos = lane[li].astype(jnp.int32) + bias
+            idx = jnp.bitwise_and(pos, 127)
+            half = jax.lax.shift_right_logical(pos, 7)
+            xg = None
+            for h in range(nh):
+                if not (mask >> h) & 1:
+                    continue
+                a = jax.lax.slice_in_dim(
+                    x2d, lo + d + h, lo + d + h + r128p, axis=0
+                )
+                g = jnp.take_along_axis(a, idx, axis=1)
+                xg = g if xg is None else jnp.where(half == h, g, xg)
             y2 = y2 + vals[li] * xg
         return y2.reshape(-1)[:rows]
 
@@ -112,7 +151,7 @@ def _spmv_bell_jit(vals, lane, x, *, ds: tuple, rows: int, cols: int, br: int, i
     from jax.experimental.pallas import tpu as pltpu
 
     y2 = pl.pallas_call(
-        _make_bell_kernel(ds, lo, br),
+        _make_bell_kernel(ds, modes, span, lo, br),
         grid=(r128p // br,),
         in_specs=[
             pl.BlockSpec((L, br, LANES), lambda i: (0, i, 0)),
@@ -145,6 +184,8 @@ def spmv_bell(plan: BellPlan, x, *, device_arrays=None, allow_downcast=False):
             arrs["lane"],
             x,
             ds=plan.ds,
+            modes=plan.modes,
+            span=plan.span,
             rows=plan.rows,
             cols=plan.cols,
             br=arrs["br"],

@@ -46,6 +46,14 @@ DEFAULTS: Dict[str, float] = {
     # br 512/256/128)
     "bell_chunk_c0_ns": -0.43,
     "bell_chunk_c1_ns": 4.44,
+    # aligned-kernel dispatch estimate: t = slabs*base + nnz*per_entry
+    # (fit through the two discriminating v3 br-sweep points: slab cost
+    # 9.0 ns at 140 entries/slab (randlocal), 21.2 at 592 (femlike);
+    # check point poisson 904 -> 29.6 model vs 21.5 measured, routed to
+    # BELL regardless — a single per-slab constant overestimated
+    # sparse-chunk matrices 2.5x and misrouted them to BELL)
+    "aligned_slab_base_ns": 5.22,
+    "aligned_slab_per_entry_ns": 0.027,
     # per-chunk penalty per unit of kept window span (experiments/
     # bell_br_sweep.out, br=512 series at the 72 MB VMEM budget:
     # 1.07 ns @ dspan 9, 1.22 @ 11, 3.08 @ 60 — linear in dspan,

@@ -450,3 +450,50 @@ def test_native_strength_scale_transpose_parity():
         order = np.lexsort((ro, cids))
         np.testing.assert_array_equal(mt.indices.astype(np.int64), ro[order])
         np.testing.assert_allclose(mt.vals, m.vals[order])
+
+
+def test_fused_prolongator_smoothing_parity(monkeypatch):
+    """P = (I - w D^-1 A) P0 as one SpGEMM (the round-3 setup fusion) must
+    match the union-merge subtraction path to fp-reassociation accuracy
+    (same products, different summation order)."""
+    import sparse_matrix_tpu.solvers.amg as amg_mod
+    from sparse_matrix_tpu.solvers import poisson_2d_csr
+
+    a = poisson_2d_csr(24, dtype=np.float64)
+    lv_fused, c_fused = amg_mod.amg_coarsen(a)
+    monkeypatch.setattr(amg_mod, "_jacobi_smoother_matrix", lambda *a, **k: None)
+    lv_merge, c_merge = amg_mod.amg_coarsen(a)
+    assert len(lv_fused) == len(lv_merge)
+    for (af, pf, df, lf), (am, pm, dm, lm) in zip(lv_fused, lv_merge):
+        assert pf.rows == pm.rows and pf.cols == pm.cols
+        dense_f = pf.to_dense()
+        dense_m = pm.to_dense()
+        scale = max(1.0, np.abs(dense_m).max())
+        np.testing.assert_allclose(dense_f / scale, dense_m / scale, atol=1e-12)
+        np.testing.assert_allclose(df, dm)
+        assert lf == pytest.approx(lm)
+    np.testing.assert_allclose(c_fused.to_dense(), c_merge.to_dense(), atol=1e-10)
+
+
+def test_sample_row_bands_preserves_offset_structure():
+    """The dispatch sampler must keep element offsets c - r intact (a
+    renumbering that drops them exploded a femlike BELL estimate's layer
+    count 9 -> 36 and misrouted it to aligned)."""
+    from sparse_matrix_tpu.formats.csr import sample_row_bands
+    from sparse_matrix_tpu.solvers import poisson_2d_csr
+
+    m = poisson_2d_csr(64, dtype=np.float32)  # 4096 rows, ~20k nnz
+    sub, scale = sample_row_bands(m, target_nnz=4000)
+    assert scale > 1.0
+    full_o = set(
+        (m.indices.astype(np.int64) - m.row_ids().astype(np.int64)).tolist()
+    )
+    sub_o = np.unique(
+        sub.indices.astype(np.int64) - sub.row_ids().astype(np.int64)
+    )
+    # all sampled offsets are full offsets shifted by ONE global constant
+    cands = set()
+    for o in sub_o.tolist():
+        cands = cands or {o - fo for fo in full_o}
+        cands &= {o - fo for fo in full_o}
+    assert cands, "sampled offsets are not a uniform shift of the originals"

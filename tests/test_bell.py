@@ -71,7 +71,9 @@ def test_bell_plan_postconditions():
         change = np.count_nonzero(ds[1:] != ds[:-1])
         assert change == len(np.unique(ds)) - 1
     assert plan.num_layers <= MAX_LAYERS
-    assert plan.lane.dtype == np.int8
+    # lane encoding follows the bucket span: int8 stores pos-128 at span
+    # 128, int16 stores pos at span 256
+    assert plan.lane.dtype == (np.int8 if plan.span == 128 else np.int16)
     assert 0.0 <= plan.fill <= 1.0
 
 
