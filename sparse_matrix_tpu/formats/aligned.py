@@ -39,7 +39,7 @@ from typing import Optional
 import numpy as np
 
 from .csr import CsrMatrix
-from .lanepack import LANES, SUBLANES, LanePackPlan, plan_lanepack
+from .lanepack import LANES, SUBLANES, LanePackPlan, _count_slabs, plan_lanepack
 
 __all__ = ["AlignedPlan", "plan_aligned", "estimate_aligned"]
 
@@ -151,7 +151,10 @@ def plan_aligned(
         spill_mask = np.zeros(0, bool)
 
     # general sub-plan for the spilled entries — kept only if the combined
-    # plan is estimated faster than keeping every chunk aligned
+    # plan is estimated faster than keeping every chunk aligned. The
+    # keep/split decision uses the COUNT estimator, not a built plan: the
+    # thrown-away plan_lanepack of a multi-M-nnz spill set was seconds per
+    # operator of AMG setup.
     spill_plan = None
     if nnz and spill_mask.any():
         rr, cc, vv = r_s[spill_mask], c_s[spill_mask], v_s[spill_mask]
@@ -161,7 +164,6 @@ def plan_aligned(
         sub = CsrMatrix(
             rows, cols, vv, cc.astype(np.uint32), offs, is_sorted=True
         )
-        spill_plan = plan_lanepack(sub, dtype=dtype)
 
         all_chunks = len(cnt)
         kept_chunks = int((cnt >= spill_k).sum())
@@ -169,11 +171,13 @@ def plan_aligned(
         gen_ns = autotune.get("lanepack_dense_slab_ns")
         cost_all = -(-all_chunks // SUBLANES) * ali_ns
         cost_split = (
-            -(-kept_chunks // SUBLANES) * ali_ns + spill_plan.num_slabs * gen_ns
+            -(-kept_chunks // SUBLANES) * ali_ns
+            + _count_slabs(sub, 1) * gen_ns
         )
         if cost_all <= cost_split:
-            spill_plan = None
             spill_mask = np.zeros(nnz, bool)
+        else:
+            spill_plan = plan_lanepack(sub, dtype=dtype)
 
     keep = ~spill_mask
     r, c, v, ck = r_s[keep], c_s[keep], v_s[keep], ck[keep]

@@ -166,11 +166,19 @@ def plan_lanepack(
 
     c_fixed, c_kw, c_dense, c_per_rb = _cost_constants()
     if kw is None:
+        # kw selection only needs slab-count RATIOS: sampled row bands
+        # suffice on multi-M-nnz inputs (five full _count_slabs passes
+        # were ~11 s of a 2048^2 AMG setup)
+        mm, mscale = m, 1.0
+        if nnz > 1_500_000:
+            from .csr import sample_row_bands
+
+            mm, mscale = sample_row_bands(m)
         best, best_cost = 1, float("inf")
         for cand in kw_candidates:
             if cand * LANES > cols + LANES:
                 break
-            s = _count_slabs(m, cand)
+            s = _count_slabs(mm, cand) * mscale
             cost = s * (c_fixed + c_kw * cand)
             if cost < best_cost:
                 best, best_cost = cand, cost
