@@ -91,7 +91,9 @@ SENTINEL = np.uint32(0xFFFFFFFF)  # empty/pad marker (mul_hash.rs:12 contract)
 class CsrMatrix(Matrix):
     """Compressed sparse row matrix with optional within-row column sorting."""
 
-    __slots__ = ("_rows", "_cols", "vals", "indices", "offsets", "is_sorted")
+    __slots__ = (
+        "_rows", "_cols", "vals", "indices", "offsets", "is_sorted", "_cache"
+    )
 
     def __init__(
         self,
@@ -109,6 +111,11 @@ class CsrMatrix(Matrix):
         self.indices = np.asarray(indices, dtype=INDEX_DTYPE)
         self.offsets = np.asarray(offsets, dtype=OFFSET_DTYPE)
         self.is_sorted = bool(is_sorted)
+        # memo for idempotent structure analyses (DIA probes, offset
+        # histograms): the operator planner and the SpGEMM dispatcher probe
+        # the same matrix repeatedly during AMG setup (45 try_dia calls =
+        # 10.5 s of the 2048^2 profile). Invalidated by set_element.
+        self._cache = {}
         if validate and not self.invariants():
             raise ValueError("CSR invariants violated")
 
@@ -262,6 +269,7 @@ class CsrMatrix(Matrix):
             hits = np.nonzero(cidx == j)[0]
             found = len(hits) > 0
             k = int(hits[0]) if found else len(cidx)  # append at row end
+        self._cache = {}
         if found:
             old = self.vals[lo + k]
             self.vals = self.vals.copy()
@@ -368,8 +376,17 @@ class CsrMatrix(Matrix):
                 yield (r, int(self.indices[k])), self.vals[k]
 
     def row_ids(self) -> np.ndarray:
-        """Per-entry row index (expansion of offsets)."""
-        return np.repeat(np.arange(self._rows, dtype=np.int64), np.diff(self.offsets))
+        """Per-entry row index (expansion of offsets).
+
+        Memoized (callers must treat the result as read-only): format
+        planning and SpGEMM dispatch re-derive it repeatedly — np.repeat
+        alone was 1.7 s of the 2048^2 AMG setup profile. Invalidated by
+        ``set_element`` with the rest of ``_cache``."""
+        out = self._cache.get("row_ids")
+        if out is None:
+            out = np.repeat(np.arange(self._rows, dtype=np.int64), np.diff(self.offsets))
+            self._cache["row_ids"] = out
+        return out
 
     # -- arithmetic -------------------------------------------------------------
     def apply_elementwise(self, rhs: "CsrMatrix", f) -> "CsrMatrix":

@@ -67,25 +67,51 @@ def try_dia_from_csr(
 ) -> Optional[DiaMatrix]:
     """Convert to DIA when the matrix is band-structured enough to pay:
     at most ``max_bands`` distinct diagonals and at least ``min_fill`` of
-    the band storage occupied. Returns None otherwise."""
+    the band storage occupied. Returns None otherwise.
+
+    Results are memoized on the matrix (the operator planner, the hybrid
+    splitter, and the SpGEMM dispatcher all probe the same operators
+    during AMG setup — 45 probes = 10.5 s of the 2048^2 setup profile
+    before the memo)."""
     if m.nnz() == 0:
+        return None
+    key = ("dia", np.dtype(dtype).str, max_bands, float(min_fill))
+    cache = getattr(m, "_cache", None)
+    if cache is not None and key in cache:
+        return cache[key]
+    res = _try_dia_from_csr(m, dtype=dtype, max_bands=max_bands, min_fill=min_fill)
+    if cache is not None:
+        cache[key] = res
+    return res
+
+
+def _try_dia_from_csr(m, *, dtype, max_bands, min_fill):
+    from ..native import offset_hist_native
+
+    hist = offset_hist_native(m.rows, m.offsets, m.indices, max_bands)
+    if hist == -1:  # early exit: more than max_bands distinct diagonals
+        return None
+    if hist is not None:
+        offs = hist[0]
+    else:
+        r = m.row_ids()
+        c = m.indices.astype(np.int64)
+        if m.nnz() > 1_000_000:
+            # sampled pre-filter: a full unique over tens of millions of
+            # offsets costs ~1 s per call, and the operator planner probes
+            # MANY large non-banded candidates (AMG prolongator shards made
+            # 51 calls = 41 s of the 2048^2 setup). A 100k sample showing
+            # more than max_bands distinct offsets rejects for certain.
+            idx = np.linspace(0, m.nnz() - 1, 100_000).astype(np.int64)
+            if len(np.unique(c[idx] - r[idx])) > max_bands:
+                return None
+        offs = np.unique(c - r)
+        if len(offs) > max_bands:
+            return None
+    if m.nnz() < min_fill * len(offs) * m.rows:
         return None
     r = m.row_ids()
     c = m.indices.astype(np.int64)
-    if m.nnz() > 1_000_000:
-        # sampled pre-filter: a full unique over tens of millions of
-        # offsets costs ~1 s per call, and the operator planner probes
-        # MANY large non-banded candidates (AMG prolongator shards made
-        # 51 calls = 41 s of the 2048^2 setup). A 100k sample showing
-        # more than max_bands distinct offsets rejects for certain.
-        idx = np.linspace(0, m.nnz() - 1, 100_000).astype(np.int64)
-        if len(np.unique(c[idx] - r[idx])) > max_bands:
-            return None
-    offs = np.unique(c - r)
-    if len(offs) > max_bands:
-        return None
-    if m.nnz() < min_fill * len(offs) * m.rows:
-        return None
     data = np.zeros((len(offs), m.rows), dtype=dtype)
     band = np.searchsorted(offs, c - r)
     data[band, r] = m.vals.astype(dtype)

@@ -21,5 +21,8 @@ from .loader import (  # noqa: F401
     amg_strength_native,
     scale_rows_native,
     csr_transpose_native,
+    offset_hist_native,
+    blockwise_argsort_native,
+    jacobi_smoother_native,
     load_library,
 )

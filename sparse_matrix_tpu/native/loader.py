@@ -26,6 +26,9 @@ __all__ = [
     "amg_strength_native",
     "scale_rows_native",
     "csr_transpose_native",
+    "offset_hist_native",
+    "blockwise_argsort_native",
+    "jacobi_smoother_native",
 ]
 
 _LIB: Optional[ctypes.CDLL] = None
@@ -129,6 +132,16 @@ def _declare(lib: ctypes.CDLL) -> None:
         getattr(lib, name).argtypes = [
             c_i64, c_i64, _I64P, _U32P, vp, _I64P, _U32P, vp,
         ]
+    lib.spmx_offset_hist.restype = c_i64
+    lib.spmx_offset_hist.argtypes = [c_i64, _I64P, _U32P, c_i64, _I64P, _I64P]
+    for name, vp in [
+        ("spmx_jacobi_smoother_f64", _F64P),
+        ("spmx_jacobi_smoother_f32", _F32P),
+    ]:
+        getattr(lib, name).restype = c_i64
+        getattr(lib, name).argtypes = [c_i64, _I64P, _U32P, vp, _F64P, vp]
+    _U64P = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
+    lib.spmx_blockwise_argsort_u64.argtypes = [c_i64, _I64P, _U64P, _I64P]
 
 
 def native_available() -> bool:
@@ -404,6 +417,70 @@ def csr_transpose_native(rows, cols, offsets, indices, vals):
         int(rows), int(cols), offsets, indices, vals, cursor, t_indices, t_vals
     )
     return t_offsets, t_indices[:nnz], t_vals[:nnz]
+
+
+def jacobi_smoother_native(rows, offsets, indices, vals, ws):
+    """``out = -vals * ws[row]`` with ``+1`` at diagonal entries, one sweep
+    (amg.py _jacobi_smoother_matrix). Returns the new value array, None when
+    unavailable, or False when some row lacks an explicit diagonal."""
+    lib = load_library()
+    sfx = _SUFFIX_BY_DTYPE.get(vals.dtype)
+    if lib is None or sfx is None:
+        return None
+    vals = np.ascontiguousarray(vals)
+    out = np.empty_like(vals)
+    ndiag = int(
+        getattr(lib, f"spmx_jacobi_smoother_{sfx}")(
+            int(rows),
+            np.ascontiguousarray(offsets, dtype=np.int64),
+            np.ascontiguousarray(indices, dtype=np.uint32),
+            vals,
+            np.ascontiguousarray(ws, dtype=np.float64),
+            out,
+        )
+    )
+    if ndiag != int(rows):
+        return False
+    return out
+
+
+def offset_hist_native(rows, offsets, indices, cap: int):
+    """Single-pass histogram of element offsets ``col - row``
+    (formats/dia.py band probe, ops/operator.py split_bands). Returns
+    ``(offs, counts)`` sorted ascending, ``-1`` when more than ``cap``
+    distinct offsets exist (early exit), or None when unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    out_offs = np.zeros(max(1, cap), dtype=np.int64)
+    out_counts = np.zeros(max(1, cap), dtype=np.int64)
+    n = int(
+        lib.spmx_offset_hist(
+            int(rows),
+            np.ascontiguousarray(offsets, dtype=np.int64),
+            np.ascontiguousarray(indices, dtype=np.uint32),
+            int(cap), out_offs, out_counts,
+        )
+    )
+    if n < 0:
+        return -1
+    return out_offs[:n], out_counts[:n]
+
+
+def blockwise_argsort_native(starts, keys):
+    """Stable argsort of u64 ``keys`` within each contiguous
+    ``[starts[b], starts[b+1])`` block (formats/aligned.py planner: chunk
+    keys are already grouped by 128-row block in CSR order, so the global
+    sort decomposes into cache-resident per-block sorts). Returns the
+    global permutation, or None when unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    out = np.empty(len(keys), dtype=np.int64)
+    lib.spmx_blockwise_argsort_u64(len(starts) - 1, starts, keys, out)
+    return out
 
 
 def blocks_to_coo_native(blocks, block_rows, block_cols, rows, cols):

@@ -748,6 +748,39 @@ extern "C" void spmx_scale_rows_f32(i64 n, const i64* offsets, const float* vals
   scale_rows_impl<float>(n, offsets, vals, s, out);
 }
 
+// Jacobi smoother values out[k] = -vals[k] * ws[row(k)] + (1 at the
+// diagonal) in one sweep (amg.py _jacobi_smoother_matrix: S = I -
+// diag(ws) A sharing A's pattern). Returns the number of rows holding an
+// explicit diagonal entry — the caller requires it to equal n.
+template <typename V>
+static i64 jacobi_smoother_impl(i64 n, const i64* offsets, const u32* indices,
+                                const V* vals, const double* ws, V* out) {
+  i64 ndiag = 0;
+  for (i64 i = 0; i < n; ++i) {
+    double wi = ws[i];
+    bool seen = false;
+    for (i64 k = offsets[i]; k < offsets[i + 1]; ++k) {
+      double v = -(double)vals[k] * wi;
+      if ((i64)indices[k] == i) {
+        v += 1.0;
+        if (!seen) { seen = true; ++ndiag; }
+      }
+      out[k] = (V)v;
+    }
+  }
+  return ndiag;
+}
+
+extern "C" i64 spmx_jacobi_smoother_f64(i64 n, const i64* offsets, const u32* indices,
+                                        const double* vals, const double* ws, double* out) {
+  return jacobi_smoother_impl<double>(n, offsets, indices, vals, ws, out);
+}
+
+extern "C" i64 spmx_jacobi_smoother_f32(i64 n, const i64* offsets, const u32* indices,
+                                        const float* vals, const double* ws, float* out) {
+  return jacobi_smoother_impl<float>(n, offsets, indices, vals, ws, out);
+}
+
 // CSR transpose by counting sort (formats/csr.py transpose): count per
 // column, prefix on the host, then one stable scatter sweep — row-sorted
 // input makes the output's per-row columns sorted by construction. The
@@ -776,4 +809,110 @@ extern "C" void spmx_csr_transpose_f32(i64 rows, i64 cols, const i64* offsets,
                                        const u32* indices, const float* vals,
                                        i64* t_cursor, u32* t_indices, float* t_vals) {
   csr_transpose_impl<float>(rows, cols, offsets, indices, vals, t_cursor, t_indices, t_vals);
+}
+
+// ---------------------------------------------------------------------------
+// Format-planning substrate (AMG setup at scale)
+//
+// The SpMV operator planner and the SpGEMM dispatcher analyze matrix
+// structure on the host. At multi-million nnz the numpy versions of these
+// analyses (np.unique over element offsets, global argsort over chunk
+// keys) dominated AMG setup (the hierarchy construction plans ~15 device
+// operators per 2048^2 Poisson setup). These kernels exploit what numpy
+// cannot: single-pass hash histograms, and the block-locality of the
+// planner's sort keys (a chunk key's high bits are the 128-row block, and
+// CSR order already groups entries by block — so the "global" sort is
+// really r128 independent cache-resident sorts).
+// ---------------------------------------------------------------------------
+
+typedef uint64_t u64;
+
+static inline u32 hash_i64(i64 o) {
+  u64 x = (u64)o;
+  x ^= x >> 33;
+  x *= 0xff51afd7ed558ccdULL;
+  x ^= x >> 33;
+  return (u32)x;
+}
+
+// Distinct element offsets (c - r) with counts, one pass, capped.
+// out_offs/out_counts must hold `cap` slots. Returns ndistinct (entries
+// sorted ascending), or -1 when more than `cap` distinct offsets exist
+// (early exit — the caller treats the matrix as not band-structured).
+extern "C" i64 spmx_offset_hist(i64 rows, const i64* offsets, const u32* indices,
+                                i64 cap, i64* out_offs, i64* out_counts) {
+  i64 tcap = table_capacity(cap);
+  std::vector<i64> keys((size_t)tcap, INT64_MIN);
+  std::vector<i64> cnts((size_t)tcap, 0);
+  i64 mask = tcap - 1;
+  i64 n = 0;
+  i64 last_o = INT64_MIN;
+  i64 last_slot = -1;
+  for (i64 i = 0; i < rows; ++i) {
+    for (i64 p = offsets[i]; p < offsets[i + 1]; ++p) {
+      i64 o = (i64)indices[p] - i;
+      if (o == last_o) {  // runs along a diagonal hit across rows too
+        ++cnts[(size_t)last_slot];
+        continue;
+      }
+      i64 s = (i64)(hash_i64(o) & (u32)mask);
+      for (;;) {
+        if (keys[(size_t)s] == o) break;
+        if (keys[(size_t)s] == INT64_MIN) {
+          if (++n > cap) return -1;
+          keys[(size_t)s] = o;
+          break;
+        }
+        s = (s + 1) & mask;
+      }
+      ++cnts[(size_t)s];
+      last_o = o;
+      last_slot = s;
+    }
+  }
+  // emit sorted ascending
+  std::vector<std::pair<i64, i64>> out;
+  out.reserve((size_t)n);
+  for (i64 s = 0; s < tcap; ++s)
+    if (keys[(size_t)s] != INT64_MIN) out.push_back({keys[(size_t)s], cnts[(size_t)s]});
+  std::sort(out.begin(), out.end());
+  for (size_t k = 0; k < out.size(); ++k) {
+    out_offs[k] = out[k].first;
+    out_counts[k] = out[k].second;
+  }
+  return n;
+}
+
+// Stable argsort of u64 keys within each contiguous block
+// [starts[b], starts[b+1]); out_perm receives global indices. Blocks are
+// small (entries of 128 rows), so each sort runs in cache.
+extern "C" void spmx_blockwise_argsort_u64(i64 nblocks, const i64* starts,
+                                           const u64* keys, i64* out_perm) {
+  std::vector<std::pair<u64, i64>> buf;
+  for (i64 b = 0; b < nblocks; ++b) {
+    i64 lo = starts[b], hi = starts[b + 1];
+    i64 len = hi - lo;
+    if (len <= 0) continue;
+    buf.resize((size_t)len);
+    for (i64 i = 0; i < len; ++i) buf[(size_t)i] = {keys[lo + i], lo + i};
+    // indices are distinct, so plain sort on (key, idx) is stable-by-key
+    std::sort(buf.begin(), buf.end());
+    for (i64 i = 0; i < len; ++i) out_perm[lo + i] = buf[(size_t)i].second;
+  }
+}
+
+// Fused gather: out[i] = src[perm[i]] for the planner's payload arrays.
+template <typename T>
+static void apply_perm_impl(i64 n, const i64* perm, const T* src, T* out) {
+  for (i64 i = 0; i < n; ++i) out[i] = src[perm[i]];
+}
+
+extern "C" void spmx_apply_perm_u32(i64 n, const i64* perm, const u32* src, u32* out) {
+  apply_perm_impl<u32>(n, perm, src, out);
+}
+extern "C" void spmx_apply_perm_f32(i64 n, const i64* perm, const float* src, float* out) {
+  apply_perm_impl<float>(n, perm, src, out);
+}
+extern "C" void spmx_apply_perm_i64(i64 n, const i64* perm, const i64* src, i64* out) {
+  apply_perm_impl<i64>(n, perm, src, out);
 }

@@ -45,11 +45,20 @@ def split_bands(
     r = m.row_ids()
     c = m.indices.astype(np.int64)
     offs = c - r
-    uniq, counts = np.unique(offs, return_counts=True)
+    # dense histogram over the offset range (one bincount pass + an O(nnz)
+    # table gather) — np.unique + np.isin were two full sorts of the nnz
+    # stream, several seconds per probed operator of the 2048^2 AMG setup
+    shift = m.rows - 1
+    span = m.rows + m.cols - 1
+    counts_d = np.bincount(offs + shift, minlength=span)
+    uniq = np.nonzero(counts_d)[0]
+    counts = counts_d[uniq]
+    uniq = uniq - shift
     band_len = np.minimum(m.rows, m.cols - uniq.clip(min=0)) - np.maximum(0, -uniq).clip(min=0)
     band_len = np.maximum(band_len, 1)
-    good = uniq[counts >= fill_threshold * band_len]
-    in_band = np.isin(offs, good)
+    good_mask = np.zeros(span, dtype=bool)
+    good_mask[uniq[counts >= fill_threshold * band_len] + shift] = True
+    in_band = good_mask[offs + shift]
     def subset(mask):
         offsets = np.zeros(m.rows + 1, dtype=m.offsets.dtype)
         offsets[1:] = np.bincount(r[mask], minlength=m.rows)
@@ -135,30 +144,48 @@ class SpmvOperator:
                 return
             if force == "dia":
                 raise ValueError("matrix is not band-structured enough for DIA")
-            cid = m.indices.astype(np.int64)
-            rid = m.row_ids()
             if m.cols > _VMEM_X_LIMIT:
+                # column shards: masking a row-sorted CSR by a column range
+                # preserves (row, col) order — build shards directly (the
+                # old from_coo path re-lexsorted every shard: ~2 s of the
+                # 2048^2 AMG setup)
+                cid = m.indices.astype(np.int64)
+                rid = m.row_ids()
                 nsplit = -(-m.cols // _VMEM_X_LIMIT)
                 bounds = np.linspace(0, m.cols, nsplit + 1).astype(np.int64)
                 self.format = "colsplit"
                 self._colsplit = []
                 for lo, hi in zip(bounds[:-1], bounds[1:]):
                     mask = (cid >= lo) & (cid < hi)
-                    sub = CsrMatrix.from_coo(
-                        m.rows, int(hi - lo), rid[mask], cid[mask] - lo, m.vals[mask]
+                    offs = np.zeros(m.rows + 1, np.int64)
+                    offs[1:] = np.bincount(rid[mask], minlength=m.rows)
+                    np.cumsum(offs, out=offs)
+                    sub = CsrMatrix(
+                        m.rows,
+                        int(hi - lo),
+                        m.vals[mask],
+                        (cid[mask] - lo).astype(np.uint32),
+                        offs,
+                        is_sorted=m.is_sorted,
                     )
                     self._colsplit.append(
                         (int(lo), int(hi), SpmvOperator(sub, dtype=dtype, force=force))
                     )
                 return
+            # row shards are contiguous row ranges: pure slices of the CSR
             nsplit = -(-m.rows // _ROWS_SPLIT_LIMIT)
             bounds = np.linspace(0, m.rows, nsplit + 1).astype(np.int64)
             self.format = "rowsplit"
             self._rowsplit = []
             for lo, hi in zip(bounds[:-1], bounds[1:]):
-                mask = (rid >= lo) & (rid < hi)
-                sub = CsrMatrix.from_coo(
-                    int(hi - lo), m.cols, rid[mask] - lo, cid[mask], m.vals[mask]
+                lo_o, hi_o = int(m.offsets[lo]), int(m.offsets[hi])
+                sub = CsrMatrix(
+                    int(hi - lo),
+                    m.cols,
+                    m.vals[lo_o:hi_o],
+                    m.indices[lo_o:hi_o],
+                    m.offsets[lo : hi + 1] - lo_o,
+                    is_sorted=m.is_sorted,
                 )
                 self._rowsplit.append(
                     (int(lo), int(hi), SpmvOperator(sub, dtype=dtype, force=force))
@@ -325,13 +352,29 @@ class SpmvOperator:
         return t_gen is None or t_aligned < t_gen
 
     @staticmethod
+    def _sampled_for_counts(m: CsrMatrix):
+        """(sub, scale) for slab-count estimates: sampled row bands above
+        the cost cap (the full-matrix count passes were seconds per 2048^2
+        AMG operator; counts scale linearly in nnz)."""
+        if m.nnz() > SpmvOperator._SAMPLED_COSTS_NNZ:
+            from ..formats.csr import sample_row_bands
+
+            return sample_row_bands(m)
+        return m, 1.0
+
+    @staticmethod
     def _lanepack_viable(m: CsrMatrix) -> bool:
         """The kernel's scalar-prefetch arrays (col_off, S*8 int32) live in
         the 1 MB SMEM; plans beyond that must go elsewhere."""
         from ..formats.lanepack import _count_slabs
 
+        mm, scale = SpmvOperator._sampled_for_counts(m)
         slabs = min(
-            (_count_slabs(m, kw) for kw in (1, 2, 4, 8, 16) if kw * 128 <= m.cols + 128),
+            (
+                _count_slabs(mm, kw) * scale
+                for kw in (1, 2, 4, 8, 16)
+                if kw * 128 <= m.cols + 128
+            ),
             default=0,
         )
         return slabs * 8 * 4 + slabs * 3 * 4 < 800_000
@@ -340,12 +383,13 @@ class SpmvOperator:
     def _estimate_lanepack_bytes(m: CsrMatrix) -> int:
         from ..formats.lanepack import _count_slabs
 
+        mm, scale = SpmvOperator._sampled_for_counts(m)
         best = None
         for kw in (1, 2, 4, 8, 16):
             if kw * 128 > m.cols + 128:
                 break
-            s = _count_slabs(m, kw)
-            b = s * 1024 * 8
+            s = _count_slabs(mm, kw) * scale
+            b = int(s) * 1024 * 8
             best = b if best is None else min(best, b)
         return best if best is not None else m.nnz() * 8
 

@@ -351,10 +351,23 @@ def spgemm_cost_estimates(
     from .spgemm_host import flops_per_row
 
     bs = BLOCK_SIZE
-    bcols_a = -(-lhs.cols // bs)
+
+    def _blocks(m: CsrMatrix) -> float:
+        # distinct (row-block, col-block) count; sampled row bands above
+        # the cap (two full uniques were 4.3 s per 2048^2 Galerkin level —
+        # longer than the winning engine's actual product)
+        mm, scale = m, 1.0
+        if m.nnz() > 1_500_000:
+            from ..formats.csr import sample_row_bands
+
+            mm, scale = sample_row_bands(m)
+        bc = -(-mm.cols // bs)
+        keys = mm.row_ids() // bs * bc + mm.indices.astype(np.int64) // bs
+        return len(np.unique(keys)) * scale
+
+    a_blocks = _blocks(lhs)
+    b_blocks = _blocks(rhs)
     bcols_b = -(-rhs.cols // bs)
-    a_blocks = len(np.unique(lhs.row_ids() // bs * bcols_a + lhs.indices.astype(np.int64) // bs))
-    b_blocks = len(np.unique(rhs.row_ids() // bs * bcols_b + rhs.indices.astype(np.int64) // bs))
     brows_b = -(-rhs.rows // bs)
     pair_est = a_blocks * max(1.0, b_blocks / max(1, brows_b))
     c_blocks_est = min(-(-lhs.rows // bs) * bcols_b, pair_est)
@@ -440,6 +453,17 @@ def spgemm_auto(lhs: CsrMatrix, rhs: CsrMatrix, *, output_sorted: bool = True) -
             )
 
     if jax.default_backend() != "tpu":
+        return spgemm_hash_host(lhs, rhs, output_sorted=output_sorted)
+
+    # every device engine pays at least the one-shot sync + compile
+    # constant: when the host estimate is already below that floor, skip
+    # the block-structure estimators entirely (they cost real host time —
+    # 4.3 s/level of the 2048^2 AMG setup went to estimating products the
+    # host engine then ran in 1.8 s)
+    dev_floor = autotune.get("device_call_sync_s") + autotune.get(
+        "device_oneshot_compile_s"
+    )
+    if products / host_rate <= dev_floor:
         return spgemm_hash_host(lhs, rhs, output_sorted=output_sorted)
 
     costs = spgemm_cost_estimates(lhs, rhs, products=products)

@@ -193,13 +193,21 @@ def _jacobi_smoother_matrix(a, ws: np.ndarray):
     SpGEMM ``S @ P0`` — the round-2 setup profile spent 39 s of the 209 s
     2048^2 setup in the CSR subtraction alone."""
     from ..formats.csr import CsrMatrix
+    from ..native import jacobi_smoother_native
 
-    rids = a.row_ids().astype(np.int64)
-    on_diag = a.indices.astype(np.int64) == rids
-    if int(on_diag.sum()) != a.rows:
+    vals = jacobi_smoother_native(
+        a.rows, a.offsets, a.indices, a.vals, np.asarray(ws, np.float64)
+    )
+    if vals is False:  # some row lacks an explicit diagonal
         return None
-    vals = (-a.vals.astype(np.float64) * ws[rids]).astype(a.vals.dtype)
-    vals[on_diag] += a.vals.dtype.type(1.0)
+    if vals is None:  # native unavailable: numpy sweep
+        rids = a.row_ids().astype(np.int64)
+        on_diag = a.indices.astype(np.int64) == rids
+        if int(on_diag.sum()) != a.rows:
+            return None
+        v64 = -a.vals.astype(np.float64) * ws[rids]
+        v64[on_diag] += 1.0  # round once, like the native sweep
+        vals = v64.astype(a.vals.dtype)
     return CsrMatrix(
         a.rows, a.cols, vals, a.indices.copy(), a.offsets.copy(),
         is_sorted=a.is_sorted,
