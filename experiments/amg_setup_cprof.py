@@ -3,8 +3,11 @@ phase timers miss. Usage: python experiments/amg_setup_cprof.py [n]
 """
 import sys, cProfile, pstats, io, time
 sys.path.insert(0, "/root/repo")
+import os
 import numpy as np
 import jax
+if os.environ.get("SPMX_PROF_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import sparse_matrix_tpu.solvers.amg as amg
 from sparse_matrix_tpu.solvers import poisson_2d_csr
@@ -25,6 +28,7 @@ s = io.StringIO()
 ps = pstats.Stats(pr, stream=s).sort_stats("cumulative")
 ps.print_stats(45)
 print(s.getvalue())
+pr.dump_stats("/tmp/amg_prof.pstats")
 s = io.StringIO()
 ps = pstats.Stats(pr, stream=s).sort_stats("tottime")
 ps.print_stats(35)

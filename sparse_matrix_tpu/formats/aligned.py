@@ -106,9 +106,12 @@ def _chunk_keys(m: CsrMatrix):
     new_rw = np.r_[True, (r[1:] != r[:-1]) | (w[1:] != w[:-1])] if nnz else np.zeros(0, bool)
     start_rw = np.maximum.accumulate(np.where(new_rw, np.arange(nnz), 0))
     layer = np.arange(nnz) - start_rw
-    lmax = int(layer.max()) + 1 if nnz else 1
+    # layer < 128 always (a 128-col window holds at most 128 distinct
+    # sorted columns), so the key stride is the constant 128 — the same
+    # packing as the native spmx_aligned_sort, letting either path derive
+    # (rb, w) back out of a key via // 128
     wtot = m.cols // LANES + 2
-    ck = (r // LANES * wtot + w) * lmax + layer
+    ck = (r // LANES * wtot + w) * 128 + layer
     return order, r, c, ck
 
 
@@ -130,14 +133,34 @@ def _sort_by_chunk(r_s: np.ndarray, ck: np.ndarray, rows: int) -> np.ndarray:
     return perm
 
 
+def _chunk_sorted(m: CsrMatrix):
+    """``(perm, ck, wtot)``: chunk-sorted order over ORIGINAL entry
+    indices plus the sorted keys, ``key = (rb*wtot + w)*128 + layer``.
+
+    One fused native pass on sorted CSR (spmx_aligned_sort); otherwise the
+    numpy key build + blockwise/global sort."""
+    from ..native import aligned_sort_native
+
+    nnz = m.nnz()
+    wtot = m.cols // LANES + 2
+    if nnz == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64), wtot
+    if m.is_sorted:
+        res = aligned_sort_native(m.rows, m.cols, m.offsets, m.indices)
+        if res is not None:
+            return res[0], res[1], wtot
+    order, r_s, _, ck = _chunk_keys(m)
+    p = _sort_by_chunk(r_s, ck, m.rows)
+    return order[p], ck[p].astype(np.uint64), wtot
+
+
 def estimate_aligned(m: CsrMatrix, *, spill_k: int = SPILL_K):
     """Cheap planning estimate: (kept_chunks, kept_nnz, spill_nnz) without
     building arrays — the operator's dispatch input."""
     nnz = m.nnz()
     if nnz == 0:
         return 0, 0, 0
-    _, r_s, _, ck = _chunk_keys(m)
-    cks = ck[_sort_by_chunk(r_s, ck, m.rows)]
+    _, cks, _ = _chunk_sorted(m)
     new_chunk = np.r_[True, cks[1:] != cks[:-1]]
     cnt = np.diff(np.append(np.nonzero(new_chunk)[0], nnz))
     big = cnt >= spill_k
@@ -161,24 +184,21 @@ def plan_aligned(
     from ..utils import autotune
 
     rows, cols, nnz = m.rows, m.cols, m.nnz()
-    order, r_s, c_s, ck = _chunk_keys(m)
-    v_s = m.vals[order].astype(dtype)
-
+    # one fused pass computes chunk keys and the chunk-sorted entry order
+    # (indices into the ORIGINAL entry arrays); chunk counts are its run
+    # lengths — the old unique + argsort pair was two full sorts of the
+    # nnz stream plus ~10 numpy key-derivation passes
+    perm, ck, wtot = _chunk_sorted(m)
     if nnz:
-        # one blockwise sort gives both the chunk counts (run lengths) and
-        # the final chunk-sorted entry order — the old unique + argsort
-        # pair was two full sorts of the nnz stream
-        perm = _sort_by_chunk(r_s, ck, rows)
-        ck = ck[perm]
         new_chunk = np.r_[True, ck[1:] != ck[:-1]]
         cnt = np.diff(np.append(np.nonzero(new_chunk)[0], nnz))
         chunk_of = np.cumsum(new_chunk) - 1
         spill_mask = cnt[chunk_of] < spill_k  # in chunk-sorted order
     else:
-        perm = np.zeros(0, np.int64)
         cnt = np.zeros(0, np.int64)
         spill_mask = np.zeros(0, bool)
 
+    row_of = m.row_ids()
     # general sub-plan for the spilled entries — kept only if the combined
     # plan is estimated faster than keeping every chunk aligned. The
     # keep/split decision uses the COUNT estimator, not a built plan: the
@@ -187,12 +207,12 @@ def plan_aligned(
     spill_plan = None
     if nnz and spill_mask.any():
         sp_idx = np.sort(perm[spill_mask])  # spilled entries, CSR order
-        rr, cc, vv = r_s[sp_idx], c_s[sp_idx], v_s[sp_idx]
+        rr, vv = row_of[sp_idx], m.vals[sp_idx].astype(dtype)
         offs = np.zeros(rows + 1, np.int64)
         offs[1:] = np.bincount(rr, minlength=offs.shape[0] - 1)
         np.cumsum(offs, out=offs)
         sub = CsrMatrix(
-            rows, cols, vv, cc.astype(np.uint32), offs, is_sorted=True
+            rows, cols, vv, m.indices[sp_idx], offs, is_sorted=m.is_sorted
         )
 
         all_chunks = len(cnt)
@@ -209,17 +229,16 @@ def plan_aligned(
         else:
             spill_plan = plan_lanepack(sub, dtype=dtype)
 
-    kept_idx = perm[~spill_mask]  # chunk-sorted order
-    r, c, v, ck = r_s[kept_idx], c_s[kept_idx], v_s[kept_idx], ck[~spill_mask]
-    kn = len(r)
-    rb, dst = r // LANES, r % LANES
-    w, xl = c // LANES, c % LANES
+    kept_idx = perm[~spill_mask]  # chunk-sorted order, original indices
+    ck = ck[~spill_mask]
+    kn = len(kept_idx)
 
     new_chunk = np.r_[True, ck[1:] != ck[:-1]] if kn else np.zeros(0, bool)
-    chunk_id = np.cumsum(new_chunk) - 1 if kn else np.zeros(0, np.int64)
     head = np.nonzero(new_chunk)[0]
-    head_rb = rb[head]
-    head_w = w[head]
+    cnt_kept = np.diff(np.append(head, kn)) if kn else np.zeros(0, np.int64)
+    head_key = (ck[head] // 128).astype(np.int64)  # (rb*wtot + w)
+    head_rb = head_key // wtot
+    head_w = head_key % wtot
     num_chunks = len(head)
 
     # two-target slab packing (same rule as plan_lanepack: at most two row
@@ -288,9 +307,20 @@ def plan_aligned(
     if s:
         rb_a[:s], rb_b[:s], split[:s] = ma[:, 0], ma[:, 1], ma[:, 2]
     if kn:
-        so, su = chunk_slab[chunk_id], chunk_sub[chunk_id]
-        vals_s[so, su, dst] = v
-        lane_s[so, su, dst] = xl.astype(np.int8)
+        from ..native import aligned_fill_native
+
+        filled = aligned_fill_native(
+            cnt_kept, chunk_slab, chunk_sub, kept_idx, row_of,
+            m.indices, m.vals, vals_s, lane_s,
+        )
+        if filled is None:  # library or dtype pair unavailable
+            chunk_id = np.cumsum(new_chunk) - 1
+            so, su = chunk_slab[chunk_id], chunk_sub[chunk_id]
+            dst = row_of[kept_idx] % LANES
+            vals_s[so, su, dst] = m.vals[kept_idx].astype(dtype)
+            lane_s[so, su, dst] = (
+                m.indices[kept_idx].astype(np.int64) % LANES
+            ).astype(np.int8)
         col_off[chunk_slab * SUBLANES + chunk_sub] = head_w.astype(np.int32)
         chunk_rb[chunk_slab * SUBLANES + chunk_sub] = head_rb.astype(np.int32)
 

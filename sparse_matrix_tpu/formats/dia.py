@@ -110,9 +110,13 @@ def _try_dia_from_csr(m, *, dtype, max_bands, min_fill):
             return None
     if m.nnz() < min_fill * len(offs) * m.rows:
         return None
-    r = m.row_ids()
-    c = m.indices.astype(np.int64)
     data = np.zeros((len(offs), m.rows), dtype=dtype)
-    band = np.searchsorted(offs, c - r)
-    data[band, r] = m.vals.astype(dtype)
+    vals = m.vals if m.vals.dtype == np.dtype(dtype) else m.vals.astype(dtype)
+    from ..native import dia_fill_native
+
+    if dia_fill_native(m.rows, m.offsets, m.indices, vals, offs, data) is None:
+        r = m.row_ids()
+        c = m.indices.astype(np.int64)
+        band = np.searchsorted(offs, c - r)
+        data[band, r] = vals
     return DiaMatrix(m.rows, m.cols, data, tuple(int(o) for o in offs))

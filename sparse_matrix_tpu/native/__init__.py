@@ -24,5 +24,8 @@ from .loader import (  # noqa: F401
     offset_hist_native,
     blockwise_argsort_native,
     jacobi_smoother_native,
+    aligned_sort_native,
+    aligned_fill_native,
+    dia_fill_native,
     load_library,
 )

@@ -29,6 +29,9 @@ __all__ = [
     "offset_hist_native",
     "blockwise_argsort_native",
     "jacobi_smoother_native",
+    "aligned_sort_native",
+    "aligned_fill_native",
+    "dia_fill_native",
 ]
 
 _LIB: Optional[ctypes.CDLL] = None
@@ -142,6 +145,19 @@ def _declare(lib: ctypes.CDLL) -> None:
         getattr(lib, name).argtypes = [c_i64, _I64P, _U32P, vp, _F64P, vp]
     _U64P = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
     lib.spmx_blockwise_argsort_u64.argtypes = [c_i64, _I64P, _U64P, _I64P]
+    lib.spmx_aligned_sort.restype = c_i64
+    lib.spmx_aligned_sort.argtypes = [c_i64, c_i64, _I64P, _U32P, _I64P, _U64P]
+    _I8P = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
+    for name, vin, vout in [
+        ("spmx_aligned_fill_f32f32", _F32P, _F32P),
+        ("spmx_aligned_fill_f64f32", _F64P, _F32P),
+        ("spmx_aligned_fill_f64f64", _F64P, _F64P),
+    ]:
+        getattr(lib, name).argtypes = [
+            c_i64, _I64P, _I64P, _I64P, _I64P, _I64P, _U32P, vin, vout, _I8P,
+        ]
+    for name, vp in [("spmx_dia_fill_f32", _F32P), ("spmx_dia_fill_f64", _F64P)]:
+        getattr(lib, name).argtypes = [c_i64, _I64P, _U32P, vp, c_i64, _I64P, vp]
 
 
 def native_available() -> bool:
@@ -481,6 +497,76 @@ def blockwise_argsort_native(starts, keys):
     out = np.empty(len(keys), dtype=np.int64)
     lib.spmx_blockwise_argsort_u64(len(starts) - 1, starts, keys, out)
     return out
+
+
+def aligned_sort_native(rows, cols, offsets, indices):
+    """Fused chunk-key computation + blockwise chunk sort for the aligned
+    planner (formats/aligned.py): returns ``(perm, ck_sorted)`` with
+    ``ck = ((rb*wtot + w) << 7) | layer``, or None when unavailable or the
+    matrix violates the layer<128 precondition (duplicate columns)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.uint32)
+    nnz = int(offsets[-1])
+    perm = np.empty(nnz, dtype=np.int64)
+    ck = np.empty(nnz, dtype=np.uint64)
+    rc = int(lib.spmx_aligned_sort(int(rows), int(cols), offsets, indices, perm, ck))
+    if rc != 0:
+        return None
+    return perm, ck
+
+
+_ALIGNED_FILL = {
+    (np.dtype(np.float32), np.dtype(np.float32)): "spmx_aligned_fill_f32f32",
+    (np.dtype(np.float64), np.dtype(np.float32)): "spmx_aligned_fill_f64f32",
+    (np.dtype(np.float64), np.dtype(np.float64)): "spmx_aligned_fill_f64f64",
+}
+
+
+def aligned_fill_native(chunk_cnt, chunk_slab, chunk_sub, kept_idx, row_of,
+                        indices, vals, vals_s, lane_s):
+    """Scatter kept entries into the aligned plan's slab arrays in one
+    native pass (plan_aligned). Mutates vals_s/lane_s in place; returns
+    True, or None when the library/dtype pair is unavailable."""
+    lib = load_library()
+    name = _ALIGNED_FILL.get((vals.dtype, vals_s.dtype))
+    if lib is None or name is None:
+        return None
+    assert vals_s.flags["C_CONTIGUOUS"] and lane_s.flags["C_CONTIGUOUS"]
+    getattr(lib, name)(
+        len(chunk_cnt),
+        np.ascontiguousarray(chunk_cnt, dtype=np.int64),
+        np.ascontiguousarray(chunk_slab, dtype=np.int64),
+        np.ascontiguousarray(chunk_sub, dtype=np.int64),
+        np.ascontiguousarray(kept_idx, dtype=np.int64),
+        np.ascontiguousarray(row_of, dtype=np.int64),
+        np.ascontiguousarray(indices, dtype=np.uint32),
+        np.ascontiguousarray(vals),
+        vals_s.reshape(-1), lane_s.reshape(-1),
+    )
+    return True
+
+
+def dia_fill_native(rows, offsets, indices, vals, band_offsets, data):
+    """One-pass DIA band-storage build (formats/dia.py accept path).
+    Mutates ``data`` (nb, rows) in place; returns True or None."""
+    lib = load_library()
+    sfx = _SUFFIX_BY_DTYPE.get(vals.dtype)
+    if lib is None or sfx is None or data.dtype != vals.dtype:
+        return None
+    assert data.flags["C_CONTIGUOUS"]
+    getattr(lib, f"spmx_dia_fill_{sfx}")(
+        int(rows),
+        np.ascontiguousarray(offsets, dtype=np.int64),
+        np.ascontiguousarray(indices, dtype=np.uint32),
+        np.ascontiguousarray(vals),
+        int(data.shape[0]),
+        np.ascontiguousarray(band_offsets, dtype=np.int64),
+        data.reshape(-1),
+    )
+    return True
 
 
 def blocks_to_coo_native(blocks, block_rows, block_cols, rows, cols):

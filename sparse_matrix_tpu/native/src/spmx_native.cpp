@@ -916,3 +916,120 @@ extern "C" void spmx_apply_perm_f32(i64 n, const i64* perm, const float* src, fl
 extern "C" void spmx_apply_perm_i64(i64 n, const i64* perm, const i64* src, i64* out) {
   apply_perm_impl<i64>(n, perm, src, out);
 }
+
+// ---------------------------------------------------------------------------
+// Aligned-plan substrate (formats/aligned.py). A chunk is (128-row block,
+// 128-col window, layer); layer is the entry's ordinal within its (row,
+// window) run, always < 128 for valid CSR (sorted within rows, no
+// duplicate columns). Key = ((rb*wtot + w) << 7) | layer — same
+// lexicographic (rb, w, layer) order as the Python formula.
+// ---------------------------------------------------------------------------
+
+// Call 1: per-entry chunk keys + blockwise chunk sort, one fused pass.
+// Requires within-row sorted columns. out_perm receives the chunk-sorted
+// entry order (global indices), out_ck the sorted keys. Returns 0, or -1
+// when a layer exceeds 127 (duplicate columns — caller falls back).
+extern "C" i64 spmx_aligned_sort(i64 rows, i64 cols, const i64* offsets,
+                                 const u32* indices, i64* out_perm, u64* out_ck) {
+  const i64 LANES = 128;
+  u64 wtot = (u64)(cols / LANES + 2);
+  for (i64 i = 0; i < rows; ++i) {
+    u64 rb = (u64)(i / LANES);
+    i64 prev_w = -1;
+    u64 layer = 0;
+    for (i64 p = offsets[i]; p < offsets[i + 1]; ++p) {
+      i64 w = (i64)indices[p] / LANES;
+      layer = (w == prev_w) ? layer + 1 : 0;
+      if (layer > 127) return -1;
+      prev_w = w;
+      out_ck[p] = ((rb * wtot + (u64)w) << 7) | layer;
+    }
+  }
+  std::vector<std::pair<u64, i64>> buf;
+  for (i64 r0 = 0; r0 < rows; r0 += LANES) {
+    i64 r1 = r0 + LANES < rows ? r0 + LANES : rows;
+    i64 lo = offsets[r0], hi = offsets[r1];
+    i64 len = hi - lo;
+    if (len <= 0) continue;
+    buf.resize((size_t)len);
+    for (i64 k = 0; k < len; ++k) buf[(size_t)k] = {out_ck[lo + k], lo + k};
+    std::sort(buf.begin(), buf.end());
+    for (i64 k = 0; k < len; ++k) {
+      out_perm[lo + k] = buf[(size_t)k].second;
+      out_ck[lo + k] = buf[(size_t)k].first;
+    }
+  }
+  return 0;
+}
+
+// Call 2: scatter kept entries into the slab arrays (plan_aligned's
+// vals_s/lane_s build). kept_idx lists original entry indices in
+// chunk-sorted order; chunk_cnt[ci] entries belong to kept chunk ci,
+// whose slot row is chunk_slab[ci]*8 + chunk_sub[ci]. The destination
+// lane is row % 128, the stored lane byte is col % 128.
+template <typename VIn, typename VOut>
+static void aligned_fill_impl(i64 nchunks, const i64* chunk_cnt,
+                              const i64* chunk_slab, const i64* chunk_sub,
+                              const i64* kept_idx, const i64* row_of,
+                              const u32* indices, const VIn* vals,
+                              VOut* vals_s, signed char* lane_s) {
+  const i64 LANES = 128, SUB = 8;
+  i64 p = 0;
+  for (i64 ci = 0; ci < nchunks; ++ci) {
+    i64 base = (chunk_slab[ci] * SUB + chunk_sub[ci]) * LANES;
+    for (i64 k = 0; k < chunk_cnt[ci]; ++k, ++p) {
+      i64 e = kept_idx[p];
+      i64 dst = row_of[e] % LANES;
+      vals_s[base + dst] = (VOut)vals[e];
+      lane_s[base + dst] = (signed char)(indices[e] % LANES);
+    }
+  }
+}
+
+extern "C" void spmx_aligned_fill_f32f32(i64 nchunks, const i64* cnt, const i64* slab,
+                                         const i64* sub, const i64* kept, const i64* row_of,
+                                         const u32* indices, const float* vals,
+                                         float* vals_s, signed char* lane_s) {
+  aligned_fill_impl<float, float>(nchunks, cnt, slab, sub, kept, row_of, indices, vals, vals_s, lane_s);
+}
+extern "C" void spmx_aligned_fill_f64f32(i64 nchunks, const i64* cnt, const i64* slab,
+                                         const i64* sub, const i64* kept, const i64* row_of,
+                                         const u32* indices, const double* vals,
+                                         float* vals_s, signed char* lane_s) {
+  aligned_fill_impl<double, float>(nchunks, cnt, slab, sub, kept, row_of, indices, vals, vals_s, lane_s);
+}
+extern "C" void spmx_aligned_fill_f64f64(i64 nchunks, const i64* cnt, const i64* slab,
+                                         const i64* sub, const i64* kept, const i64* row_of,
+                                         const u32* indices, const double* vals,
+                                         double* vals_s, signed char* lane_s) {
+  aligned_fill_impl<double, double>(nchunks, cnt, slab, sub, kept, row_of, indices, vals, vals_s, lane_s);
+}
+
+// DIA accept-path build (formats/dia.py): one pass scattering entries to
+// band storage, binary-searching the <=64 sorted band offsets. Replaces
+// the numpy c-r temporary + searchsorted + fancy scatter (three full-nnz
+// passes per accepted probe).
+template <typename V>
+static void dia_fill_impl(i64 rows, const i64* offsets, const u32* indices,
+                          const V* vals, i64 nb, const i64* boffs, V* data) {
+  for (i64 i = 0; i < rows; ++i) {
+    for (i64 p = offsets[i]; p < offsets[i + 1]; ++p) {
+      i64 o = (i64)indices[p] - i;
+      i64 lo = 0, hi = nb - 1;
+      while (lo < hi) {
+        i64 mid = (lo + hi) >> 1;
+        if (boffs[mid] < o) lo = mid + 1; else hi = mid;
+      }
+      data[lo * rows + i] = vals[p];
+    }
+  }
+}
+
+extern "C" void spmx_dia_fill_f32(i64 rows, const i64* offsets, const u32* indices,
+                                  const float* vals, i64 nb, const i64* boffs, float* data) {
+  dia_fill_impl<float>(rows, offsets, indices, vals, nb, boffs, data);
+}
+extern "C" void spmx_dia_fill_f64(i64 rows, const i64* offsets, const u32* indices,
+                                  const double* vals, i64 nb, const i64* boffs, double* data) {
+  dia_fill_impl<double>(rows, offsets, indices, vals, nb, boffs, data);
+}

@@ -211,7 +211,9 @@ class SpmvOperator:
             if force == "dia":
                 raise ValueError("matrix is not band-structured enough for DIA")
 
-        if force in (None, "hybrid"):
+        if force in (None, "hybrid") and (
+            force == "hybrid" or self._hybrid_plausible(m)
+        ):
             banded, residual = split_bands(m)
             if (
                 banded.nnz() >= MIN_BAND_NNZ_FRACTION * max(1, m.nnz())
@@ -350,6 +352,25 @@ class SpmvOperator:
             return False
         t_aligned, t_gen = SpmvOperator._general_costs(m)
         return t_gen is None or t_aligned < t_gen
+
+    @staticmethod
+    def _hybrid_plausible(m: CsrMatrix) -> bool:
+        """Sampled pre-filter for the hybrid (DIA+general) split probe:
+        estimate the nnz fraction on well-filled diagonals from a row-band
+        sample (element offsets are shift-invariant under the sampling);
+        the full split_bands pass — a dense offset histogram plus two
+        subset builds, ~2 s of a 2048^2 AMG setup across the prolongator
+        shards — only runs when the estimate is within 2x of the gate."""
+        if m.nnz() <= SpmvOperator._SAMPLED_COSTS_NNZ:
+            return True
+        from ..formats.csr import sample_row_bands
+
+        sub, _ = sample_row_bands(m)
+        so = sub.indices.astype(np.int64) - sub.row_ids()
+        _, counts = np.unique(so, return_counts=True)
+        good = counts >= BAND_FILL_THRESHOLD * 0.5 * sub.rows
+        frac = counts[good].sum() / max(1, sub.nnz())
+        return frac >= 0.5 * MIN_BAND_NNZ_FRACTION
 
     @staticmethod
     def _sampled_for_counts(m: CsrMatrix):
