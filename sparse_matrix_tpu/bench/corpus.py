@@ -33,10 +33,10 @@ def _random_uniform(rng, n, density) -> CsrMatrix:
     return CsrMatrix.from_coo(n, n, r, c, v)
 
 
-def _power_law_rows(rng, n, avg_nnz) -> CsrMatrix:
+def _power_law_rows(rng, n, avg_nnz, alpha: float = 1.5) -> CsrMatrix:
     # scale-free-ish row lengths: a few very heavy rows (the load-balancer
     # stress case the reference's rows_to_threads exists for)
-    lens = np.minimum((rng.pareto(1.5, n) + 1) * avg_nnz / 3, n).astype(np.int64)
+    lens = np.minimum((rng.pareto(alpha, n) + 1) * avg_nnz / 3, n).astype(np.int64)
     r = np.repeat(np.arange(n), lens)
     c = rng.integers(0, n, len(r))
     v = rng.standard_normal(len(r))
@@ -108,6 +108,13 @@ def generate_corpus(
         # grid-overhead bound (the round-2 general-path target matrices)
         specs["randlocal_262k.mtx"] = lambda: _random_local(rng, 1 << 18, 16, 4096)
         specs["femlike_262k.mtx"] = lambda: _fem_like(rng, 512, 2)
+        # bench-scale row-degree skew (the rows_to_threads stress class,
+        # mul_hash.rs:38-64): pareto 1.5 tails, and an extreme 1.1-tail
+        # variant whose heaviest rows hold thousands of entries
+        specs["powerlaw_262k.mtx"] = lambda: _power_law_rows(rng, 1 << 18, 16)
+        specs["powerlaw_heavy_64k.mtx"] = lambda: _power_law_rows(
+            rng, 1 << 16, 24, alpha=1.1
+        )
     paths = []
     for name, make in specs.items():
         path = os.path.join(directory, name)

@@ -90,6 +90,15 @@ def main() -> None:
                 name, lambda v: op(v) * 0.5, x0, iters=100
             )
             row["spmv_format"] = op.format
+            # planner fill: slot occupancy of the chosen packed format —
+            # the load-balancing metric of the slot-packing design (the
+            # rows_to_threads analog, mul_hash.rs:38-64): skewed row
+            # degrees must not collapse it
+            for attr in ("_aligned", "_bell", "_plan"):
+                plan = getattr(op, attr, None)
+                if plan is not None and hasattr(plan, "fill"):
+                    row["spmv_fill"] = round(float(plan.fill), 3)
+                    break
             row["spmv_ms"] = round(br.millis, 4)
             row["spmv_gnnz_s"] = round(m.nnz() / br.seconds / 1e9, 2)
             row["spmv_eff_gbps"] = round(

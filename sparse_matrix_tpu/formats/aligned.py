@@ -154,6 +154,25 @@ def _chunk_sorted(m: CsrMatrix):
     return order[p], ck[p].astype(np.uint64), wtot
 
 
+def _spill_sub_slabs(key_rbw: np.ndarray, counts: np.ndarray, wtot: int) -> int:
+    """Slab count the general (kw=1) LanePack plan would need for the
+    spilled chunks — computed from CHUNK-level stats, equal by
+    construction to ``_count_slabs(sub, 1)`` on the spilled-entry matrix
+    (same (rb, window) grouping; parity-tested). Lets the keep/split
+    decision run before any per-entry spill work."""
+    if len(key_rbw) == 0:
+        return 0
+    # key_rbw is sorted (chunk keys are); merge layers of the same (rb, w)
+    new_g = np.r_[True, key_rbw[1:] != key_rbw[:-1]]
+    gidx = np.nonzero(new_g)[0]
+    sizes = np.add.reduceat(counts, gidx)
+    chunks_per_group = -(-sizes // LANES)
+    grb = key_rbw[gidx] // wtot
+    rb_head = np.r_[True, grb[1:] != grb[:-1]]
+    rb_tot = np.add.reduceat(chunks_per_group, np.nonzero(rb_head)[0])
+    return int(np.sum(-(-rb_tot // SUBLANES)))
+
+
 def estimate_aligned(m: CsrMatrix, *, spill_k: int = SPILL_K):
     """Cheap planning estimate: (kept_chunks, kept_nnz, spill_nnz) without
     building arrays — the operator's dispatch input."""
@@ -191,21 +210,36 @@ def plan_aligned(
     perm, ck, wtot = _chunk_sorted(m)
     if nnz:
         new_chunk = np.r_[True, ck[1:] != ck[:-1]]
-        cnt = np.diff(np.append(np.nonzero(new_chunk)[0], nnz))
-        chunk_of = np.cumsum(new_chunk) - 1
-        spill_mask = cnt[chunk_of] < spill_k  # in chunk-sorted order
+        heads_all = np.nonzero(new_chunk)[0]
+        cnt = np.diff(np.append(heads_all, nnz))
     else:
+        heads_all = np.zeros(0, np.int64)
         cnt = np.zeros(0, np.int64)
-        spill_mask = np.zeros(0, bool)
+
+    # keep/split decision from CHUNK-level stats only (the general
+    # sub-plan's slab count folds layers analytically — parity with
+    # _count_slabs tested): straddler entries are often so scattered that
+    # the sub-plan's slabs come out nearly empty, making keep-everything
+    # the faster plan; a losing decision now costs no per-entry work.
+    small = cnt < spill_k
+    spill_plan = None
+    do_split = False
+    if nnz and small.any():
+        key_rbw_all = ck[heads_all] // 128
+        sub_slabs = _spill_sub_slabs(
+            key_rbw_all[small].astype(np.int64), cnt[small], wtot
+        )
+        ali_ns = autotune.get("lanepack_aligned_slab_ns")
+        gen_ns = autotune.get("lanepack_dense_slab_ns")
+        cost_all = -(-len(cnt) // SUBLANES) * ali_ns
+        cost_split = (
+            -(-int((~small).sum()) // SUBLANES) * ali_ns + sub_slabs * gen_ns
+        )
+        do_split = cost_split < cost_all
 
     row_of = m.row_ids()
-    # general sub-plan for the spilled entries — kept only if the combined
-    # plan is estimated faster than keeping every chunk aligned. The
-    # keep/split decision uses the COUNT estimator, not a built plan: the
-    # thrown-away plan_lanepack of a multi-M-nnz spill set was seconds per
-    # operator of AMG setup.
-    spill_plan = None
-    if nnz and spill_mask.any():
+    if do_split:
+        spill_mask = np.repeat(small, cnt)  # per-entry, chunk-sorted order
         sp_idx = np.sort(perm[spill_mask])  # spilled entries, CSR order
         rr, vv = row_of[sp_idx], m.vals[sp_idx].astype(dtype)
         offs = np.zeros(rows + 1, np.int64)
@@ -214,29 +248,24 @@ def plan_aligned(
         sub = CsrMatrix(
             rows, cols, vv, m.indices[sp_idx], offs, is_sorted=m.is_sorted
         )
-
-        all_chunks = len(cnt)
-        kept_chunks = int((cnt >= spill_k).sum())
-        ali_ns = autotune.get("lanepack_aligned_slab_ns")
-        gen_ns = autotune.get("lanepack_dense_slab_ns")
-        cost_all = -(-all_chunks // SUBLANES) * ali_ns
-        cost_split = (
-            -(-kept_chunks // SUBLANES) * ali_ns
-            + _count_slabs(sub, 1) * gen_ns
+        spill_plan = plan_lanepack(sub, dtype=dtype)
+        kept_idx = perm[~spill_mask]  # chunk-sorted order, original indices
+        ck = ck[~spill_mask]
+        kn = len(kept_idx)
+        new_chunk = np.r_[True, ck[1:] != ck[:-1]] if kn else np.zeros(0, bool)
+        head = np.nonzero(new_chunk)[0]
+        cnt_kept = np.diff(np.append(head, kn)) if kn else np.zeros(0, np.int64)
+        head_key = (ck[head] // 128).astype(np.int64)  # (rb*wtot + w)
+    else:
+        kept_idx = perm
+        kn = nnz
+        head = heads_all
+        cnt_kept = cnt
+        head_key = (
+            key_rbw_all.astype(np.int64)
+            if nnz and small.any()
+            else (ck[head] // 128).astype(np.int64)
         )
-        if cost_all <= cost_split:
-            spill_mask = np.zeros(nnz, bool)
-        else:
-            spill_plan = plan_lanepack(sub, dtype=dtype)
-
-    kept_idx = perm[~spill_mask]  # chunk-sorted order, original indices
-    ck = ck[~spill_mask]
-    kn = len(kept_idx)
-
-    new_chunk = np.r_[True, ck[1:] != ck[:-1]] if kn else np.zeros(0, bool)
-    head = np.nonzero(new_chunk)[0]
-    cnt_kept = np.diff(np.append(head, kn)) if kn else np.zeros(0, np.int64)
-    head_key = (ck[head] // 128).astype(np.int64)  # (rb*wtot + w)
     head_rb = head_key // wtot
     head_w = head_key % wtot
     num_chunks = len(head)

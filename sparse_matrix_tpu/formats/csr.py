@@ -92,7 +92,8 @@ class CsrMatrix(Matrix):
     """Compressed sparse row matrix with optional within-row column sorting."""
 
     __slots__ = (
-        "_rows", "_cols", "vals", "indices", "offsets", "is_sorted", "_cache"
+        "_rows", "_cols", "vals", "indices", "offsets", "is_sorted", "_cache",
+        "_version",
     )
 
     def __init__(
@@ -114,8 +115,11 @@ class CsrMatrix(Matrix):
         # memo for idempotent structure analyses (DIA probes, offset
         # histograms): the operator planner and the SpGEMM dispatcher probe
         # the same matrix repeatedly during AMG setup (45 try_dia calls =
-        # 10.5 s of the 2048^2 profile). Invalidated by set_element.
+        # 10.5 s of the 2048^2 profile). Invalidated by set_element, which
+        # also bumps _version (memo stamps of OTHER matrices referencing
+        # this one — the transpose memo — check it to detect mutation).
         self._cache = {}
+        self._version = 0
         if validate and not self.invariants():
             raise ValueError("CSR invariants violated")
 
@@ -270,6 +274,7 @@ class CsrMatrix(Matrix):
             found = len(hits) > 0
             k = int(hits[0]) if found else len(cidx)  # append at row end
         self._cache = {}
+        self._version += 1
         if found:
             old = self.vals[lo + k]
             self.vals = self.vals.copy()
@@ -289,7 +294,22 @@ class CsrMatrix(Matrix):
         as a simplicity artifact in SURVEY.md). Output rows end up sorted, as
         the reference's does. The native runtime runs it as an O(nnz)
         counting sort (row-major iteration makes the stable scatter emit
-        each transposed row already sorted — identical output)."""
+        each transposed row already sorted — identical output).
+
+        Memoized both ways with a version stamp (AMG setup transposed each
+        42M-nnz prolongator twice — once for the Galerkin product, once for
+        the restriction operator); a mutated result drops the memo."""
+        memo = self._cache.get("transpose")
+        if memo is not None:
+            t, stamp = memo
+            if t._version == stamp:
+                return t
+        t = self._transpose_impl()
+        self._cache["transpose"] = (t, t._version)
+        t._cache["transpose"] = (self, self._version)  # reverse memo
+        return t
+
+    def _transpose_impl(self) -> "CsrMatrix":
         from ..native import csr_transpose_native
 
         res = csr_transpose_native(

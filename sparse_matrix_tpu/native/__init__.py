@@ -27,5 +27,6 @@ from .loader import (  # noqa: F401
     aligned_sort_native,
     aligned_fill_native,
     dia_fill_native,
+    colsplit_native,
     load_library,
 )

@@ -32,6 +32,7 @@ __all__ = [
     "aligned_sort_native",
     "aligned_fill_native",
     "dia_fill_native",
+    "colsplit_native",
 ]
 
 _LIB: Optional[ctypes.CDLL] = None
@@ -158,6 +159,10 @@ def _declare(lib: ctypes.CDLL) -> None:
         ]
     for name, vp in [("spmx_dia_fill_f32", _F32P), ("spmx_dia_fill_f64", _F64P)]:
         getattr(lib, name).argtypes = [c_i64, _I64P, _U32P, vp, c_i64, _I64P, vp]
+    for name, vp in [("spmx_colsplit_f32", _F32P), ("spmx_colsplit_f64", _F64P)]:
+        getattr(lib, name).argtypes = [
+            c_i64, c_i64, _I64P, _I64P, _U32P, vp, _I64P, _U32P, vp,
+        ]
 
 
 def native_available() -> bool:
@@ -547,6 +552,40 @@ def aligned_fill_native(chunk_cnt, chunk_slab, chunk_sub, kept_idx, row_of,
         vals_s.reshape(-1), lane_s.reshape(-1),
     )
     return True
+
+
+def colsplit_native(rows, bounds, offsets, indices, vals):
+    """Partition a row-sorted CSR into column-range shards in two native
+    passes (ops/operator.py colsplit). Returns
+    ``(shard_offsets, shard_indices, shard_vals)`` — per-shard lists, with
+    indices rebased to each shard's lower bound — or None."""
+    lib = load_library()
+    sfx = _SUFFIX_BY_DTYPE.get(vals.dtype)
+    if lib is None or sfx is None:
+        return None
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    nsplit = len(bounds) - 1
+    nnz = int(offsets[-1])
+    out_offsets = np.empty(nsplit * (int(rows) + 1), dtype=np.int64)
+    out_indices = np.empty(max(1, nnz), dtype=np.uint32)
+    out_vals = np.empty(max(1, nnz), dtype=vals.dtype)
+    getattr(lib, f"spmx_colsplit_{sfx}")(
+        int(rows), nsplit, bounds, offsets,
+        np.ascontiguousarray(indices, dtype=np.uint32),
+        np.ascontiguousarray(vals),
+        out_offsets, out_indices, out_vals,
+    )
+    offs_l, idx_l, val_l = [], [], []
+    pos = 0
+    for s in range(nsplit):
+        so = out_offsets[s * (int(rows) + 1) : (s + 1) * (int(rows) + 1)]
+        n_s = int(so[-1])
+        offs_l.append(so)
+        idx_l.append(out_indices[pos : pos + n_s])
+        val_l.append(out_vals[pos : pos + n_s])
+        pos += n_s
+    return offs_l, idx_l, val_l
 
 
 def dia_fill_native(rows, offsets, indices, vals, band_offsets, data):

@@ -1005,6 +1005,56 @@ extern "C" void spmx_aligned_fill_f64f64(i64 nchunks, const i64* cnt, const i64*
   aligned_fill_impl<double, double>(nchunks, cnt, slab, sub, kept, row_of, indices, vals, vals_s, lane_s);
 }
 
+// Column-range partition of a row-sorted CSR into shards
+// (ops/operator.py colsplit for VMEM-oversize operators): one counting
+// pass + one scatter pass, replacing ~7 numpy full-nnz passes per shard.
+// bounds has nsplit+1 ascending column cuts. Outputs are shard-major:
+// out_offsets holds nsplit consecutive (rows+1) offset arrays;
+// out_indices/out_vals hold each shard's entries in CSR order with
+// columns rebased to the shard's lower bound. Scanning row-major keeps
+// every shard's entries row-grouped and column-sorted by construction.
+template <typename V>
+static void colsplit_impl(i64 rows, i64 nsplit, const i64* bounds,
+                          const i64* offsets, const u32* indices, const V* vals,
+                          i64* out_offsets, u32* out_indices, V* out_vals) {
+  std::vector<i64> cnt((size_t)nsplit, 0);
+  for (i64 p = 0; p < offsets[rows]; ++p) {
+    i64 c = (i64)indices[p];
+    i64 s = 0, hi = nsplit - 1;
+    while (s < hi) { i64 mid = (s + hi + 1) >> 1; if (bounds[mid] <= c) s = mid; else hi = mid - 1; }
+    ++cnt[(size_t)s];
+  }
+  std::vector<i64> cur((size_t)nsplit, 0), base((size_t)nsplit, 0);
+  for (i64 s = 1; s < nsplit; ++s) base[(size_t)s] = base[(size_t)s - 1] + cnt[(size_t)s - 1];
+  for (i64 s = 0; s < nsplit; ++s) {
+    cur[(size_t)s] = base[(size_t)s];
+    out_offsets[s * (rows + 1)] = 0;
+  }
+  for (i64 i = 0; i < rows; ++i) {
+    for (i64 p = offsets[i]; p < offsets[i + 1]; ++p) {
+      i64 c = (i64)indices[p];
+      i64 s = 0, hi = nsplit - 1;
+      while (s < hi) { i64 mid = (s + hi + 1) >> 1; if (bounds[mid] <= c) s = mid; else hi = mid - 1; }
+      i64 q = cur[(size_t)s]++;
+      out_indices[q] = (u32)(c - bounds[s]);
+      out_vals[q] = vals[p];
+    }
+    for (i64 s = 0; s < nsplit; ++s)
+      out_offsets[s * (rows + 1) + i + 1] = cur[(size_t)s] - base[(size_t)s];
+  }
+}
+
+extern "C" void spmx_colsplit_f32(i64 rows, i64 nsplit, const i64* bounds,
+                                  const i64* offsets, const u32* indices, const float* vals,
+                                  i64* out_offsets, u32* out_indices, float* out_vals) {
+  colsplit_impl<float>(rows, nsplit, bounds, offsets, indices, vals, out_offsets, out_indices, out_vals);
+}
+extern "C" void spmx_colsplit_f64(i64 rows, i64 nsplit, const i64* bounds,
+                                  const i64* offsets, const u32* indices, const double* vals,
+                                  i64* out_offsets, u32* out_indices, double* out_vals) {
+  colsplit_impl<double>(rows, nsplit, bounds, offsets, indices, vals, out_offsets, out_indices, out_vals);
+}
+
 // DIA accept-path build (formats/dia.py): one pass scattering entries to
 // band storage, binary-searching the <=64 sorted band offsets. Replaces
 // the numpy c-r temporary + searchsorted + fancy scatter (three full-nnz

@@ -71,6 +71,20 @@ def split_bands(
 
 
 
+def _shard_force(cur_force, first_op: "SpmvOperator"):
+    """Format to force on the remaining shards of a row/col split: reuse
+    the first shard's choice when it is one of the never-raising general
+    formats. Split shards of one matrix are structurally homogeneous, and
+    the per-shard dispatch estimators (DIA probe, chunk/slab counts, BELL
+    spans) were a scaling term of the 4096^2 AMG setup. DIA/hybrid are
+    not propagated — forcing them raises when a shard misses the gate."""
+    if cur_force is not None:
+        return cur_force
+    if first_op.format in ("aligned", "lanepack", "bell", "ell"):
+        return first_op.format
+    return None
+
+
 _STATIC_KEYS = ("b", "br")  # step sizes: python ints, not device arrays
 
 
@@ -146,37 +160,44 @@ class SpmvOperator:
                 raise ValueError("matrix is not band-structured enough for DIA")
             if m.cols > _VMEM_X_LIMIT:
                 # column shards: masking a row-sorted CSR by a column range
-                # preserves (row, col) order — build shards directly (the
-                # old from_coo path re-lexsorted every shard: ~2 s of the
-                # 2048^2 AMG setup)
-                cid = m.indices.astype(np.int64)
-                rid = m.row_ids()
+                # preserves (row, col) order. The native two-pass partition
+                # replaces ~7 numpy full-nnz passes per shard (the 4096^2
+                # restriction operator spent seconds per shard here; the
+                # from_coo path before that re-lexsorted every shard)
+                from ..native import colsplit_native
+
                 nsplit = -(-m.cols // _VMEM_X_LIMIT)
                 bounds = np.linspace(0, m.cols, nsplit + 1).astype(np.int64)
                 self.format = "colsplit"
                 self._colsplit = []
-                for lo, hi in zip(bounds[:-1], bounds[1:]):
-                    mask = (cid >= lo) & (cid < hi)
-                    offs = np.zeros(m.rows + 1, np.int64)
-                    offs[1:] = np.bincount(rid[mask], minlength=m.rows)
-                    np.cumsum(offs, out=offs)
+                sub_force = force
+                parts = colsplit_native(
+                    m.rows, bounds, m.offsets, m.indices, m.vals
+                )
+                for s, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+                    if parts is not None:
+                        offs, idx, vv = parts[0][s], parts[1][s], parts[2][s]
+                    else:
+                        cid = m.indices.astype(np.int64)
+                        mask = (cid >= lo) & (cid < hi)
+                        offs = np.zeros(m.rows + 1, np.int64)
+                        offs[1:] = np.bincount(m.row_ids()[mask], minlength=m.rows)
+                        np.cumsum(offs, out=offs)
+                        idx = (cid[mask] - lo).astype(np.uint32)
+                        vv = m.vals[mask]
                     sub = CsrMatrix(
-                        m.rows,
-                        int(hi - lo),
-                        m.vals[mask],
-                        (cid[mask] - lo).astype(np.uint32),
-                        offs,
-                        is_sorted=m.is_sorted,
+                        m.rows, int(hi - lo), vv, idx, offs, is_sorted=m.is_sorted
                     )
-                    self._colsplit.append(
-                        (int(lo), int(hi), SpmvOperator(sub, dtype=dtype, force=force))
-                    )
+                    sub_op = SpmvOperator(sub, dtype=dtype, force=sub_force)
+                    sub_force = _shard_force(sub_force, sub_op)
+                    self._colsplit.append((int(lo), int(hi), sub_op))
                 return
             # row shards are contiguous row ranges: pure slices of the CSR
             nsplit = -(-m.rows // _ROWS_SPLIT_LIMIT)
             bounds = np.linspace(0, m.rows, nsplit + 1).astype(np.int64)
             self.format = "rowsplit"
             self._rowsplit = []
+            sub_force = force
             for lo, hi in zip(bounds[:-1], bounds[1:]):
                 lo_o, hi_o = int(m.offsets[lo]), int(m.offsets[hi])
                 sub = CsrMatrix(
@@ -187,9 +208,9 @@ class SpmvOperator:
                     m.offsets[lo : hi + 1] - lo_o,
                     is_sorted=m.is_sorted,
                 )
-                self._rowsplit.append(
-                    (int(lo), int(hi), SpmvOperator(sub, dtype=dtype, force=force))
-                )
+                sub_op = SpmvOperator(sub, dtype=dtype, force=sub_force)
+                sub_force = _shard_force(sub_force, sub_op)
+                self._rowsplit.append((int(lo), int(hi), sub_op))
             return
 
         if force == "aligned":

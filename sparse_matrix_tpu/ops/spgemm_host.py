@@ -39,7 +39,13 @@ __all__ = [
 def flops_per_row(lhs: CsrMatrix, rhs: CsrMatrix) -> np.ndarray:
     """Upper bound on per-row output nnz: the intermediate-product count
     ``row_nz[i] = sum_{k in row i of lhs} nnz(rhs row k)``
-    (``mul_hash.rs:40-50``). Vectorized as a gather + windowed-sum."""
+    (``mul_hash.rs:40-50``). One native sweep when available (the numpy
+    gather + full-nnz cumsum was 7.4 s of a 4096^2 AMG setup); vectorized
+    gather + windowed-sum otherwise."""
+    from ..native import flops_per_row_native, native_available
+
+    if native_available():
+        return flops_per_row_native(lhs, rhs)
     rhs_row_nnz = np.diff(rhs.offsets)
     gathered = rhs_row_nnz[lhs.indices.astype(np.int64)]
     cs = np.zeros(len(gathered) + 1, dtype=np.int64)

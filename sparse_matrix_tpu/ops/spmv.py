@@ -379,9 +379,11 @@ def aligned_device_arrays(plan, *, b: Optional[int] = None):
 
     def build(lo: int, hi: int, sp: int):
         def pad(a):
-            out = np.zeros((sp,) + a.shape[1:], dtype=a.dtype)
-            out[: hi - lo] = a[lo:hi]
-            return jnp.asarray(out)
+            seg = a[lo:hi]  # first-axis slice: contiguous view, no copy
+            if sp == hi - lo:
+                return jnp.asarray(seg)
+            tail = np.zeros((sp - (hi - lo),) + a.shape[1:], dtype=a.dtype)
+            return jnp.asarray(np.concatenate([seg, tail]))
 
         def pad1(a, fill, scale=1):
             out = np.full(sp * scale, fill, dtype=np.int32)

@@ -175,3 +175,97 @@ def test_row_ids_memo_invalidated_by_set_element():
     m.set_element((39, 39), 1.0)  # may append a new entry
     r2 = m.row_ids()
     assert len(r2) == m.nnz()
+
+
+def test_spill_sub_slabs_parity_with_count_slabs():
+    """The chunk-level spill cost estimator must equal _count_slabs on the
+    materialized spilled-entry matrix (the decision input it replaced)."""
+    from sparse_matrix_tpu.formats.aligned import _chunk_sorted, _spill_sub_slabs
+    from sparse_matrix_tpu.formats.lanepack import _count_slabs
+
+    for trial in range(12):
+        m = _rand_csr(
+            int(rng.integers(50, 500)), int(rng.integers(50, 500)),
+            int(rng.integers(20, 3000)), local=bool(trial % 2),
+        )
+        perm, ck, wtot = _chunk_sorted(m)
+        nnz = m.nnz()
+        new_chunk = np.r_[True, ck[1:] != ck[:-1]]
+        heads = np.nonzero(new_chunk)[0]
+        cnt = np.diff(np.append(heads, nnz))
+        small = cnt < 32
+        if not small.any():
+            continue
+        est = _spill_sub_slabs(
+            (ck[heads] // 128)[small].astype(np.int64), cnt[small], wtot
+        )
+        spill_mask = np.repeat(small, cnt)
+        sp = np.sort(perm[spill_mask])
+        offs = np.zeros(m.rows + 1, np.int64)
+        offs[1:] = np.bincount(m.row_ids()[sp], minlength=m.rows)
+        np.cumsum(offs, out=offs)
+        sub = CsrMatrix(m.rows, m.cols, m.vals[sp], m.indices[sp], offs,
+                        is_sorted=True)
+        assert est == _count_slabs(sub, 1), trial
+
+
+def test_plan_aligned_spill_engages_on_hub_rows():
+    """Hub rows (thousands of count-1 aligned chunks that pack densely in
+    the general plan) must trigger the spill sub-plan, and the hybrid
+    apply must stay correct."""
+    from sparse_matrix_tpu.formats.aligned import plan_aligned
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+
+    n = 2048
+    r0 = np.repeat(np.arange(n), 3)
+    c0 = np.clip(r0 + np.tile([-1, 0, 1], n), 0, n - 1)
+    hub_r, hub_c = [], []
+    for hr in rng.choice(n, 4, replace=False):
+        hub_r.append(np.full(1024, hr))
+        hub_c.append(rng.choice(n, 1024, replace=False))
+    m = CsrMatrix.from_coo(
+        n, n, np.r_[r0, np.concatenate(hub_r)], np.r_[c0, np.concatenate(hub_c)],
+        rng.standard_normal(3 * n + 4 * 1024),
+    )
+    p = plan_aligned(m)
+    assert p.spill is not None and p.spill.nnz > 3000
+    x = rng.standard_normal(n).astype(np.float32)
+    ref = np.zeros(n)
+    np.add.at(ref, m.row_ids(), m.vals * x[m.indices.astype(np.int64)])
+    y = np.asarray(SpmvOperator(m, force="aligned")(x))
+    assert np.abs(y - ref).max() < 1e-4 * np.abs(ref).max()
+
+
+def test_flops_per_row_native_matches_numpy():
+    from sparse_matrix_tpu.ops.spgemm_host import flops_per_row
+
+    a = _rand_csr(80, 60, 400)
+    b = _rand_csr(60, 90, 500)
+    got = flops_per_row(a, b)  # native path (skipif guards availability)
+    rhs_row_nnz = np.diff(b.offsets)
+    ref = np.add.reduceat(
+        np.r_[rhs_row_nnz[a.indices.astype(np.int64)], 0], a.offsets[:-1]
+    ) * (np.diff(a.offsets) > 0)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_colsplit_native_matches_numpy_masking():
+    from sparse_matrix_tpu.native import colsplit_native
+
+    for trial in range(6):
+        rows = int(rng.integers(5, 300))
+        cols = int(rng.integers(100, 1500))
+        m = _rand_csr(rows, cols, int(rng.integers(10, 4000)))
+        nsplit = int(rng.integers(2, 6))
+        bounds = np.linspace(0, cols, nsplit + 1).astype(np.int64)
+        parts = colsplit_native(m.rows, bounds, m.offsets, m.indices, m.vals)
+        cid = m.indices.astype(np.int64)
+        rid = m.row_ids()
+        for s, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+            mask = (cid >= lo) & (cid < hi)
+            offs = np.zeros(rows + 1, np.int64)
+            offs[1:] = np.bincount(rid[mask], minlength=rows)
+            np.cumsum(offs, out=offs)
+            np.testing.assert_array_equal(parts[0][s], offs)
+            np.testing.assert_array_equal(parts[1][s], (cid[mask] - lo).astype(np.uint32))
+            np.testing.assert_array_equal(parts[2][s], m.vals[mask])
