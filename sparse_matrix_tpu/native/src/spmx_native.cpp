@@ -946,17 +946,42 @@ extern "C" i64 spmx_aligned_sort(i64 rows, i64 cols, const i64* offsets,
     }
   }
   std::vector<std::pair<u64, i64>> buf;
+  std::vector<u64> packed;
   for (i64 r0 = 0; r0 < rows; r0 += LANES) {
     i64 r1 = r0 + LANES < rows ? r0 + LANES : rows;
     i64 lo = offsets[r0], hi = offsets[r1];
     i64 len = hi - lo;
     if (len <= 0) continue;
-    buf.resize((size_t)len);
-    for (i64 k = 0; k < len; ++k) buf[(size_t)k] = {out_ck[lo + k], lo + k};
-    std::sort(buf.begin(), buf.end());
-    for (i64 k = 0; k < len; ++k) {
-      out_perm[lo + k] = buf[(size_t)k].second;
-      out_ck[lo + k] = buf[(size_t)k].first;
+    // already chunk-sorted blocks (single-band structures, short rows)
+    // skip the sort entirely
+    bool sorted = true;
+    for (i64 k = 1; k < len; ++k)
+      if (out_ck[lo + k] < out_ck[lo + k - 1]) { sorted = false; break; }
+    if (sorted) {
+      for (i64 k = 0; k < len; ++k) out_perm[lo + k] = lo + k;
+      continue;
+    }
+    // pack (key, local index) into one u64 when it fits: sorting 8-byte
+    // elements runs ~1.6x the 16-byte pair sort
+    if (len < (i64)(1 << 20) &&
+        *std::max_element(out_ck + lo, out_ck + hi) < (1ULL << 44)) {
+      packed.resize((size_t)len);
+      for (i64 k = 0; k < len; ++k)
+        packed[(size_t)k] = (out_ck[lo + k] << 20) | (u64)k;
+      std::sort(packed.begin(), packed.end());
+      for (i64 k = 0; k < len; ++k) {
+        u64 pk = packed[(size_t)k];
+        out_perm[lo + k] = lo + (i64)(pk & ((1ULL << 20) - 1));
+        out_ck[lo + k] = pk >> 20;
+      }
+    } else {
+      buf.resize((size_t)len);
+      for (i64 k = 0; k < len; ++k) buf[(size_t)k] = {out_ck[lo + k], lo + k};
+      std::sort(buf.begin(), buf.end());
+      for (i64 k = 0; k < len; ++k) {
+        out_perm[lo + k] = buf[(size_t)k].second;
+        out_ck[lo + k] = buf[(size_t)k].first;
+      }
     }
   }
   return 0;

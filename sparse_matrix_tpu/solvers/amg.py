@@ -165,7 +165,12 @@ def tentative_prolongator(agg: np.ndarray, n_agg: int, *, dtype=np.float64):
     n = agg.shape[0]
     counts = np.bincount(agg, minlength=n_agg).astype(np.float64)
     v = (1.0 / np.sqrt(counts[agg])).astype(dtype)
-    return CsrMatrix.from_coo(n, n_agg, np.arange(n, dtype=np.int64), agg, v)
+    # exactly one entry per row, rows in order: build directly (the
+    # from_coo lexsort is O(n log n) for an already-sorted stream)
+    return CsrMatrix(
+        n, int(n_agg), v, agg.astype(np.uint32),
+        np.arange(n + 1, dtype=np.int64), is_sorted=True,
+    )
 
 
 def _diag_of(a) -> np.ndarray:
