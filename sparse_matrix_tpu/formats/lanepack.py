@@ -124,7 +124,15 @@ class LanePackPlan:
 
 
 def _count_slabs(m: CsrMatrix, kw: int) -> int:
-    """Slab count for a candidate window width (cheap, no packing)."""
+    """Slab count for a candidate window width (cheap, no packing).
+
+    Memoized per (matrix, kw) in the CSR cache: dispatch costing and
+    plan_lanepack both walk the same kw candidates, and the sort here was
+    183 calls / 0.4 s of a 2048² AMG setup."""
+    memo = m._cache.setdefault("count_slabs", {})
+    hit = memo.get(kw)
+    if hit is not None:
+        return hit
     r = m.row_ids()
     c = m.indices.astype(np.int64)
     rb = r // LANES
@@ -132,6 +140,7 @@ def _count_slabs(m: CsrMatrix, kw: int) -> int:
     keys = rb * (m.cols // (kw * LANES) + 2) + w
     keys = np.sort(keys)
     if len(keys) == 0:
+        memo[kw] = 0
         return 0
     head = np.r_[True, keys[1:] != keys[:-1]]
     sizes = np.diff(np.append(np.nonzero(head)[0], len(keys)))
@@ -143,7 +152,9 @@ def _count_slabs(m: CsrMatrix, kw: int) -> int:
     cg = chunks_per_group[order]
     rb_head = np.r_[True, grb[1:] != grb[:-1]]
     rb_tot = np.add.reduceat(cg, np.nonzero(rb_head)[0])
-    return int(np.sum(-(-rb_tot // SUBLANES)))
+    out = int(np.sum(-(-rb_tot // SUBLANES)))
+    memo[kw] = out
+    return out
 
 
 def plan_lanepack(

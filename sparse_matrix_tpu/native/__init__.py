@@ -27,6 +27,7 @@ from .loader import (  # noqa: F401
     aligned_sort_native,
     aligned_fill_native,
     dia_fill_native,
+    colmap_spgemm_native,
     colsplit_native,
     load_library,
 )

@@ -32,6 +32,7 @@ __all__ = [
     "aligned_sort_native",
     "aligned_fill_native",
     "dia_fill_native",
+    "colmap_spgemm_native",
     "colsplit_native",
 ]
 
@@ -163,6 +164,14 @@ def _declare(lib: ctypes.CDLL) -> None:
         getattr(lib, name).argtypes = [
             c_i64, c_i64, _I64P, _I64P, _U32P, vp, _I64P, _U32P, vp,
         ]
+    for name, vp in [
+        ("spmx_colmap_spgemm_f32", _F32P),
+        ("spmx_colmap_spgemm_f64", _F64P),
+    ]:
+        getattr(lib, name).restype = c_i64
+        getattr(lib, name).argtypes = [
+            c_i64, _I64P, _U32P, vp, _U32P, vp, _I64P, _U32P, vp,
+        ]
 
 
 def native_available() -> bool:
@@ -191,6 +200,48 @@ def flops_per_row_native(lhs, rhs) -> np.ndarray:
         out,
     )
     return out
+
+
+def colmap_spgemm_native(lhs, rhs):
+    """``lhs @ rhs`` when rhs has AT MOST ONE entry per row: hash-free
+    column relabel + per-row merge (the AMG tentative-prolongator product;
+    degenerate case of mul_hash, /root/reference/spam_csr/src/mul_hash.rs).
+    Returns a sorted CsrMatrix, or None when unavailable/ineligible —
+    callers fall through to the hash engine."""
+    from ..formats.csr import CsrMatrix, INDEX_DTYPE, OFFSET_DTYPE
+
+    lib = load_library()
+    dtype = np.result_type(lhs.vals.dtype, rhs.vals.dtype)
+    sfx = {np.dtype(np.float64): "f64", np.dtype(np.float32): "f32"}.get(
+        np.dtype(dtype)
+    )
+    if lib is None or sfx is None:
+        return None
+    ro = np.asarray(rhs.offsets)
+    row_len = np.diff(ro)
+    if row_len.max(initial=0) > 1:
+        return None
+    tmap = np.full(rhs.rows, 0xFFFFFFFF, dtype=np.uint32)
+    tval = np.zeros(rhs.rows, dtype=dtype)
+    has = row_len == 1
+    src = ro[:-1][has]
+    tmap[has] = rhs.indices[src]
+    tval[has] = rhs.vals[src]
+    nnz_ub = max(1, int(lhs.offsets[-1]))
+    out_offsets = np.zeros(lhs.rows + 1, dtype=OFFSET_DTYPE)
+    out_indices = np.empty(nnz_ub, dtype=INDEX_DTYPE)
+    out_vals = np.empty(nnz_ub, dtype=dtype)
+    w = getattr(lib, f"spmx_colmap_spgemm_{sfx}")(
+        lhs.rows,
+        np.ascontiguousarray(lhs.offsets, dtype=np.int64),
+        np.ascontiguousarray(lhs.indices, dtype=np.uint32),
+        np.ascontiguousarray(lhs.vals, dtype=dtype),
+        tmap, tval, out_offsets, out_indices, out_vals,
+    )
+    return CsrMatrix(
+        lhs.rows, rhs.cols, out_vals[:w], out_indices[:w], out_offsets,
+        is_sorted=True,
+    )
 
 
 def spgemm_hash_native(lhs, rhs, *, output_sorted: bool = False, num_threads: int = 0):

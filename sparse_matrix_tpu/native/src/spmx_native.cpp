@@ -1108,3 +1108,63 @@ extern "C" void spmx_dia_fill_f64(i64 rows, const i64* offsets, const u32* indic
                                   const double* vals, i64 nb, const i64* boffs, double* data) {
   dia_fill_impl<double>(rows, offsets, indices, vals, nb, boffs, data);
 }
+
+// Colmap SpGEMM: C = A @ T where T has AT MOST ONE entry per row — the
+// degenerate mul_hash case (/root/reference/spam_csr/src/mul_hash.rs) that
+// needs no hash table at all: C[i, tmap[j]] += A[i,j] * tval[j], i.e. a
+// column relabel + per-row duplicate merge. This is exactly the AMG
+// prolongator-smoothing product (S @ T with T the tentative prolongator),
+// which on a 2048^2 Poisson setup was the single largest hash-SpGEMM call.
+// tmap[j] = 0xFFFFFFFF marks an empty T row (entry dropped). Rows of A must
+// be short enough that an insertion-grade std::sort is cheap (always true
+// for the mesh/aggregation matrices this serves). Computed zeros are KEPT,
+// matching the hash engine's semantics. out_* are sized nnz(A) (upper
+// bound); returns the exact output nnz, fills out_offsets[0..rows].
+template <typename V>
+static i64 colmap_spgemm_impl(i64 rows, const i64* offsets, const u32* indices,
+                              const V* vals, const u32* tmap, const V* tval,
+                              i64* out_offsets, u32* out_indices, V* out_vals) {
+  std::vector<std::pair<u32, V>> buf;
+  i64 w = 0;
+  out_offsets[0] = 0;
+  for (i64 r = 0; r < rows; ++r) {
+    buf.clear();
+    for (i64 p = offsets[r]; p < offsets[r + 1]; ++p) {
+      u32 j = indices[p];
+      u32 c = tmap[j];
+      if (c == 0xFFFFFFFFu) continue;
+      buf.push_back({c, vals[p] * tval[j]});
+    }
+    std::sort(buf.begin(), buf.end(),
+              [](const std::pair<u32, V>& a, const std::pair<u32, V>& b) {
+                return a.first < b.first;
+              });
+    for (size_t k = 0; k < buf.size();) {
+      u32 c = buf[k].first;
+      V acc = buf[k].second;
+      for (++k; k < buf.size() && buf[k].first == c; ++k) acc += buf[k].second;
+      out_indices[w] = c;
+      out_vals[w] = acc;
+      ++w;
+    }
+    out_offsets[r + 1] = w;
+  }
+  return w;
+}
+
+extern "C" i64 spmx_colmap_spgemm_f32(i64 rows, const i64* offsets,
+                                      const u32* indices, const float* vals,
+                                      const u32* tmap, const float* tval,
+                                      i64* out_offsets, u32* out_indices,
+                                      float* out_vals) {
+  return colmap_spgemm_impl<float>(rows, offsets, indices, vals, tmap, tval,
+                                   out_offsets, out_indices, out_vals);
+}
+extern "C" i64 spmx_colmap_spgemm_f64(i64 rows, const i64* offsets,
+                                      const u32* indices, const double* vals,
+                                      const u32* tmap, const double* tval,
+                                      i64* out_offsets, u32* out_indices,
+                                      double* out_vals) {
+  return colmap_spgemm_impl<double>(rows, offsets, indices, vals, tmap, tval,
+                                    out_offsets, out_indices, out_vals);
+}

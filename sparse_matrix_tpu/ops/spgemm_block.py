@@ -426,6 +426,17 @@ def spgemm_auto(lhs: CsrMatrix, rhs: CsrMatrix, *, output_sorted: bool = True) -
     if lhs.cols != rhs.rows:
         raise ValueError("LHS cols != RHS rows")
 
+    # rhs with at most one entry per row (tentative prolongators, diagonal
+    # scalings, selection matrices) degenerates to a hash-free column
+    # relabel + per-row merge — one O(nnz lhs) native pass that beats every
+    # engine below (3x the hash engine on the AMG smoothing product).
+    if rhs.nnz() <= rhs.rows:
+        from ..native import colmap_spgemm_native
+
+        out = colmap_spgemm_native(lhs, rhs)
+        if out is not None:
+            return out
+
     # Tiny products can never win on device: every device engine pays the
     # one-shot dispatch sync (and, first time, a remote compile measured in
     # tens of seconds on the tunnel). If the host estimate is below the

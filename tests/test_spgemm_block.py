@@ -158,3 +158,55 @@ def test_spgemm_auto_tiny_banded_stays_on_host(monkeypatch):
         assert called.get("yes")
     finally:
         autotune.reset_cache()
+
+
+def test_colmap_spgemm_parity_and_gate():
+    """rhs with <=1 entry/row routes to the native colmap engine
+    (hash-free relabel+merge; degenerate mul_hash case,
+    /root/reference/spam_csr/src/mul_hash.rs). Parity vs the hash engine
+    on duplicate-target merges, empty rhs rows, and computed zeros."""
+    from sparse_matrix_tpu.native import colmap_spgemm_native, native_available
+    from sparse_matrix_tpu.ops.spgemm_host import spgemm_hash_host
+
+    if not native_available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(7)
+    for dtype in (np.float64, np.float32):
+        for _ in range(20):
+            n, m, k = (int(v) for v in rng.integers(1, 30, 3))
+            d = DokMatrix.new(n, m)
+            for _ in range(int(rng.integers(0, 60))):
+                d.set_element(
+                    (int(rng.integers(n)), int(rng.integers(m))),
+                    float(rng.normal()),
+                )
+            a = CsrMatrix.from_dok(d)
+            a = CsrMatrix(a.rows, a.cols, a.vals.astype(dtype), a.indices, a.offsets, is_sorted=True)
+            ro = np.zeros(m + 1, np.int64)
+            ri, rv = [], []
+            for j in range(m):
+                ro[j + 1] = ro[j]
+                if rng.random() < 0.6:  # 40% empty rows
+                    # duplicate targets force per-row merges; zero values
+                    # must be KEPT (hash-engine semantics)
+                    ri.append(int(rng.integers(max(1, k // 2))))
+                    rv.append(float(rng.choice([0.0, rng.normal()])))
+                    ro[j + 1] += 1
+            t = CsrMatrix(
+                m, k, np.array(rv, dtype),
+                np.array(ri, np.uint32) if ri else np.zeros(0, np.uint32),
+                ro, is_sorted=True,
+            )
+            got = colmap_spgemm_native(a, t)
+            ref = spgemm_hash_host(a, t, output_sorted=True)
+            assert got is not None
+            np.testing.assert_array_equal(np.asarray(got.offsets), np.asarray(ref.offsets))
+            np.testing.assert_array_equal(np.asarray(got.indices), np.asarray(ref.indices))
+            np.testing.assert_allclose(np.asarray(got.vals), np.asarray(ref.vals), rtol=1e-6)
+            assert got.invariants()
+
+    # spgemm_auto gates onto it (returns sorted even for output_sorted=False)
+    out = spgemm_auto(a, t, output_sorted=False)
+    np.testing.assert_allclose(
+        out.to_dense(), a.to_dense() @ t.to_dense(), rtol=1e-5, atol=1e-6
+    )
