@@ -195,30 +195,56 @@ def plan_lanepack(
                 best, best_cost = cand, cost
         kw = best
 
-    r = m.row_ids()
-    c = m.indices.astype(np.int64)
-    v = m.vals.astype(dtype)
+    wtot = cols // (kw * LANES) + 2
+    # chunk-sort: one fused native pass computing key = ((rb*wtot+w)<<7)|dst
+    # and the blockwise per-128-row-block sort (same (rb, w, dst) order as
+    # the lexsort below; was the dominant term of multi-M-nnz plans)
+    res = None
+    if nnz and m.is_sorted:
+        from ..native import lanepack_sort_native
 
-    rb = r // LANES
-    dst = (r % LANES).astype(np.int64)
-    w = c // (kw * LANES)
-    lane = (c % (kw * LANES)).astype(np.int64)
-
-    order = np.lexsort((dst, w, rb))
-    rb, dst, w, lane, v = rb[order], dst[order], w[order], lane[order], v[order]
-
-    group_key = rb * (cols // (kw * LANES) + 2) + w
-    new_group = np.empty(nnz, dtype=bool)
-    if nnz:
+        res = lanepack_sort_native(rows, cols, kw, m.offsets, m.indices)
+    if res is not None:
+        perm, ck = res
+        gk = (ck >> np.uint64(7)).astype(np.int64)
+        dst = (ck & np.uint64(LANES - 1)).astype(np.int64)
+        v = lane = None  # derived lazily only on the numpy fill path
+        new_group = np.empty(nnz, dtype=bool)
         new_group[0] = True
-        new_group[1:] = group_key[1:] != group_key[:-1]
-    group_start = np.maximum.accumulate(np.where(new_group, np.arange(nnz), 0))
-    k_in_group = np.arange(nnz) - group_start
-    pos = k_in_group % LANES
+        new_group[1:] = gk[1:] != gk[:-1]
+    else:
+        r = m.row_ids()
+        c = m.indices.astype(np.int64)
+        v = m.vals.astype(dtype)
 
-    is_chunk_head = pos == 0
-    chunk_id = np.cumsum(is_chunk_head) - 1 if nnz else np.zeros(0, np.int64)
-    head_rb = rb[is_chunk_head] if nnz else np.zeros(0, np.int64)
+        rb0 = r // LANES
+        dst = (r % LANES).astype(np.int64)
+        w0 = c // (kw * LANES)
+        lane = (c % (kw * LANES)).astype(np.int64)
+
+        perm = np.lexsort((dst, w0, rb0))
+        dst, lane, v = dst[perm], lane[perm], v[perm]
+        gk = (rb0 * wtot + w0)[perm]
+
+        new_group = np.empty(nnz, dtype=bool)
+        if nnz:
+            new_group[0] = True
+            new_group[1:] = gk[1:] != gk[:-1]
+    if nnz:
+        group_start = np.maximum.accumulate(np.where(new_group, np.arange(nnz), 0))
+        pos = (np.arange(nnz) - group_start) % LANES
+        is_chunk_head = pos == 0
+        heads = np.nonzero(is_chunk_head)[0]
+        head_rb = gk[heads] // wtot
+        head_w = gk[heads] % wtot
+        chunk_cnt = np.diff(np.append(heads, nnz))
+    else:
+        pos = np.zeros(0, np.int64)
+        is_chunk_head = np.zeros(0, bool)
+        heads = np.zeros(0, np.int64)
+        head_rb = np.zeros(0, np.int64)
+        head_w = np.zeros(0, np.int64)
+        chunk_cnt = np.zeros(0, np.int64)
     num_chunks = len(head_rb)
 
     if pack == "auto":
@@ -299,23 +325,37 @@ def plan_lanepack(
     chunk_rb = np.zeros(max(num_slabs, 1) * SUBLANES, dtype=np.int32)
 
     if nnz:
-        slab_of = chunk_slab[chunk_id]
-        sub_of = chunk_sublane[chunk_id]
-        vals_s[slab_of, sub_of, pos] = v
-        lane_s[slab_of, sub_of, pos] = lane.astype(np.int16)
-        col_off[chunk_slab * SUBLANES + chunk_sublane] = (w[is_chunk_head] * kw).astype(
+        col_off[chunk_slab * SUBLANES + chunk_sublane] = (head_w * kw).astype(
             np.int32
         )
         chunk_rb[chunk_slab * SUBLANES + chunk_sublane] = head_rb.astype(np.int32)
 
-        run_head = np.empty(nnz, dtype=bool)
-        run_head[0] = True
-        run_head[1:] = (dst[1:] != dst[:-1]) | (chunk_id[1:] != chunk_id[:-1])
-        run_tail = np.r_[run_head[1:], True]
-        h = np.nonzero(run_head)[0]
-        t = np.nonzero(run_tail)[0]
-        starts_s[slab_of[h], sub_of[h], dst[h]] = (pos[h] - 1).astype(np.int8)
-        ends_s[slab_of[h], sub_of[h], dst[h]] = pos[t].astype(np.int8)
+        filled = None
+        if res is not None:
+            from ..native import lanepack_fill_native
+
+            filled = lanepack_fill_native(
+                chunk_cnt, chunk_slab, chunk_sublane, perm, m.row_ids(),
+                m.indices, m.vals, kw, vals_s, lane_s, ends_s, starts_s,
+            )
+        if filled is None:
+            if v is None:  # native sort ran but the fill dtype pair didn't
+                v = m.vals[perm].astype(dtype)
+                lane = m.indices[perm].astype(np.int64) % (kw * LANES)
+            chunk_id = np.cumsum(is_chunk_head) - 1
+            slab_of = chunk_slab[chunk_id]
+            sub_of = chunk_sublane[chunk_id]
+            vals_s[slab_of, sub_of, pos] = v
+            lane_s[slab_of, sub_of, pos] = lane.astype(np.int16)
+
+            run_head = np.empty(nnz, dtype=bool)
+            run_head[0] = True
+            run_head[1:] = (dst[1:] != dst[:-1]) | (chunk_id[1:] != chunk_id[:-1])
+            run_tail = np.r_[run_head[1:], True]
+            h = np.nonzero(run_head)[0]
+            t = np.nonzero(run_tail)[0]
+            starts_s[slab_of[h], sub_of[h], dst[h]] = (pos[h] - 1).astype(np.int8)
+            ends_s[slab_of[h], sub_of[h], dst[h]] = pos[t].astype(np.int8)
 
     r128 = -(-rows // LANES)
     rb_mask = np.zeros(r128, dtype=dtype)

@@ -26,6 +26,8 @@ from .loader import (  # noqa: F401
     jacobi_smoother_native,
     aligned_sort_native,
     aligned_fill_native,
+    lanepack_sort_native,
+    lanepack_fill_native,
     dia_fill_native,
     colmap_spgemm_native,
     colsplit_native,

@@ -31,6 +31,8 @@ __all__ = [
     "jacobi_smoother_native",
     "aligned_sort_native",
     "aligned_fill_native",
+    "lanepack_sort_native",
+    "lanepack_fill_native",
     "dia_fill_native",
     "colmap_spgemm_native",
     "colsplit_native",
@@ -171,6 +173,18 @@ def _declare(lib: ctypes.CDLL) -> None:
         getattr(lib, name).restype = c_i64
         getattr(lib, name).argtypes = [
             c_i64, _I64P, _U32P, vp, _U32P, vp, _I64P, _U32P, vp,
+        ]
+    lib.spmx_lanepack_sort.restype = c_i64
+    lib.spmx_lanepack_sort.argtypes = [c_i64, c_i64, c_i64, _I64P, _U32P, _I64P, _U64P]
+    _I16P = np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS")
+    for name, vin, vout in [
+        ("spmx_lanepack_fill_f32f32", _F32P, _F32P),
+        ("spmx_lanepack_fill_f64f32", _F64P, _F32P),
+        ("spmx_lanepack_fill_f64f64", _F64P, _F64P),
+    ]:
+        getattr(lib, name).argtypes = [
+            c_i64, _I64P, _I64P, _I64P, _I64P, _I64P, _U32P, vin, c_i64,
+            vout, _I16P, _I8P, _I8P,
         ]
 
 
@@ -601,6 +615,60 @@ def aligned_fill_native(chunk_cnt, chunk_slab, chunk_sub, kept_idx, row_of,
         np.ascontiguousarray(indices, dtype=np.uint32),
         np.ascontiguousarray(vals),
         vals_s.reshape(-1), lane_s.reshape(-1),
+    )
+    return True
+
+
+def lanepack_sort_native(rows, cols, kw, offsets, indices):
+    """Fused chunk-key computation + blockwise chunk sort for the LanePack
+    planner (formats/lanepack.py): returns ``(perm, ck_sorted)`` with
+    ``ck = ((rb*wtot + w) << 7) | dst`` — the same (rb, w, dst) order as
+    ``np.lexsort((dst, w, rb))`` — or None when unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.uint32)
+    nnz = int(offsets[-1])
+    perm = np.empty(nnz, dtype=np.int64)
+    ck = np.empty(nnz, dtype=np.uint64)
+    lib.spmx_lanepack_sort(
+        int(rows), int(cols), int(kw), offsets, indices, perm, ck
+    )
+    return perm, ck
+
+
+_LANEPACK_FILL = {
+    (np.dtype(np.float32), np.dtype(np.float32)): "spmx_lanepack_fill_f32f32",
+    (np.dtype(np.float64), np.dtype(np.float32)): "spmx_lanepack_fill_f64f32",
+    (np.dtype(np.float64), np.dtype(np.float64)): "spmx_lanepack_fill_f64f64",
+}
+
+
+def lanepack_fill_native(chunk_cnt, chunk_slab, chunk_sub, perm, row_of,
+                         indices, vals, kw, vals_s, lane_s, ends_s, starts_s):
+    """One-pass slab fill for the LanePack planner (vals/lane slots + the
+    segmented-reduce run boundaries ends/starts). Mutates the four slab
+    arrays in place; returns True, or None when the library or dtype pair
+    is unavailable."""
+    lib = load_library()
+    name = _LANEPACK_FILL.get((vals.dtype, vals_s.dtype))
+    if lib is None or name is None:
+        return None
+    assert vals_s.flags["C_CONTIGUOUS"] and lane_s.flags["C_CONTIGUOUS"]
+    assert ends_s.flags["C_CONTIGUOUS"] and starts_s.flags["C_CONTIGUOUS"]
+    getattr(lib, name)(
+        len(chunk_cnt),
+        np.ascontiguousarray(chunk_cnt, dtype=np.int64),
+        np.ascontiguousarray(chunk_slab, dtype=np.int64),
+        np.ascontiguousarray(chunk_sub, dtype=np.int64),
+        np.ascontiguousarray(perm, dtype=np.int64),
+        np.ascontiguousarray(row_of, dtype=np.int64),
+        np.ascontiguousarray(indices, dtype=np.uint32),
+        np.ascontiguousarray(vals),
+        int(kw),
+        vals_s.reshape(-1), lane_s.reshape(-1),
+        ends_s.reshape(-1), starts_s.reshape(-1),
     )
     return True
 

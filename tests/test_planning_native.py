@@ -269,3 +269,44 @@ def test_colsplit_native_matches_numpy_masking():
             np.testing.assert_array_equal(parts[0][s], offs)
             np.testing.assert_array_equal(parts[1][s], (cid[mask] - lo).astype(np.uint32))
             np.testing.assert_array_equal(parts[2][s], m.vals[mask])
+
+
+def test_lanepack_plan_native_matches_numpy():
+    """The fused native lanepack sort+fill computes bit-identical plans to
+    the numpy lexsort path (every slab array and metadata field), across
+    local/scattered structures, kw widths, f32/f64 values, and tall/wide
+    restriction-like shapes."""
+    import sparse_matrix_tpu.native.loader as loader
+    from sparse_matrix_tpu.formats.lanepack import plan_lanepack
+
+    cases = [
+        _rand_csr(200, 230, 1500, local=True),
+        _rand_csr(300, 700, 4000),
+        _rand_csr(1000, 90, 3000, local=True),  # tall (prolongator-like)
+        _rand_csr(90, 1300, 3000),  # wide (restriction-like)
+        CsrMatrix.from_coo(5, 5, np.array([0]), np.array([4]), np.array([2.0])),
+    ]
+    m64 = cases[0]
+    cases.append(
+        CsrMatrix(
+            m64.rows, m64.cols, m64.vals.astype(np.float64), m64.indices,
+            m64.offsets, is_sorted=m64.is_sorted,
+        )
+    )
+    for m in cases:
+        for kw in (None, 1, 4):
+            a = plan_lanepack(m, kw=kw)
+            saved, saved_tried = loader._LIB, loader._TRIED
+            loader._LIB, loader._TRIED = None, True
+            try:
+                b = plan_lanepack(m, kw=kw)
+            finally:
+                loader._LIB, loader._TRIED = saved, saved_tried
+            assert (a.kw, a.pack) == (b.kw, b.pack)
+            for f in (
+                "vals", "lane", "ends", "starts", "rb_a", "rb_b", "split",
+                "chunk_rb", "col_off", "rb_mask",
+            ):
+                np.testing.assert_array_equal(
+                    getattr(a, f), getattr(b, f), err_msg=f
+                )
