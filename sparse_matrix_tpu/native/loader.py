@@ -174,6 +174,18 @@ def _declare(lib: ctypes.CDLL) -> None:
         getattr(lib, name).argtypes = [
             c_i64, _I64P, _U32P, vp, _U32P, vp, _I64P, _U32P, vp,
         ]
+    lib.spmx_spgemm_symbolic_spa.argtypes = [
+        c_i64, c_i64, _I64P, _U32P, _I64P, _U32P, _I64P, c_i64, c_int, _I64P,
+    ]
+    for name, vp in [
+        ("spmx_spgemm_numeric_spa_f64", _F64P),
+        ("spmx_spgemm_numeric_spa_f32", _F32P),
+        ("spmx_spgemm_numeric_spa_i64", _I64P),
+    ]:
+        getattr(lib, name).argtypes = [
+            c_i64, c_i64, _I64P, _U32P, vp, _I64P, _U32P, vp, _I64P, _I64P,
+            _I64P, c_i64, c_int, c_int, _U32P, vp,
+        ]
     lib.spmx_lanepack_sort.restype = c_i64
     lib.spmx_lanepack_sort.argtypes = [c_i64, c_i64, c_i64, _I64P, _U32P, _I64P, _U64P]
     _I16P = np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS")
@@ -201,6 +213,16 @@ _NUMERIC_BY_DTYPE = {
     np.dtype(np.float32): "spmx_spgemm_numeric_f32",
     np.dtype(np.int64): "spmx_spgemm_numeric_i64",
 }
+
+_NUMERIC_SPA_BY_DTYPE = {
+    np.dtype(np.float64): "spmx_spgemm_numeric_spa_f64",
+    np.dtype(np.float32): "spmx_spgemm_numeric_spa_f32",
+    np.dtype(np.int64): "spmx_spgemm_numeric_spa_i64",
+}
+
+# per-chunk SPA arrays are cols x (4B mark + value); 4M cols keeps a f64
+# chunk under 50 MB on this box
+_SPA_COLS_LIMIT = 4_194_304
 
 
 def flops_per_row_native(lhs, rhs) -> np.ndarray:
@@ -279,8 +301,23 @@ def spgemm_hash_native(lhs, rhs, *, output_sorted: bool = False, num_threads: in
     rows_offset = np.zeros(num_parts + 1, dtype=np.int64)
     lib.spmx_partition_rows(rows, row_nz, num_parts, rows_offset)
 
+    # SPA gate: a dense epoch-marked accumulator over the output column
+    # space beats the probe chains (~2-3x at AMG Galerkin shapes) when the
+    # per-chunk arrays stay small and the O(cols) setup amortizes over the
+    # FLOPs (measured: experiments/spa_spgemm.out)
+    flops_total = int(row_nz.sum())
+    use_spa = rhs.cols <= _SPA_COLS_LIMIT and flops_total >= rhs.cols // 4
+
     # phase 2: symbolic -> exact row nnz
-    lib.spmx_spgemm_symbolic(rows, lo, li, ro, ri, rows_offset, num_parts, num_threads, row_nz)
+    if use_spa:
+        lib.spmx_spgemm_symbolic_spa(
+            rows, rhs.cols, lo, li, ro, ri, rows_offset, num_parts,
+            num_threads, row_nz,
+        )
+    else:
+        lib.spmx_spgemm_symbolic(
+            rows, lo, li, ro, ri, rows_offset, num_parts, num_threads, row_nz
+        )
 
     # phase 3: exact allocation + numeric
     offsets = np.zeros(rows + 1, dtype=OFFSET_DTYPE)
@@ -288,10 +325,18 @@ def spgemm_hash_native(lhs, rhs, *, output_sorted: bool = False, num_threads: in
     nnz = int(offsets[-1])
     out_indices = np.zeros(nnz, dtype=INDEX_DTYPE)
     out_vals = np.zeros(nnz, dtype=dtype)
-    getattr(lib, _NUMERIC_BY_DTYPE[dtype])(
-        rows, lo, li, lv, ro, ri, rv, offsets, row_nz, rows_offset,
-        num_parts, num_threads, 1 if output_sorted else 0, out_indices, out_vals,
-    )
+    if use_spa:
+        getattr(lib, _NUMERIC_SPA_BY_DTYPE[dtype])(
+            rows, rhs.cols, lo, li, lv, ro, ri, rv, offsets, row_nz,
+            rows_offset, num_parts, num_threads,
+            1 if output_sorted else 0, out_indices, out_vals,
+        )
+    else:
+        getattr(lib, _NUMERIC_BY_DTYPE[dtype])(
+            rows, lo, li, lv, ro, ri, rv, offsets, row_nz, rows_offset,
+            num_parts, num_threads, 1 if output_sorted else 0,
+            out_indices, out_vals,
+        )
     return CsrMatrix(
         lhs.rows, rhs.cols, out_vals, out_indices, offsets, is_sorted=output_sorted
     )

@@ -267,6 +267,111 @@ extern "C" void spmx_spgemm_numeric_i64(i64 rows, const i64* lhs_offsets, const 
                            num_parts, num_threads, output_sorted, out_indices, out_vals);
 }
 
+// Gustavson SPA (sparse accumulator) variants of the two phases: an
+// epoch-marked dense array over the output column space replaces the hash
+// probes — one array access per product instead of a probe chain. Wins
+// when cols fits in per-chunk memory and products have locality (AMG
+// Galerkin / smoothing chains, stencil squarings); the Python wrapper
+// gates on cols and total FLOPs. Same chunking, allocation, and output
+// contract as the hash phases (kept zeros, optional sorted rows).
+extern "C" void spmx_spgemm_symbolic_spa(
+    i64 rows, i64 cols, const i64* lhs_offsets, const u32* lhs_indices,
+    const i64* rhs_offsets, const u32* rhs_indices, const i64* rows_offset,
+    i64 num_parts, int num_threads, i64* row_nz) {
+  run_chunked(num_parts, rows_offset, num_threads, [&](i64, i64 lo, i64 hi) {
+    std::vector<u32> mark((size_t)cols, 0);
+    u32 epoch = 0;
+    for (i64 i = lo; i < hi; ++i) {
+      if (row_nz[i] == 0) continue;
+      if (++epoch == 0) { std::fill(mark.begin(), mark.end(), 0); epoch = 1; }
+      i64 count = 0;
+      for (i64 p = lhs_offsets[i]; p < lhs_offsets[i + 1]; ++p) {
+        u32 k = lhs_indices[p];
+        for (i64 q = rhs_offsets[k]; q < rhs_offsets[k + 1]; ++q) {
+          u32 c = rhs_indices[q];
+          if (mark[c] != epoch) { mark[c] = epoch; ++count; }
+        }
+      }
+      row_nz[i] = count;
+    }
+  });
+}
+
+template <typename V>
+static void spgemm_numeric_spa_impl(
+    i64 rows, i64 cols, const i64* lhs_offsets, const u32* lhs_indices,
+    const V* lhs_vals, const i64* rhs_offsets, const u32* rhs_indices,
+    const V* rhs_vals, const i64* out_offsets, const i64* row_nz,
+    const i64* rows_offset, i64 num_parts, int num_threads, int output_sorted,
+    u32* out_indices, V* out_vals) {
+  run_chunked(num_parts, rows_offset, num_threads, [&](i64, i64 lo, i64 hi) {
+    std::vector<V> acc((size_t)cols);
+    std::vector<u32> mark((size_t)cols, 0);
+    std::vector<u32> touched;
+    u32 epoch = 0;
+    for (i64 i = lo; i < hi; ++i) {
+      if (row_nz[i] == 0) continue;
+      if (++epoch == 0) { std::fill(mark.begin(), mark.end(), 0); epoch = 1; }
+      touched.clear();
+      for (i64 p = lhs_offsets[i]; p < lhs_offsets[i + 1]; ++p) {
+        u32 k = lhs_indices[p];
+        V t = lhs_vals[p];
+        for (i64 q = rhs_offsets[k]; q < rhs_offsets[k + 1]; ++q) {
+          u32 c = rhs_indices[q];
+          V pv = t * rhs_vals[q];
+          if (mark[c] != epoch) {
+            mark[c] = epoch;
+            acc[c] = pv;
+            touched.push_back(c);
+          } else {
+            acc[c] += pv;
+          }
+        }
+      }
+      if (output_sorted) std::sort(touched.begin(), touched.end());
+      i64 base = out_offsets[i];
+      for (i64 s = 0; s < (i64)touched.size(); ++s) {
+        out_indices[base + s] = touched[(size_t)s];
+        out_vals[base + s] = acc[touched[(size_t)s]];
+      }
+    }
+  });
+}
+
+extern "C" void spmx_spgemm_numeric_spa_f64(
+    i64 rows, i64 cols, const i64* lhs_offsets, const u32* lhs_indices,
+    const double* lhs_vals, const i64* rhs_offsets, const u32* rhs_indices,
+    const double* rhs_vals, const i64* out_offsets, const i64* row_nz,
+    const i64* rows_offset, i64 num_parts, int num_threads, int output_sorted,
+    u32* out_indices, double* out_vals) {
+  spgemm_numeric_spa_impl<double>(rows, cols, lhs_offsets, lhs_indices, lhs_vals,
+                                  rhs_offsets, rhs_indices, rhs_vals, out_offsets,
+                                  row_nz, rows_offset, num_parts, num_threads,
+                                  output_sorted, out_indices, out_vals);
+}
+extern "C" void spmx_spgemm_numeric_spa_f32(
+    i64 rows, i64 cols, const i64* lhs_offsets, const u32* lhs_indices,
+    const float* lhs_vals, const i64* rhs_offsets, const u32* rhs_indices,
+    const float* rhs_vals, const i64* out_offsets, const i64* row_nz,
+    const i64* rows_offset, i64 num_parts, int num_threads, int output_sorted,
+    u32* out_indices, float* out_vals) {
+  spgemm_numeric_spa_impl<float>(rows, cols, lhs_offsets, lhs_indices, lhs_vals,
+                                 rhs_offsets, rhs_indices, rhs_vals, out_offsets,
+                                 row_nz, rows_offset, num_parts, num_threads,
+                                 output_sorted, out_indices, out_vals);
+}
+extern "C" void spmx_spgemm_numeric_spa_i64(
+    i64 rows, i64 cols, const i64* lhs_offsets, const u32* lhs_indices,
+    const i64* lhs_vals, const i64* rhs_offsets, const u32* rhs_indices,
+    const i64* rhs_vals, const i64* out_offsets, const i64* row_nz,
+    const i64* rows_offset, i64 num_parts, int num_threads, int output_sorted,
+    u32* out_indices, i64* out_vals) {
+  spgemm_numeric_spa_impl<i64>(rows, cols, lhs_offsets, lhs_indices, lhs_vals,
+                               rhs_offsets, rhs_indices, rhs_vals, out_offsets,
+                               row_nz, rows_offset, num_parts, num_threads,
+                               output_sorted, out_indices, out_vals);
+}
+
 extern "C" int spmx_hardware_threads() { return (int)std::thread::hardware_concurrency(); }
 
 // ABI version marker for the ctypes loader.

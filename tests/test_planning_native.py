@@ -310,3 +310,39 @@ def test_lanepack_plan_native_matches_numpy():
                 np.testing.assert_array_equal(
                     getattr(a, f), getattr(b, f), err_msg=f
                 )
+
+
+def test_spa_spgemm_matches_hash_engine():
+    """The Gustavson SPA phases (dense epoch-marked accumulator) produce
+    byte-identical CSR output to the hash phases: products are generated in
+    the same (p, q) order, so per-(row, col) accumulation order — and hence
+    f32 rounding — is identical."""
+    import sparse_matrix_tpu.native.loader as loader
+    from sparse_matrix_tpu.native import spgemm_hash_native
+
+    for sort in (True, False):
+        for trial in range(4):
+            a = _rand_csr(120, 90, int(rng.integers(100, 2500)))
+            b = _rand_csr(90, 140, int(rng.integers(100, 2500)))
+            c_spa = spgemm_hash_native(a, b, output_sorted=sort)
+            saved = loader._SPA_COLS_LIMIT
+            loader._SPA_COLS_LIMIT = 0  # force the hash phases
+            try:
+                c_hash = spgemm_hash_native(a, b, output_sorted=sort)
+            finally:
+                loader._SPA_COLS_LIMIT = saved
+            np.testing.assert_array_equal(c_spa.offsets, c_hash.offsets)
+            if sort:
+                np.testing.assert_array_equal(c_spa.indices, c_hash.indices)
+                np.testing.assert_array_equal(c_spa.vals, c_hash.vals)
+            else:  # unsorted rows may differ in order; compare as sets
+                for i in range(a.rows):
+                    lo, hi = int(c_spa.offsets[i]), int(c_spa.offsets[i + 1])
+                    o1 = np.argsort(c_spa.indices[lo:hi])
+                    o2 = np.argsort(c_hash.indices[lo:hi])
+                    np.testing.assert_array_equal(
+                        c_spa.indices[lo:hi][o1], c_hash.indices[lo:hi][o2]
+                    )
+                    np.testing.assert_array_equal(
+                        c_spa.vals[lo:hi][o1], c_hash.vals[lo:hi][o2]
+                    )
