@@ -236,6 +236,22 @@ class TriangularJacobi:
             x = dinv * (b - apply_n(x))
         return x
 
+    def as_pytree(self):
+        """Device arrays as a pytree for passing the trisolve as a jit
+        ARGUMENT (see :meth:`SpmvOperator.as_pytree` for why: closure-
+        captured factors embed tens of MB of constants per program at
+        2048²+ scale)."""
+        return {"dinv": self.dinv, "n": self.n_op.as_pytree()}
+
+    def apply(self, params, b):
+        """Vector trisolve using :meth:`as_pytree` params (jit-traceable
+        with ``params`` as an argument)."""
+        dinv = params["dinv"]
+        x = dinv * b
+        for _ in range(self.sweeps):
+            x = dinv * (b - self.n_op.apply(params["n"], x))
+        return x
+
 
 def ilu_preconditioner(a, *, sweeps: int = 4, dtype=np.float32, force=None) -> Callable:
     """``M^{-1} r ~= U^{-1} L^{-1} r`` from ILU(0), both solves by Jacobi

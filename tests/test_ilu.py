@@ -171,6 +171,22 @@ def test_triangular_jacobi_block_rhs():
         )
 
 
+def test_triangular_jacobi_pytree_apply_matches_call():
+    """as_pytree/apply (operator-as-jit-argument path for 2048^2-scale
+    IC-PCG) must reproduce the closure-captured __call__."""
+    import jax
+
+    rng = np.random.default_rng(8)
+    p = poisson_2d_csr(12, dtype=np.float32)
+    lc = ic0(p)
+    b = rng.standard_normal(p.rows).astype(np.float32)
+    for t in (lc, lc.transpose()):
+        sj = TriangularJacobi(t, sweeps=4, dtype=np.float32)
+        want = np.asarray(sj(np.asarray(b)))
+        got = np.asarray(jax.jit(sj.apply)(sj.as_pytree(), np.asarray(b)))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
 def test_ic_pcg_beats_plain_cg_iterations():
     """IC(0)-PCG must cut CG iterations on Poisson (the standard sanity
     check for a working IC preconditioner)."""
