@@ -96,6 +96,8 @@ def _declare(lib: ctypes.CDLL) -> None:
         getattr(lib, name).argtypes = [c_i64, _I64P, _U32P, vp, _I64P, vp, c_int, c_int]
     lib.spmx_aggregate_pass1.restype = c_i64
     lib.spmx_aggregate_pass1.argtypes = [c_i64, _I64P, _I64P, _I64P]
+    lib.spmx_aggregate_pass2.restype = c_i64
+    lib.spmx_aggregate_pass2.argtypes = [c_i64, _I64P, _I64P, _I64P]
     lib.spmx_aggregate_pass3.restype = c_i64
     lib.spmx_aggregate_pass3.argtypes = [c_i64, _I64P, _I64P, c_i64, _I64P]
     lib.spmx_parse_entries.restype = c_i64
@@ -428,9 +430,10 @@ def trisolve_native(rows, offsets, indices, vals, diag_pos, x, *, lower, unit):
 
 
 def aggregate_pass_native(which: int, so, si, agg, na: int = 0):
-    """Run greedy-aggregation pass 1 or 3 (solvers/amg.py) in the native
-    runtime; mutates ``agg`` in place and returns the new aggregate count,
-    or None when the library is unavailable."""
+    """Run greedy-aggregation pass 1, 2, or 3 (solvers/amg.py) in the
+    native runtime; mutates ``agg`` in place and returns the new aggregate
+    count (pass 1/3) or the number attached (pass 2), or None when the
+    library is unavailable."""
     lib = load_library()
     if lib is None:
         return None
@@ -439,6 +442,8 @@ def aggregate_pass_native(which: int, so, si, agg, na: int = 0):
     assert agg.dtype == np.int64 and agg.flags["C_CONTIGUOUS"]
     if which == 1:
         return int(lib.spmx_aggregate_pass1(len(agg), so, si, agg))
+    if which == 2:
+        return int(lib.spmx_aggregate_pass2(len(agg), so, si, agg))
     return int(lib.spmx_aggregate_pass3(len(agg), so, si, na, agg))
 
 

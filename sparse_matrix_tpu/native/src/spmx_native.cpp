@@ -491,6 +491,29 @@ extern "C" i64 spmx_aggregate_pass1(i64 n, const i64* so, const i64* si, i64* ag
   return na;
 }
 
+// Pass 2: attach each leftover node to the SMALLEST adjacent pass-1
+// aggregate id. All decisions must read the PASS-1 state (the numpy
+// vectorized form this replaces evaluated `agg >= 0` once, up front), so
+// in-loop attachments are stored encoded as `-2 - id` — still negative,
+// hence invisible to later nodes' `agg[j] >= 0` scans — and decoded in a
+// second sweep. Returns the number of nodes attached.
+extern "C" i64 spmx_aggregate_pass2(i64 n, const i64* so, const i64* si, i64* agg) {
+  i64 attached = 0;
+  for (i64 i = 0; i < n; ++i) {
+    if (agg[i] != -1) continue;
+    i64 m = -1;
+    for (i64 k = so[i]; k < so[i + 1]; ++k) {
+      i64 aj = agg[si[k]];
+      if (aj >= 0 && (m < 0 || aj < m)) m = aj;
+    }
+    if (m >= 0) { agg[i] = -2 - m; ++attached; }
+  }
+  if (attached)
+    for (i64 i = 0; i < n; ++i)
+      if (agg[i] < -1) agg[i] = -2 - agg[i];
+  return attached;
+}
+
 extern "C" i64 spmx_aggregate_pass3(i64 n, const i64* so, const i64* si, i64 na, i64* agg) {
   for (i64 i = 0; i < n; ++i) {
     if (agg[i] >= 0) continue;

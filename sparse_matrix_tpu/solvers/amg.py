@@ -122,9 +122,11 @@ def aggregate_strong(
             na += 1
 
     # pass 2 — attach stragglers to a neighboring pass-1 aggregate (all
-    # decisions read the pass-1 state, so this is safely vectorized)
+    # decisions read the pass-1 state). Native by default: the vectorized
+    # numpy fallback below pays a full-edge-set np.repeat plus
+    # np.minimum.at (~1.5 s of the 2048^2 setup profile combined)
     un = agg < 0
-    if un.any():
+    if un.any() and aggregate_pass_native(2, so, si, agg) is None:
         deg = np.diff(so)
         edge_src = np.repeat(np.arange(n, dtype=np.int64), deg)
         emask = un[edge_src] & (agg[si] >= 0)
