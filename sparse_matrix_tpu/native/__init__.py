@@ -30,6 +30,7 @@ from .loader import (  # noqa: F401
     lanepack_fill_native,
     dia_fill_native,
     colmap_spgemm_native,
+    colmap_smoothed_native,
     colsplit_native,
     load_library,
 )

@@ -35,6 +35,7 @@ __all__ = [
     "lanepack_fill_native",
     "dia_fill_native",
     "colmap_spgemm_native",
+    "colmap_smoothed_native",
     "colsplit_native",
 ]
 
@@ -176,6 +177,14 @@ def _declare(lib: ctypes.CDLL) -> None:
         getattr(lib, name).argtypes = [
             c_i64, _I64P, _U32P, vp, _U32P, vp, _I64P, _U32P, vp,
         ]
+    for name, vp in [
+        ("spmx_colmap_smoothed_f32", _F32P),
+        ("spmx_colmap_smoothed_f64", _F64P),
+    ]:
+        getattr(lib, name).restype = c_i64
+        getattr(lib, name).argtypes = [
+            c_i64, _I64P, _U32P, vp, _F64P, _U32P, vp, _I64P, _U32P, vp,
+        ]
     lib.spmx_spgemm_symbolic_spa.argtypes = [
         c_i64, c_i64, _I64P, _U32P, _I64P, _U32P, _I64P, c_i64, c_int, _I64P,
     ]
@@ -278,6 +287,52 @@ def colmap_spgemm_native(lhs, rhs):
     )
     return CsrMatrix(
         lhs.rows, rhs.cols, out_vals[:w], out_indices[:w], out_offsets,
+        is_sorted=True,
+    )
+
+
+def colmap_smoothed_native(a, ws, rhs):
+    """Fused prolongator smoothing ``(I - diag(ws) @ a) @ rhs`` when rhs
+    has AT MOST ONE entry per row (the AMG tentative prolongator): one
+    pass over ``a``, per-term rounding identical to materializing the
+    smoother matrix and running :func:`colmap_spgemm_native` (parity test
+    in tests/test_amg.py). Returns a sorted CsrMatrix or None when
+    unavailable/ineligible."""
+    from ..formats.csr import CsrMatrix, INDEX_DTYPE, OFFSET_DTYPE
+
+    lib = load_library()
+    dtype = np.result_type(a.vals.dtype, rhs.vals.dtype)
+    sfx = {np.dtype(np.float64): "f64", np.dtype(np.float32): "f32"}.get(
+        np.dtype(dtype)
+    )
+    if lib is None or sfx is None or a.rows != a.cols or a.cols != rhs.rows:
+        return None
+    ro = np.asarray(rhs.offsets)
+    row_len = np.diff(ro)
+    if row_len.max(initial=0) > 1:
+        return None
+    tmap = np.full(rhs.rows, 0xFFFFFFFF, dtype=np.uint32)
+    tval = np.zeros(rhs.rows, dtype=dtype)
+    has = row_len == 1
+    src = ro[:-1][has]
+    tmap[has] = rhs.indices[src]
+    tval[has] = rhs.vals[src]
+    # +rows upper bound: rows of A without an explicit diagonal inject the
+    # identity's T entry as an extra term
+    nnz_ub = max(1, int(a.offsets[-1]) + a.rows)
+    out_offsets = np.zeros(a.rows + 1, dtype=OFFSET_DTYPE)
+    out_indices = np.empty(nnz_ub, dtype=INDEX_DTYPE)
+    out_vals = np.empty(nnz_ub, dtype=dtype)
+    w = getattr(lib, f"spmx_colmap_smoothed_{sfx}")(
+        a.rows,
+        np.ascontiguousarray(a.offsets, dtype=np.int64),
+        np.ascontiguousarray(a.indices, dtype=np.uint32),
+        np.ascontiguousarray(a.vals, dtype=dtype),
+        np.ascontiguousarray(ws, dtype=np.float64),
+        tmap, tval, out_offsets, out_indices, out_vals,
+    )
+    return CsrMatrix(
+        a.rows, rhs.cols, out_vals[:w], out_indices[:w], out_offsets,
         is_sorted=True,
     )
 

@@ -1383,6 +1383,82 @@ static i64 colmap_spgemm_impl(i64 rows, const i64* offsets, const u32* indices,
   return w;
 }
 
+// Fused prolongator smoothing: P = (I - diag(ws) A) @ T in ONE pass over
+// A, where T (tentative) has at most one entry per row (tmap/tval form,
+// 0xFFFFFFFF = empty). Per A entry (r, j, a): term value
+// (V)((r==j) - a*ws[r]) * tval[j] — identical per-term rounding to the
+// materialize-S-then-colmap pipeline it replaces (S's write+read of
+// nnz(A) values and the smoother sweep were ~1.3 s of the 2048^2 AMG
+// setup). Rows of A lacking an explicit diagonal get the identity's
+// T-row injected as an extra term (the unfused path could not reuse A's
+// pattern there at all and fell back to a union-merge subtraction).
+template <typename V>
+static i64 colmap_smoothed_impl(i64 rows, const i64* offsets,
+                                const u32* indices, const V* vals,
+                                const double* ws, const u32* tmap,
+                                const V* tval, i64* out_offsets,
+                                u32* out_indices, V* out_vals) {
+  std::vector<std::pair<u32, V>> buf;
+  i64 w = 0;
+  out_offsets[0] = 0;
+  for (i64 r = 0; r < rows; ++r) {
+    buf.clear();
+    bool sorted = true, saw_diag = false;
+    double wr = ws[r];
+    for (i64 p = offsets[r]; p < offsets[r + 1]; ++p) {
+      u32 j = indices[p];
+      u32 c = tmap[j];
+      double base = -(double)vals[p] * wr;
+      if ((i64)j == r) { base += 1.0; saw_diag = true; }
+      if (c == 0xFFFFFFFFu) continue;
+      if (!buf.empty() && c < buf.back().first) sorted = false;
+      buf.push_back({c, (V)base * tval[j]});
+    }
+    if (!saw_diag) {  // identity column r (caller guarantees square A)
+      u32 c = tmap[r];
+      if (c != 0xFFFFFFFFu) {
+        if (!buf.empty() && c < buf.back().first) sorted = false;
+        buf.push_back({c, tval[r]});
+      }
+    }
+    if (!sorted) {
+      for (size_t k = 1; k < buf.size(); ++k) {
+        std::pair<u32, V> key = buf[k];
+        size_t j2 = k;
+        for (; j2 > 0 && buf[j2 - 1].first > key.first; --j2) buf[j2] = buf[j2 - 1];
+        buf[j2] = key;
+      }
+    }
+    for (size_t k = 0; k < buf.size();) {
+      u32 c = buf[k].first;
+      V acc = buf[k].second;
+      for (++k; k < buf.size() && buf[k].first == c; ++k) acc += buf[k].second;
+      out_indices[w] = c;
+      out_vals[w] = acc;
+      ++w;
+    }
+    out_offsets[r + 1] = w;
+  }
+  return w;
+}
+
+extern "C" i64 spmx_colmap_smoothed_f32(i64 rows, const i64* offsets,
+                                        const u32* indices, const float* vals,
+                                        const double* ws, const u32* tmap,
+                                        const float* tval, i64* out_offsets,
+                                        u32* out_indices, float* out_vals) {
+  return colmap_smoothed_impl<float>(rows, offsets, indices, vals, ws, tmap,
+                                     tval, out_offsets, out_indices, out_vals);
+}
+extern "C" i64 spmx_colmap_smoothed_f64(i64 rows, const i64* offsets,
+                                        const u32* indices, const double* vals,
+                                        const double* ws, const u32* tmap,
+                                        const double* tval, i64* out_offsets,
+                                        u32* out_indices, double* out_vals) {
+  return colmap_smoothed_impl<double>(rows, offsets, indices, vals, ws, tmap,
+                                      tval, out_offsets, out_indices, out_vals);
+}
+
 extern "C" i64 spmx_colmap_spgemm_f32(i64 rows, const i64* offsets,
                                       const u32* indices, const float* vals,
                                       const u32* tmap, const float* tval,

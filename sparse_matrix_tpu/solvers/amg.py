@@ -215,9 +215,10 @@ def _jacobi_smoother_matrix(a, ws: np.ndarray):
         v64 = -a.vals.astype(np.float64) * ws[rids]
         v64[on_diag] += 1.0  # round once, like the native sweep
         vals = v64.astype(a.vals.dtype)
+    # S aliases A's index/offset arrays: it is transient (consumed by one
+    # SpGEMM, never mutated) and the copies were 1.1 s of the 2048^2 setup
     return CsrMatrix(
-        a.rows, a.cols, vals, a.indices.copy(), a.offsets.copy(),
-        is_sorted=a.is_sorted,
+        a.rows, a.cols, vals, a.indices, a.offsets, is_sorted=a.is_sorted
     )
 
 
@@ -541,18 +542,25 @@ def amg_coarsen(
         if smooth_prolongator:
             omega_p = (4.0 / 3.0) / lam
             # P = (I - omega_p D^-1 A) P0  (one Jacobi smoothing step) as a
-            # SINGLE SpGEMM: S reuses A's pattern, so no union-merge
-            # subtraction pass (same products as P0 - (wD^-1A)P0 modulo fp
-            # association; parity test in test_amg.py)
-            s_mat = _jacobi_smoother_matrix(cur, omega_p * dinv)
-            if s_mat is not None:
-                from ..ops.spgemm_block import spgemm_auto
+            # SINGLE fused pass over A (native colmap_smoothed: P0 has one
+            # entry per row, so no hash; per-term rounding identical to
+            # materializing S then multiplying — parity test in
+            # test_amg.py). Fallback: S-then-SpGEMM, then union-merge.
+            from ..native import colmap_smoothed_native
 
-                p = spgemm_auto(s_mat, p, output_sorted=True)
+            fused = colmap_smoothed_native(cur, omega_p * dinv, p)
+            if fused is not None:
+                p = fused
             else:
-                # rows without an explicit diagonal: the identity widens
-                # the pattern — keep the union-merge path
-                p = p - (_scale_rows(cur, omega_p * dinv) @ p)
+                s_mat = _jacobi_smoother_matrix(cur, omega_p * dinv)
+                if s_mat is not None:
+                    from ..ops.spgemm_block import spgemm_auto
+
+                    p = spgemm_auto(s_mat, p, output_sorted=True)
+                else:
+                    # rows without an explicit diagonal: the identity
+                    # widens the pattern — keep the union-merge path
+                    p = p - (_scale_rows(cur, omega_p * dinv) @ p)
         levels.append((cur, p, dinv, lam))
         cur = _galerkin(p, cur)
     return levels, cur

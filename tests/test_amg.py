@@ -497,3 +497,58 @@ def test_sample_row_bands_preserves_offset_structure():
         cands = cands or {o - fo for fo in full_o}
         cands &= {o - fo for fo in full_o}
     assert cands, "sampled offsets are not a uniform shift of the originals"
+
+
+def test_colmap_smoothed_fused_parity():
+    """The fused (I - diag(ws) A) @ T native pass must be byte-identical
+    to materializing the smoother matrix and running the plain colmap
+    product (same per-term rounding), and correct (vs dense) on rows
+    lacking an explicit diagonal."""
+    from sparse_matrix_tpu.core import DokMatrix
+    from sparse_matrix_tpu.formats import CsrMatrix
+    from sparse_matrix_tpu.native import colmap_smoothed_native, colmap_spgemm_native
+    from sparse_matrix_tpu.solvers import poisson_2d_csr
+    from sparse_matrix_tpu.solvers.amg import (
+        _jacobi_smoother_matrix,
+        aggregate_strong,
+        strength_graph,
+        tentative_prolongator,
+    )
+
+    if colmap_smoothed_native(
+        poisson_2d_csr(2, dtype=np.float32),
+        np.ones(4),
+        tentative_prolongator(np.zeros(4, np.int64), 1, dtype=np.float32),
+    ) is None:
+        import pytest
+        pytest.skip("native runtime unavailable")
+
+    for dtype in (np.float32, np.float64):
+        a = poisson_2d_csr(20, dtype=dtype)
+        so, si = strength_graph(a)
+        agg, na = aggregate_strong(a.rows, so, si)
+        t = tentative_prolongator(agg, na, dtype=dtype)
+        ws = 0.7 / np.abs(a.vals).max() * (1.0 + 0.01 * np.arange(a.rows))
+        s_mat = _jacobi_smoother_matrix(a, ws)
+        want = colmap_spgemm_native(s_mat, t)
+        got = colmap_smoothed_native(a, ws, t)
+        assert got.rows == want.rows and got.cols == want.cols
+        np.testing.assert_array_equal(got.offsets, want.offsets)
+        np.testing.assert_array_equal(got.indices, want.indices)
+        np.testing.assert_array_equal(got.vals, want.vals)  # byte-identical
+
+    # no explicit diagonal in some rows: check against the dense oracle
+    rng = np.random.default_rng(3)
+    n = 24
+    dense = (rng.random((n, n)) < 0.2) * rng.standard_normal((n, n))
+    dense[np.arange(0, n, 3), np.arange(0, n, 3)] = 0.0  # kill some diagonals
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(dense))
+    agg = rng.integers(0, 5, n)
+    t = tentative_prolongator(agg.astype(np.int64), 5, dtype=np.float64)
+    ws = rng.random(n)
+    got = colmap_smoothed_native(a, ws, t)
+    td = np.zeros((n, 5))
+    rl = np.diff(t.offsets)
+    td[np.flatnonzero(rl == 1), t.indices] = t.vals
+    want = (np.eye(n) - np.diag(ws) @ np.where(dense != 0, dense, 0.0)) @ td
+    np.testing.assert_allclose(got.to_dok().to_dense(), want, rtol=1e-12, atol=1e-13)
