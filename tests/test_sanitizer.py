@@ -46,7 +46,9 @@ loader._TRIED = True
 
 from sparse_matrix_tpu.core import DokMatrix
 from sparse_matrix_tpu.formats import CsrMatrix
-from sparse_matrix_tpu.solvers.amg import aggregate_strong, strength_graph
+from sparse_matrix_tpu.solvers.amg import (
+    aggregate_strong, strength_graph, tentative_prolongator,
+)
 from sparse_matrix_tpu.solvers.ilu import ilu0, ilut, trisolve_host
 from sparse_matrix_tpu.solvers import poisson_2d_csr
 
@@ -60,6 +62,9 @@ for trial in range(25):
     so, si = strength_graph(a)
     agg, na = aggregate_strong(a.rows, so, si)
     assert (agg >= 0).all() and na >= 1
+    t = tentative_prolongator(agg, na, dtype=a.vals.dtype)
+    ps = loader.colmap_smoothed_native(a, rng.random(n), t)
+    assert ps is not None and ps.cols == na
     f = ilu0(a)
     ft = ilut(a, tau=float(rng.random() * 0.1), p=int(rng.integers(1, 12)))
     b = rng.standard_normal(n)
