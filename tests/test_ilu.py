@@ -353,3 +353,27 @@ def test_ilu_factors_save_load_roundtrip(tmp_path):
         trisolve_host(f2.l, b, lower=True, unit=True),
         trisolve_host(f.l, b, lower=True, unit=True),
     )
+
+
+def test_fused_trisweep_matches_unfused():
+    """The fused one-call trisweep (ops/trisweep.py) must reproduce the
+    per-sweep band-apply loop on banded IC factors, through both the
+    closure path and the as_pytree/apply path."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    p = poisson_2d_csr(24, dtype=np.float32)  # 576 rows: fused-eligible
+    lc = ic0(p)
+    b = rng.standard_normal(p.rows).astype(np.float32)
+    for t in (lc, lc.transpose()):
+        for sweeps in (1, 4):
+            sj = TriangularJacobi(t, sweeps=sweeps, dtype=np.float32)
+            assert sj._fused is not None, "Poisson IC factor must plan fused"
+            got = np.asarray(sj(np.asarray(b)))
+            # unfused reference: same dinv/N op, explicit loop
+            x = sj.dinv * b
+            for _ in range(sweeps):
+                x = sj.dinv * (b - sj.n_op(x))
+            np.testing.assert_allclose(got, np.asarray(x), rtol=2e-6, atol=2e-7)
+            got_p = np.asarray(jax.jit(sj.apply)(sj.as_pytree(), np.asarray(b)))
+            np.testing.assert_allclose(got_p, got, rtol=1e-6, atol=1e-7)

@@ -356,3 +356,22 @@ def test_dia_streaming_kernel_parity(monkeypatch):
     )
     scale = max(1.0, float(np.abs(ref).max()))
     np.testing.assert_allclose(y / scale, ref / scale, atol=2e-6)
+
+
+def test_fused_trisweep_kernel_parity():
+    """The fused multi-sweep trisolve Pallas kernel vs the per-sweep band
+    applies (same math, different dispatch structure)."""
+    rng = np.random.default_rng(41)
+    from sparse_matrix_tpu.solvers.ilu import TriangularJacobi, ic0
+
+    p = poisson_2d_csr(48, dtype=np.float32)  # 2304 rows
+    lc = ic0(p)
+    b = rng.standard_normal(p.rows).astype(np.float32)
+    for t in (lc, lc.transpose()):
+        sj = TriangularJacobi(t, sweeps=4, dtype=np.float32)
+        assert sj._fused is not None
+        got = np.asarray(sj(np.asarray(b)))
+        x = sj.dinv * b
+        for _ in range(4):
+            x = sj.dinv * (b - sj.n_op(x))
+        np.testing.assert_allclose(got, np.asarray(x), rtol=2e-5, atol=2e-6)
