@@ -53,14 +53,15 @@ for n in (1024, 2048):
                                            tol=1e-5, maxiter=8000))(ap, b)
     print(f"  CG              {t_cg*1e3:8.1f} ms ({int(r_cg.iterations)} it)", flush=True)
 
-    for sweeps in (1, 2, 4):
+    for sweeps, fused in ((1, None), (2, None), (4, None), (4, False), (2, False)):
         t0 = time.time()
-        sl = TriangularJacobi(lc, sweeps=sweeps)
-        su = TriangularJacobi(lc.transpose(), sweeps=sweeps)
+        sl = TriangularJacobi(lc, sweeps=sweeps, fused=fused)
+        su = TriangularJacobi(lc.transpose(), sweeps=sweeps, fused=fused)
         setup = time.time() - t0 + fac_t
         params = (ap, sl.as_pytree(), su.as_pytree())
         if sweeps == 1:
-            print(f"    L/Lt sweep fmts={sl.n_op.format}/{su.n_op.format}", flush=True)
+            print(f"    L/Lt sweep fmts={sl.n_op.format}/{su.n_op.format} "
+                  f"fused={sl._fused is not None}", flush=True)
 
         def solve(pp, bb):
             app, lp, up = pp
@@ -69,6 +70,7 @@ for n in (1024, 2048):
                              tol=1e-5, maxiter=8000)
         t = timed_chain(solve, params, b, R=R)
         r = jax.jit(solve)(params, b)
-        print(f"  IC-PCG s={sweeps}: setup {setup:5.2f}s  "
+        tag = "fused" if sl._fused is not None else "loop "
+        print(f"  IC-PCG s={sweeps} {tag}: setup {setup:5.2f}s  "
               f"{t*1e3:8.1f} ms ({int(r.iterations)} it)  "
               f"vs CG {t_cg/t:4.2f}x", flush=True)

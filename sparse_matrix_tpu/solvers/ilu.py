@@ -204,7 +204,8 @@ class TriangularJacobi:
     both work (the block path uses the true SpMM kernels).
     """
 
-    def __init__(self, t, *, sweeps: int = 4, dtype=np.float32, force=None):
+    def __init__(self, t, *, sweeps: int = 4, dtype=np.float32, force=None,
+                 fused=None):
         import jax.numpy as jnp
 
         from ..formats.csr import CsrMatrix
@@ -230,12 +231,18 @@ class TriangularJacobi:
         # banded factors (IC/ILU of stencil operators): run ALL sweeps in
         # one fused Pallas call with x VMEM-resident — 1 dispatch + 1 HBM
         # pass per solve instead of 1+sweeps band applies (the round-2
-        # "IC-PCG loses its edge at 1024^2" per-iteration overhead)
+        # "IC-PCG loses its edge at 1024^2" per-iteration overhead).
+        # ``fused=False`` keeps the per-sweep applies (XLA can hold small
+        # band data VMEM-resident ACROSS PCG iterations, which a Pallas
+        # call — reading operands from HBM each solve — cannot; the
+        # crossover is measured, see docs/PERF.md).
         self._fused = None
-        if self.n_op.format == "dia" and self.n_op._dia is not None:
+        if fused is not False and self.n_op.format == "dia" and self.n_op._dia is not None:
             from ..ops.trisweep import plan_trisweep
 
             self._fused = plan_trisweep(self.n_op._dia, t.rows)
+            if fused is True and self._fused is None:
+                raise ValueError("factor is not fusable (not banded or too large)")
 
     def __call__(self, b):
         if b.ndim == 1 and self._fused is not None:
@@ -275,16 +282,18 @@ class TriangularJacobi:
         return x
 
 
-def ilu_preconditioner(a, *, sweeps: int = 4, dtype=np.float32, force=None) -> Callable:
+def ilu_preconditioner(a, *, sweeps: int = 4, dtype=np.float32, force=None,
+                       fused=None) -> Callable:
     """``M^{-1} r ~= U^{-1} L^{-1} r`` from ILU(0), both solves by Jacobi
     sweeps on device. For unsymmetric systems (BiCGStab / GMRES)."""
     f = ilu0(a)
-    sl = TriangularJacobi(f.l, sweeps=sweeps, dtype=dtype, force=force)
-    su = TriangularJacobi(f.u, sweeps=sweeps, dtype=dtype, force=force)
+    sl = TriangularJacobi(f.l, sweeps=sweeps, dtype=dtype, force=force, fused=fused)
+    su = TriangularJacobi(f.u, sweeps=sweeps, dtype=dtype, force=force, fused=fused)
     return lambda r: su(sl(r))
 
 
-def ic_preconditioner(a, *, sweeps: int = 4, dtype=np.float32, force=None) -> Callable:
+def ic_preconditioner(a, *, sweeps: int = 4, dtype=np.float32, force=None,
+                      fused=None) -> Callable:
     """Symmetric PSD ``M^{-1} ~= L^{-T} L^{-1}`` from IC(0).
 
     Both solves use the same sweep count, so the lower-solve polynomial
@@ -293,8 +302,9 @@ def ic_preconditioner(a, *, sweeps: int = 4, dtype=np.float32, force=None) -> Ca
     PCG requires (an *inexact* unsymmetric pairing would silently break
     the CG three-term recurrence)."""
     lc = ic0(a)
-    sl = TriangularJacobi(lc, sweeps=sweeps, dtype=dtype, force=force)
-    su = TriangularJacobi(lc.transpose(), sweeps=sweeps, dtype=dtype, force=force)
+    sl = TriangularJacobi(lc, sweeps=sweeps, dtype=dtype, force=force, fused=fused)
+    su = TriangularJacobi(lc.transpose(), sweeps=sweeps, dtype=dtype, force=force,
+                          fused=fused)
     return lambda r: su(sl(r))
 
 
