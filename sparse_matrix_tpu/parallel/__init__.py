@@ -17,6 +17,10 @@ from .ilu import (  # noqa: F401
     dist_ic_pcg_solve,
     dist_ic_setup,
 )
+from .batched import (  # noqa: F401
+    dist_batched_cg_solve,
+    shard_batched_operator,
+)
 from .amg import (  # noqa: F401
     DistAmgHierarchy,
     DistAmgLevel,
