@@ -377,3 +377,33 @@ def test_fused_trisweep_matches_unfused():
             np.testing.assert_allclose(got, np.asarray(x), rtol=2e-6, atol=2e-7)
             got_p = np.asarray(jax.jit(sj.apply)(sj.as_pytree(), np.asarray(b)))
             np.testing.assert_allclose(got_p, got, rtol=1e-6, atol=1e-7)
+
+
+def test_trisweep_plan_gates():
+    """plan_trisweep gates: VMEM cap and tiny shapes return None;
+    fused=True raises when ineligible; fused=False disables."""
+    from sparse_matrix_tpu.ops.trisweep import plan_trisweep, TrisweepPlan
+
+    p = poisson_2d_csr(24, dtype=np.float32)
+    lc = ic0(p)
+    sj = TriangularJacobi(lc, sweeps=2, fused=False)
+    assert sj._fused is None  # knob honored
+    # tiny (rows < 128) is ineligible
+    tiny = poisson_2d_csr(8, dtype=np.float32)
+    lt = ic0(tiny)
+    st = TriangularJacobi(lt, sweeps=2)
+    assert st._fused is None
+    with pytest.raises(ValueError, match="not fusable"):
+        TriangularJacobi(lt, sweeps=2, fused=True)
+    # cap: a plan whose working set exceeds the VMEM budget is rejected
+    from sparse_matrix_tpu.formats.dia import try_dia_from_csr
+    dia = try_dia_from_csr(
+        CsrMatrix.from_dok(DokMatrix.from_dense(np.tril(np.ones((4, 4)), -1)))
+    )
+    import sparse_matrix_tpu.ops.trisweep as tw
+    old = tw._TRISWEEP_VMEM_BYTES
+    try:
+        tw._TRISWEEP_VMEM_BYTES = 1
+        assert tw.plan_trisweep(dia, 4) is None
+    finally:
+        tw._TRISWEEP_VMEM_BYTES = old
