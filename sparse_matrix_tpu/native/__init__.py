@@ -31,6 +31,7 @@ from .loader import (  # noqa: F401
     dia_fill_native,
     colmap_spgemm_native,
     colmap_smoothed_native,
+    chol_native,
     colsplit_native,
     load_library,
 )

@@ -36,6 +36,7 @@ __all__ = [
     "dia_fill_native",
     "colmap_spgemm_native",
     "colmap_smoothed_native",
+    "chol_native",
     "colsplit_native",
 ]
 
@@ -185,6 +186,11 @@ def _declare(lib: ctypes.CDLL) -> None:
         getattr(lib, name).argtypes = [
             c_i64, _I64P, _U32P, vp, _F64P, _U32P, vp, _I64P, _U32P, vp,
         ]
+    lib.spmx_etree.argtypes = [c_i64, _I64P, _U32P, _I64P]
+    lib.spmx_chol_symbolic.restype = c_i64
+    lib.spmx_chol_symbolic.argtypes = [c_i64, _I64P, _U32P, _I64P, _I64P]
+    lib.spmx_chol_numeric.restype = c_i64
+    lib.spmx_chol_numeric.argtypes = [c_i64, _I64P, _U32P, _F64P, _I64P, _I64P, _I64P, _F64P]
     lib.spmx_spgemm_symbolic_spa.argtypes = [
         c_i64, c_i64, _I64P, _U32P, _I64P, _U32P, _I64P, c_i64, c_int, _I64P,
     ]
@@ -289,6 +295,31 @@ def colmap_spgemm_native(lhs, rhs):
         lhs.rows, rhs.cols, out_vals[:w], out_indices[:w], out_offsets,
         is_sorted=True,
     )
+
+
+def chol_native(n, offsets, indices, vals):
+    """Sparse up-looking Cholesky (native). Input: full symmetric sorted
+    CSR. Returns ``(lp, li, lx)`` — the CSR of ``U = L^T`` (f64, diagonal
+    first per row, sorted) — or None when the library is unavailable.
+    Raises ValueError on a non-SPD pivot."""
+    lib = load_library()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.uint32)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    parent = np.empty(n, dtype=np.int64)
+    lib.spmx_etree(n, offsets, indices, parent)
+    colcount = np.empty(n, dtype=np.int64)
+    nnz_l = int(lib.spmx_chol_symbolic(n, offsets, indices, parent, colcount))
+    lp = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(colcount, out=lp[1:])
+    li = np.empty(max(1, nnz_l), dtype=np.int64)
+    lx = np.empty(max(1, nnz_l), dtype=np.float64)
+    rc = int(lib.spmx_chol_numeric(n, offsets, indices, vals, parent, lp, li, lx))
+    if rc >= 0:
+        raise ValueError(f"chol: non-positive pivot in column {rc} (input not SPD?)")
+    return lp, li, lx
 
 
 def colmap_smoothed_native(a, ws, rhs):

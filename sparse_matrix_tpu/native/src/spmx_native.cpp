@@ -1475,3 +1475,105 @@ extern "C" i64 spmx_colmap_spgemm_f64(i64 rows, const i64* offsets,
   return colmap_spgemm_impl<double>(rows, offsets, indices, vals, tmap, tval,
                                     out_offsets, out_indices, out_vals);
 }
+
+// ---------------------------------------------------------------------------
+// Sparse Cholesky (simplicial, up-looking — the CSparse cs_chol family;
+// solvers/cholesky.py). EXACT A = L L^T with fill, unlike IC(0)/ILUT.
+// Sequential along the elimination-tree dependency chain — native-runtime
+// work, same host-does-the-irregular-part stance as the reference's
+// mul_hash (/root/reference/spam_csr/src/mul_hash.rs:13-36).
+//
+// Input: the full SYMMETRIC matrix as a sorted CSR (rows supply the lower
+// part A[k, 0:k] directly). Output: L by COLUMNS, diagonal first — which
+// is exactly the CSR of U = L^T with sorted rows.
+// ---------------------------------------------------------------------------
+
+// Elimination tree via Liu's algorithm with path compression.
+extern "C" void spmx_etree(i64 n, const i64* offsets, const u32* indices,
+                           i64* parent /* n, out */) {
+  std::vector<i64> ancestor((size_t)n, -1);
+  for (i64 k = 0; k < n; ++k) {
+    parent[k] = -1;
+    for (i64 p = offsets[k]; p < offsets[k + 1]; ++p) {
+      i64 i = (i64)indices[p];
+      if (i >= k) break;  // sorted row: lower part first
+      while (i != -1 && i != k) {
+        i64 nxt = ancestor[(size_t)i];
+        ancestor[(size_t)i] = k;  // path compression
+        if (nxt == -1) { parent[i] = k; break; }
+        i = nxt;
+      }
+    }
+  }
+}
+
+// Row-k reach in the etree (pattern of L(k, 0:k)), ascending order.
+// w: workspace (n) holding the visit stamp; s: output stack (n).
+static i64 chol_ereach(i64 k, const i64* offsets, const u32* indices,
+                       const i64* parent, i64* w, i64* s, i64 n) {
+  i64 top = n;
+  w[k] = k;  // mark k visited
+  for (i64 p = offsets[k]; p < offsets[k + 1]; ++p) {
+    i64 i = (i64)indices[p];
+    if (i >= k) break;
+    i64 len = 0;
+    for (; w[i] != k; i = parent[i]) {  // walk up to a visited node
+      s[len++] = i;
+      w[i] = k;
+    }
+    while (len > 0) s[--top] = s[--len];  // reverse onto the stack
+  }
+  return top;  // s[top..n) = pattern, ascending etree (hence column) order
+}
+
+// Symbolic phase: per-COLUMN nonzero counts of L (incl. diagonal).
+// Returns nnz(L), or -1 on overflow.
+extern "C" i64 spmx_chol_symbolic(i64 n, const i64* offsets, const u32* indices,
+                                  const i64* parent, i64* colcount /* n, out */) {
+  std::vector<i64> w((size_t)n, -1), s((size_t)n);
+  for (i64 i = 0; i < n; ++i) colcount[i] = 1;  // diagonal
+  for (i64 k = 0; k < n; ++k) {
+    i64 top = chol_ereach(k, offsets, indices, parent, w.data(), s.data(), n);
+    for (; top < n; ++top) ++colcount[s[(size_t)top]];
+  }
+  i64 nnz = 0;
+  for (i64 i = 0; i < n; ++i) nnz += colcount[i];
+  return nnz;
+}
+
+// Numeric phase (f64). lp: column pointers of L (prefix of colcount,
+// n+1); li/lx: output (nnz). Returns -1 on success or the first column
+// with a non-positive pivot (input not SPD).
+extern "C" i64 spmx_chol_numeric(i64 n, const i64* offsets, const u32* indices,
+                                 const double* vals, const i64* parent,
+                                 const i64* lp, i64* li, double* lx) {
+  std::vector<i64> w((size_t)n, -1), s((size_t)n), c((size_t)n);
+  std::vector<double> x((size_t)n, 0.0);
+  for (i64 i = 0; i < n; ++i) c[(size_t)i] = lp[i];
+  for (i64 k = 0; k < n; ++k) {
+    i64 top = chol_ereach(k, offsets, indices, parent, w.data(), s.data(), n);
+    double d = 0.0;
+    for (i64 p = offsets[k]; p < offsets[k + 1]; ++p) {
+      i64 j = (i64)indices[p];
+      if (j > k) break;
+      if (j == k) d = vals[p];
+      else x[(size_t)j] = vals[p];
+    }
+    for (; top < n; ++top) {
+      i64 i = s[(size_t)top];          // pattern entry, ascending
+      double lki = x[(size_t)i] / lx[lp[i]];  // L(i,i) is column i's head
+      x[(size_t)i] = 0.0;
+      for (i64 p = lp[i] + 1; p < c[(size_t)i]; ++p)
+        x[(size_t)li[p]] -= lx[p] * lki;
+      d -= lki * lki;
+      i64 q = c[(size_t)i]++;
+      li[q] = k;
+      lx[q] = lki;  // L(k,i) appended to column i (rows ascending)
+    }
+    if (d <= 0.0) return k;
+    i64 q = c[(size_t)k]++;
+    li[q] = k;
+    lx[q] = std::sqrt(d);  // diagonal first in column k
+  }
+  return -1;
+}

@@ -50,6 +50,7 @@ from .ilu import (  # noqa: F401
     trisolve_host,
 )
 from .svd import SvdResult, svds, svds_csr  # noqa: F401
+from .cholesky import CholFactor, chol, chol_solve, spsolve_chol  # noqa: F401
 from .chebyshev import chebyshev_solve  # noqa: F401
 from .block_jacobi import (  # noqa: F401
     block_jacobi_preconditioner,

@@ -1,0 +1,175 @@
+"""Exact sparse Cholesky: ``A = L @ L^T`` with fill (direct solver).
+
+Beyond-reference scope (the reference has no solver layer); completes the
+factorization spectrum next to IC(0)/ILUT (``solvers/ilu.py``), which are
+APPROXIMATE no-/thresholded-fill factorizations. Design follows the
+framework's host-kernel stance (`/root/reference/spam_csr/src/mul_hash.rs:
+13-36` — the sequential, irregular work runs in the native C++ runtime):
+
+* **Up-looking simplicial Cholesky** (the CSparse ``cs_chol`` family):
+  elimination tree (Liu's algorithm, path compression) -> per-column
+  fill counts by etree reach -> numeric phase appending each L column
+  diagonal-first. All three phases in ``native/src/spmx_native.cpp``
+  (``spmx_etree`` / ``spmx_chol_symbolic`` / ``spmx_chol_numeric``), with
+  a same-algorithm Python fallback.
+* **RCM pre-ordering by default** (``formats/reorder.py``): simplicial
+  factorization of an unordered 2-D mesh operator fills catastrophically;
+  RCM confines fill to the band.
+* Factorization and triangular solves run in f64 on the host (exact
+  direct solves are setup/oracle work); for REPEATED solves against many
+  right-hand sides, the factor's :class:`~.ilu.TriangularJacobi` sweeps
+  run on device like any triangular operator.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+__all__ = ["CholFactor", "chol", "chol_solve", "spsolve_chol"]
+
+
+class CholFactor(NamedTuple):
+    l: object  # CsrMatrix, lower triangular, f64
+    u: object  # CsrMatrix, upper = L^T (native output layout)
+    perm: Optional[np.ndarray]  # A[perm[i], perm[j]] was factored; None = natural
+
+
+def _etree_python(n, offsets, indices):
+    parent = np.full(n, -1, dtype=np.int64)
+    ancestor = np.full(n, -1, dtype=np.int64)
+    for k in range(n):
+        for p in range(int(offsets[k]), int(offsets[k + 1])):
+            i = int(indices[p])
+            if i >= k:
+                break
+            while i != -1 and i != k:
+                nxt = int(ancestor[i])
+                ancestor[i] = k
+                if nxt == -1:
+                    parent[i] = k
+                    break
+                i = nxt
+    return parent
+
+
+def _ereach_python(k, offsets, indices, parent, w, s):
+    n = len(w)
+    top = n
+    w[k] = k
+    for p in range(int(offsets[k]), int(offsets[k + 1])):
+        i = int(indices[p])
+        if i >= k:
+            break
+        stack = []
+        while w[i] != k:
+            stack.append(i)
+            w[i] = k
+            i = int(parent[i])
+        while stack:
+            top -= 1
+            s[top] = stack.pop()
+    return top
+
+
+def _chol_python(n, offsets, indices, vals):
+    """Same three phases as the native kernel (SPMX_NO_NATIVE parity)."""
+    parent = _etree_python(n, offsets, indices)
+    w = np.full(n, -1, dtype=np.int64)
+    s = np.empty(n, dtype=np.int64)
+    colcount = np.ones(n, dtype=np.int64)
+    for k in range(n):
+        top = _ereach_python(k, offsets, indices, parent, w, s)
+        for t in range(top, n):
+            colcount[s[t]] += 1
+    lp = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(colcount, out=lp[1:])
+    li = np.empty(max(1, int(lp[-1])), dtype=np.int64)
+    lx = np.empty(max(1, int(lp[-1])), dtype=np.float64)
+    c = lp[:-1].copy()
+    x = np.zeros(n, dtype=np.float64)
+    w[:] = -1
+    for k in range(n):
+        top = _ereach_python(k, offsets, indices, parent, w, s)
+        d = 0.0
+        for p in range(int(offsets[k]), int(offsets[k + 1])):
+            j = int(indices[p])
+            if j > k:
+                break
+            if j == k:
+                d = float(vals[p])
+            else:
+                x[j] = float(vals[p])
+        for t in range(top, n):
+            i = int(s[t])
+            lki = x[i] / lx[lp[i]]
+            x[i] = 0.0
+            for p in range(int(lp[i]) + 1, int(c[i])):
+                x[li[p]] -= lx[p] * lki
+            d -= lki * lki
+            li[c[i]] = k
+            lx[c[i]] = lki
+            c[i] += 1
+        if d <= 0.0:
+            raise ValueError(f"chol: non-positive pivot in column {k} (input not SPD?)")
+        li[c[k]] = k
+        lx[c[k]] = np.sqrt(d)
+        c[k] += 1
+    return lp, li, lx
+
+
+def chol(a, *, reorder: str = "rcm") -> CholFactor:
+    """Exact sparse Cholesky of symmetric positive definite ``a``.
+
+    ``reorder``: ``"rcm"`` (default — fill-reducing reverse Cuthill-McKee)
+    or ``"natural"`` (factor as given).
+    """
+    from ..formats.csr import CsrMatrix
+    from ..native import chol_native
+
+    if a.rows != a.cols:
+        raise ValueError("chol requires a square matrix")
+    if not a.is_sorted:
+        raise ValueError("chol requires sorted CSR (use from_dok / sort first)")
+    perm = None
+    if reorder == "rcm":
+        from ..formats.reorder import rcm_reordered
+
+        a, perm = rcm_reordered(a)
+    elif reorder != "natural":
+        raise ValueError(f"unknown reorder {reorder!r} (rcm|natural)")
+
+    vals = a.vals.astype(np.float64)
+    out = chol_native(a.rows, a.offsets, a.indices, vals)
+    if out is None:
+        out = _chol_python(a.rows, a.offsets, a.indices.astype(np.int64), vals)
+    lp, li, lx = out
+    # native layout = L by columns, diagonal first = sorted CSR of U = L^T
+    u = CsrMatrix(a.rows, a.cols, lx, li.astype(np.uint32), lp, is_sorted=True)
+    return CholFactor(l=u.transpose(), u=u, perm=perm)
+
+
+def chol_solve(f: CholFactor, b) -> np.ndarray:
+    """Exact solve ``A x = b`` from a :class:`CholFactor` (host, f64).
+    ``b`` may be a vector or an ``(n, K)`` block."""
+    from .ilu import trisolve_host
+
+    b = np.asarray(b, dtype=np.float64)
+    one_d = b.ndim == 1
+    bb = b[:, None] if one_d else b
+    out = np.empty_like(bb)
+    for k in range(bb.shape[1]):
+        rhs = bb[:, k] if f.perm is None else bb[f.perm, k]
+        y = trisolve_host(f.l, rhs, lower=True)
+        z = trisolve_host(f.u, y, lower=False)
+        if f.perm is None:
+            out[:, k] = z
+        else:
+            out[f.perm, k] = z
+    return out[:, 0] if one_d else out
+
+
+def spsolve_chol(a, b, **kw) -> np.ndarray:
+    """One-call exact SPD solve: ``chol`` + ``chol_solve``."""
+    return chol_solve(chol(a, **kw), b)

@@ -43,10 +43,15 @@ def solve(
     tol: float = 1e-6,
     maxiter: int = 5000,
     dtype=np.float32,
+    method: str = "auto",
 ):
     """Solve ``A x = b`` for square host-CSR ``A``; returns a
     :class:`~.cg.CgResult` (for the dense path ``iterations`` is 0 and the
-    residual norm is computed explicitly)."""
+    residual norm is computed explicitly).
+
+    ``method="direct"`` forces the exact sparse Cholesky
+    (:mod:`~.cholesky`, SPD input required) — f64 host solve, no
+    iteration-count/conditioning sensitivity."""
     import jax.numpy as jnp
 
     from ..ops.operator import SpmvOperator
@@ -55,7 +60,23 @@ def solve(
 
     if a.rows != a.cols:
         raise ValueError("solve needs a square operator; use lstsq")
+    if method not in ("auto", "direct"):
+        raise ValueError(f"unknown method {method!r} (auto|direct)")
     b = np.asarray(b)
+
+    if method == "direct":
+        from .cholesky import spsolve_chol
+
+        x = spsolve_chol(a, b)
+        rid = a.row_ids()
+        ax = np.zeros(a.rows, np.float64)
+        np.add.at(ax, rid, a.vals.astype(np.float64) * x[a.indices.astype(np.int64)])
+        # x stays host f64: jnp.asarray would silently truncate to f32
+        # (jax_enable_x64 off) and throw away the direct solve's exactness
+        return CgResult(
+            x=x, iterations=jnp.int32(0),
+            residual_norm=np.float64(np.linalg.norm(ax - b.astype(np.float64))),
+        )
 
     if a.rows <= _DENSE_N:
         dense = jnp.asarray(a.to_dense().astype(dtype))

@@ -1,0 +1,104 @@
+"""Exact sparse Cholesky (up-looking simplicial, native + Python parity)."""
+
+import numpy as np
+import pytest
+
+from sparse_matrix_tpu.core import DokMatrix
+from sparse_matrix_tpu.formats import CsrMatrix
+from sparse_matrix_tpu.solvers import chol, chol_solve, poisson_2d_csr, spsolve_chol
+from sparse_matrix_tpu.solvers.cholesky import _chol_python
+
+
+def _spd_csr(rng, n, dens=0.12):
+    d = (rng.random((n, n)) < dens) * rng.standard_normal((n, n))
+    d = (d + d.T) / 2
+    np.fill_diagonal(d, np.abs(d).sum(axis=1) + 1.0)
+    return CsrMatrix.from_dok(DokMatrix.from_dense(d)), d
+
+
+def test_chol_reconstructs_exactly():
+    """Unlike IC(0), the filled factor reproduces A to rounding."""
+    rng = np.random.default_rng(0)
+    for n in (5, 37, 120):
+        a, d = _spd_csr(rng, n)
+        for reorder in ("natural", "rcm"):
+            f = chol(a, reorder=reorder)
+            ld = f.l.to_dense()
+            dp = d if f.perm is None else d[np.ix_(f.perm, f.perm)]
+            np.testing.assert_allclose(ld @ ld.T, dp, rtol=1e-12, atol=1e-12)
+            np.testing.assert_allclose(f.u.to_dense(), ld.T, rtol=0, atol=0)
+
+
+def test_chol_solve_exact():
+    rng = np.random.default_rng(1)
+    a, d = _spd_csr(rng, 90)
+    b = rng.standard_normal(90)
+    x = chol_solve(chol(a), b)
+    np.testing.assert_allclose(d @ x, b, rtol=1e-11, atol=1e-11)
+    # block RHS
+    B = rng.standard_normal((90, 3))
+    X = chol_solve(chol(a), B)
+    np.testing.assert_allclose(d @ X, B, rtol=1e-11, atol=1e-11)
+
+
+def test_chol_python_fallback_bit_parity():
+    """The Python fallback runs the SAME algorithm as the native kernel."""
+    from sparse_matrix_tpu.native import chol_native
+
+    rng = np.random.default_rng(2)
+    a, _ = _spd_csr(rng, 60)
+    vals = a.vals.astype(np.float64)
+    got = _chol_python(a.rows, a.offsets, a.indices.astype(np.int64), vals)
+    want = chol_native(a.rows, a.offsets, a.indices, vals)
+    if want is None:
+        pytest.skip("native runtime unavailable")
+    np.testing.assert_array_equal(got[0], want[0])  # identical pattern
+    np.testing.assert_array_equal(got[1], want[1])
+    # values: same algorithm, but -O3 -march=native contracts the
+    # d -= lki*lki updates into FMAs — equal to a few ulps, not bits
+    np.testing.assert_allclose(got[2], want[2], rtol=1e-13, atol=1e-15)
+
+
+def test_chol_not_spd_raises():
+    d = np.array([[1.0, 2.0], [2.0, 1.0]])  # indefinite
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    with pytest.raises(ValueError, match="non-positive pivot"):
+        chol(a, reorder="natural")
+    with pytest.raises(ValueError, match="square"):
+        chol(CsrMatrix.from_dok(DokMatrix.from_dense(np.ones((2, 3)))))
+
+
+def test_chol_poisson_rcm_fill_and_solve():
+    """RCM confines fill to the band; solve is exact at 64^2."""
+    p = poisson_2d_csr(64, dtype=np.float64)
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(p.rows)
+    f = chol(p)
+    assert f.l.nnz() < 15 * p.nnz()  # banded fill, not dense blowup
+    x = chol_solve(f, b)
+    rid = p.row_ids()
+    ax = np.zeros(p.rows)
+    np.add.at(ax, rid, p.vals * x[p.indices.astype(np.int64)])
+    np.testing.assert_allclose(ax, b, rtol=1e-12, atol=1e-12)
+
+
+def test_solve_method_direct():
+    from sparse_matrix_tpu.solvers import solve
+
+    rng = np.random.default_rng(4)
+    a, d = _spd_csr(rng, 70)
+    b = rng.standard_normal(70)
+    res = solve(a, b, method="direct")
+    assert float(res.residual_norm) < 1e-10 * np.linalg.norm(b) + 1e-12
+    np.testing.assert_allclose(d @ np.asarray(res.x), b, rtol=1e-10, atol=1e-10)
+    with pytest.raises(ValueError, match="unknown method"):
+        solve(a, b, method="qr")
+
+
+def test_spsolve_chol_matches_dense():
+    rng = np.random.default_rng(5)
+    a, d = _spd_csr(rng, 50)
+    b = rng.standard_normal(50)
+    np.testing.assert_allclose(
+        spsolve_chol(a, b), np.linalg.solve(d, b), rtol=1e-9, atol=1e-11
+    )

@@ -65,6 +65,9 @@ for trial in range(25):
     t = tentative_prolongator(agg, na, dtype=a.vals.dtype)
     ps = loader.colmap_smoothed_native(a, rng.random(n), t)
     assert ps is not None and ps.cols == na
+    lp, li, lx = loader.chol_native(a.rows, a.offsets, a.indices,
+                                    a.vals.astype(np.float64))
+    assert lp[-1] >= a.rows and np.isfinite(lx).all()
     f = ilu0(a)
     ft = ilut(a, tau=float(rng.random() * 0.1), p=int(rng.integers(1, 12)))
     b = rng.standard_normal(n)
