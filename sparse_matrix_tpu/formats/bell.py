@@ -368,11 +368,44 @@ def plan_bell(
         )
 
     if span is None:
-        span = estimate_bell(m, max_layers=max_layers)["span"]
+        # pick the span from FULL-matrix layer keys, not the sampled
+        # estimate: row-band sampling changes the distinct-offset set and
+        # with it every greedy bucket boundary — on femlike_262k the
+        # sampled estimate saw 9 layers for BOTH spans and picked the
+        # 5 B/slot span 128, while the full matrix packs span 128 into 18
+        # half-filled layers (fill 0.43) vs span 256's 9 (fill 0.86).
+        # plan_bell is already O(nnz log nnz); one extra key pass per
+        # operator is dispatch-grade cheap next to shipping the wrong plan.
+        from ..utils import autotune
 
-    order, d_s, r_s, c_s, k, lkey, kmax, dmin = _layer_keys(m, span)
+        dense_ns = autotune.get("lanepack_dense_slab_ns")
+        best = None
+        for cand in _SPANS:
+            keys = _layer_keys(m, cand)
+            kept_c, mask_c = _spill_decision(
+                keys[5], keys[2], r128, max_layers=max_layers
+            )
+            layers = len(kept_c)
+            if layers:
+                kd = kept_c // keys[6] + keys[7]
+                dspan = int(kd.max() - kd.min() + 1)
+                dmax = int(kd.max())
+            else:
+                dspan, dmax = 0, 0
+            sb = _slot_bytes_per(cand)
+            br = pick_br(max(layers, 1), dmax, sb)
+            spill_nnz = int(mask_c.sum())
+            cost = layers * r128 * bell_chunk_ns(br, dspan) * (sb / 5.0) + -(
+                -spill_nnz // SLOTS
+            ) * dense_ns
+            if best is None or cost < best[0]:
+                best = (cost, cand, keys, kept_c, mask_c)
+        _, span, keys, kept, spill_mask = best
+        order, d_s, r_s, c_s, k, lkey, kmax, dmin = keys
+    else:
+        order, d_s, r_s, c_s, k, lkey, kmax, dmin = _layer_keys(m, span)
+        kept, spill_mask = _spill_decision(lkey, r_s, r128, max_layers=max_layers)
     v_s = m.vals[order].astype(dtype)
-    kept, spill_mask = _spill_decision(lkey, r_s, r128, max_layers=max_layers)
 
     spill_plan = None
     if spill_mask.any():
