@@ -32,6 +32,7 @@ from .loader import (  # noqa: F401
     colmap_spgemm_native,
     colmap_smoothed_native,
     chol_native,
+    ldl_native,
     colsplit_native,
     load_library,
 )

@@ -37,6 +37,7 @@ __all__ = [
     "colmap_spgemm_native",
     "colmap_smoothed_native",
     "chol_native",
+    "ldl_native",
     "colsplit_native",
 ]
 
@@ -191,6 +192,8 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.spmx_chol_symbolic.argtypes = [c_i64, _I64P, _U32P, _I64P, _I64P]
     lib.spmx_chol_numeric.restype = c_i64
     lib.spmx_chol_numeric.argtypes = [c_i64, _I64P, _U32P, _F64P, _I64P, _I64P, _I64P, _F64P]
+    lib.spmx_ldl_numeric.restype = c_i64
+    lib.spmx_ldl_numeric.argtypes = [c_i64, _I64P, _U32P, _F64P, _I64P, _I64P, _I64P, _F64P, _F64P]
     lib.spmx_spgemm_symbolic_spa.argtypes = [
         c_i64, c_i64, _I64P, _U32P, _I64P, _U32P, _I64P, c_i64, c_int, _I64P,
     ]
@@ -320,6 +323,34 @@ def chol_native(n, offsets, indices, vals):
     if rc >= 0:
         raise ValueError(f"chol: non-positive pivot in column {rc} (input not SPD?)")
     return lp, li, lx
+
+
+def ldl_native(n, offsets, indices, vals):
+    """Sparse LDL^T (Davis's algorithm; native). Input: full symmetric
+    sorted CSR. Returns ``(lp, li, lx, d)`` — STRICT L by columns (= CSR
+    of strict L^T, unit diagonal implied) plus the diagonal ``d`` — or
+    None when the library is unavailable. Raises on a zero pivot."""
+    lib = load_library()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.uint32)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    parent = np.empty(n, dtype=np.int64)
+    lib.spmx_etree(n, offsets, indices, parent)
+    colcount = np.empty(n, dtype=np.int64)
+    lib.spmx_chol_symbolic(n, offsets, indices, parent, colcount)
+    colcount -= 1  # strict part only (no stored unit diagonal)
+    lp = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(colcount, out=lp[1:])
+    nnz_l = int(lp[-1])
+    li = np.empty(max(1, nnz_l), dtype=np.int64)
+    lx = np.empty(max(1, nnz_l), dtype=np.float64)
+    d = np.empty(n, dtype=np.float64)
+    rc = int(lib.spmx_ldl_numeric(n, offsets, indices, vals, parent, lp, li, lx, d))
+    if rc >= 0:
+        raise ValueError(f"ldl: zero pivot in column {rc}")
+    return lp, li, lx, d
 
 
 def colmap_smoothed_native(a, ws, rhs):

@@ -1577,3 +1577,41 @@ extern "C" i64 spmx_chol_numeric(i64 n, const i64* offsets, const u32* indices,
   }
   return -1;
 }
+
+// LDL^T variant (Davis's LDL algorithm): same etree/symbolic phases as
+// Cholesky, no square roots — factors symmetric INDEFINITE matrices
+// (no pivoting: caller documents the quasi-definite caveat). L is UNIT
+// lower by columns (diagonal NOT stored; lp counts exclude it), D
+// separate. Returns -1 or the first column with d == 0.
+extern "C" i64 spmx_ldl_numeric(i64 n, const i64* offsets, const u32* indices,
+                                const double* vals, const i64* parent,
+                                const i64* lp, i64* li, double* lx,
+                                double* d /* n, out */) {
+  std::vector<i64> w((size_t)n, -1), s((size_t)n), c((size_t)n);
+  std::vector<double> y((size_t)n, 0.0);
+  for (i64 i = 0; i < n; ++i) c[(size_t)i] = lp[i];
+  for (i64 k = 0; k < n; ++k) {
+    i64 top = chol_ereach(k, offsets, indices, parent, w.data(), s.data(), n);
+    d[k] = 0.0;
+    for (i64 p = offsets[k]; p < offsets[k + 1]; ++p) {
+      i64 j = (i64)indices[p];
+      if (j > k) break;
+      if (j == k) d[k] = vals[p];
+      else y[(size_t)j] = vals[p];
+    }
+    for (; top < n; ++top) {
+      i64 i = s[(size_t)top];
+      double yi = y[(size_t)i];
+      y[(size_t)i] = 0.0;
+      double lki = yi / d[i];
+      for (i64 p = lp[i]; p < c[(size_t)i]; ++p)
+        y[(size_t)li[p]] -= lx[p] * yi;
+      d[k] -= lki * yi;
+      i64 q = c[(size_t)i]++;
+      li[q] = k;
+      lx[q] = lki;
+    }
+    if (d[k] == 0.0) return k;
+  }
+  return -1;
+}

@@ -50,7 +50,15 @@ from .ilu import (  # noqa: F401
     trisolve_host,
 )
 from .svd import SvdResult, svds, svds_csr  # noqa: F401
-from .cholesky import CholFactor, chol, chol_solve, spsolve_chol  # noqa: F401
+from .cholesky import (  # noqa: F401
+    CholFactor,
+    LdlFactor,
+    chol,
+    chol_solve,
+    ldl,
+    ldl_solve,
+    spsolve_chol,
+)
 from .chebyshev import chebyshev_solve  # noqa: F401
 from .block_jacobi import (  # noqa: F401
     block_jacobi_preconditioner,

@@ -27,7 +27,10 @@ from typing import NamedTuple, Optional
 
 import numpy as np
 
-__all__ = ["CholFactor", "chol", "chol_solve", "spsolve_chol"]
+__all__ = [
+    "CholFactor", "chol", "chol_solve", "spsolve_chol",
+    "LdlFactor", "ldl", "ldl_solve",
+]
 
 
 class CholFactor(NamedTuple):
@@ -173,3 +176,119 @@ def chol_solve(f: CholFactor, b) -> np.ndarray:
 def spsolve_chol(a, b, **kw) -> np.ndarray:
     """One-call exact SPD solve: ``chol`` + ``chol_solve``."""
     return chol_solve(chol(a, **kw), b)
+
+
+# -- LDL^T: symmetric INDEFINITE direct factorization -----------------------
+
+
+class LdlFactor(NamedTuple):
+    l: object  # CsrMatrix, UNIT lower (explicit 1.0 diagonal), f64
+    u: object  # CsrMatrix, unit upper = L^T
+    d: np.ndarray  # diagonal of D (f64; may be negative)
+    perm: Optional[np.ndarray]
+
+
+def _ldl_python(n, offsets, indices, vals):
+    """Davis's LDL recurrence, same phases as ``spmx_ldl_numeric``."""
+    parent = _etree_python(n, offsets, indices)
+    w = np.full(n, -1, dtype=np.int64)
+    s = np.empty(n, dtype=np.int64)
+    colcount = np.zeros(n, dtype=np.int64)  # strict part
+    for k in range(n):
+        top = _ereach_python(k, offsets, indices, parent, w, s)
+        for t in range(top, n):
+            colcount[s[t]] += 1
+    lp = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(colcount, out=lp[1:])
+    li = np.empty(max(1, int(lp[-1])), dtype=np.int64)
+    lx = np.empty(max(1, int(lp[-1])), dtype=np.float64)
+    d = np.empty(n, dtype=np.float64)
+    c = lp[:-1].copy()
+    y = np.zeros(n, dtype=np.float64)
+    w[:] = -1
+    for k in range(n):
+        top = _ereach_python(k, offsets, indices, parent, w, s)
+        d[k] = 0.0
+        for p in range(int(offsets[k]), int(offsets[k + 1])):
+            j = int(indices[p])
+            if j > k:
+                break
+            if j == k:
+                d[k] = float(vals[p])
+            else:
+                y[j] = float(vals[p])
+        for t in range(top, n):
+            i = int(s[t])
+            yi = y[i]
+            y[i] = 0.0
+            lki = yi / d[i]
+            for p in range(int(lp[i]), int(c[i])):
+                y[li[p]] -= lx[p] * yi
+            d[k] -= lki * yi
+            li[c[i]] = k
+            lx[c[i]] = lki
+            c[i] += 1
+        if d[k] == 0.0:
+            raise ValueError(f"ldl: zero pivot in column {k}")
+    return lp, li, lx, d
+
+
+def ldl(a, *, reorder: str = "rcm") -> LdlFactor:
+    """Exact sparse ``A = L D L^T`` for symmetric ``a`` — no square roots,
+    so INDEFINITE matrices factor too (e.g. shift-inverted operators
+    ``A - sigma I``). No pivoting: numerically safe for quasi-definite /
+    diagonally-dominant inputs; a zero pivot raises."""
+    from ..formats.csr import CsrMatrix
+    from ..native import ldl_native
+
+    if a.rows != a.cols:
+        raise ValueError("ldl requires a square matrix")
+    if not a.is_sorted:
+        raise ValueError("ldl requires sorted CSR (use from_dok / sort first)")
+    perm = None
+    if reorder == "rcm":
+        from ..formats.reorder import rcm_reordered
+
+        a, perm = rcm_reordered(a)
+    elif reorder != "natural":
+        raise ValueError(f"unknown reorder {reorder!r} (rcm|natural)")
+
+    vals = a.vals.astype(np.float64)
+    out = ldl_native(a.rows, a.offsets, a.indices, vals)
+    if out is None:
+        out = _ldl_python(a.rows, a.offsets, a.indices.astype(np.int64), vals)
+    lp, li, lx, d = out
+    # strict L by columns = CSR of strict U; add explicit unit diagonals
+    u_strict = CsrMatrix(
+        a.rows, a.cols, lx, li.astype(np.uint32), lp, is_sorted=True
+    )
+    eye_r = np.arange(a.rows, dtype=np.int64)
+    rid = u_strict.row_ids()
+    cid = u_strict.indices.astype(np.int64)
+    u = CsrMatrix.from_coo(
+        a.rows, a.cols,
+        np.concatenate([rid, eye_r]),
+        np.concatenate([cid, eye_r]),
+        np.concatenate([u_strict.vals, np.ones(a.rows)]),
+    )
+    return LdlFactor(l=u.transpose(), u=u, d=d, perm=perm)
+
+
+def ldl_solve(f: LdlFactor, b) -> np.ndarray:
+    """Exact solve ``A x = b`` from a :class:`LdlFactor` (host, f64)."""
+    from .ilu import trisolve_host
+
+    b = np.asarray(b, dtype=np.float64)
+    one_d = b.ndim == 1
+    bb = b[:, None] if one_d else b
+    out = np.empty_like(bb)
+    for k in range(bb.shape[1]):
+        rhs = bb[:, k] if f.perm is None else bb[f.perm, k]
+        y = trisolve_host(f.l, rhs, lower=True, unit=True)
+        z = y / f.d
+        x = trisolve_host(f.u, z, lower=False, unit=True)
+        if f.perm is None:
+            out[:, k] = x
+        else:
+            out[f.perm, k] = x
+    return out[:, 0] if one_d else out

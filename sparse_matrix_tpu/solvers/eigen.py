@@ -94,6 +94,7 @@ def inverse_power_iteration(
     inner_tol: float = 1e-6,
     inner_maxiter: int = 500,
     seed: int = 0,
+    direct_a=None,
 ) -> PowerResult:
     """Eigenpair of a symmetric operator by (shift-)inverse iteration, with
     the linear solves done by the library's own solvers — solvers
@@ -102,13 +103,30 @@ def inverse_power_iteration(
     ``sigma = 0`` (default): smallest eigenpair of an SPD operator, inner
     solves by CG. ``sigma != 0``: the eigenpair NEAREST ``sigma``
     (shift-invert); ``A - sigma I`` is symmetric indefinite, so the inner
-    solves switch to MINRES. Returns the eigenvalue of ``A`` itself (the
-    Rayleigh quotient), not of the shifted operator.
+    solves switch to MINRES — or, when ``direct_a`` carries the host CSR
+    of ``A``, to EXACT host solves from one up-front LDL^T factorization
+    (``solvers/cholesky.py``; indefinite-safe, no per-iteration Krylov
+    cost). Returns the eigenvalue of ``A`` itself (the Rayleigh
+    quotient), not of the shifted operator.
     """
     from .cg import cg_solve
     from .minres import minres_solve
 
-    if sigma == 0.0:
+    if direct_a is not None:
+        from ..formats.construct import eye as _speye
+        from .cholesky import ldl, ldl_solve
+
+        shifted = direct_a
+        if sigma != 0.0:
+            sh = _speye(direct_a.rows, dtype=np.float64)
+            sh.vals[:] = -sigma
+            shifted = direct_a + sh
+        fac = ldl(shifted)
+        solve = lambda rhs: jnp.asarray(  # noqa: E731
+            ldl_solve(fac, np.asarray(rhs)).astype(np.float32)
+        )
+        op = matvec
+    elif sigma == 0.0:
         solve = lambda rhs: cg_solve(  # noqa: E731
             matvec, rhs, tol=inner_tol, maxiter=inner_maxiter
         ).x

@@ -102,3 +102,62 @@ def test_spsolve_chol_matches_dense():
     np.testing.assert_allclose(
         spsolve_chol(a, b), np.linalg.solve(d, b), rtol=1e-9, atol=1e-11
     )
+
+
+def test_ldl_indefinite_exact():
+    """LDL^T factors a genuinely indefinite shifted operator exactly
+    (the shift-invert use case Cholesky cannot touch)."""
+    from sparse_matrix_tpu.solvers import ldl, ldl_solve
+    from sparse_matrix_tpu.formats.construct import eye as speye
+
+    rng = np.random.default_rng(7)
+    p = poisson_2d_csr(16, dtype=np.float64)  # eigs in (0, 8)
+    sigma = 3.7  # mid-spectrum (not 4.0: that zeroes the stencil diagonal)
+    shift = speye(p.rows, dtype=np.float64)
+    shift.vals[:] = -sigma
+    sh = p + shift
+    dense = sh.to_dense()
+    ev = np.linalg.eigvalsh(dense)
+    assert ev.min() < 0 < ev.max()  # really indefinite
+    with pytest.raises(ValueError, match="non-positive pivot"):
+        chol(sh)
+    f = ldl(sh)
+    ld = f.l.to_dense()
+    dp = dense[np.ix_(f.perm, f.perm)]
+    np.testing.assert_allclose(ld @ np.diag(f.d) @ ld.T, dp, rtol=1e-9, atol=1e-9)
+    assert (f.d < 0).any() and (f.d > 0).any()  # inertia shows
+    b = rng.standard_normal(p.rows)
+    x = ldl_solve(f, b)
+    np.testing.assert_allclose(dense @ x, b, rtol=1e-8, atol=1e-8)
+
+
+def test_ldl_python_fallback_parity():
+    from sparse_matrix_tpu.native import ldl_native
+    from sparse_matrix_tpu.solvers.cholesky import _ldl_python
+
+    rng = np.random.default_rng(8)
+    a, _ = _spd_csr(rng, 50)
+    vals = a.vals.astype(np.float64)
+    want = ldl_native(a.rows, a.offsets, a.indices, vals)
+    if want is None:
+        pytest.skip("native runtime unavailable")
+    got = _ldl_python(a.rows, a.offsets, a.indices.astype(np.int64), vals)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+    np.testing.assert_allclose(got[2], want[2], rtol=1e-13, atol=1e-15)
+    np.testing.assert_allclose(got[3], want[3], rtol=1e-13, atol=1e-15)
+
+
+def test_ldl_matches_chol_on_spd():
+    """On SPD input, L_chol = L_ldl sqrt(D)."""
+    from sparse_matrix_tpu.solvers import ldl
+
+    rng = np.random.default_rng(9)
+    a, _ = _spd_csr(rng, 40)
+    fc = chol(a, reorder="natural")
+    fl = ldl(a, reorder="natural")
+    assert (fl.d > 0).all()
+    np.testing.assert_allclose(
+        fl.l.to_dense() @ np.diag(np.sqrt(fl.d)), fc.l.to_dense(),
+        rtol=1e-10, atol=1e-12,
+    )

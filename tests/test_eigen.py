@@ -73,3 +73,29 @@ def test_shift_invert_finds_interior_eigenvalue():
     lam = float(res.eigenvalue)
     nearest = float(ev[np.argmin(np.abs(ev - sigma))])
     assert abs(lam - nearest) < 1e-3 * max(1.0, abs(nearest)), (lam, nearest, sigma)
+
+
+def test_shift_invert_direct_ldl_inner():
+    """direct_a= routes the inner solves through one exact LDL^T
+    factorization of A - sigma I (indefinite-safe, no Krylov inner)."""
+    import numpy as np
+
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+    from sparse_matrix_tpu.solvers import inverse_power_iteration, poisson_2d_csr
+
+    p = poisson_2d_csr(10, dtype=np.float32)
+    ev = np.linalg.eigvalsh(p.to_dense().astype(np.float64))
+    gaps = np.diff(ev)
+    # interior target with non-degenerate gaps on both sides (the 2-D
+    # Laplacian spectrum has exact multiplicities; sigma must not land ON
+    # an eigenvalue or the shifted operator is singular)
+    ok = np.nonzero((gaps[:-1] > 1e-3) & (gaps[1:] > 1e-3))[0] + 1
+    target_idx = int(ok[len(ok) // 2])
+    sigma = float(ev[target_idx]) + 0.3 * float(min(gaps[target_idx - 1], gaps[target_idx]))
+    res = inverse_power_iteration(
+        SpmvOperator(p, dtype=np.float32), p.rows, sigma=sigma,
+        tol=1e-6, direct_a=p,
+    )
+    lam = float(res.eigenvalue)
+    nearest = float(ev[np.argmin(np.abs(ev - sigma))])
+    assert abs(lam - nearest) < 1e-3 * max(1.0, abs(nearest)), (lam, nearest, sigma)

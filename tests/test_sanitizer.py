@@ -68,6 +68,9 @@ for trial in range(25):
     lp, li, lx = loader.chol_native(a.rows, a.offsets, a.indices,
                                     a.vals.astype(np.float64))
     assert lp[-1] >= a.rows and np.isfinite(lx).all()
+    lp2, li2, lx2, dd = loader.ldl_native(a.rows, a.offsets, a.indices,
+                                          a.vals.astype(np.float64))
+    assert np.isfinite(lx2).all() and (dd > 0).all()
     f = ilu0(a)
     ft = ilut(a, tau=float(rng.random() * 0.1), p=int(rng.integers(1, 12)))
     b = rng.standard_normal(n)
