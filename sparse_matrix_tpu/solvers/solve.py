@@ -65,9 +65,12 @@ def solve(
     b = np.asarray(b)
 
     if method == "direct":
-        from .cholesky import spsolve_chol
+        from .cholesky import chol_solve, chol, ldl, ldl_solve
 
-        x = spsolve_chol(a, b)
+        try:
+            x = chol_solve(chol(a), b)
+        except ValueError:  # non-positive pivot: symmetric indefinite
+            x = ldl_solve(ldl(a), b)
         rid = a.row_ids()
         ax = np.zeros(a.rows, np.float64)
         np.add.at(ax, rid, a.vals.astype(np.float64) * x[a.indices.astype(np.int64)])
