@@ -33,6 +33,7 @@ from .loader import (  # noqa: F401
     colmap_smoothed_native,
     chol_native,
     ldl_native,
+    lu_native,
     colsplit_native,
     load_library,
 )

@@ -38,6 +38,7 @@ __all__ = [
     "colmap_smoothed_native",
     "chol_native",
     "ldl_native",
+    "lu_native",
     "colsplit_native",
 ]
 
@@ -194,6 +195,11 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.spmx_chol_numeric.argtypes = [c_i64, _I64P, _U32P, _F64P, _I64P, _I64P, _I64P, _F64P]
     lib.spmx_ldl_numeric.restype = c_i64
     lib.spmx_ldl_numeric.argtypes = [c_i64, _I64P, _U32P, _F64P, _I64P, _I64P, _I64P, _F64P, _F64P]
+    lib.spmx_lu.restype = c_i64
+    lib.spmx_lu.argtypes = [
+        c_i64, _I64P, _I64P, _F64P, c_i64, c_i64,
+        _I64P, _I64P, _F64P, _I64P, _I64P, _F64P, _I64P, _I64P,
+    ]
     lib.spmx_spgemm_symbolic_spa.argtypes = [
         c_i64, c_i64, _I64P, _U32P, _I64P, _U32P, _I64P, c_i64, c_int, _I64P,
     ]
@@ -351,6 +357,40 @@ def ldl_native(n, offsets, indices, vals):
     if rc >= 0:
         raise ValueError(f"ldl: zero pivot in column {rc}")
     return lp, li, lx, d
+
+
+def lu_native(n, bp, bi, bx):
+    """Sparse LU with partial pivoting (Gilbert-Peierls; native). Input:
+    the matrix by COLUMNS (CSC arrays). Returns ``(lp, li, lx, up, ui,
+    ux, pinv)`` — L (unit diagonal stored, row indices in pivot
+    positions) and U by columns — or None when the library is
+    unavailable. Raises ValueError on a singular column."""
+    lib = load_library()
+    if lib is None:
+        return None
+    bp = np.ascontiguousarray(bp, dtype=np.int64)
+    bi = np.ascontiguousarray(bi, dtype=np.int64)
+    bx = np.ascontiguousarray(bx, dtype=np.float64)
+    nnz = int(bp[-1])
+    cap = max(16, 8 * nnz)
+    while True:
+        lp = np.empty(n + 1, dtype=np.int64)
+        li = np.empty(cap, dtype=np.int64)
+        lx = np.empty(cap, dtype=np.float64)
+        up = np.empty(n + 1, dtype=np.int64)
+        ui = np.empty(cap, dtype=np.int64)
+        ux = np.empty(cap, dtype=np.float64)
+        pinv = np.empty(n, dtype=np.int64)
+        sizes = np.zeros(2, dtype=np.int64)
+        rc = int(lib.spmx_lu(n, bp, bi, bx, cap, cap, lp, li, lx, up, ui, ux,
+                             pinv, sizes))
+        if rc == -2:
+            cap *= 4
+            continue
+        if rc <= -3:
+            raise ValueError(f"lu: singular at column {-(rc + 3)}")
+        lnz, unz = int(sizes[0]), int(sizes[1])
+        return lp, li[:lnz], lx[:lnz], up, ui[:unz], ux[:unz], pinv
 
 
 def colmap_smoothed_native(a, ws, rhs):

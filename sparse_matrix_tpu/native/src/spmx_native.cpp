@@ -1615,3 +1615,134 @@ extern "C" i64 spmx_ldl_numeric(i64 n, const i64* offsets, const u32* indices,
   }
   return -1;
 }
+
+// ---------------------------------------------------------------------------
+// Sparse LU with partial pivoting (left-looking Gilbert-Peierls — the
+// CSparse cs_lu family; solvers/cholesky.py::lu). Input is the matrix by
+// COLUMNS (CSC = CSR of A^T); outputs L (unit diagonal stored) and U by
+// columns plus the row-pivot map pinv (original row -> pivot position).
+// Fill is pivot-dependent, so the caller passes capacities and retries
+// on -2 (capacity exceeded); a structurally/numerically singular column
+// k returns -(k+3).
+// ---------------------------------------------------------------------------
+
+// DFS from column-j start nodes over the graph of finished L columns;
+// emits the reach in topological order at xi[top..n). w: visit stamps.
+static i64 lu_reach(i64 n, const i64* bp, const i64* bi, i64 j,
+                    const i64* lp, const i64* li, const i64* lnzc,
+                    const i64* pinv, i64* w, i64 stamp, i64* xi, i64* pstack) {
+  i64 top = n;
+  for (i64 p = bp[j]; p < bp[j + 1]; ++p) {
+    i64 i = bi[p];
+    if (w[i] == stamp) continue;
+    // iterative DFS
+    i64 head = 0;
+    xi[0] = i;
+    while (head >= 0) {
+      i64 node = xi[head];
+      i64 jj = pinv[node];  // finished column this row pivots, or -1
+      if (w[node] != stamp) {
+        w[node] = stamp;
+        pstack[head] = (jj < 0) ? 0 : lp[jj];
+      }
+      bool done = true;
+      if (jj >= 0) {
+        i64 pend = lnzc[jj];
+        i64 q = pstack[head];
+        for (; q < pend; ++q) {
+          i64 nxt = li[q];
+          if (w[nxt] != stamp) {
+            pstack[head] = q + 1;
+            xi[++head] = nxt;
+            done = false;
+            break;
+          }
+        }
+      }
+      if (done) {
+        --head;
+        xi[--top] = node;
+      }
+    }
+  }
+  return top;
+}
+
+extern "C" i64 spmx_lu(i64 n, const i64* bp, const i64* bi, const double* bx,
+                       i64 cap_l, i64 cap_u, i64* lp, i64* li, double* lx,
+                       i64* up, i64* ui, double* ux, i64* pinv,
+                       i64* out_sizes /* 2: lnz, unz */) {
+  std::vector<i64> w((size_t)n, -1), xi((size_t)n), pstack((size_t)n);
+  std::vector<i64> lnzc((size_t)n, 0);  // per-column L end (reach needs it)
+  std::vector<double> x((size_t)n, 0.0);
+  std::vector<i64> rowof((size_t)n, -1);  // pivot position -> original row
+  for (i64 i = 0; i < n; ++i) pinv[i] = -1;
+  i64 lnz = 0, unz = 0;
+  for (i64 k = 0; k < n; ++k) {
+    lp[k] = lnz;
+    up[k] = unz;
+    i64 top = lu_reach(n, bp, bi, k, lp, li, lnzc.data(), pinv, w.data(), k,
+                       xi.data(), pstack.data());
+    // numeric sparse solve x = L \ B(:,k) in topological order
+    for (i64 p = bp[k]; p < bp[k + 1]; ++p) x[bi[p]] = bx[p];
+    for (i64 t = top; t < n; ++t) {
+      i64 i = xi[(size_t)t];
+      i64 jj = pinv[i];
+      if (jj < 0) continue;
+      double xv = x[(size_t)i];
+      if (xv == 0.0) continue;
+      for (i64 p = lp[jj] + 1; p < lnzc[(size_t)jj]; ++p)
+        x[(size_t)li[p]] -= lx[p] * xv;
+    }
+    // pivot: largest |x| among not-yet-pivotal rows
+    double amax = -1.0;
+    i64 ipiv = -1;
+    i64 n_l = 0;
+    for (i64 t = top; t < n; ++t) {
+      i64 i = xi[(size_t)t];
+      if (pinv[i] < 0) {
+        ++n_l;
+        double v = std::fabs(x[(size_t)i]);
+        if (v > amax) { amax = v; ipiv = i; }
+      }
+    }
+    if (ipiv < 0 || amax <= 0.0) {
+      for (i64 t = top; t < n; ++t) x[(size_t)xi[(size_t)t]] = 0.0;
+      return -(k + 3);  // singular
+    }
+    if (unz + (n - top) + 1 > cap_u || lnz + n_l + 1 > cap_l) return -2;
+    double pivot = x[(size_t)ipiv];
+    pinv[ipiv] = k;
+    rowof[(size_t)k] = ipiv;
+    // U(:,k): rows already pivotal (by pivot position), then the diagonal
+    for (i64 t = top; t < n; ++t) {
+      i64 i = xi[(size_t)t];
+      if (pinv[i] >= 0 && i != ipiv) {
+        ui[unz] = pinv[i];
+        ux[unz++] = x[(size_t)i];
+      }
+    }
+    ui[unz] = k;
+    ux[unz++] = pivot;
+    // L(:,k): unit diagonal first, then non-pivotal rows scaled
+    li[lnz] = ipiv;  // original-row index for now; remapped at the end
+    lx[lnz++] = 1.0;
+    for (i64 t = top; t < n; ++t) {
+      i64 i = xi[(size_t)t];
+      if (pinv[i] < 0) {
+        li[lnz] = i;
+        lx[lnz++] = x[(size_t)i] / pivot;
+      }
+      x[(size_t)i] = 0.0;
+    }
+    lnzc[(size_t)k] = lnz;
+  }
+  lp[n] = lnz;
+  up[n] = unz;
+  // remap L's row indices from original rows to pivot positions: rows
+  // still unpivoted cannot remain (every row pivots exactly once)
+  for (i64 p = 0; p < lnz; ++p) li[p] = pinv[li[p]];
+  out_sizes[0] = lnz;
+  out_sizes[1] = unz;
+  return 0;
+}

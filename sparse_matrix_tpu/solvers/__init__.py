@@ -53,10 +53,13 @@ from .svd import SvdResult, svds, svds_csr  # noqa: F401
 from .cholesky import (  # noqa: F401
     CholFactor,
     LdlFactor,
+    LuFactor,
     chol,
     chol_solve,
     ldl,
     ldl_solve,
+    lu,
+    lu_solve,
     spsolve_chol,
 )
 from .chebyshev import chebyshev_solve  # noqa: F401

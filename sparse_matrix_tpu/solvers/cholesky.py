@@ -30,6 +30,7 @@ import numpy as np
 __all__ = [
     "CholFactor", "chol", "chol_solve", "spsolve_chol",
     "LdlFactor", "ldl", "ldl_solve",
+    "LuFactor", "lu", "lu_solve",
 ]
 
 
@@ -291,4 +292,163 @@ def ldl_solve(f: LdlFactor, b) -> np.ndarray:
             out[:, k] = x
         else:
             out[f.perm, k] = x
+    return out[:, 0] if one_d else out
+
+
+# -- LU with partial pivoting: the UNSYMMETRIC direct factorization ----------
+
+
+class LuFactor(NamedTuple):
+    l: object  # CsrMatrix, unit lower (pivot-position rows), f64
+    u: object  # CsrMatrix, upper triangular, f64
+    pinv: np.ndarray  # original row -> pivot position
+    q: Optional[np.ndarray]  # column order factored (A[:, q]); None = natural
+
+
+def _csc_of_columns(a, q):
+    """CSC arrays of ``A[:, q]``: CSR of A^T with its rows taken in order
+    ``q`` (a column of A is a row of A^T)."""
+    at = a.transpose()
+    offs = np.asarray(at.offsets)
+    lens = np.diff(offs)
+    if q is None:
+        return offs.astype(np.int64), at.indices.astype(np.int64), at.vals
+    lens_q = lens[q]
+    bp = np.zeros(len(q) + 1, dtype=np.int64)
+    np.cumsum(lens_q, out=bp[1:])
+    total = int(bp[-1])
+    starts = offs[:-1][q]
+    gather = np.repeat(starts - bp[:-1], lens_q) + np.arange(total)
+    return bp, at.indices[gather].astype(np.int64), at.vals[gather]
+
+
+def _lu_python(n, bp, bi, bx):
+    """Gilbert-Peierls left-looking LU, same semantics as ``spmx_lu``."""
+    lp = [0]
+    li, lx, up, ui, ux = [], [], [], [], []
+    pinv = np.full(n, -1, dtype=np.int64)
+    x = np.zeros(n, dtype=np.float64)
+    w = np.full(n, -1, dtype=np.int64)
+    for k in range(n):
+        # reach by DFS over finished L columns
+        topo = []
+        for p in range(int(bp[k]), int(bp[k + 1])):
+            start = int(bi[p])
+            if w[start] == k:
+                continue
+            stack = [(start, None)]
+            while stack:
+                node, it = stack[-1]
+                jj = int(pinv[node])
+                if w[node] != k:
+                    w[node] = k
+                    it = iter(range(lp[jj] + 1, lp[jj + 1]) if jj >= 0 else ())
+                    stack[-1] = (node, it)
+                advanced = False
+                for pp in it:
+                    nxt = int(li[pp])
+                    if w[nxt] != k:
+                        stack.append((nxt, None))
+                        advanced = True
+                        break
+                if not advanced:
+                    stack.pop()
+                    topo.append(node)
+        topo.reverse()
+        for p in range(int(bp[k]), int(bp[k + 1])):
+            x[int(bi[p])] = bx[p]
+        for i in topo:
+            jj = int(pinv[i])
+            if jj < 0 or x[i] == 0.0:
+                continue
+            xv = x[i]
+            for pp in range(lp[jj] + 1, lp[jj + 1]):
+                x[int(li[pp])] -= lx[pp] * xv
+        ipiv, amax = -1, -1.0
+        for i in topo:
+            if pinv[i] < 0 and abs(x[i]) > amax:
+                amax, ipiv = abs(x[i]), i
+        if ipiv < 0 or amax <= 0.0:
+            raise ValueError(f"lu: singular at column {k}")
+        pivot = x[ipiv]
+        pinv[ipiv] = k
+        for i in topo:
+            if int(pinv[i]) >= 0 and i != ipiv:
+                ui.append(int(pinv[i]))
+                ux.append(x[i])
+        ui.append(k)
+        ux.append(pivot)
+        li.append(ipiv)
+        lx.append(1.0)
+        for i in topo:
+            if pinv[i] < 0:
+                li.append(i)
+                lx.append(x[i] / pivot)
+            x[i] = 0.0
+        x[ipiv] = 0.0
+        lp.append(len(li))
+        up.append(len(ui))
+    li = np.fromiter((pinv[i] for i in li), dtype=np.int64, count=len(li))
+    return (
+        np.asarray(lp, np.int64), li, np.asarray(lx, np.float64),
+        np.asarray([0] + up, np.int64), np.asarray(ui, np.int64),
+        np.asarray(ux, np.float64), pinv,
+    )
+
+
+def lu(a, *, reorder: str = "rcm") -> LuFactor:
+    """Exact sparse ``P A Q = L U`` with partial (row) pivoting — the
+    UNSYMMETRIC direct factorization (Gilbert-Peierls left-looking, the
+    scipy ``splu`` analog). ``reorder`` permutes COLUMNS for fill
+    (``"rcm"`` on the symmetrized pattern, or ``"natural"``)."""
+    from ..formats.csr import CsrMatrix
+    from ..native import lu_native
+
+    if a.rows != a.cols:
+        raise ValueError("lu requires a square matrix")
+    if not a.is_sorted:
+        raise ValueError("lu requires sorted CSR (use from_dok / sort first)")
+    n = a.rows
+    q = None
+    if reorder == "rcm":
+        from ..formats.reorder import rcm_permutation
+
+        # symmetrize the pattern for the ordering only
+        q = rcm_permutation(a + a.transpose())
+    elif reorder != "natural":
+        raise ValueError(f"unknown reorder {reorder!r} (rcm|natural)")
+
+    bp, bi, bx = _csc_of_columns(a, q)
+    bx = bx.astype(np.float64)
+    out = lu_native(n, bp, bi, bx)
+    if out is None:
+        out = _lu_python(n, bp, bi, bx)
+    lp, li, lx, up, ui, ux, pinv = out
+    # L, U arrive by COLUMNS with unsorted row order inside each column:
+    # rebuild as sorted CSR via from_coo (cols of the CSC are CSR rows of
+    # the transpose)
+    lcol = np.repeat(np.arange(n, dtype=np.int64), np.diff(lp))
+    ucol = np.repeat(np.arange(n, dtype=np.int64), np.diff(up))
+    l_mat = CsrMatrix.from_coo(n, n, li, lcol, lx)
+    u_mat = CsrMatrix.from_coo(n, n, ui, ucol, ux)
+    return LuFactor(l=l_mat, u=u_mat, pinv=pinv, q=q)
+
+
+def lu_solve(f: LuFactor, b) -> np.ndarray:
+    """Exact solve ``A x = b`` from a :class:`LuFactor` (host, f64)."""
+    from .ilu import trisolve_host
+
+    b = np.asarray(b, dtype=np.float64)
+    one_d = b.ndim == 1
+    bb = b[:, None] if one_d else b
+    out = np.empty_like(bb)
+    for k in range(bb.shape[1]):
+        pb = np.empty(len(f.pinv), dtype=np.float64)
+        pb[f.pinv] = bb[:, k]
+        y = trisolve_host(f.l, pb, lower=True, unit=True)
+        z = trisolve_host(f.u, y, lower=False)
+        if f.q is None:
+            out[:, k] = z
+        else:
+            out[f.q, k] = z
     return out[:, 0] if one_d else out

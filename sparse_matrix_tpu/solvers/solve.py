@@ -65,12 +65,17 @@ def solve(
     b = np.asarray(b)
 
     if method == "direct":
-        from .cholesky import chol_solve, chol, ldl, ldl_solve
+        from .cholesky import chol, chol_solve, ldl, ldl_solve, lu, lu_solve
 
-        try:
-            x = chol_solve(chol(a), b)
-        except ValueError:  # non-positive pivot: symmetric indefinite
-            x = ldl_solve(ldl(a), b)
+        if symmetric is None:
+            symmetric = _is_symmetric(a, tol=1e-12)
+        if not symmetric:
+            x = lu_solve(lu(a), b)
+        else:
+            try:
+                x = chol_solve(chol(a), b)
+            except ValueError:  # non-positive pivot: symmetric indefinite
+                x = ldl_solve(ldl(a), b)
         rid = a.row_ids()
         ax = np.zeros(a.rows, np.float64)
         np.add.at(ax, rid, a.vals.astype(np.float64) * x[a.indices.astype(np.int64)])

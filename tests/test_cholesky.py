@@ -161,3 +161,68 @@ def test_ldl_matches_chol_on_spd():
         fl.l.to_dense() @ np.diag(np.sqrt(fl.d)), fc.l.to_dense(),
         rtol=1e-10, atol=1e-12,
     )
+
+
+def test_lu_unsymmetric_exact():
+    """Partial-pivoted LU solves unsymmetric systems exactly — incl. a
+    weak/zero diagonal where the no-pivot factorizations break."""
+    from sparse_matrix_tpu.solvers import lu, lu_solve
+
+    rng = np.random.default_rng(11)
+    for n in (7, 50, 130):
+        d = (rng.random((n, n)) < 0.15) * rng.standard_normal((n, n))
+        d += np.diag(rng.standard_normal(n) * 0.05)
+        d[0, 0] = 0.0  # force a pivot swap at the first column
+        while abs(np.linalg.det(d)) < 1e-8:
+            d += np.eye(n) * 0.3
+        a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+        b = rng.standard_normal(n)
+        for reorder in ("natural", "rcm"):
+            x = lu_solve(lu(a, reorder=reorder), b)
+            np.testing.assert_allclose(d @ x, b, rtol=1e-9, atol=1e-9)
+
+
+def test_lu_python_fallback_parity():
+    from sparse_matrix_tpu.native import lu_native
+    from sparse_matrix_tpu.solvers.cholesky import _csc_of_columns, _lu_python
+
+    rng = np.random.default_rng(12)
+    n = 40
+    d = (rng.random((n, n)) < 0.2) * rng.standard_normal((n, n))
+    d += np.diag(np.sign(rng.standard_normal(n)) * 0.2)
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    bp, bi, bx = _csc_of_columns(a, None)
+    want = lu_native(n, bp, bi, bx.astype(np.float64))
+    if want is None:
+        pytest.skip("native runtime unavailable")
+    got = _lu_python(n, bp, bi, bx.astype(np.float64))
+    for g, w in zip(got, want):
+        if g.dtype.kind == "i":
+            np.testing.assert_array_equal(g, w)  # pattern + pivots exact
+        else:
+            # -O3 FMA contraction compounds through elimination chains
+            np.testing.assert_allclose(g, w, rtol=1e-9, atol=1e-12)
+
+
+def test_lu_singular_raises():
+    from sparse_matrix_tpu.solvers import lu
+
+    d = np.array([[1.0, 2.0, 0.0], [2.0, 4.0, 0.0], [0.0, 0.0, 3.0]])  # rank 2
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    with pytest.raises(ValueError, match="singular"):
+        lu(a, reorder="natural")
+
+
+def test_solve_method_direct_unsymmetric():
+    from sparse_matrix_tpu.solvers import solve
+
+    rng = np.random.default_rng(13)
+    n = 80
+    d = (rng.random((n, n)) < 0.1) * rng.standard_normal((n, n))
+    d += np.diag(rng.standard_normal(n) * 0.1)
+    while abs(np.linalg.det(d)) < 1e-8:
+        d += np.eye(n) * 0.3
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    b = rng.standard_normal(n)
+    res = solve(a, b, method="direct")
+    np.testing.assert_allclose(d @ np.asarray(res.x), b, rtol=1e-9, atol=1e-9)

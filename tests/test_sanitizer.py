@@ -71,6 +71,10 @@ for trial in range(25):
     lp2, li2, lx2, dd = loader.ldl_native(a.rows, a.offsets, a.indices,
                                           a.vals.astype(np.float64))
     assert np.isfinite(lx2).all() and (dd > 0).all()
+    from sparse_matrix_tpu.solvers.cholesky import _csc_of_columns
+    bp, bi, bx = _csc_of_columns(a, None)
+    lu_out = loader.lu_native(a.rows, bp, bi, bx.astype(np.float64))
+    assert lu_out is not None and np.isfinite(lu_out[2]).all()
     f = ilu0(a)
     ft = ilut(a, tau=float(rng.random() * 0.1), p=int(rng.integers(1, 12)))
     b = rng.standard_normal(n)
