@@ -128,12 +128,31 @@ def solve(
     return gmres_solve(op, b, tol=tol, maxiter=maxiter, m_inv=m_inv)
 
 
-def lstsq(a, b, *, tol: float = 1e-8, maxiter: int = 2000, dtype=np.float32):
+def lstsq(a, b, *, tol: float = 1e-8, maxiter: int = 2000, dtype=np.float32,
+          method: str = "auto"):
     """Least-squares ``min |A x - b|`` for rectangular host-CSR ``A``
-    (LSQR on planned operators for ``A`` and ``A^T``)."""
+    (LSQR on planned operators for ``A`` and ``A^T``).
+
+    ``method="direct"``: normal equations ``A^T A x = A^T b`` through the
+    framework's SpGEMM + exact sparse Cholesky — exact up to the squared
+    condition number (the classic normal-equations caveat; prefer LSQR
+    when ``A`` is ill-conditioned)."""
     from ..ops.operator import SpmvOperator
     from .lsqr import lsqr_solve
 
+    if method == "direct":
+        from ..ops.spgemm_block import spgemm_auto
+        from .cholesky import spsolve_chol
+
+        at = a.transpose()
+        ata = spgemm_auto(at, a, output_sorted=True)
+        b64 = np.asarray(b, dtype=np.float64)
+        rid = at.row_ids()
+        atb = np.zeros(a.cols, np.float64)
+        np.add.at(atb, rid, at.vals.astype(np.float64) * b64[at.indices.astype(np.int64)])
+        return spsolve_chol(ata, atb)
+    if method != "auto":
+        raise ValueError(f"unknown method {method!r} (auto|direct)")
     op = SpmvOperator(a, dtype=dtype)
     opt = SpmvOperator(a.transpose(), dtype=dtype)
     return lsqr_solve(op, opt, np.asarray(b), n=a.cols, tol=tol, maxiter=maxiter)

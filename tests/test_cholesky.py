@@ -226,3 +226,19 @@ def test_solve_method_direct_unsymmetric():
     b = rng.standard_normal(n)
     res = solve(a, b, method="direct")
     np.testing.assert_allclose(d @ np.asarray(res.x), b, rtol=1e-9, atol=1e-9)
+
+
+def test_lstsq_method_direct():
+    """Normal equations via SpGEMM + exact Cholesky match dense lstsq on
+    a well-conditioned tall system."""
+    from sparse_matrix_tpu.solvers import lstsq
+
+    rng = np.random.default_rng(14)
+    m, n = 120, 40
+    d = (rng.random((m, n)) < 0.3) * rng.standard_normal((m, n))
+    d[:n] += np.eye(n)  # full column rank
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    b = rng.standard_normal(m)
+    x = lstsq(a, b, method="direct")
+    want, *_ = np.linalg.lstsq(d, b, rcond=None)
+    np.testing.assert_allclose(x, want, rtol=1e-8, atol=1e-9)
