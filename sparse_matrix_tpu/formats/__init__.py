@@ -1,7 +1,18 @@
 """Matrix formats: host CSR plus device-resident pytree/tiled formats."""
 
 from .csr import CsrMatrix, INDEX_DTYPE, OFFSET_DTYPE, SENTINEL  # noqa: F401
-from .construct import block_diag, diags, eye, kron, random_csr  # noqa: F401
+from .construct import (  # noqa: F401
+    block_diag,
+    diags,
+    eye,
+    hstack,
+    kron,
+    random_csr,
+    submatrix,
+    tril,
+    triu,
+    vstack,
+)
 from .reorder import (  # noqa: F401
     bandwidth,
     permute_symmetric,

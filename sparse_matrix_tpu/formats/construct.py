@@ -15,7 +15,10 @@ import numpy as np
 
 from .csr import CsrMatrix
 
-__all__ = ["eye", "diags", "random_csr", "kron", "block_diag"]
+__all__ = [
+    "eye", "diags", "random_csr", "kron", "block_diag",
+    "vstack", "hstack", "tril", "triu", "submatrix",
+]
 
 
 def eye(n: int, m: int = None, k: int = 0, *, dtype=np.float64) -> CsrMatrix:
@@ -124,4 +127,90 @@ def block_diag(blocks: Sequence[CsrMatrix]) -> CsrMatrix:
         c0 += blk.cols
     return CsrMatrix.from_coo(
         r0, c0, np.concatenate(rr), np.concatenate(cc), np.concatenate(vv)
+    )
+
+
+def vstack(blocks: Sequence[CsrMatrix]) -> CsrMatrix:
+    """Stack CSR blocks vertically (equal col counts) — pure offset
+    chaining, no re-sort (each block keeps its row order)."""
+    if not blocks:
+        raise ValueError("vstack needs at least one block")
+    cols = blocks[0].cols
+    if any(b.cols != cols for b in blocks):
+        raise ValueError("vstack blocks must share col count")
+    offs = [np.asarray(blocks[0].offsets)]
+    for b in blocks[1:]:
+        offs.append(np.asarray(b.offsets[1:]) + int(offs[-1][-1]))
+    return CsrMatrix(
+        sum(b.rows for b in blocks), cols,
+        np.concatenate([b.vals for b in blocks]),
+        np.concatenate([b.indices for b in blocks]),
+        np.concatenate(offs),
+        is_sorted=all(b.is_sorted for b in blocks),
+    )
+
+
+def hstack(blocks: Sequence[CsrMatrix]) -> CsrMatrix:
+    """Stack CSR blocks horizontally (equal row counts); column indices
+    shift by the running width. Sorted blocks merge into sorted rows
+    because the shifted column ranges are disjoint and increasing."""
+    if not blocks:
+        raise ValueError("hstack needs at least one block")
+    rows = blocks[0].rows
+    if any(b.rows != rows for b in blocks):
+        raise ValueError("hstack blocks must share row count")
+    shifts = np.cumsum([0] + [b.cols for b in blocks])
+    rr = np.concatenate([b.row_ids() for b in blocks])
+    cc = np.concatenate([
+        b.indices.astype(np.int64) + s for b, s in zip(blocks, shifts)
+    ])
+    vv = np.concatenate([b.vals for b in blocks])
+    return CsrMatrix.from_coo(
+        rows, int(shifts[-1]), rr, cc, vv, sum_duplicates=False
+    )
+
+
+def tril(a: CsrMatrix, k: int = 0) -> CsrMatrix:
+    """Entries on/below the k-th diagonal (scipy.sparse.tril analog)."""
+    return _diag_mask(a, lambda o: o <= k)
+
+
+def triu(a: CsrMatrix, k: int = 0) -> CsrMatrix:
+    """Entries on/above the k-th diagonal (scipy.sparse.triu analog)."""
+    return _diag_mask(a, lambda o: o >= k)
+
+
+def _diag_mask(a: CsrMatrix, pred) -> CsrMatrix:
+    r = a.row_ids()
+    mask = pred(a.indices.astype(np.int64) - r)
+    offs = np.zeros(a.rows + 1, np.int64)
+    offs[1:] = np.bincount(r[mask], minlength=a.rows)
+    np.cumsum(offs, out=offs)
+    return CsrMatrix(
+        a.rows, a.cols, a.vals[mask], a.indices[mask], offs,
+        is_sorted=a.is_sorted,
+    )
+
+
+def submatrix(a: CsrMatrix, rows: tuple, cols: tuple) -> CsrMatrix:
+    """Contiguous sub-block ``A[r0:r1, c0:c1]`` (half-open ranges). Row
+    slicing is pure offset arithmetic; the column range masks entries
+    (row-sorted CSR keeps (row, col) order under a column-range mask)."""
+    r0, r1 = rows
+    c0, c1 = cols
+    if not (0 <= r0 <= r1 <= a.rows and 0 <= c0 <= c1 <= a.cols):
+        raise ValueError("submatrix range out of bounds")
+    lo, hi = int(a.offsets[r0]), int(a.offsets[r1])
+    idx = a.indices[lo:hi].astype(np.int64)
+    mask = (idx >= c0) & (idx < c1)
+    rloc = np.repeat(
+        np.arange(r1 - r0, dtype=np.int64), np.diff(a.offsets[r0 : r1 + 1])
+    )[mask]
+    offs = np.zeros(r1 - r0 + 1, np.int64)
+    offs[1:] = np.bincount(rloc, minlength=r1 - r0)
+    np.cumsum(offs, out=offs)
+    return CsrMatrix(
+        r1 - r0, c1 - c0, a.vals[lo:hi][mask],
+        (idx[mask] - c0).astype(a.indices.dtype), offs,
+        is_sorted=a.is_sorted,
     )

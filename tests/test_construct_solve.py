@@ -133,3 +133,45 @@ def test_lstsq_rectangular():
     x = np.asarray(res.x, dtype=np.float64)
     ref, *_ = np.linalg.lstsq(tall.to_dense(), b, rcond=None)
     np.testing.assert_allclose(x, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_stack_tril_triu_submatrix_match_dense():
+    """scipy.sparse-style constructors: vstack/hstack/tril/triu/submatrix
+    against dense oracles, through both sorted and shuffled inputs."""
+    import numpy as np
+
+    from sparse_matrix_tpu.core import DokMatrix
+    from sparse_matrix_tpu.formats import (
+        CsrMatrix, hstack, submatrix, tril, triu, vstack,
+    )
+
+    rng = np.random.default_rng(21)
+    da = (rng.random((13, 9)) < 0.4) * rng.standard_normal((13, 9))
+    db = (rng.random((13, 5)) < 0.4) * rng.standard_normal((13, 5))
+    dc = (rng.random((6, 9)) < 0.4) * rng.standard_normal((6, 9))
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(da))
+    b = CsrMatrix.from_dok(DokMatrix.from_dense(db))
+    c = CsrMatrix.from_dok(DokMatrix.from_dense(dc))
+
+    np.testing.assert_array_equal(
+        hstack([a, b]).to_dense(), np.hstack([da, db])
+    )
+    np.testing.assert_array_equal(
+        vstack([a, c]).to_dense(), np.vstack([da, dc])
+    )
+    for k in (-3, 0, 2):
+        np.testing.assert_array_equal(tril(a, k).to_dense(), np.tril(da, k))
+        np.testing.assert_array_equal(triu(a, k).to_dense(), np.triu(da, k))
+        assert tril(a, k).invariants() and triu(a, k).invariants()
+    sub = submatrix(a, (2, 11), (3, 8))
+    np.testing.assert_array_equal(sub.to_dense(), da[2:11, 3:8])
+    assert sub.invariants()
+    # errors
+    import pytest
+
+    with pytest.raises(ValueError, match="share col count"):
+        vstack([a, b])
+    with pytest.raises(ValueError, match="share row count"):
+        hstack([a, c])
+    with pytest.raises(ValueError, match="out of bounds"):
+        submatrix(a, (0, 99), (0, 1))
