@@ -15,6 +15,7 @@ from .construct import (  # noqa: F401
 )
 from .reorder import (  # noqa: F401
     bandwidth,
+    nd_permutation,
     permute_symmetric,
     rcm_permutation,
     rcm_reordered,

@@ -141,8 +141,14 @@ def chol(a, *, reorder: str = "rcm") -> CholFactor:
         from ..formats.reorder import rcm_reordered
 
         a, perm = rcm_reordered(a)
+    elif reorder == "nd":
+        # nested dissection: O(n log n) mesh fill vs RCM's O(n^1.5)
+        from ..formats.reorder import nd_permutation, permute_symmetric
+
+        perm = nd_permutation(a)
+        a = permute_symmetric(a, perm)
     elif reorder != "natural":
-        raise ValueError(f"unknown reorder {reorder!r} (rcm|natural)")
+        raise ValueError(f"unknown reorder {reorder!r} (rcm|nd|natural)")
 
     vals = a.vals.astype(np.float64)
     out = chol_native(a.rows, a.offsets, a.indices, vals)
@@ -251,8 +257,14 @@ def ldl(a, *, reorder: str = "rcm") -> LdlFactor:
         from ..formats.reorder import rcm_reordered
 
         a, perm = rcm_reordered(a)
+    elif reorder == "nd":
+        # nested dissection: O(n log n) mesh fill vs RCM's O(n^1.5)
+        from ..formats.reorder import nd_permutation, permute_symmetric
+
+        perm = nd_permutation(a)
+        a = permute_symmetric(a, perm)
     elif reorder != "natural":
-        raise ValueError(f"unknown reorder {reorder!r} (rcm|natural)")
+        raise ValueError(f"unknown reorder {reorder!r} (rcm|nd|natural)")
 
     vals = a.vals.astype(np.float64)
     out = ldl_native(a.rows, a.offsets, a.indices, vals)
@@ -415,8 +427,12 @@ def lu(a, *, reorder: str = "rcm") -> LuFactor:
 
         # symmetrize the pattern for the ordering only
         q = rcm_permutation(a + a.transpose())
+    elif reorder == "nd":
+        from ..formats.reorder import nd_permutation
+
+        q = nd_permutation(a + a.transpose())
     elif reorder != "natural":
-        raise ValueError(f"unknown reorder {reorder!r} (rcm|natural)")
+        raise ValueError(f"unknown reorder {reorder!r} (rcm|nd|natural)")
 
     bp, bi, bx = _csc_of_columns(a, q)
     bx = bx.astype(np.float64)
