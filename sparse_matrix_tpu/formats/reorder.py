@@ -199,39 +199,72 @@ def nd_permutation(m: CsrMatrix, *, leaf_size: int = 128) -> np.ndarray:
 
     Separators are middle BFS level sets from a pseudo-peripheral root —
     the classic grid heuristic; leaves (<= ``leaf_size``) keep their
-    natural order.
-    """
+    natural order. BFS runs on int visit stamps scoped to the current
+    block (a per-call O(n) mask copy would make the recursion
+    O(n^2/leaf) — measured 2.6 s at 256^2 before this)."""
     if m.rows != m.cols:
         raise ValueError("nested dissection requires a square matrix")
     n = m.rows
     indptr, indices, degree = _symmetric_pattern(m)
+    block_of = np.zeros(n, dtype=np.int64)
+    seen = np.full(n, -1, dtype=np.int64)
+    counter = [0]
 
-    def order_block(nodes: np.ndarray) -> np.ndarray:
+    def bfs(root: int, bid: int):
+        counter[0] += 1
+        v = counter[0]
+        seen[root] = v
+        frontier = np.array([root], dtype=np.int64)
+        levels = [frontier]
+        while True:
+            counts = indptr[frontier + 1] - indptr[frontier]
+            nbrs = indices[_concat_ranges(indptr[frontier], counts)]
+            nbrs = nbrs[(block_of[nbrs] == bid) & (seen[nbrs] != v)]
+            if nbrs.size == 0:
+                break
+            nbrs = np.unique(nbrs)
+            seen[nbrs] = v
+            levels.append(nbrs)
+            frontier = nbrs
+        return levels
+
+    next_bid = [1]
+
+    def order_block(nodes: np.ndarray, bid: int) -> np.ndarray:
         if len(nodes) <= leaf_size:
             return nodes
-        excluded = np.ones(n, dtype=bool)
-        excluded[nodes] = False
-        root = _pseudo_peripheral(indptr, indices, degree, excluded)
-        levels = _bfs_levels(indptr, indices, root, excluded)
-        touched = np.concatenate(levels)
-        if len(levels) < 3:
+        # pseudo-peripheral within the block (few sweeps suffice here)
+        x = int(nodes[np.argmin(degree[nodes])])
+        ecc, levels = -1, None
+        for _ in range(4):
+            lv = bfs(x, bid)
+            if len(lv) - 1 <= ecc:
+                break
+            ecc, levels = len(lv) - 1, lv
+            tail = levels[-1]
+            x = int(tail[np.argmin(degree[tail])])
+        if levels is None or len(levels) < 3:
             return nodes  # clique-like or star: nothing to bisect
+        touched = np.concatenate(levels)
         # other components of this block (BFS never reaches them): they
         # are disconnected from everything touched, so they join part A
         # without affecting the separator
-        in_block = np.zeros(n, dtype=bool)
-        in_block[nodes] = True
-        in_block[touched] = False
-        rest = np.flatnonzero(in_block)
+        rest = nodes[np.isin(nodes, touched, invert=True)] if len(
+            touched
+        ) < len(nodes) else np.zeros(0, dtype=np.int64)
         sizes = np.fromiter((len(lv) for lv in levels), dtype=np.int64)
         cum = np.cumsum(sizes)
         half = (cum[-1] + len(rest)) // 2
         mid = int(np.clip(np.argmin(np.abs(cum - half)), 1, len(levels) - 2))
         sep = levels[mid]
-        a = np.concatenate([rest] + levels[:mid]) if mid else rest
+        a = np.concatenate([rest] + levels[:mid])
         b = np.concatenate(levels[mid + 1 :])
-        return np.concatenate([order_block(a), order_block(b), sep])
+        bid_a, bid_b = next_bid[0], next_bid[0] + 1
+        next_bid[0] += 2
+        block_of[a] = bid_a
+        block_of[b] = bid_b
+        return np.concatenate([order_block(a, bid_a), order_block(b, bid_b), sep])
 
-    perm = order_block(np.arange(n, dtype=np.int64))
+    perm = order_block(np.arange(n, dtype=np.int64), 0)
     assert len(perm) == n
     return perm
