@@ -63,6 +63,7 @@ from .cholesky import (  # noqa: F401
     spsolve_chol,
 )
 from .chebyshev import chebyshev_solve  # noqa: F401
+from .normest import condest, onenormest  # noqa: F401
 from .block_jacobi import (  # noqa: F401
     block_jacobi_preconditioner,
     chebyshev_preconditioner,
