@@ -18,7 +18,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["solve", "lstsq"]
+__all__ = ["solve", "spsolve", "lstsq"]
 
 _DENSE_N = 2048
 
@@ -156,3 +156,10 @@ def lstsq(a, b, *, tol: float = 1e-8, maxiter: int = 2000, dtype=np.float32,
     op = SpmvOperator(a, dtype=dtype)
     opt = SpmvOperator(a.transpose(), dtype=dtype)
     return lsqr_solve(op, opt, np.asarray(b), n=a.cols, tol=tol, maxiter=maxiter)
+
+
+def spsolve(a, b, **kw) -> np.ndarray:
+    """scipy.sparse.linalg.spsolve-shaped convenience: returns the
+    solution ARRAY (host numpy). ``solve()`` keyword surface applies;
+    accuracy-critical callers should use ``method="direct"``."""
+    return np.asarray(solve(a, b, **kw).x)

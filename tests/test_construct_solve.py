@@ -175,3 +175,20 @@ def test_stack_tril_triu_submatrix_match_dense():
         hstack([a, c])
     with pytest.raises(ValueError, match="out of bounds"):
         submatrix(a, (0, 99), (0, 1))
+
+
+def test_spsolve_alias():
+    import numpy as np
+
+    from sparse_matrix_tpu.core import DokMatrix
+    from sparse_matrix_tpu.formats import CsrMatrix
+    from sparse_matrix_tpu.solvers import spsolve
+
+    rng = np.random.default_rng(31)
+    n = 30
+    d = (rng.random((n, n)) < 0.3) * rng.standard_normal((n, n))
+    d += np.eye(n) * 4.0
+    a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
+    b = rng.standard_normal(n)
+    x = spsolve(a, b, method="direct")
+    np.testing.assert_allclose(d @ x, b, rtol=1e-9, atol=1e-9)
