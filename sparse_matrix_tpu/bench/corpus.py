@@ -115,6 +115,11 @@ def generate_corpus(
         specs["powerlaw_heavy_64k.mtx"] = lambda: _power_law_rows(
             rng, 1 << 16, 24, alpha=1.1
         )
+        # 3-D stencil: 7 bands at {0, +-1, +-n, +-n^2} — wide offset
+        # spread stresses the DIA detector and BELL's bucket windows
+        from ..solvers.poisson import poisson_3d_csr
+
+        specs["poisson3d_64.mtx"] = lambda: poisson_3d_csr(64)
     paths = []
     for name, make in specs.items():
         path = os.path.join(directory, name)
