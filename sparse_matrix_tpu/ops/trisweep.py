@@ -145,6 +145,12 @@ def _trisweep_call(data2d, b, dinv, *, offsets, rows, r128, sweeps, interpret):
         scratch_shapes=[
             pltpu.VMEM((lo_rows + r128 + hi_rows, 128), b.dtype)
         ],
+        # default scoped-vmem limit is 16 MB; the whole working set is
+        # resident here by design (bands + b + dinv + x scratch + y ~
+        # 25 MB at 1024^2, capped at _TRISWEEP_VMEM_BYTES by the plan)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(data2d, b2d, dinv2d)
     return y2d.reshape(r128 * 128)[:rows]
 
