@@ -260,6 +260,33 @@ def _sampled_reject(m: CsrMatrix) -> bool:
     return len(np.unique(d)) > 4 * MAX_LAYERS
 
 
+def _span_stats(kept, spill_nnz: int, kmax: int, dmin: int, r128: int, span: int):
+    """Shared cost/viability model for one span candidate — used by BOTH
+    the sampled dispatch estimate and plan_bell's full-matrix span pick,
+    so the two cannot drift."""
+    from ..utils import autotune
+
+    layers = len(kept)
+    if layers:
+        kd = kept // kmax + dmin
+        dspan = int(kd.max() - kd.min() + 1)
+        dmax = int(kd.max())
+    else:
+        dspan, dmax = 0, 0
+    sb = _slot_bytes_per(span)
+    br = pick_br(max(layers, 1), dmax, sb)
+    # spilled entries' slab count is only known after packing; lower-bound
+    # by slot capacity (dispatch-grade accuracy, like _count_slabs).
+    # the chunk cost scales with slot bytes (the kernel is stream-bound;
+    # the measured fit is for the 5 B/slot layout)
+    cost = (
+        layers * r128 * bell_chunk_ns(br, dspan) * (sb / 5.0)
+        + -(-spill_nnz // SLOTS) * autotune.get("lanepack_dense_slab_ns")
+    )
+    viable = layers > 0 and dspan <= MAX_DSPAN
+    return layers, dspan, br, float(cost), viable
+
+
 def _estimate_for_span(
     m: CsrMatrix, span: int, *, max_layers: int, r128: Optional[int] = None,
     total_nnz: Optional[int] = None,
@@ -277,33 +304,15 @@ def _estimate_for_span(
     kept, spill_mask = _spill_decision(
         lkey, r_s, r128, max_layers=max_layers, count_scale=scale
     )
-    layers = len(kept)
-    kept_nnz = int((~spill_mask).sum() * scale)
-    nnz = int(nnz * scale)
-    if layers:
-        kd = kept // kmax + dmin
-        dspan = int(kd.max() - kd.min() + 1)
-        dmax = int(kd.max())
-    else:
-        dspan, dmax = 0, 0
-    sb = _slot_bytes_per(span)
-    br = pick_br(max(layers, 1), dmax, sb)
-    dense_ns = autotune.get("lanepack_dense_slab_ns")
-    spill_nnz = nnz - kept_nnz
-    # spilled entries' slab count is only known after packing; lower-bound
-    # by slot capacity (dispatch-grade accuracy, like _count_slabs).
-    # the chunk cost scales with slot bytes (the kernel is stream-bound;
-    # the measured fit is for the 5 B/slot layout)
-    cost = (
-        layers * r128 * bell_chunk_ns(br, dspan) * (sb / 5.0)
-        + -(-spill_nnz // SLOTS) * dense_ns
+    layers, dspan, br, cost, viable = _span_stats(
+        kept, int(spill_mask.sum() * scale), kmax, dmin, r128, span
     )
-    viable = layers > 0 and dspan <= MAX_DSPAN
+    kept_nnz = int((~spill_mask).sum() * scale)
     return dict(
         layers=layers,
         kept_nnz=kept_nnz,
-        spill_nnz=spill_nnz,
-        cost_ns=float(cost),
+        spill_nnz=int(nnz * scale) - kept_nnz,
+        cost_ns=cost,
         dspan=dspan,
         br=br,
         span=span,
@@ -376,30 +385,20 @@ def plan_bell(
         # half-filled layers (fill 0.43) vs span 256's 9 (fill 0.86).
         # plan_bell is already O(nnz log nnz); one extra key pass per
         # operator is dispatch-grade cheap next to shipping the wrong plan.
-        from ..utils import autotune
-
-        dense_ns = autotune.get("lanepack_dense_slab_ns")
         best = None
         for cand in _SPANS:
             keys = _layer_keys(m, cand)
             kept_c, mask_c = _spill_decision(
                 keys[5], keys[2], r128, max_layers=max_layers
             )
-            layers = len(kept_c)
-            if layers:
-                kd = kept_c // keys[6] + keys[7]
-                dspan = int(kd.max() - kd.min() + 1)
-                dmax = int(kd.max())
-            else:
-                dspan, dmax = 0, 0
-            sb = _slot_bytes_per(cand)
-            br = pick_br(max(layers, 1), dmax, sb)
-            spill_nnz = int(mask_c.sum())
-            cost = layers * r128 * bell_chunk_ns(br, dspan) * (sb / 5.0) + -(
-                -spill_nnz // SLOTS
-            ) * dense_ns
-            if best is None or cost < best[0]:
-                best = (cost, cand, keys, kept_c, mask_c)
+            _, _, _, cost, viable = _span_stats(
+                kept_c, int(mask_c.sum()), keys[6], keys[7], r128, cand
+            )
+            # inviable candidates (dspan past the kernel's window cap, or
+            # nothing kept) only win against other inviable candidates
+            key = (not viable, cost)
+            if best is None or key < best[0]:
+                best = (key, cand, keys, kept_c, mask_c)
         _, span, keys, kept, spill_mask = best
         order, d_s, r_s, c_s, k, lkey, kmax, dmin = keys
     else:

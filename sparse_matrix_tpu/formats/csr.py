@@ -405,6 +405,21 @@ class CsrMatrix(Matrix):
             for k in range(lo, hi):
                 yield (r, int(self.indices[k])), self.vals[k]
 
+    def matvec_host(self, x: np.ndarray) -> np.ndarray:
+        """Exact host ``A @ x`` in f64 (oracle/residual checks; vectors or
+        ``(cols, K)`` blocks). The device paths live in ``ops/``."""
+        x = np.asarray(x, dtype=np.float64)
+        rid = self.row_ids()
+        idx = self.indices.astype(np.int64)
+        v = self.vals.astype(np.float64)
+        if x.ndim == 1:
+            out = np.zeros(self._rows, np.float64)
+            np.add.at(out, rid, v * x[idx])
+        else:
+            out = np.zeros((self._rows, x.shape[1]), np.float64)
+            np.add.at(out, rid, v[:, None] * x[idx])
+        return out
+
     def row_ids(self) -> np.ndarray:
         """Per-entry row index (expansion of offsets).
 

@@ -1675,7 +1675,6 @@ extern "C" i64 spmx_lu(i64 n, const i64* bp, const i64* bi, const double* bx,
   std::vector<i64> w((size_t)n, -1), xi((size_t)n), pstack((size_t)n);
   std::vector<i64> lnzc((size_t)n, 0);  // per-column L end (reach needs it)
   std::vector<double> x((size_t)n, 0.0);
-  std::vector<i64> rowof((size_t)n, -1);  // pivot position -> original row
   for (i64 i = 0; i < n; ++i) pinv[i] = -1;
   i64 lnz = 0, unz = 0;
   for (i64 k = 0; k < n; ++k) {
@@ -1713,7 +1712,6 @@ extern "C" i64 spmx_lu(i64 n, const i64* bp, const i64* bi, const double* bx,
     if (unz + (n - top) + 1 > cap_u || lnz + n_l + 1 > cap_l) return -2;
     double pivot = x[(size_t)ipiv];
     pinv[ipiv] = k;
-    rowof[(size_t)k] = ipiv;
     // U(:,k): rows already pivotal (by pivot position), then the diagonal
     for (i64 t = top; t < n; ++t) {
       i64 i = xi[(size_t)t];

@@ -63,11 +63,15 @@ class TrisweepPlan:
 def plan_trisweep(dia, rows: int):
     """Build a :class:`TrisweepPlan` from a ``DiaMatrix`` of the STRICT
     part N, or return None when the fused kernel does not apply (working
-    set past the VMEM cap, or degenerate shapes)."""
-    plan = TrisweepPlan(dia.offsets, np.asarray(dia.data), rows)
-    if plan.vmem_bytes() > _TRISWEEP_VMEM_BYTES or rows < 128:
+    set past the VMEM cap, or degenerate shapes). The gate runs on SHAPES
+    before any padding/device transfer — a rejected wide-band factor must
+    not ship tens of MB to the device first."""
+    data = np.asarray(dia.data)
+    r128 = -(-(-(-rows // 128)) // 8) * 8
+    vmem = (data.shape[0] + 4) * r128 * 128 * data.dtype.itemsize
+    if vmem > _TRISWEEP_VMEM_BYTES or rows < 128:
         return None
-    return plan
+    return TrisweepPlan(dia.offsets, data, rows)
 
 
 def _guard_rows(offsets):

@@ -58,12 +58,19 @@ def condest(a, *, itmax: int = 8) -> float:
     np.add.at(col_sums, a.indices.astype(np.int64), np.abs(a.vals.astype(np.float64)))
     a1 = float(col_sums.max()) if n else 0.0
 
+    from .ilu import trisolve_host
+
     f = lu(a)
-    ft = lu(a.transpose())  # A^{-T} applies for the dual step
-    inv1 = onenormest(
-        lambda v: lu_solve(f, v),
-        lambda v: lu_solve(ft, v),
-        n,
-        itmax=itmax,
-    )
+    # A^{-T} applies come from the SAME factor: A^{-1} = Q U^{-1} L^{-1} P
+    # (lu_solve), so A^{-T} = P^T L^{-T} U^{-T} Q^T — two transposed
+    # trisolves, no second factorization
+    ut, lt = f.u.transpose(), f.l.transpose()
+
+    def rmatvec(c):
+        w = np.asarray(c, np.float64)[f.q] if f.q is not None else np.asarray(c, np.float64)
+        t = trisolve_host(ut, w, lower=True)
+        s_v = trisolve_host(lt, t, lower=False, unit=True)
+        return s_v[f.pinv]
+
+    inv1 = onenormest(lambda v: lu_solve(f, v), rmatvec, n, itmax=itmax)
     return a1 * inv1

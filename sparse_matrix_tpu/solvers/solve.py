@@ -76,14 +76,13 @@ def solve(
                 x = chol_solve(chol(a), b)
             except ValueError:  # non-positive pivot: symmetric indefinite
                 x = ldl_solve(ldl(a), b)
-        rid = a.row_ids()
-        ax = np.zeros(a.rows, np.float64)
-        np.add.at(ax, rid, a.vals.astype(np.float64) * x[a.indices.astype(np.int64)])
         # x stays host f64: jnp.asarray would silently truncate to f32
         # (jax_enable_x64 off) and throw away the direct solve's exactness
         return CgResult(
             x=x, iterations=jnp.int32(0),
-            residual_norm=np.float64(np.linalg.norm(ax - b.astype(np.float64))),
+            residual_norm=np.float64(
+                np.linalg.norm(a.matvec_host(x) - np.asarray(b, np.float64))
+            ),
         )
 
     if a.rows <= _DENSE_N:
@@ -143,14 +142,19 @@ def lstsq(a, b, *, tol: float = 1e-8, maxiter: int = 2000, dtype=np.float32,
     if method == "direct":
         from ..ops.spgemm_block import spgemm_auto
         from .cholesky import spsolve_chol
+        from .lsqr import LsqrResult
+        import jax.numpy as jnp
 
         at = a.transpose()
         ata = spgemm_auto(at, a, output_sorted=True)
         b64 = np.asarray(b, dtype=np.float64)
-        rid = at.row_ids()
-        atb = np.zeros(a.cols, np.float64)
-        np.add.at(atb, rid, at.vals.astype(np.float64) * b64[at.indices.astype(np.int64)])
-        return spsolve_chol(ata, atb)
+        x = spsolve_chol(ata, at.matvec_host(b64))
+        r = a.matvec_host(x) - b64
+        return LsqrResult(
+            x=x, iterations=jnp.int32(0),
+            residual_norm=np.float64(np.linalg.norm(r)),
+            atr_norm=np.float64(np.linalg.norm(at.matvec_host(r))),
+        )
     if method != "auto":
         raise ValueError(f"unknown method {method!r} (auto|direct)")
     op = SpmvOperator(a, dtype=dtype)

@@ -239,6 +239,21 @@ def test_lstsq_method_direct():
     d[:n] += np.eye(n)  # full column rank
     a = CsrMatrix.from_dok(DokMatrix.from_dense(d))
     b = rng.standard_normal(m)
-    x = lstsq(a, b, method="direct")
+    res = lstsq(a, b, method="direct")
     want, *_ = np.linalg.lstsq(d, b, rcond=None)
-    np.testing.assert_allclose(x, want, rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(res.x, want, rtol=1e-8, atol=1e-9)
+    # result shape matches the LSQR path (same attributes)
+    assert float(res.atr_norm) < 1e-8
+
+
+def test_solve_method_direct_block_rhs():
+    """Review finding: solve(method='direct') must accept (n, K) blocks
+    like every other path (the residual is Frobenius over the block)."""
+    from sparse_matrix_tpu.solvers import solve
+
+    rng = np.random.default_rng(15)
+    a, d = _spd_csr(rng, 30)
+    B = rng.standard_normal((30, 3))
+    res = solve(a, B, method="direct")
+    np.testing.assert_allclose(d @ np.asarray(res.x), B, rtol=1e-9, atol=1e-9)
+    assert float(res.residual_norm) < 1e-9
