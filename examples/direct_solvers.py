@@ -35,10 +35,7 @@ from sparse_matrix_tpu.solvers import (
 
 
 def residual(a, x, b):
-    rid = a.row_ids()
-    ax = np.zeros(a.rows)
-    np.add.at(ax, rid, a.vals.astype(np.float64) * x[a.indices.astype(np.int64)])
-    return np.linalg.norm(ax - b) / np.linalg.norm(b)
+    return np.linalg.norm(a.matvec_host(x) - b) / np.linalg.norm(b)
 
 
 def main() -> None:
