@@ -151,3 +151,22 @@ def test_nd_lu_and_ldl_reorder():
     bp = rng.standard_normal(p.rows)
     x = ldl_solve(ldl(p, reorder="nd"), bp)
     np.testing.assert_allclose(p.to_dense() @ x, bp, rtol=1e-10, atol=1e-10)
+
+
+def test_nd_permutation_disconnected_components():
+    """Components BFS never reaches must still be ordered (they join part
+    A); permutation validity + factor correctness on a block-diagonal
+    pair of meshes."""
+    import numpy as np
+
+    from sparse_matrix_tpu.formats import block_diag, nd_permutation
+    from sparse_matrix_tpu.solvers import chol, chol_solve, poisson_2d_csr
+
+    a = block_diag([poisson_2d_csr(16, dtype=np.float64),
+                    poisson_2d_csr(11, dtype=np.float64)])
+    q = nd_permutation(a)
+    assert np.array_equal(np.sort(q), np.arange(a.rows))
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(a.rows)
+    x = chol_solve(chol(a, reorder="nd"), b)
+    np.testing.assert_allclose(a.matvec_host(x), b, rtol=1e-11, atol=1e-11)
