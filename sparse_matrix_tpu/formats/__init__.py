@@ -3,11 +3,17 @@
 from .csr import CsrMatrix, INDEX_DTYPE, OFFSET_DTYPE, SENTINEL  # noqa: F401
 from .construct import (  # noqa: F401
     block_diag,
+    bmat,
     diags,
     eye,
+    find,
     hstack,
     kron,
+    load_npz,
+    matrix_power,
+    norm,
     random_csr,
+    save_npz,
     submatrix,
     tril,
     triu,

@@ -18,6 +18,7 @@ from .csr import CsrMatrix
 __all__ = [
     "eye", "diags", "random_csr", "kron", "block_diag",
     "vstack", "hstack", "tril", "triu", "submatrix",
+    "bmat", "find", "norm", "matrix_power", "save_npz", "load_npz",
 ]
 
 
@@ -213,4 +214,129 @@ def submatrix(a: CsrMatrix, rows: tuple, cols: tuple) -> CsrMatrix:
         r1 - r0, c1 - c0, a.vals[lo:hi][mask],
         (idx[mask] - c0).astype(a.indices.dtype), offs,
         is_sorted=a.is_sorted,
+    )
+
+
+def bmat(blocks) -> CsrMatrix:
+    """Assemble a matrix from a 2-D grid of blocks (scipy.sparse.bmat
+    analog): ``blocks[i][j]`` is a :class:`CsrMatrix` or ``None`` (zero
+    block). Row heights / column widths are inferred from the non-None
+    blocks of each grid row / column; a fully-None row or column is
+    ambiguous and rejected."""
+    grid = [list(row) for row in blocks]
+    if not grid or not grid[0]:
+        raise ValueError("bmat needs a non-empty 2-D grid")
+    br, bc = len(grid), len(grid[0])
+    if any(len(row) != bc for row in grid):
+        raise ValueError("bmat rows must have equal length")
+    heights = [None] * br
+    widths = [None] * bc
+    for i, row in enumerate(grid):
+        for j, blk in enumerate(row):
+            if blk is None:
+                continue
+            if heights[i] is not None and heights[i] != blk.rows:
+                raise ValueError(f"inconsistent block heights in grid row {i}")
+            if widths[j] is not None and widths[j] != blk.cols:
+                raise ValueError(f"inconsistent block widths in grid col {j}")
+            heights[i] = blk.rows
+            widths[j] = blk.cols
+    if any(h is None for h in heights) or any(w is None for w in widths):
+        raise ValueError("bmat: a fully-None row or column has no size")
+    r_off = np.cumsum([0] + heights)
+    c_off = np.cumsum([0] + widths)
+    rr, cc, vv = [], [], []
+    for i, row in enumerate(grid):
+        for j, blk in enumerate(row):
+            if blk is None or blk.nnz() == 0:
+                continue
+            rr.append(blk.row_ids() + int(r_off[i]))
+            cc.append(blk.indices.astype(np.int64) + int(c_off[j]))
+            vv.append(blk.vals)
+    if not rr:
+        return CsrMatrix.new(
+            int(r_off[-1]), int(c_off[-1]), dtype=np.float64
+        )
+    return CsrMatrix.from_coo(
+        int(r_off[-1]), int(c_off[-1]),
+        np.concatenate(rr), np.concatenate(cc), np.concatenate(vv),
+        sum_duplicates=False,
+    )
+
+
+def find(a: CsrMatrix):
+    """Return ``(rows, cols, vals)`` of the stored entries in row-major
+    order (scipy.sparse.find analog; explicit zeros are never stored, so
+    the arrays are exactly the nonzeros)."""
+    return a.row_ids(), a.indices.astype(np.int64), a.vals.copy()
+
+
+def norm(a: CsrMatrix, ord="fro") -> float:
+    """Sparse matrix norm (scipy.sparse.linalg.norm analog): ``'fro'``
+    (default), ``1`` (max column abs-sum), ``inf`` (max row abs-sum), or
+    ``'max'`` (largest entry magnitude). Spectral norm is intentionally
+    not offered here — use :func:`~sparse_matrix_tpu.solvers.svd.svds`
+    for sigma_max."""
+    # abs BEFORE the f64 cast: complex -> float64 astype would discard imag
+    av = np.abs(a.vals).astype(np.float64, copy=False)
+    if ord in ("fro", "f"):
+        return float(np.sqrt(np.sum(av * av)))
+    if ord == 1:
+        if a.nnz() == 0:
+            return 0.0
+        return float(
+            np.bincount(a.indices.astype(np.int64), weights=av,
+                        minlength=a.cols).max()
+        )
+    if ord in (np.inf, float("inf"), "inf"):
+        if a.nnz() == 0:
+            return 0.0
+        return float(
+            np.bincount(a.row_ids(), weights=av, minlength=a.rows).max()
+        )
+    if ord == "max":
+        return float(av.max()) if a.nnz() else 0.0
+    raise ValueError(f"unsupported norm ord {ord!r}")
+
+
+def matrix_power(a: CsrMatrix, n: int) -> CsrMatrix:
+    """``A**n`` for square sparse ``A`` by repeated squaring through the
+    dispatched SpGEMM (``__matmul__``); ``n == 0`` gives the identity."""
+    if a.rows != a.cols:
+        raise ValueError("matrix_power needs a square matrix")
+    if n < 0:
+        raise ValueError("negative powers are not sparse")
+    result = None
+    base = a
+    while True:
+        if n & 1:
+            result = base if result is None else result @ base
+        n >>= 1
+        if n == 0:
+            break
+        base = base @ base
+    if result is None:
+        return CsrMatrix.identity(a.rows, dtype=a.vals.dtype)
+    return result
+
+
+def save_npz(path, a: CsrMatrix) -> None:
+    """Persist a CSR matrix as a compressed npz (scipy save_npz analog;
+    MatrixMarket text I/O remains the interchange format — this is the
+    fast binary checkpoint)."""
+    np.savez_compressed(
+        path, fmt="csr", rows=a.rows, cols=a.cols,
+        vals=a.vals, indices=a.indices, offsets=a.offsets,
+        is_sorted=a.is_sorted,
+    )
+
+
+def load_npz(path) -> CsrMatrix:
+    """Load a matrix saved by :func:`save_npz`."""
+    z = np.load(path, allow_pickle=False)
+    if str(z["fmt"]) != "csr":
+        raise ValueError(f"unknown sparse npz format {z['fmt']!r}")
+    return CsrMatrix(
+        int(z["rows"]), int(z["cols"]), z["vals"], z["indices"],
+        z["offsets"], is_sorted=bool(z["is_sorted"]),
     )

@@ -73,5 +73,5 @@ from .stochastic import (  # noqa: F401
     diag_estimate,
     trace_estimate,
 )
-from .solve import lstsq, solve, spsolve  # noqa: F401
+from .solve import lstsq, solve, spsolve, spsolve_triangular  # noqa: F401
 from .poisson import poisson_2d_csr, poisson_3d_csr  # noqa: F401

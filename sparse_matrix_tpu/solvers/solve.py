@@ -18,7 +18,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["solve", "spsolve", "lstsq"]
+__all__ = ["solve", "spsolve", "lstsq", "spsolve_triangular"]
 
 _DENSE_N = 2048
 
@@ -167,3 +167,43 @@ def spsolve(a, b, **kw) -> np.ndarray:
     solution ARRAY (host numpy). ``solve()`` keyword surface applies;
     accuracy-critical callers should use ``method="direct"``."""
     return np.asarray(solve(a, b, **kw).x)
+
+
+def spsolve_triangular(
+    a, b, *, lower: bool = True, unit_diagonal: bool = False
+) -> np.ndarray:
+    """Exact host triangular solve ``A x = b``
+    (scipy.sparse.linalg.spsolve_triangular analog). ``a`` must be square
+    CSR holding a lower (``lower=True``) or upper triangle; entries on the
+    wrong side are ignored (scipy semantics). ``b`` may be a vector or an
+    (n, k) block of right-hand sides. Runs in the native runtime with a
+    Python fallback (solvers/ilu.py:trisolve_host); raises ``ValueError``
+    on a missing/zero pivot. Device callers wanting jit-composable
+    approximate solves use :class:`~sparse_matrix_tpu.solvers.ilu.
+    TriangularJacobi` instead."""
+    from ..formats.construct import tril, triu
+    from .ilu import trisolve_host
+
+    if a.rows != a.cols:
+        raise ValueError("spsolve_triangular needs a square matrix")
+    # drop wrong-side entries up front: the native kernel's upper path
+    # reads from the stored diagonal onward and would include
+    # sub-diagonal entries of a row with no stored diagonal
+    rid = a.row_ids()
+    cid = a.indices.astype(np.int64)
+    if lower:
+        if (cid > rid).any():
+            a = tril(a)
+    elif (cid < rid).any():
+        a = triu(a)
+    b = np.asarray(b)
+    if b.shape[0] != a.rows:
+        raise ValueError("rhs length does not match matrix rows")
+    if b.ndim == 1:
+        return trisolve_host(a, b, lower=lower, unit=unit_diagonal)
+    if b.ndim != 2:
+        raise ValueError("rhs must be a vector or (n, k) block")
+    out = np.empty(b.shape, dtype=a.vals.dtype)
+    for j in range(b.shape[1]):
+        out[:, j] = trisolve_host(a, b[:, j], lower=lower, unit=unit_diagonal)
+    return out

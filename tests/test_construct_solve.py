@@ -192,3 +192,140 @@ def test_spsolve_alias():
     b = rng.standard_normal(n)
     x = spsolve(a, b, method="direct")
     np.testing.assert_allclose(d @ x, b, rtol=1e-9, atol=1e-9)
+
+
+# --- round-3 session-3 additions: bmat/find/norm/matrix_power/npz/trisolve
+
+
+def test_bmat_grid_with_none_blocks():
+    from sparse_matrix_tpu.formats import bmat
+
+    rng = np.random.default_rng(3)
+    a = random_csr(3, 4, 0.5, rng)
+    b = random_csr(3, 2, 0.5, rng)
+    c = random_csr(5, 4, 0.3, rng)
+    m = bmat([[a, b], [c, None]])
+    ref = np.zeros((8, 6))
+    ref[:3, :4] = a.to_dense()
+    ref[:3, 4:] = b.to_dense()
+    ref[3:, :4] = c.to_dense()
+    np.testing.assert_array_equal(m.to_dense(), ref)
+    assert m.invariants()
+    # saddle-point assembly: [[A, B^T], [B, 0]] — the workhorse use
+    sp = bmat([[a @ a.transpose(), b], [b.transpose(), None]])
+    assert sp.shape == (5, 5)
+    with pytest.raises(ValueError, match="fully-None"):
+        bmat([[None, a], [None, c]])
+    with pytest.raises(ValueError, match="heights"):
+        bmat([[a, random_csr(4, 2, 0.5, rng)]])
+
+
+def test_find_row_major_triplets():
+    from sparse_matrix_tpu.formats import find
+
+    rng = np.random.default_rng(4)
+    a = random_csr(6, 7, 0.3, rng)
+    r, c, v = find(a)
+    dense = np.zeros((6, 7))
+    dense[r, c] = v
+    np.testing.assert_array_equal(dense, a.to_dense())
+    # row-major order
+    keys = r * 7 + c
+    assert (np.diff(keys) > 0).all()
+
+
+def test_norm_matches_numpy():
+    from sparse_matrix_tpu.formats import norm
+
+    rng = np.random.default_rng(5)
+    a = random_csr(9, 6, 0.4, rng)
+    d = a.to_dense()
+    assert norm(a) == pytest.approx(np.linalg.norm(d))
+    assert norm(a, 1) == pytest.approx(np.linalg.norm(d, 1))
+    assert norm(a, np.inf) == pytest.approx(np.linalg.norm(d, np.inf))
+    assert norm(a, "max") == pytest.approx(np.abs(d).max())
+    z = CsrMatrix.new(3, 3)
+    assert norm(z) == 0.0 and norm(z, 1) == 0.0 and norm(z, np.inf) == 0.0
+    with pytest.raises(ValueError, match="unsupported"):
+        norm(a, 2)
+    # complex: |.| before any cast (a + ai has |.| = a*sqrt(2))
+    cm = CsrMatrix.from_coo(2, 2, [0], [0], np.array([3 + 4j]))
+    assert norm(cm) == pytest.approx(5.0)
+
+
+def test_matrix_power_repeated_squaring():
+    from sparse_matrix_tpu.formats import matrix_power
+
+    rng = np.random.default_rng(6)
+    a = random_csr(8, 8, 0.3, rng)
+    d = a.to_dense()
+    np.testing.assert_array_equal(
+        matrix_power(a, 0).to_dense(), np.eye(8)
+    )
+    np.testing.assert_allclose(
+        matrix_power(a, 3).to_dense(), d @ d @ d, rtol=1e-12, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        matrix_power(a, 5).to_dense(),
+        np.linalg.matrix_power(d, 5), rtol=1e-11, atol=1e-11
+    )
+    with pytest.raises(ValueError, match="square"):
+        matrix_power(random_csr(3, 4, 0.5, rng), 2)
+    with pytest.raises(ValueError, match="negative"):
+        matrix_power(a, -1)
+
+
+def test_npz_round_trip(tmp_path):
+    from sparse_matrix_tpu.formats import load_npz, save_npz
+
+    rng = np.random.default_rng(7)
+    a = random_csr(12, 9, 0.25, rng, dtype=np.float32)
+    p = tmp_path / "m.npz"
+    save_npz(p, a)
+    b = load_npz(p)
+    assert b.shape == a.shape and b.invariants()
+    np.testing.assert_array_equal(b.to_dense(), a.to_dense())
+    assert b.vals.dtype == a.vals.dtype
+
+
+def test_spsolve_triangular_matches_dense():
+    from sparse_matrix_tpu.formats import tril, triu
+    from sparse_matrix_tpu.solvers import spsolve_triangular
+
+    rng = np.random.default_rng(8)
+    n = 20
+    d = rng.standard_normal((n, n))
+    np.fill_diagonal(d, np.abs(np.diag(d)) + 1.0)
+    # sparsify off-diagonal, keep a usable diagonal
+    dd = d * (np.abs(d) > 0.8)
+    np.fill_diagonal(dd, np.diag(d))
+    a = CsrMatrix.from_coo(*_coo_of(dd))
+    low = tril(a)
+    b = rng.standard_normal(n)
+    x = spsolve_triangular(low, b, lower=True)
+    np.testing.assert_allclose(np.tril(dd) @ x, b, atol=1e-10)
+    up = triu(a)
+    x = spsolve_triangular(up, b, lower=False)
+    np.testing.assert_allclose(np.triu(dd) @ x, b, atol=1e-10)
+    # full matrix in: wrong-side entries ignored (scipy semantics)
+    x2 = spsolve_triangular(a, b, lower=True)
+    np.testing.assert_allclose(np.tril(dd) @ x2, b, atol=1e-10)
+    # unit diagonal: stored diagonal ignored
+    xu = spsolve_triangular(low, b, lower=True, unit_diagonal=True)
+    lu = np.tril(dd, -1) + np.eye(n)
+    np.testing.assert_allclose(lu @ xu, b, atol=1e-10)
+    # block RHS
+    bb = rng.standard_normal((n, 3))
+    xb = spsolve_triangular(low, bb, lower=True)
+    np.testing.assert_allclose(np.tril(dd) @ xb, bb, atol=1e-10)
+    # zero pivot raises
+    sing = CsrMatrix.from_coo(2, 2, [1], [0], [1.0])
+    with pytest.raises(ValueError, match="pivot"):
+        spsolve_triangular(sing, np.ones(2))
+    with pytest.raises(ValueError, match="square"):
+        spsolve_triangular(random_csr(3, 4, 0.5, rng), np.ones(3))
+
+
+def _coo_of(dense):
+    r, c = np.nonzero(dense)
+    return dense.shape[0], dense.shape[1], r, c, dense[r, c]
