@@ -1,0 +1,27 @@
+"""Graph algorithms on sparse adjacency (scipy.sparse.csgraph parity).
+
+Host irregular algorithms (components, SCC, Dijkstra, BFS/DFS, Kruskal)
+run in the C++ native runtime; banded graphs get device min-plus
+(tropical) Bellman-Ford and dense device Floyd-Warshall — shortest-path
+relaxation as semiring SpMV on the static-slice DIA recipe.
+"""
+
+from .csgraph import (  # noqa: F401
+    NegativeCycleError,
+    bellman_ford,
+    breadth_first_order,
+    breadth_first_tree,
+    connected_components,
+    depth_first_order,
+    depth_first_tree,
+    dijkstra,
+    laplacian,
+    minimum_spanning_tree,
+    shortest_path,
+)
+from .device import (  # noqa: F401
+    BandedGraphPlan,
+    banded_graph_plan,
+    bellman_ford_device,
+    floyd_warshall_device,
+)

@@ -35,5 +35,9 @@ from .loader import (  # noqa: F401
     ldl_native,
     lu_native,
     colsplit_native,
+    connected_components_native,
+    dijkstra_native,
+    traversal_order_native,
+    kruskal_native,
     load_library,
 )

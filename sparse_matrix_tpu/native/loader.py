@@ -40,6 +40,10 @@ __all__ = [
     "ldl_native",
     "lu_native",
     "colsplit_native",
+    "connected_components_native",
+    "dijkstra_native",
+    "traversal_order_native",
+    "kruskal_native",
 ]
 
 _LIB: Optional[ctypes.CDLL] = None
@@ -224,6 +228,19 @@ def _declare(lib: ctypes.CDLL) -> None:
             c_i64, _I64P, _I64P, _I64P, _I64P, _I64P, _U32P, vin, c_i64,
             vout, _I16P, _I8P, _I8P,
         ]
+    # graph algorithms (sparse_matrix_tpu/graph/)
+    lib.spmx_connected_components.restype = c_i64
+    lib.spmx_connected_components.argtypes = [c_i64, _I64P, _U32P, _I64P]
+    lib.spmx_scc.restype = c_i64
+    lib.spmx_scc.argtypes = [c_i64, _I64P, _U32P, _I64P]
+    lib.spmx_dijkstra.restype = None
+    lib.spmx_dijkstra.argtypes = [c_i64, _I64P, _U32P, _F64P, c_i64, _F64P, _I64P]
+    lib.spmx_bfs_order.restype = c_i64
+    lib.spmx_bfs_order.argtypes = [c_i64, _I64P, _U32P, c_i64, _I64P, _I64P]
+    lib.spmx_dfs_order.restype = c_i64
+    lib.spmx_dfs_order.argtypes = [c_i64, _I64P, _U32P, c_i64, _I64P, _I64P]
+    lib.spmx_kruskal.restype = c_i64
+    lib.spmx_kruskal.argtypes = [c_i64, c_i64, _I64P, _I64P, _I64P, _I64P]
 
 
 def native_available() -> bool:
@@ -955,3 +972,71 @@ def blocks_to_coo_native(blocks, block_rows, block_cols, rows, cols):
         )
     )
     return out_r[:k], out_c[:k], out_v[:k]
+
+
+def _graph_csr_args(offsets, indices):
+    return (
+        np.ascontiguousarray(offsets, dtype=np.int64),
+        np.ascontiguousarray(indices, dtype=np.uint32),
+    )
+
+
+def connected_components_native(n, offsets, indices, *, strong=False):
+    """Component labels over a CSR pattern. ``strong=False`` = weak
+    connectivity (edges undirected; the pattern may be one-directional),
+    ``strong=True`` = Tarjan SCC. Returns ``(ncomp, labels)`` with labels
+    numbered by first row occurrence, or None when the library is
+    unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    offsets, indices = _graph_csr_args(offsets, indices)
+    labels = np.empty(max(1, n), dtype=np.int64)
+    fn = lib.spmx_scc if strong else lib.spmx_connected_components
+    nc = int(fn(int(n), offsets, indices, labels))
+    return nc, labels[:n]
+
+
+def dijkstra_native(n, offsets, indices, vals, source):
+    """Single-source Dijkstra. Returns ``(dist, pred)`` (f64/i64, unreached
+    = +inf / -1) or None when the library is unavailable. Weights must be
+    non-negative (caller's contract; graph/csgraph.py enforces)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    offsets, indices = _graph_csr_args(offsets, indices)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    dist = np.full(max(1, n), np.inf, dtype=np.float64)
+    pred = np.full(max(1, n), -1, dtype=np.int64)
+    lib.spmx_dijkstra(int(n), offsets, indices, vals, int(source), dist, pred)
+    return dist[:n], pred[:n]
+
+
+def traversal_order_native(n, offsets, indices, source, *, dfs=False):
+    """BFS (or DFS preorder) visitation order + parent array from
+    ``source``. Returns ``(order, pred)`` with ``order`` trimmed to the
+    visited count, or None when the library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    offsets, indices = _graph_csr_args(offsets, indices)
+    order = np.empty(max(1, n), dtype=np.int64)
+    pred = np.full(max(1, n), -1, dtype=np.int64)
+    fn = lib.spmx_dfs_order if dfs else lib.spmx_bfs_order
+    cnt = int(fn(int(n), offsets, indices, int(source), order, pred))
+    return order[:cnt], pred[:n]
+
+
+def kruskal_native(n, ei, ej, order):
+    """Kruskal accept loop over pre-sorted undirected edges. Returns the
+    int64 0/1 keep mask (aligned with ei/ej) or None when the library is
+    unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    ei = np.ascontiguousarray(ei, dtype=np.int64)
+    ej = np.ascontiguousarray(ej, dtype=np.int64)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    keep = np.zeros(max(1, len(ei)), dtype=np.int64)
+    lib.spmx_kruskal(int(n), len(ei), ei, ej, order, keep)
+    return keep[: len(ei)]

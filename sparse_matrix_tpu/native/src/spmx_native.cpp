@@ -1744,3 +1744,223 @@ extern "C" i64 spmx_lu(i64 n, const i64* bp, const i64* bi, const double* bx,
   out_sizes[1] = unz;
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Graph algorithms on CSR adjacency (sparse_matrix_tpu/graph/).
+// The irregular, pointer-chasing parts of the csgraph surface run in the
+// native runtime — the same stance as factorization and aggregation (the
+// reference keeps its irregular kernels on the host too,
+// spam_csr/src/mul_hash.rs): the host does the sequential-irregular work,
+// the device does the regular relaxations (graph/device.py min-plus
+// Bellman-Ford).
+// ---------------------------------------------------------------------------
+
+namespace spmx_graph {
+
+struct UnionFind {
+  std::vector<i64> parent;
+  explicit UnionFind(i64 n) : parent((size_t)n) {
+    for (i64 i = 0; i < n; ++i) parent[(size_t)i] = i;
+  }
+  i64 find(i64 x) {
+    while (parent[(size_t)x] != x) {
+      parent[(size_t)x] = parent[(size_t)parent[(size_t)x]];
+      x = parent[(size_t)x];
+    }
+    return x;
+  }
+  bool unite(i64 a, i64 b) {
+    a = find(a);
+    b = find(b);
+    if (a == b) return false;
+    parent[(size_t)b] = a;
+    return true;
+  }
+};
+
+}  // namespace spmx_graph
+
+// Weak connectivity: every edge treated as undirected, so the caller can
+// pass a one-directional CSR pattern unsymmetrized. labels[i] = component
+// id, numbered by first row occurrence. Returns the component count.
+extern "C" i64 spmx_connected_components(i64 n, const i64* offsets,
+                                         const u32* indices, i64* labels) {
+  spmx_graph::UnionFind uf(n);
+  for (i64 i = 0; i < n; ++i)
+    for (i64 t = offsets[i]; t < offsets[i + 1]; ++t)
+      uf.unite(i, (i64)indices[t]);
+  i64 nc = 0;
+  std::vector<i64> remap((size_t)n, -1);
+  for (i64 i = 0; i < n; ++i) {
+    i64 r = uf.find(i);
+    if (remap[(size_t)r] < 0) remap[(size_t)r] = nc++;
+    labels[i] = remap[(size_t)r];
+  }
+  return nc;
+}
+
+// Strongly connected components: iterative Tarjan (explicit vertex+edge
+// stacks — recursion would overflow on path graphs). Labels renumbered by
+// first row occurrence. Returns the component count.
+extern "C" i64 spmx_scc(i64 n, const i64* offsets, const u32* indices,
+                        i64* labels) {
+  std::vector<i64> low((size_t)n, -1), disc((size_t)n, -1);
+  std::vector<i64> stk;
+  stk.reserve((size_t)n);
+  std::vector<char> onstk((size_t)n, 0);
+  std::vector<i64> callv, calle;
+  i64 timer = 0, nc = 0;
+  for (i64 s = 0; s < n; ++s) {
+    if (disc[(size_t)s] >= 0) continue;
+    callv.assign(1, s);
+    calle.assign(1, offsets[s]);
+    disc[(size_t)s] = low[(size_t)s] = timer++;
+    stk.push_back(s);
+    onstk[(size_t)s] = 1;
+    while (!callv.empty()) {
+      i64 v = callv.back();
+      i64& e = calle.back();
+      if (e < offsets[v + 1]) {
+        i64 w = (i64)indices[e++];
+        if (disc[(size_t)w] < 0) {
+          disc[(size_t)w] = low[(size_t)w] = timer++;
+          stk.push_back(w);
+          onstk[(size_t)w] = 1;
+          callv.push_back(w);
+          calle.push_back(offsets[w]);
+        } else if (onstk[(size_t)w] && disc[(size_t)w] < low[(size_t)v]) {
+          low[(size_t)v] = disc[(size_t)w];
+        }
+      } else {
+        callv.pop_back();
+        calle.pop_back();
+        if (low[(size_t)v] == disc[(size_t)v]) {
+          while (true) {
+            i64 w = stk.back();
+            stk.pop_back();
+            onstk[(size_t)w] = 0;
+            labels[w] = nc;
+            if (w == v) break;
+          }
+          ++nc;
+        }
+        if (!callv.empty()) {
+          i64 p = callv.back();
+          if (low[(size_t)v] < low[(size_t)p]) low[(size_t)p] = low[(size_t)v];
+        }
+      }
+    }
+  }
+  std::vector<i64> remap((size_t)nc, -1);
+  i64 k = 0;
+  for (i64 i = 0; i < n; ++i) {
+    if (remap[(size_t)labels[i]] < 0) remap[(size_t)labels[i]] = k++;
+    labels[i] = remap[(size_t)labels[i]];
+  }
+  return nc;
+}
+
+// Single-source Dijkstra, binary heap over (dist, node). Lazy deletion:
+// stale heap entries are skipped by the d > dist[v] test. Negative weights
+// are the caller's contract violation (graph/csgraph.py routes those to
+// Bellman-Ford). dist must arrive +inf-filled, pred -1-filled;
+// dist[source] is set here.
+extern "C" void spmx_dijkstra(i64 n, const i64* offsets, const u32* indices,
+                              const double* vals, i64 source, double* dist,
+                              i64* pred) {
+  (void)n;
+  typedef std::pair<double, i64> QE;
+  std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
+  dist[source] = 0.0;
+  pq.push(QE(0.0, source));
+  while (!pq.empty()) {
+    QE top = pq.top();
+    pq.pop();
+    double d = top.first;
+    i64 v = top.second;
+    if (d > dist[v]) continue;
+    for (i64 t = offsets[v]; t < offsets[v + 1]; ++t) {
+      i64 w = (i64)indices[t];
+      double nd = d + vals[t];
+      if (nd < dist[w]) {
+        dist[w] = nd;
+        pred[w] = v;
+        pq.push(QE(nd, w));
+      }
+    }
+  }
+}
+
+// BFS visitation order from source. order[] receives the visited nodes in
+// BFS order (order doubles as the queue), pred[child] = parent. Returns
+// the visited count. pred must arrive -1-filled.
+extern "C" i64 spmx_bfs_order(i64 n, const i64* offsets, const u32* indices,
+                              i64 source, i64* order, i64* pred) {
+  std::vector<char> vis((size_t)n, 0);
+  i64 head = 0, tail = 0;
+  order[tail++] = source;
+  vis[(size_t)source] = 1;
+  while (head < tail) {
+    i64 v = order[head++];
+    for (i64 t = offsets[v]; t < offsets[v + 1]; ++t) {
+      i64 w = (i64)indices[t];
+      if (!vis[(size_t)w]) {
+        vis[(size_t)w] = 1;
+        pred[w] = v;
+        order[tail++] = w;
+      }
+    }
+  }
+  return tail;
+}
+
+// DFS preorder from source, neighbors explored in CSR (ascending column)
+// order via an explicit (vertex, edge-cursor) stack. Returns the visited
+// count. pred must arrive -1-filled.
+extern "C" i64 spmx_dfs_order(i64 n, const i64* offsets, const u32* indices,
+                              i64 source, i64* order, i64* pred) {
+  std::vector<char> vis((size_t)n, 0);
+  std::vector<i64> sv, se;
+  sv.reserve(64);
+  se.reserve(64);
+  i64 cnt = 0;
+  vis[(size_t)source] = 1;
+  order[cnt++] = source;
+  sv.push_back(source);
+  se.push_back(offsets[source]);
+  while (!sv.empty()) {
+    i64 v = sv.back();
+    i64& e = se.back();
+    if (e < offsets[v + 1]) {
+      i64 w = (i64)indices[e++];
+      if (!vis[(size_t)w]) {
+        vis[(size_t)w] = 1;
+        pred[w] = v;
+        order[cnt++] = w;
+        sv.push_back(w);
+        se.push_back(offsets[w]);
+      }
+    } else {
+      sv.pop_back();
+      se.pop_back();
+    }
+  }
+  return cnt;
+}
+
+// Kruskal accept loop. The caller extracts + sorts the undirected edge
+// list (vectorized numpy work); only the inherently sequential union-find
+// scan runs here. order[k] indexes ei/ej in ascending-weight order;
+// keep[t] is set 1 for accepted edges. Returns the accepted count.
+extern "C" i64 spmx_kruskal(i64 n, i64 ne, const i64* ei, const i64* ej,
+                            const i64* order, i64* keep) {
+  spmx_graph::UnionFind uf(n);
+  i64 kept = 0;
+  for (i64 k = 0; k < ne; ++k) {
+    i64 t = order[k];
+    i64 ok = uf.unite(ei[t], ej[t]) ? 1 : 0;
+    keep[t] = ok;
+    kept += ok;
+  }
+  return kept;
+}

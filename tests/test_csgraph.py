@@ -1,0 +1,286 @@
+"""Differential tests of sparse_matrix_tpu.graph against scipy.sparse.csgraph.
+
+Same strategy as verify/differential.py (the working analog of the
+reference's deleted MKL differential backend): scipy is the oracle, the
+library must match on random directed/undirected graphs, banded grid
+graphs (the device min-plus path), and crafted edge cases (negative
+weights, negative cycles, disconnected components, empty graphs).
+"""
+
+import numpy as np
+import pytest
+
+scipy_sparse = pytest.importorskip("scipy.sparse")
+cs = pytest.importorskip("scipy.sparse.csgraph")
+
+import sparse_matrix_tpu.graph as g
+from sparse_matrix_tpu.formats.csr import CsrMatrix
+from sparse_matrix_tpu.solvers import poisson_2d_csr
+
+
+def _random_graph(seed, n=60, density=0.08, low=0.1, high=5.0):
+    rng = np.random.default_rng(seed)
+    A = scipy_sparse.random(
+        n, n, density=density, random_state=rng,
+        data_rvs=lambda k: rng.uniform(low, high, k),
+    ).tocsr()
+    A.sort_indices()
+    return CsrMatrix.from_scipy(A), A
+
+
+def _canon(labels):
+    """Label-permutation-invariant canonical form of a partition."""
+    seen = {}
+    return tuple(seen.setdefault(int(x), len(seen)) for x in labels)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("connection", ["weak", "strong"])
+def test_connected_components_matches_scipy(seed, connection):
+    M, A = _random_graph(seed, n=80, density=0.03)
+    nc, lab = g.connected_components(M, directed=True, connection=connection)
+    nc2, lab2 = cs.connected_components(A, directed=True, connection=connection)
+    assert nc == nc2
+    assert _canon(lab) == _canon(lab2)
+
+
+def test_connected_components_undirected_and_empty():
+    n = 10
+    empty = CsrMatrix(n, n, np.zeros(0), np.zeros(0, np.uint32),
+                      np.zeros(n + 1, np.int64), is_sorted=True)
+    nc, lab = g.connected_components(empty)
+    assert nc == n and _canon(lab) == tuple(range(n))
+    # one directed edge connects weakly but not strongly
+    one = CsrMatrix.from_coo(3, 3, [0], [1], [1.0])
+    assert g.connected_components(one, connection="weak", return_labels=False) == 2
+    assert g.connected_components(one, connection="strong", return_labels=False) == 3
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+@pytest.mark.parametrize("directed", [True, False])
+def test_dijkstra_matches_scipy(seed, directed):
+    M, A = _random_graph(seed)
+    idx = [0, 7, 33]
+    d = g.dijkstra(M, directed=directed, indices=idx)
+    d2 = cs.dijkstra(A, directed=directed, indices=idx)
+    np.testing.assert_allclose(d, d2)
+
+
+def test_dijkstra_scalar_index_and_predecessor_tree():
+    M, A = _random_graph(5)
+    d, p = g.dijkstra(M, indices=0, return_predecessors=True)
+    d2 = cs.dijkstra(A, indices=0)
+    np.testing.assert_allclose(d, d2)
+    assert d.ndim == 1
+    # every reached non-source node's parent edge is tight
+    for j in np.flatnonzero(np.isfinite(d))[1:]:
+        i = int(p[j])
+        assert i >= 0
+        assert np.isclose(d[i] + A[i, j], d[j])
+
+
+def test_dijkstra_rejects_negative_weights():
+    M = CsrMatrix.from_coo(2, 2, [0], [1], [-1.0])
+    with pytest.raises(ValueError):
+        g.dijkstra(M)
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_bellman_ford_matches_scipy(directed):
+    M, A = _random_graph(7)
+    d = g.bellman_ford(M, directed=directed, indices=[0, 11])
+    d2 = cs.bellman_ford(A, directed=directed, indices=[0, 11])
+    np.testing.assert_allclose(d, d2)
+
+
+def test_bellman_ford_negative_weights_and_cycle():
+    # negative edge, no cycle: matches scipy
+    M = CsrMatrix.from_scipy(scipy_sparse.csr_matrix(
+        np.array([[0.0, 2, 0], [0, 0, -1], [0, 0, 0]])
+    ))
+    np.testing.assert_allclose(
+        g.bellman_ford(M, indices=0), cs.bellman_ford(M.to_scipy(), indices=0)
+    )
+    # negative cycle raises
+    C = CsrMatrix.from_scipy(scipy_sparse.csr_matrix(
+        np.array([[0.0, 1, 0], [0, 0, 1], [-5, 0, 0]])
+    ))
+    with pytest.raises(g.NegativeCycleError):
+        g.bellman_ford(C, indices=0)
+    with pytest.raises(g.NegativeCycleError):
+        g.bellman_ford_device(C, [0])
+
+
+def test_bellman_ford_predecessors_valid():
+    M, A = _random_graph(9)
+    d, p = g.bellman_ford(M, indices=0, return_predecessors=True)
+    for j in np.flatnonzero(np.isfinite(d))[1:]:
+        i = int(p[j])
+        assert i >= 0
+        assert np.isclose(d[i] + A[i, j], d[j])
+
+
+def test_device_bellman_ford_banded_grid_matches_dijkstra():
+    rng = np.random.default_rng(2)
+    P = poisson_2d_csr(20)
+    W = CsrMatrix(P.rows, P.cols, rng.uniform(0.5, 3.0, P.nnz()),
+                  P.indices, P.offsets, is_sorted=True)
+    plan = g.banded_graph_plan(W)
+    assert plan is not None and len(plan.offsets) == 5
+    src = np.array([0, 57, 399])
+    d = g.bellman_ford_device(plan, src)
+    d2 = cs.dijkstra(W.to_scipy(), indices=src)
+    np.testing.assert_allclose(d, d2, rtol=1e-5)
+
+
+def test_shortest_path_auto_dispatches_device_for_banded():
+    rng = np.random.default_rng(3)
+    P = poisson_2d_csr(12)
+    W = CsrMatrix(P.rows, P.cols, rng.uniform(0.5, 3.0, P.nnz()),
+                  P.indices, P.offsets, is_sorted=True)
+    d = g.shortest_path(W, indices=[0, 100])
+    d2 = cs.dijkstra(W.to_scipy(), indices=[0, 100])
+    np.testing.assert_allclose(d, d2, rtol=1e-5)
+
+
+def test_shortest_path_methods_agree():
+    M, A = _random_graph(11, n=40)
+    idx = [0, 5]
+    d_auto = g.shortest_path(M, indices=idx)
+    d_d = g.shortest_path(M, method="D", indices=idx)
+    d_bf = g.shortest_path(M, method="BF", indices=idx)
+    d_fw = g.shortest_path(M, method="FW", indices=idx)
+    np.testing.assert_allclose(d_auto, d_d)
+    np.testing.assert_allclose(d_d, d_bf)
+    np.testing.assert_allclose(d_d, d_fw, rtol=1e-5)
+
+
+def test_floyd_warshall_device_matches_scipy():
+    M, A = _random_graph(13, n=50)
+    np.testing.assert_allclose(
+        g.floyd_warshall_device(M), cs.floyd_warshall(A), rtol=1e-5
+    )
+
+
+def test_shortest_path_unweighted():
+    M, A = _random_graph(15)
+    d = g.shortest_path(M, method="D", indices=0, unweighted=True)
+    d2 = cs.shortest_path(A, method="D", indices=0, unweighted=True)
+    np.testing.assert_allclose(d, d2)
+
+
+def test_bfs_dfs_orders_and_trees_match_scipy_directed():
+    M, A = _random_graph(17, n=50, density=0.06)
+    o, p = g.breadth_first_order(M, 0)
+    o2, p2 = cs.breadth_first_order(A, 0)
+    assert set(o.tolist()) == set(o2.tolist())
+    np.testing.assert_allclose(
+        g.breadth_first_tree(M, 0).to_scipy().toarray(),
+        cs.breadth_first_tree(A, 0, directed=True).toarray(),
+    )
+    od, pd = g.depth_first_order(M, 0)
+    od2, pd2 = cs.depth_first_order(A, 0)
+    assert set(od.tolist()) == set(od2.tolist())
+    np.testing.assert_allclose(
+        g.depth_first_tree(M, 0).to_scipy().toarray(),
+        cs.depth_first_tree(A, 0, directed=True).toarray(),
+    )
+
+
+def test_bfs_dfs_undirected_structurally_valid():
+    """Undirected traversals: scipy iterates row- then column-neighbors
+    (unsorted) while we sort the symmetrized pattern, so parent CHOICES
+    differ legitimately. Invariants that must hold: same visited set, BFS
+    levels equal to unweighted hop distances, every tree edge present in
+    the symmetrized graph."""
+    M, A = _random_graph(17, n=50, density=0.06)
+    o, p = g.breadth_first_order(M, 0, directed=False)
+    o2, _p2 = cs.breadth_first_order(A, 0, directed=False)
+    assert set(o.tolist()) == set(o2.tolist())
+    hops = cs.shortest_path(A, directed=False, unweighted=True, indices=0)
+    level = {0: 0}
+    for j in o[1:]:
+        level[int(j)] = level[int(p[j])] + 1
+        assert level[int(j)] == hops[int(j)]
+    sym = (A.maximum(A.T)).tocsr()
+    t = g.breadth_first_tree(M, 0, directed=False)
+    assert t.nnz() == len(o) - 1
+    td = g.depth_first_tree(M, 0, directed=False)
+    assert td.nnz() == len(o) - 1
+    for tree in (t, td):
+        r = np.repeat(np.arange(tree.rows), np.diff(tree.offsets))
+        for i, j, w in zip(r, tree.indices, tree.vals):
+            assert sym[int(i), int(j)] != 0 or sym[int(j), int(i)] != 0
+
+
+def test_minimum_spanning_tree_matches_scipy():
+    # unique random weights -> the MST edge SET is unique; scipy keeps
+    # each kept edge at its stored input orientation while we canonicalize
+    # to (min, max), so compare the symmetrized forms
+    for seed in (0, 4):
+        M, A = _random_graph(seed, n=70, density=0.1)
+        t = g.minimum_spanning_tree(M).to_scipy()
+        t2 = cs.minimum_spanning_tree(A)
+        np.testing.assert_allclose(
+            (t + t.T).toarray(), (t2 + t2.T).toarray()
+        )
+
+
+@pytest.mark.parametrize("normed", [False, True])
+def test_laplacian_matches_scipy(normed):
+    M, A = _random_graph(19)
+    np.testing.assert_allclose(
+        g.laplacian(M, normed=normed).to_scipy().toarray(),
+        cs.laplacian(A, normed=normed).toarray(),
+        atol=1e-12,
+    )
+    # symmetric case too (the spectral-clustering shape)
+    S = A + A.T
+    MS = CsrMatrix.from_scipy(S.tocsr())
+    np.testing.assert_allclose(
+        g.laplacian(MS, normed=normed).to_scipy().toarray(),
+        cs.laplacian(S.tocsr(), normed=normed).toarray(),
+        atol=1e-12,
+    )
+
+
+def test_laplacian_return_diag_and_out_degree():
+    M, A = _random_graph(21)
+    lap, d = g.laplacian(M, return_diag=True)
+    lap2, d2 = cs.laplacian(A, return_diag=True)
+    np.testing.assert_allclose(d, d2)
+    lap_o = g.laplacian(M, use_out_degree=True).to_scipy().toarray()
+    lap_o2 = cs.laplacian(A, use_out_degree=True).toarray()
+    np.testing.assert_allclose(lap_o, lap_o2)
+
+
+def test_python_fallbacks_match_native(monkeypatch):
+    """The pure-Python paths (library unavailable) agree with native."""
+    import sparse_matrix_tpu.graph.csgraph as mod
+
+    M, A = _random_graph(23, n=40)
+    native = (
+        g.connected_components(M, connection="strong"),
+        g.dijkstra(M, indices=2),
+        g.breadth_first_order(M, 0),
+        g.minimum_spanning_tree(M).to_scipy().toarray(),
+    )
+    monkeypatch.setattr(mod, "connected_components_native", lambda *a, **k: None)
+    monkeypatch.setattr(mod, "dijkstra_native", lambda *a, **k: None)
+    monkeypatch.setattr(mod, "traversal_order_native", lambda *a, **k: None)
+    monkeypatch.setattr(mod, "kruskal_native", lambda *a, **k: None)
+    nc, lab = g.connected_components(M, connection="strong")
+    assert nc == native[0][0] and _canon(lab) == _canon(native[0][1])
+    np.testing.assert_allclose(g.dijkstra(M, indices=2), native[1])
+    o, p = g.breadth_first_order(M, 0)
+    np.testing.assert_array_equal(o, native[2][0])
+    np.testing.assert_array_equal(p, native[2][1])
+    np.testing.assert_allclose(
+        g.minimum_spanning_tree(M).to_scipy().toarray(), native[3]
+    )
+
+
+def test_non_square_raises():
+    M = CsrMatrix.from_coo(2, 3, [0], [1], [1.0])
+    with pytest.raises(ValueError):
+        g.connected_components(M)
