@@ -228,16 +228,18 @@ class TriangularJacobi:
             t.rows, t.cols, rid[strict], cid[strict], t.vals[strict].astype(dtype)
         )
         self.n_op = SpmvOperator(n_mat, dtype=dtype, force=force)
-        # banded factors (IC/ILU of stencil operators): run ALL sweeps in
-        # one fused Pallas call with x VMEM-resident — 1 dispatch + 1 HBM
-        # pass per solve instead of 1+sweeps band applies (the round-2
-        # "IC-PCG loses its edge at 1024^2" per-iteration overhead).
-        # ``fused=False`` keeps the per-sweep applies (XLA can hold small
-        # band data VMEM-resident ACROSS PCG iterations, which a Pallas
-        # call — reading operands from HBM each solve — cannot; the
-        # crossover is measured, see docs/PERF.md).
+        # banded factors (IC/ILU of stencil operators) CAN run all sweeps
+        # in one fused Pallas call with x VMEM-resident (ops/trisweep.py),
+        # but the v5e ablation (experiments/ilu_pcg_1024.out, docs/PERF.md)
+        # measured the loop-of-DIA-SpMV form 3x FASTER at every tested
+        # shape/sweep count: XLA keeps the small band data VMEM-resident
+        # ACROSS PCG iterations and overlaps the band applies, while the
+        # fused kernel re-reads operands from HBM each solve and
+        # serializes sweeps inside one grid. Default is therefore OFF;
+        # ``fused=True`` is the explicit ablation knob (raises when the
+        # factor isn't banded/fusable).
         self._fused = None
-        if fused is not False and self.n_op.format == "dia" and self.n_op._dia is not None:
+        if fused is True and self.n_op.format == "dia" and self.n_op._dia is not None:
             from ..ops.trisweep import plan_trisweep
 
             self._fused = plan_trisweep(self.n_op._dia, t.rows)

@@ -368,7 +368,9 @@ def test_fused_trisweep_kernel_parity():
     lc = ic0(p)
     b = rng.standard_normal(p.rows).astype(np.float32)
     for t in (lc, lc.transpose()):
-        sj = TriangularJacobi(t, sweeps=4, dtype=np.float32)
+        # explicit opt-in: the kernel is an ablation knob after the v5e
+        # measurement picked the loop form (experiments/ilu_pcg_1024.out)
+        sj = TriangularJacobi(t, sweeps=4, dtype=np.float32, fused=True)
         assert sj._fused is not None
         got = np.asarray(sj(np.asarray(b)))
         x = sj.dinv * b
