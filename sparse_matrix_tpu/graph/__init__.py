@@ -16,8 +16,11 @@ from .csgraph import (  # noqa: F401
     depth_first_tree,
     dijkstra,
     laplacian,
+    maximum_bipartite_matching,
     minimum_spanning_tree,
+    reverse_cuthill_mckee,
     shortest_path,
+    structural_rank,
 )
 from .device import (  # noqa: F401
     BandedGraphPlan,

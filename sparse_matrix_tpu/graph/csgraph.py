@@ -31,6 +31,7 @@ from ..formats.csr import CsrMatrix
 from ..native import (
     connected_components_native,
     dijkstra_native,
+    hopcroft_karp_native,
     kruskal_native,
     traversal_order_native,
 )
@@ -45,8 +46,11 @@ __all__ = [
     "depth_first_tree",
     "dijkstra",
     "laplacian",
+    "maximum_bipartite_matching",
     "minimum_spanning_tree",
+    "reverse_cuthill_mckee",
     "shortest_path",
+    "structural_rank",
 ]
 
 
@@ -549,3 +553,86 @@ def laplacian(
     lap = CsrMatrix.from_coo(n, n, ri, ci, vi)
     d = np.where(isolated, 0.0, np.sqrt(deg))
     return (lap, d) if return_diag else lap
+
+
+# ---------------------------------------------------------------------------
+# bipartite matching / structural rank / ordering
+# ---------------------------------------------------------------------------
+
+
+def _bipartite_match(a: CsrMatrix):
+    res = hopcroft_karp_native(a.rows, a.cols, a.offsets, a.indices)
+    if res is not None:
+        return res
+    # Kuhn fallback (recursion-free): augment from each free row by DFS
+    mr = np.full(a.rows, -1, dtype=np.int64)
+    mc = np.full(a.cols, -1, dtype=np.int64)
+    size = 0
+    for s in range(a.rows):
+        # BFS-augmenting (simple alternating search, one path per root)
+        parent_col = {}
+        frontier = [s]
+        seen_rows = {s}
+        free_col = -1
+        while frontier and free_col < 0:
+            nxt = []
+            for v in frontier:
+                for t in range(int(a.offsets[v]), int(a.offsets[v + 1])):
+                    j = int(a.indices[t])
+                    if j in parent_col:
+                        continue
+                    parent_col[j] = v
+                    w = int(mc[j])
+                    if w < 0:
+                        free_col = j
+                        break
+                    if w not in seen_rows:
+                        seen_rows.add(w)
+                        nxt.append(w)
+                if free_col >= 0:
+                    break
+            frontier = nxt
+        if free_col >= 0:
+            j = free_col
+            while True:
+                v = parent_col[j]
+                pj = int(mr[v])
+                mc[j] = v
+                mr[v] = j
+                if pj < 0:
+                    break
+                j = pj
+            size += 1
+    return size, mr, mc
+
+
+def maximum_bipartite_matching(a: CsrMatrix, perm_type: str = "row") -> np.ndarray:
+    """Maximum bipartite matching of the rows-vs-columns pattern
+    (Hopcroft-Karp in the native runtime, O(E sqrt(V))). scipy convention:
+    ``perm_type="row"`` returns, for each COLUMN, its matched row (size
+    ``cols``); ``"column"`` returns, for each ROW, its matched column
+    (size ``rows``); -1 = unmatched. scipy parity:
+    ``scipy.sparse.csgraph.maximum_bipartite_matching``."""
+    if perm_type not in ("row", "column"):
+        raise ValueError(f"perm_type must be 'row' or 'column', got {perm_type!r}")
+    _size, mr, mc = _bipartite_match(a)
+    return (mc if perm_type == "row" else mr).astype(np.int32)
+
+
+def structural_rank(a: CsrMatrix) -> int:
+    """Maximum rank of ``a`` over all numeric value assignments to its
+    pattern = the maximum bipartite matching size. scipy parity:
+    ``scipy.sparse.csgraph.structural_rank``."""
+    return _bipartite_match(a)[0]
+
+
+def reverse_cuthill_mckee(a: CsrMatrix, symmetric_mode: bool = False) -> np.ndarray:
+    """Bandwidth-reducing RCM permutation; delegates to the library\'s
+    existing reordering machinery (``formats/reorder.py``, which
+    symmetrizes the pattern — ``symmetric_mode`` is accepted for scipy
+    signature parity and ignored). scipy parity:
+    ``scipy.sparse.csgraph.reverse_cuthill_mckee``."""
+    from ..formats.reorder import rcm_permutation
+
+    del symmetric_mode
+    return rcm_permutation(a).astype(np.int32)

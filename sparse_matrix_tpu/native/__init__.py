@@ -39,5 +39,6 @@ from .loader import (  # noqa: F401
     dijkstra_native,
     traversal_order_native,
     kruskal_native,
+    hopcroft_karp_native,
     load_library,
 )

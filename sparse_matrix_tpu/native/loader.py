@@ -44,6 +44,7 @@ __all__ = [
     "dijkstra_native",
     "traversal_order_native",
     "kruskal_native",
+    "hopcroft_karp_native",
 ]
 
 _LIB: Optional[ctypes.CDLL] = None
@@ -241,6 +242,8 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.spmx_dfs_order.argtypes = [c_i64, _I64P, _U32P, c_i64, _I64P, _I64P]
     lib.spmx_kruskal.restype = c_i64
     lib.spmx_kruskal.argtypes = [c_i64, c_i64, _I64P, _I64P, _I64P, _I64P]
+    lib.spmx_hopcroft_karp.restype = c_i64
+    lib.spmx_hopcroft_karp.argtypes = [c_i64, c_i64, _I64P, _U32P, _I64P, _I64P]
 
 
 def native_available() -> bool:
@@ -1040,3 +1043,18 @@ def kruskal_native(n, ei, ej, order):
     keep = np.zeros(max(1, len(ei)), dtype=np.int64)
     lib.spmx_kruskal(int(n), len(ei), ei, ej, order, keep)
     return keep[: len(ei)]
+
+
+def hopcroft_karp_native(rows, cols, offsets, indices):
+    """Maximum bipartite matching (Hopcroft-Karp) on the rows->cols CSR
+    pattern. Returns ``(size, match_row, match_col)`` (-1 = unmatched) or
+    None when the library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.uint32)
+    mr = np.empty(max(1, rows), dtype=np.int64)
+    mc = np.empty(max(1, cols), dtype=np.int64)
+    size = int(lib.spmx_hopcroft_karp(int(rows), int(cols), offsets, indices, mr, mc))
+    return size, mr[:rows], mc[:cols]

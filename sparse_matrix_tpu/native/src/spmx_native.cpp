@@ -1964,3 +1964,90 @@ extern "C" i64 spmx_kruskal(i64 n, i64 ne, const i64* ei, const i64* ej,
   }
   return kept;
 }
+
+// Hopcroft-Karp maximum bipartite matching on the rows->cols CSR pattern.
+// match_row[i] = matched column (-1 unmatched), match_col[j] = matched row.
+// Returns the matching size (= structural rank of the matrix). Layered BFS
+// + DFS augmentation, O(E sqrt(V)).
+extern "C" i64 spmx_hopcroft_karp(i64 rows, i64 cols, const i64* offsets,
+                                  const u32* indices, i64* match_row,
+                                  i64* match_col) {
+  const i64 INF = (i64)1 << 62;
+  for (i64 i = 0; i < rows; ++i) match_row[i] = -1;
+  for (i64 j = 0; j < cols; ++j) match_col[j] = -1;
+  std::vector<i64> dist((size_t)rows);
+  std::vector<i64> q((size_t)rows);
+  // iterative DFS stacks (explicit — recursion overflows on long chains)
+  std::vector<i64> sv, se;
+  i64 matched = 0;
+  while (true) {
+    // BFS layers from unmatched rows
+    i64 head = 0, tail = 0;
+    for (i64 i = 0; i < rows; ++i) {
+      if (match_row[i] < 0) {
+        dist[(size_t)i] = 0;
+        q[tail++] = i;
+      } else {
+        dist[(size_t)i] = INF;
+      }
+    }
+    bool found_free = false;
+    while (head < tail) {
+      i64 v = q[head++];
+      for (i64 t = offsets[v]; t < offsets[v + 1]; ++t) {
+        i64 w = match_col[(i64)indices[t]];
+        if (w < 0) {
+          found_free = true;
+        } else if (dist[(size_t)w] == INF) {
+          dist[(size_t)w] = dist[(size_t)v] + 1;
+          q[tail++] = w;
+        }
+      }
+    }
+    if (!found_free) break;
+    // DFS augmentation along layered edges
+    for (i64 s = 0; s < rows; ++s) {
+      if (match_row[s] >= 0) continue;
+      sv.assign(1, s);
+      se.assign(1, offsets[s]);
+      bool augmented = false;
+      while (!sv.empty()) {
+        i64 v = sv.back();
+        i64& e = se.back();
+        if (e < offsets[v + 1]) {
+          i64 j = (i64)indices[e++];
+          i64 w = match_col[j];
+          if (w < 0) {
+            // free column: flip the path recorded on the stack
+            match_col[j] = v;
+            i64 carry = j;
+            for (i64 k = (i64)sv.size() - 1; k >= 0; --k) {
+              i64 rv = sv[(size_t)k];
+              i64 prev = match_row[rv];
+              match_row[rv] = carry;
+              if (k > 0) {
+                // the column that led INTO rv is prev's slot via the
+                // parent row's edge; recover it from match_col updates:
+                // parent row's new column is the one that matched rv
+                carry = prev;
+                match_col[prev] = sv[(size_t)k - 1];
+              }
+            }
+            augmented = true;
+            break;
+          }
+          if (dist[(size_t)w] == dist[(size_t)v] + 1) {
+            sv.push_back(w);
+            se.push_back(offsets[w]);
+          }
+        } else {
+          dist[(size_t)v] = INF;  // dead end: prune for this phase
+          sv.pop_back();
+          se.pop_back();
+        }
+      }
+      if (augmented) ++matched;
+    }
+  }
+  return matched;
+}

@@ -284,3 +284,41 @@ def test_non_square_raises():
     M = CsrMatrix.from_coo(2, 3, [0], [1], [1.0])
     with pytest.raises(ValueError):
         g.connected_components(M)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_structural_rank_and_matching_match_scipy(seed):
+    rng = np.random.default_rng(seed)
+    r, c = int(rng.integers(5, 40)), int(rng.integers(5, 40))
+    A = scipy_sparse.random(r, c, density=0.15, random_state=rng).tocsr()
+    A.sort_indices()
+    M = CsrMatrix.from_scipy(A)
+    assert g.structural_rank(M) == cs.structural_rank(A)
+    # matchings need not be identical; validate ours is a matching of the
+    # same (maximum) size over actual pattern entries
+    mr = g.maximum_bipartite_matching(M, perm_type="column")  # per-row col
+    matched = mr >= 0
+    assert matched.sum() == cs.structural_rank(A)
+    assert len(set(mr[matched].tolist())) == int(matched.sum())
+    for i in np.flatnonzero(matched):
+        assert A[i, mr[i]] != 0 or mr[i] in A.indices[A.indptr[i]:A.indptr[i + 1]]
+    mc = g.maximum_bipartite_matching(M, perm_type="row")  # per-col row
+    assert (mc >= 0).sum() == int(matched.sum())
+
+
+def test_matching_python_fallback(monkeypatch):
+    import sparse_matrix_tpu.graph.csgraph as mod
+
+    rng = np.random.default_rng(7)
+    A = scipy_sparse.random(25, 30, density=0.12, random_state=rng).tocsr()
+    A.sort_indices()
+    M = CsrMatrix.from_scipy(A)
+    want = g.structural_rank(M)
+    monkeypatch.setattr(mod, "hopcroft_karp_native", lambda *a, **k: None)
+    assert g.structural_rank(M) == want
+
+
+def test_reverse_cuthill_mckee_is_valid_permutation():
+    P = poisson_2d_csr(12)
+    perm = g.reverse_cuthill_mckee(P)
+    assert sorted(perm.tolist()) == list(range(P.rows))
