@@ -24,6 +24,7 @@ from .funm import (  # noqa: F401
 )
 from .bicgstab import bicgstab_solve  # noqa: F401
 from .lsqr import LsqrResult, lsqr_solve  # noqa: F401
+from .lsmr import LsmrResult, lsmr_solve  # noqa: F401
 from .lobpcg import LobpcgResult, lobpcg  # noqa: F401
 from .gmres import gmres_solve  # noqa: F401
 from .amg import (  # noqa: F401

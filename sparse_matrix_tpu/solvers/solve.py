@@ -132,10 +132,13 @@ def lstsq(a, b, *, tol: float = 1e-8, maxiter: int = 2000, dtype=np.float32,
     """Least-squares ``min |A x - b|`` for rectangular host-CSR ``A``
     (LSQR on planned operators for ``A`` and ``A^T``).
 
-    ``method="direct"``: normal equations ``A^T A x = A^T b`` through the
-    framework's SpGEMM + exact sparse Cholesky — exact up to the squared
-    condition number (the classic normal-equations caveat; prefer LSQR
-    when ``A`` is ill-conditioned)."""
+    ``method="lsmr"``: LSMR instead — same bidiagonalization, but
+    ``|A^T r|`` decreases monotonically (safer early stopping on
+    ill-conditioned problems). ``method="direct"``: normal equations
+    ``A^T A x = A^T b`` through the framework's SpGEMM + exact sparse
+    Cholesky — exact up to the squared condition number (the classic
+    normal-equations caveat; prefer LSQR/LSMR when ``A`` is
+    ill-conditioned)."""
     from ..ops.operator import SpmvOperator
     from .lsqr import lsqr_solve
 
@@ -155,10 +158,16 @@ def lstsq(a, b, *, tol: float = 1e-8, maxiter: int = 2000, dtype=np.float32,
             residual_norm=np.float64(np.linalg.norm(r)),
             atr_norm=np.float64(np.linalg.norm(at.matvec_host(r))),
         )
-    if method != "auto":
-        raise ValueError(f"unknown method {method!r} (auto|direct)")
+    if method not in ("auto", "lsmr"):
+        raise ValueError(f"unknown method {method!r} (auto|lsmr|direct)")
     op = SpmvOperator(a, dtype=dtype)
     opt = SpmvOperator(a.transpose(), dtype=dtype)
+    if method == "lsmr":
+        from .lsmr import lsmr_solve
+
+        return lsmr_solve(
+            op, opt, np.asarray(b), n=a.cols, tol=tol, maxiter=maxiter
+        )
     return lsqr_solve(op, opt, np.asarray(b), n=a.cols, tol=tol, maxiter=maxiter)
 
 

@@ -95,3 +95,87 @@ def test_lsqr_requires_n_or_x0():
     mv = lambda v: v
     with pytest.raises(ValueError):
         lsqr_solve(mv, mv, jnp.ones(4, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# LSMR (solvers/lsmr.py)
+# ---------------------------------------------------------------------------
+
+
+def _dense_pair(Ad):
+    import jax.numpy as jnp
+
+    mv = lambda v: jnp.asarray(Ad, jnp.float32) @ v
+    rmv = lambda u: jnp.asarray(Ad.T, jnp.float32) @ u
+    return mv, rmv
+
+
+def test_lsmr_matches_scipy_overdetermined():
+    sl = pytest.importorskip("scipy.sparse.linalg")
+    from sparse_matrix_tpu.solvers import lsmr_solve
+
+    rng = np.random.default_rng(0)
+    Ad = rng.standard_normal((120, 60)) * (rng.random((120, 60)) < 0.3)
+    b = rng.standard_normal(120)
+    mv, rmv = _dense_pair(Ad)
+    res = lsmr_solve(mv, rmv, np.asarray(b, np.float32), n=60, tol=1e-6,
+                     maxiter=3000)
+    ref = sl.lsmr(Ad, b, atol=1e-12, btol=1e-12, maxiter=5000)[0]
+    x = np.asarray(res.x, np.float64)
+    obj = np.linalg.norm(b - Ad @ x)
+    obj_ref = np.linalg.norm(b - Ad @ ref)
+    assert obj <= obj_ref * (1 + 1e-5)
+    # optimality: the normal-equations residual is tiny
+    r = b - Ad @ x
+    assert np.linalg.norm(Ad.T @ r) <= 1e-4 * np.linalg.norm(Ad) * np.linalg.norm(r)
+
+
+def test_lsmr_damped_matches_scipy():
+    sl = pytest.importorskip("scipy.sparse.linalg")
+    from sparse_matrix_tpu.solvers import lsmr_solve
+
+    rng = np.random.default_rng(1)
+    Ad = rng.standard_normal((100, 50)) * (rng.random((100, 50)) < 0.3)
+    b = rng.standard_normal(100)
+    mv, rmv = _dense_pair(Ad)
+    res = lsmr_solve(mv, rmv, np.asarray(b, np.float32), n=50, damp=0.7,
+                     tol=1e-6, maxiter=3000)
+    ref = sl.lsmr(Ad, b, damp=0.7, atol=1e-12, btol=1e-12)[0]
+    x = np.asarray(res.x, np.float64)
+    obj = np.linalg.norm(b - Ad @ x) ** 2 + 0.49 * np.linalg.norm(x) ** 2
+    obj_ref = np.linalg.norm(b - Ad @ ref) ** 2 + 0.49 * np.linalg.norm(ref) ** 2
+    np.testing.assert_allclose(obj, obj_ref, rtol=1e-5)
+
+
+def test_lsmr_consistent_and_x0():
+    from sparse_matrix_tpu.solvers import lsmr_solve
+
+    rng = np.random.default_rng(2)
+    Ad = rng.standard_normal((60, 120)) * (rng.random((60, 120)) < 0.3)
+    b = rng.standard_normal(60)
+    mv, rmv = _dense_pair(Ad)
+    res = lsmr_solve(mv, rmv, np.asarray(b, np.float32), n=120, tol=1e-5,
+                     maxiter=3000)
+    x = np.asarray(res.x, np.float64)
+    assert np.linalg.norm(b - Ad @ x) <= 2e-5 * np.linalg.norm(b)
+    # warm start from a random x0 reaches the same objective
+    x0 = (rng.standard_normal(120) * 0.1).astype(np.float32)
+    res2 = lsmr_solve(mv, rmv, np.asarray(b, np.float32), x0=x0, tol=1e-5,
+                      maxiter=3000)
+    x2 = np.asarray(res2.x, np.float64)
+    assert np.linalg.norm(b - Ad @ x2) <= 2e-5 * np.linalg.norm(b)
+
+
+def test_lstsq_method_lsmr_on_csr():
+    from sparse_matrix_tpu.solvers import lstsq
+    from sparse_matrix_tpu.formats.construct import random_csr
+
+    rng = np.random.default_rng(3)
+    a = random_csr(90, 40, 0.2, rng)
+    b = rng.standard_normal(90)
+    res = lstsq(a, b, method="lsmr", tol=1e-6, maxiter=2000)
+    res_ref = lstsq(a, b, tol=1e-6, maxiter=2000)  # LSQR
+    Ad = a.to_scipy().toarray()
+    o1 = np.linalg.norm(b - Ad @ np.asarray(res.x, float))
+    o2 = np.linalg.norm(b - Ad @ np.asarray(res_ref.x, float))
+    np.testing.assert_allclose(o1, o2, rtol=1e-4)

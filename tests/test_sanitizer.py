@@ -147,3 +147,58 @@ def test_native_threaded_chunks_tsan():
     assert out.returncode == 0 and "THREADED SAN CLEAN" in out.stdout, (
         out.stdout[-1000:], out.stderr[-3000:],
     )
+
+
+def test_native_ubsan_graph_kernels():
+    """The graph-native routines (union-find components, Tarjan SCC, heap
+    Dijkstra, BFS/DFS orders, Kruskal, Hopcroft-Karp) under the UBSan
+    build, cross-checked against the pure-Python fallbacks."""
+    code = """
+import ctypes
+import numpy as np
+from sparse_matrix_tpu.native import build as bmod
+from sparse_matrix_tpu.native import loader
+lib = ctypes.CDLL(bmod.build(sanitize=True))
+loader._declare(lib)
+loader._LIB = lib
+loader._TRIED = True
+
+from sparse_matrix_tpu.formats.csr import CsrMatrix
+import sparse_matrix_tpu.graph.csgraph as cg
+
+rng = np.random.default_rng(3)
+for trial in range(40):
+    n = int(rng.integers(1, 40))
+    dens = float(rng.uniform(0.0, 0.3))
+    mask = rng.random((n, n)) < dens
+    w = np.where(mask, rng.uniform(0.1, 5.0, (n, n)), 0.0)
+    r, c = np.nonzero(mask)
+    M = CsrMatrix.from_coo(n, n, r, c, w[r, c])
+    nc_w = cg.connected_components(M, return_labels=False)
+    nc_s = cg.connected_components(M, connection="strong", return_labels=False)
+    assert nc_s >= nc_w
+    src = int(rng.integers(0, n))
+    d, p = cg.dijkstra(M, indices=src, return_predecessors=True)
+    d_py, _ = cg._dijkstra_py(
+        n, M.offsets, M.indices, np.asarray(M.vals, np.float64), src)
+    np.testing.assert_allclose(d, d_py)
+    o, pb = cg.breadth_first_order(M, src)
+    od, pd = cg.depth_first_order(M, src)
+    assert set(o.tolist()) == set(od.tolist())
+    t = cg.minimum_spanning_tree(M)
+    assert t.nnz() == n - cg.connected_components(
+        M, directed=False, return_labels=False)
+    sr = cg.structural_rank(M)
+    loader._LIB = None  # swap to python fallback and compare
+    try:
+        assert cg.structural_rank(M) == sr
+    finally:
+        loader._LIB = lib
+print("UBSAN GRAPH CLEAN")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=600,
+        env={"PYTHONPATH": ".", "HOME": "/root",
+             "PATH": "/usr/bin:/bin:/usr/local/bin", "JAX_PLATFORMS": "cpu"},
+    )
+    assert "UBSAN GRAPH CLEAN" in out.stdout, (out.stdout[-1000:], out.stderr[-3000:])
