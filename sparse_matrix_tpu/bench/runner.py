@@ -82,6 +82,7 @@ def bench_device_loop(
     iters: int = 2000,
     repeats: int = 3,
     min_loop_seconds: float = 0.4,
+    params=None,
 ) -> BenchResult:
     """Time ``step`` by chaining ``iters`` applications inside one jit.
 
@@ -91,16 +92,29 @@ def bench_device_loop(
     auto-scaled until one loop takes >= ``min_loop_seconds`` (~16x the
     RTT), making the residual RTT subtraction a <5% correction. fori_loop
     tracing is O(1) in ``iters``, so rescaling costs one extra compile.
+
+    ``params``: optional pytree passed to ``step(params, x)`` as a jit
+    ARGUMENT instead of a closure constant — large operators
+    (``SpmvOperator.as_pytree()``) otherwise bake their arrays into the
+    compile payload, which the remote-compile tunnel rejects past ~30 MB
+    (HTTP 413; docs/PERF.md scaling section).
     """
     import jax
     import jax.numpy as jnp
 
     def make_loop(n):
-        @jax.jit
-        def loop(x):
-            return jax.lax.fori_loop(0, n, lambda i, v: step(v), x)
+        if params is None:
+            @jax.jit
+            def loop(x):
+                return jax.lax.fori_loop(0, n, lambda i, v: step(v), x)
 
-        return loop
+            return lambda x: loop(x)
+
+        @jax.jit
+        def loop_p(p, x):
+            return jax.lax.fori_loop(0, n, lambda i, v: step(p, v), x)
+
+        return lambda x: loop_p(params, x)
 
     loop = make_loop(iters)
     _ = float(jnp.sum(loop(x0)))  # compile + warmup
