@@ -25,6 +25,13 @@ from .funm import (  # noqa: F401
 from .bicgstab import bicgstab_solve  # noqa: F401
 from .lsqr import LsqrResult, lsqr_solve  # noqa: F401
 from .lsmr import LsmrResult, lsmr_solve  # noqa: F401
+from .factorized import (  # noqa: F401
+    SpiluFactor,
+    SpluFactor,
+    factorized,
+    spilu,
+    splu,
+)
 from .lobpcg import LobpcgResult, lobpcg  # noqa: F401
 from .gmres import gmres_solve  # noqa: F401
 from .amg import (  # noqa: F401
