@@ -195,22 +195,7 @@ class SpmvOperator:
             # row shards are contiguous row ranges: pure slices of the CSR
             nsplit = -(-m.rows // _ROWS_SPLIT_LIMIT)
             bounds = np.linspace(0, m.rows, nsplit + 1).astype(np.int64)
-            self.format = "rowsplit"
-            self._rowsplit = []
-            sub_force = force
-            for lo, hi in zip(bounds[:-1], bounds[1:]):
-                lo_o, hi_o = int(m.offsets[lo]), int(m.offsets[hi])
-                sub = CsrMatrix(
-                    int(hi - lo),
-                    m.cols,
-                    m.vals[lo_o:hi_o],
-                    m.indices[lo_o:hi_o],
-                    m.offsets[lo : hi + 1] - lo_o,
-                    is_sorted=m.is_sorted,
-                )
-                sub_op = SpmvOperator(sub, dtype=dtype, force=sub_force)
-                sub_force = _shard_force(sub_force, sub_op)
-                self._rowsplit.append((int(lo), int(hi), sub_op))
+            self._build_rowsplit(m, bounds, dtype, force)
             return
 
         if force == "aligned":
@@ -278,7 +263,34 @@ class SpmvOperator:
                 from .spmv import _VMEM_X_LIMIT
 
                 est = estimate_bell(m)
-                if est["viable"] and est["spill_nnz"] <= est["kept_nnz"]:
+                bell_ok = est["viable"] and est["spill_nnz"] <= est["kept_nnz"]
+                t_aligned, t_gen, slabs = self._general_costs(m)
+                t_bell = est["cost_ns"] if bell_ok else float("inf")
+                # SMEM row-split: when LanePack is the clear cost-model
+                # winner but its scalar-prefetch arrays exceed the 1 MB
+                # SMEM, shard rows so each part fits and re-dispatch the
+                # shards. Found by the round-4 row-skew corpus: the
+                # 262k-row power-law class collapsed the aligned planner
+                # to fill 0.012 (0.67 Gnnz/s) while split LanePack is the
+                # 10-26 Gnnz/s family (corpus_r4.out).
+                if (
+                    t_gen is not None
+                    and slabs is not None
+                    and t_gen < 0.7 * min(t_aligned, t_bell)
+                ):
+                    # viability bound: slabs * 44 B < 800 kB (see
+                    # _lanepack_viable); 1.3x headroom for uneven shards
+                    nsplit = int(np.ceil(slabs * 44.0 * 1.3 / 800_000)) + 1
+                    if 2 <= nsplit <= 64 and m.rows >= 256 * nsplit:
+                        # balance shards by nnz, snapped to row boundaries
+                        targets = np.linspace(0, m.nnz(), nsplit + 1)[1:-1]
+                        cuts = np.searchsorted(m.offsets, targets)
+                        bounds = np.unique(
+                            np.r_[0, cuts, m.rows].astype(np.int64)
+                        )
+                        self._build_rowsplit(m, bounds, dtype, None)
+                        return
+                if bell_ok:
                     self.format = "bell"
                     self._set_bell(m, dtype)
                     return
@@ -313,11 +325,32 @@ class SpmvOperator:
     # key on, and the counts they produce scale linearly in nnz)
     _SAMPLED_COSTS_NNZ = 1_500_000
 
+    def _build_rowsplit(self, m, bounds, dtype, force):
+        """Shard ``m`` into contiguous row ranges (pure CSR slices), one
+        sub-operator each; applies concatenate (``__call__``)."""
+        self.format = "rowsplit"
+        self._rowsplit = []
+        sub_force = force
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            lo_o, hi_o = int(m.offsets[lo]), int(m.offsets[hi])
+            sub = CsrMatrix(
+                int(hi - lo),
+                m.cols,
+                m.vals[lo_o:hi_o],
+                m.indices[lo_o:hi_o],
+                m.offsets[lo : hi + 1] - lo_o,
+                is_sorted=m.is_sorted,
+            )
+            sub_op = SpmvOperator(sub, dtype=dtype, force=sub_force)
+            sub_force = _shard_force(sub_force, sub_op)
+            self._rowsplit.append((int(lo), int(hi), sub_op))
+
     @staticmethod
     def _general_costs(m: CsrMatrix):
-        """(t_aligned, t_lanepack) estimated kernel ns for the two round-2
-        general families (autotuned constants x estimated counts); counts
-        come from sampled row bands on large matrices."""
+        """(t_aligned, t_lanepack, lanepack_slabs) estimated kernel ns for
+        the two round-2 general families (autotuned constants x estimated
+        counts) plus the best-kw slab count (the SMEM-viability quantity);
+        counts come from sampled row bands on large matrices."""
         from ..formats.aligned import _chunk_keys
         from ..formats.csr import sample_row_bands
         from ..formats.lanepack import _count_slabs, _cost_constants
@@ -331,18 +364,45 @@ class SpmvOperator:
         chunks = int(len(np.unique(ck))) * scale
         # two-term aligned model (base per slab + per-entry): a single
         # per-slab constant overestimates sparse-chunk matrices ~2.5x
-        # (see autotune.py aligned_slab_* calibration notes)
-        t_aligned = (chunks / 8.0) * autotune.get(
-            "aligned_slab_base_ns"
-        ) + m.nnz() * autotune.get("aligned_slab_per_entry_ns")
+        # (see autotune.py aligned_slab_* calibration notes) — floored by
+        # the per-chunk x-window cost, which DOMINATES scatter-heavy plans
+        # (the per-entry fit underpriced powerlaw_262k 3x and misrouted it
+        # here at fill 0.012). The floor's ns/chunk scales with the
+        # per-row-block x working set (window locality); see the
+        # aligned_chunk_floor_* calibration in utils/autotune.py.
+        if mm.nnz():
+            rbs = mm.row_ids() // 128
+            heads = np.nonzero(np.r_[True, rbs[1:] != rbs[:-1]])[0]
+            cc = mm.indices.astype(np.int64)
+            ws_bytes = 4.0 * float(
+                np.median(
+                    np.maximum.reduceat(cc, heads)
+                    - np.minimum.reduceat(cc, heads)
+                    + 1
+                )
+            )
+        else:
+            ws_bytes = 1.0
+        lo, hi = autotune.get("aligned_chunk_floor_lo_ns"), autotune.get(
+            "aligned_chunk_floor_hi_ns"
+        )
+        frac = min(1.0, max(0.0, (np.log2(max(ws_bytes, 1.0)) - 15.0) / 5.0))
+        t_aligned = max(
+            (chunks / 8.0) * autotune.get("aligned_slab_base_ns")
+            + m.nnz() * autotune.get("aligned_slab_per_entry_ns"),
+            chunks * (lo + (hi - lo) * frac),
+        )
         c_fixed, c_kw, _, _ = _cost_constants()
         t_gen = None
+        gen_slabs = None
         for kw in (1, 2, 4, 8, 16):
             if kw * 128 > m.cols + 128:
                 break
-            t = _count_slabs(mm, kw) * scale * (c_fixed + c_kw * kw)
-            t_gen = t if t_gen is None else min(t_gen, t)
-        return t_aligned, t_gen
+            s = _count_slabs(mm, kw) * scale
+            t = s * (c_fixed + c_kw * kw)
+            if t_gen is None or t < t_gen:
+                t_gen, gen_slabs = t, s
+        return t_aligned, t_gen, gen_slabs
 
     @staticmethod
     def _general_choice(m: CsrMatrix) -> str:
@@ -360,7 +420,7 @@ class SpmvOperator:
         # the force path above)
         bell_ok = est["viable"] and est["spill_nnz"] <= est["kept_nnz"]
         t_bell = est["cost_ns"] if bell_ok else float("inf")
-        t_aligned, t_gen = SpmvOperator._general_costs(m)
+        t_aligned, t_gen, _slabs = SpmvOperator._general_costs(m)
         if t_bell < t_aligned and (t_gen is None or t_bell < t_gen):
             return "bell"
         if t_gen is None or t_aligned < t_gen:
@@ -371,7 +431,7 @@ class SpmvOperator:
     def _aligned_wins(m: CsrMatrix) -> bool:
         if m.nnz() == 0:
             return False
-        t_aligned, t_gen = SpmvOperator._general_costs(m)
+        t_aligned, t_gen, _slabs = SpmvOperator._general_costs(m)
         return t_gen is None or t_aligned < t_gen
 
     @staticmethod

@@ -54,6 +54,19 @@ DEFAULTS: Dict[str, float] = {
     # sparse-chunk matrices 2.5x and misrouted them to BELL)
     "aligned_slab_base_ns": 5.22,
     "aligned_slab_per_entry_ns": 0.027,
+    # per-CHUNK floor of the aligned kernel (one dynamic x-window load per
+    # chunk): t >= chunks * floor(ns) regardless of fill; the floor scales
+    # with the per-row-block x WORKING SET (window locality), the same
+    # cost axis the BELL dspan model measured. Two corpus_r4.out
+    # calibration points: randlocal_262k (±3840 windows = 30 KB/rb) 268k
+    # chunks at 1.0 ns = 268 us predicted / 268 measured; powerlaw_262k
+    # (uniform scatter = 1 MB working set) 2.68M chunks at 2.2 ns =
+    # 5.90 ms / 5.86 measured. log2-interpolated between 32 KB and 1 MB.
+    # Without the floor, the per-entry fit — calibrated at 140-592
+    # entries/slab — underpriced powerlaw 3x and misrouted it to aligned
+    # at fill 0.012.
+    "aligned_chunk_floor_lo_ns": 1.0,
+    "aligned_chunk_floor_hi_ns": 2.2,
     # per-chunk penalty per unit of kept window span (experiments/
     # bell_br_sweep.out, br=512 series at the 72 MB VMEM budget:
     # 1.07 ns @ dspan 9, 1.22 @ 11, 3.08 @ 60 — linear in dspan,

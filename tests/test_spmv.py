@@ -353,3 +353,50 @@ def test_tall_operator_row_splits(monkeypatch):
     assert op2._colsplit[0][2].format == "rowsplit"
     monkeypatch.undo()
     np.testing.assert_allclose(np.asarray(op2(x)), dense @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_smem_rowsplit_for_skewed_scatter():
+    """Row-skew + uniform column scatter (the corpus powerlaw_262k class,
+    shrunk): LanePack is the cost-model winner but its scalar-prefetch
+    plan exceeds SMEM at full size — the dispatcher must row-split into
+    LanePack-viable shards instead of shipping a collapsed-fill aligned
+    plan (corpus_r4.out measured that plan at fill 0.012 / 0.67 Gnnz/s
+    vs the 10-26 Gnnz/s LanePack family)."""
+    import jax.numpy as jnp
+
+    from sparse_matrix_tpu.bench.corpus import _power_law_rows
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+
+    rng = np.random.default_rng(7)
+    m = _power_law_rows(rng, 1 << 18, 16)
+    m32 = CsrMatrix(
+        m.rows, m.cols, m.vals.astype(np.float32), m.indices, m.offsets,
+        is_sorted=m.is_sorted,
+    )
+    op = SpmvOperator(m32)
+    assert op.format == "rowsplit"
+    assert all(s.format == "lanepack" for _lo, _hi, s in op._rowsplit)
+    x = rng.standard_normal(m.cols).astype(np.float32)
+    y = np.asarray(op(jnp.asarray(x)))
+    ref = np.zeros(m.rows, np.float64)
+    np.add.at(
+        ref, m.row_ids(),
+        m.vals.astype(np.float64) * x[m.indices.astype(np.int64)],
+    )
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-4
+
+
+def test_aligned_cost_floor_keeps_randlocal_on_aligned():
+    """The locality-aware per-chunk floor must NOT flip randlocal (local
+    windows, aligned is the measured winner at 15.6 Gnnz/s vs BELL 12.4)
+    away from aligned — calibration points in utils/autotune.py."""
+    from sparse_matrix_tpu.bench.corpus import _random_local
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+
+    rng = np.random.default_rng(0)
+    m = _random_local(rng, 1 << 16, 16, 3840)
+    m32 = CsrMatrix(
+        m.rows, m.cols, m.vals.astype(np.float32), m.indices, m.offsets,
+        is_sorted=m.is_sorted,
+    )
+    assert SpmvOperator(m32).format == "aligned"
