@@ -15,8 +15,11 @@ from .csgraph import (  # noqa: F401
     depth_first_order,
     depth_first_tree,
     dijkstra,
+    johnson,
     laplacian,
+    MaximumFlowResult,
     maximum_bipartite_matching,
+    maximum_flow,
     minimum_spanning_tree,
     reverse_cuthill_mckee,
     shortest_path,

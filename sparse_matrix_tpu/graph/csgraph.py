@@ -33,6 +33,7 @@ from ..native import (
     dijkstra_native,
     hopcroft_karp_native,
     kruskal_native,
+    maxflow_native,
     traversal_order_native,
 )
 
@@ -45,8 +46,11 @@ __all__ = [
     "depth_first_order",
     "depth_first_tree",
     "dijkstra",
+    "johnson",
     "laplacian",
+    "MaximumFlowResult",
     "maximum_bipartite_matching",
+    "maximum_flow",
     "minimum_spanning_tree",
     "reverse_cuthill_mckee",
     "shortest_path",
@@ -316,6 +320,48 @@ def bellman_ford(
     return (dist, pred) if return_predecessors else dist
 
 
+def johnson(
+    a: CsrMatrix,
+    directed: bool = True,
+    indices=None,
+    return_predecessors: bool = False,
+):
+    """Johnson all-pairs/multi-source shortest paths with NEGATIVE edge
+    weights: one Bellman-Ford potential pass h (virtual source = start
+    every node at 0), reweight ``w' = w + h[u] - h[v] >= 0``, then
+    Dijkstra per source and unshift. Raises :class:`NegativeCycleError`
+    like BF. scipy parity: ``scipy.sparse.csgraph.johnson``."""
+    n = _check_square(a)
+    gm = a if directed else _undirected_min(a)
+    ei, ej, w = _coo(gm)
+    # potentials: BF with every node a source (the virtual-source trick)
+    h = np.zeros(n)
+    for _sweep in range(max(1, n - 1)):
+        before = h.copy()
+        np.minimum.at(h, ej, h[ei] + w)
+        if np.array_equal(before, h):
+            break
+    else:
+        probe = h.copy()
+        np.minimum.at(probe, ej, h[ei] + w)
+        if not np.array_equal(probe, h):
+            raise NegativeCycleError("negative-weight cycle present")
+    gw = CsrMatrix(
+        n, n, w + h[ei] - h[ej], gm.indices, gm.offsets, is_sorted=gm.is_sorted
+    )
+    src, scalar = _sources(indices, n)
+    out = dijkstra(
+        gw, directed=True, indices=src,
+        return_predecessors=return_predecessors,
+    )
+    dist, pred = out if return_predecessors else (out, None)
+    dist = dist - h[src][:, None] + h[None, :]
+    if scalar:
+        dist = dist[0]
+        pred = None if pred is None else pred[0]
+    return (dist, pred) if return_predecessors else dist
+
+
 def shortest_path(
     a: CsrMatrix,
     method: str = "auto",
@@ -330,8 +376,10 @@ def shortest_path(
       Bellman-Ford when the graph is banded enough for the DIA recipe
       and predecessors aren't requested; host Bellman-Ford for negative
       weights.
-    * ``"D"`` / ``"BF"`` / ``"FW"`` — force Dijkstra / host Bellman-Ford /
-      device Floyd-Warshall (all-pairs; ignores ``indices``).
+    * ``"D"`` / ``"BF"`` / ``"J"`` / ``"FW"`` — force Dijkstra / host
+      Bellman-Ford / Johnson (BF-reweighted Dijkstra, the cheaper choice
+      for negative weights with many sources) / device Floyd-Warshall
+      (all-pairs; ignores ``indices``).
     """
     n = _check_square(a)
     if unweighted:
@@ -363,6 +411,11 @@ def shortest_path(
         )
     if method == "BF":
         return bellman_ford(
+            a, directed=directed, indices=indices,
+            return_predecessors=return_predecessors,
+        )
+    if method == "J":
+        return johnson(
             a, directed=directed, indices=indices,
             return_predecessors=return_predecessors,
         )
@@ -636,3 +689,96 @@ def reverse_cuthill_mckee(a: CsrMatrix, symmetric_mode: bool = False) -> np.ndar
 
     del symmetric_mode
     return rcm_permutation(a).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# maximum flow
+# ---------------------------------------------------------------------------
+
+
+class MaximumFlowResult:
+    """``flow_value`` plus the antisymmetric ``flow`` CSR (flow[i,j] =
+    -flow[j,i] on the input pattern union its transpose), mirroring
+    scipy's result object."""
+
+    __slots__ = ("flow_value", "flow")
+
+    def __init__(self, flow_value: int, flow: CsrMatrix):
+        self.flow_value = flow_value
+        self.flow = flow
+
+
+def maximum_flow(a: CsrMatrix, source: int, sink: int) -> MaximumFlowResult:
+    """Maximum s-t flow on INTEGER edge capacities (Dinic in the native
+    runtime, O(V^2 E); Edmonds-Karp Python fallback). scipy parity:
+    ``scipy.sparse.csgraph.maximum_flow`` (same integrality requirement).
+    """
+    n = _check_square(a)
+    if not (0 <= source < n and 0 <= sink < n):
+        raise ValueError("source/sink out of range")
+    if source == sink:
+        raise ValueError("source and sink must differ")
+    r, c, w = _coo(a)
+    cap = np.asarray(a.vals)
+    if not np.issubdtype(cap.dtype, np.integer):
+        capi = np.asarray(w, dtype=np.int64)
+        if not np.array_equal(capi.astype(np.float64), w):
+            raise ValueError("maximum_flow requires integer capacities")
+    else:
+        capi = cap.astype(np.int64)
+    if (capi < 0).any():
+        raise ValueError("capacities must be non-negative")
+    keep = r != c  # self-loops carry no s-t flow
+    r, c, capi = r[keep], c[keep], capi[keep]
+    res = maxflow_native(n, r, c, capi, source, sink)
+    if res is None:
+        res = _maxflow_py(n, r, c, capi, source, sink)
+    val, flow = res
+    # antisymmetric flow matrix on pattern + reverse pattern
+    fr = np.concatenate([r, c])
+    fc = np.concatenate([c, r])
+    fv = np.concatenate([flow, -flow]).astype(np.float64)
+    mat = CsrMatrix.from_coo(n, n, fr, fc, fv)  # duplicates (2-cycles) sum
+    return MaximumFlowResult(int(val), mat)
+
+
+def _maxflow_py(n, eu, ev, cap, source, sink):
+    """Edmonds-Karp fallback (BFS augmenting paths)."""
+    ne = len(eu)
+    adj = [[] for _ in range(n)]
+    res = np.empty(2 * ne, dtype=np.int64)
+    to = np.empty(2 * ne, dtype=np.int64)
+    for k in range(ne):
+        to[2 * k], res[2 * k] = ev[k], cap[k]
+        to[2 * k + 1], res[2 * k + 1] = eu[k], 0
+        adj[int(eu[k])].append(2 * k)
+        adj[int(ev[k])].append(2 * k + 1)
+    total = 0
+    while True:
+        pred_edge = np.full(n, -1, dtype=np.int64)
+        pred_edge[source] = -2
+        queue = [source]
+        while queue and pred_edge[sink] == -1:
+            v = queue.pop(0)
+            for e in adj[v]:
+                w = int(to[e])
+                if res[e] > 0 and pred_edge[w] == -1:
+                    pred_edge[w] = e
+                    queue.append(w)
+        if pred_edge[sink] == -1:
+            break
+        aug = None
+        v = sink
+        while v != source:
+            e = int(pred_edge[v])
+            aug = res[e] if aug is None else min(aug, res[e])
+            v = int(to[e ^ 1])
+        v = sink
+        while v != source:
+            e = int(pred_edge[v])
+            res[e] -= aug
+            res[e ^ 1] += aug
+            v = int(to[e ^ 1])
+        total += int(aug)
+    flow = cap - res[0 : 2 * ne : 2]
+    return total, flow

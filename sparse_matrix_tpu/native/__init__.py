@@ -40,5 +40,6 @@ from .loader import (  # noqa: F401
     traversal_order_native,
     kruskal_native,
     hopcroft_karp_native,
+    maxflow_native,
     load_library,
 )

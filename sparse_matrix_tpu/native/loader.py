@@ -45,6 +45,7 @@ __all__ = [
     "traversal_order_native",
     "kruskal_native",
     "hopcroft_karp_native",
+    "maxflow_native",
 ]
 
 _LIB: Optional[ctypes.CDLL] = None
@@ -244,6 +245,8 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.spmx_kruskal.argtypes = [c_i64, c_i64, _I64P, _I64P, _I64P, _I64P]
     lib.spmx_hopcroft_karp.restype = c_i64
     lib.spmx_hopcroft_karp.argtypes = [c_i64, c_i64, _I64P, _U32P, _I64P, _I64P]
+    lib.spmx_maxflow.restype = c_i64
+    lib.spmx_maxflow.argtypes = [c_i64, c_i64, _I64P, _I64P, _I64P, c_i64, c_i64, _I64P]
 
 
 def native_available() -> bool:
@@ -1058,3 +1061,18 @@ def hopcroft_karp_native(rows, cols, offsets, indices):
     mc = np.empty(max(1, cols), dtype=np.int64)
     size = int(lib.spmx_hopcroft_karp(int(rows), int(cols), offsets, indices, mr, mc))
     return size, mr[:rows], mc[:cols]
+
+
+def maxflow_native(n, eu, ev, cap, source, sink):
+    """Dinic maximum flow over an integer-capacity edge list. Returns
+    ``(flow_value, per_edge_flow)`` or None when the library is
+    unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    eu = np.ascontiguousarray(eu, dtype=np.int64)
+    ev = np.ascontiguousarray(ev, dtype=np.int64)
+    cap = np.ascontiguousarray(cap, dtype=np.int64)
+    flow = np.zeros(max(1, len(eu)), dtype=np.int64)
+    val = int(lib.spmx_maxflow(int(n), len(eu), eu, ev, cap, int(source), int(sink), flow))
+    return val, flow[: len(eu)]

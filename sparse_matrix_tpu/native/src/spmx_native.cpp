@@ -2051,3 +2051,94 @@ extern "C" i64 spmx_hopcroft_karp(i64 rows, i64 cols, const i64* offsets,
   }
   return matched;
 }
+
+// Dinic maximum flow on integer capacities (graph/csgraph.py
+// maximum_flow). Edge list arrives as (eu, ev, cap); each gets a paired
+// reverse edge (xor-pairing: edge 2k <-> 2k+1). Returns the max flow;
+// flow_out[k] = flow pushed on input edge k (cap - residual).
+extern "C" i64 spmx_maxflow(i64 n, i64 ne, const i64* eu, const i64* ev,
+                            const i64* cap, i64 source, i64 sink,
+                            i64* flow_out) {
+  std::vector<i64> head((size_t)n + 1, 0), to((size_t)2 * ne),
+      res((size_t)2 * ne), eid((size_t)2 * ne);
+  // counting sort edges (forward + reverse) by tail for CSR adjacency
+  for (i64 k = 0; k < ne; ++k) {
+    ++head[(size_t)eu[k] + 1];
+    ++head[(size_t)ev[k] + 1];
+  }
+  for (i64 v = 0; v < n; ++v) head[(size_t)v + 1] += head[(size_t)v];
+  std::vector<i64> pos(head.begin(), head.end() - 1);
+  std::vector<i64> pair_of((size_t)2 * ne);
+  for (i64 k = 0; k < ne; ++k) {
+    i64 f = pos[(size_t)eu[k]]++;
+    i64 b = pos[(size_t)ev[k]]++;
+    to[(size_t)f] = ev[k];
+    res[(size_t)f] = cap[k];
+    eid[(size_t)f] = k;
+    to[(size_t)b] = eu[k];
+    res[(size_t)b] = 0;
+    eid[(size_t)b] = ~k;  // reverse marker
+    pair_of[(size_t)f] = b;
+    pair_of[(size_t)b] = f;
+  }
+  std::vector<i64> level((size_t)n), it((size_t)n), q((size_t)n);
+  std::vector<i64> sv, se;  // iterative DFS for the blocking flow
+  const i64 INF = (i64)1 << 62;
+  i64 total = 0;
+  while (true) {
+    // BFS level graph
+    std::fill(level.begin(), level.end(), (i64)-1);
+    i64 h = 0, t = 0;
+    q[t++] = source;
+    level[(size_t)source] = 0;
+    while (h < t) {
+      i64 v = q[h++];
+      for (i64 e = head[(size_t)v]; e < head[(size_t)v + 1]; ++e)
+        if (res[(size_t)e] > 0 && level[(size_t)to[(size_t)e]] < 0) {
+          level[(size_t)to[(size_t)e]] = level[(size_t)v] + 1;
+          q[t++] = to[(size_t)e];
+        }
+    }
+    if (level[(size_t)sink] < 0) break;
+    for (i64 v = 0; v < n; ++v) it[(size_t)v] = head[(size_t)v];
+    // blocking flow: repeated iterative DFS source->sink
+    while (true) {
+      sv.assign(1, source);
+      se.clear();
+      bool reached = false;
+      while (!sv.empty()) {
+        i64 v = sv.back();
+        if (v == sink) {
+          reached = true;
+          break;
+        }
+        bool advanced = false;
+        for (i64& e = it[(size_t)v]; e < head[(size_t)v + 1]; ++e) {
+          i64 w = to[(size_t)e];
+          if (res[(size_t)e] > 0 && level[(size_t)w] == level[(size_t)v] + 1) {
+            sv.push_back(w);
+            se.push_back(e);
+            advanced = true;
+            break;
+          }
+        }
+        if (!advanced) {
+          level[(size_t)v] = -1;  // dead end: prune from this phase
+          sv.pop_back();
+          if (!se.empty()) se.pop_back();
+        }
+      }
+      if (!reached) break;
+      i64 aug = INF;
+      for (i64 e : se) aug = std::min(aug, res[(size_t)e]);
+      for (i64 e : se) {
+        res[(size_t)e] -= aug;
+        res[(size_t)pair_of[(size_t)e]] += aug;
+      }
+      total += aug;
+    }
+  }
+  for (i64 e = 0; e < 2 * ne; ++e)
+    if (eid[(size_t)e] >= 0) flow_out[eid[(size_t)e]] = cap[eid[(size_t)e]] - res[(size_t)e];
+  return total;
+}

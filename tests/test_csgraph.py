@@ -322,3 +322,78 @@ def test_reverse_cuthill_mckee_is_valid_permutation():
     P = poisson_2d_csr(12)
     perm = g.reverse_cuthill_mckee(P)
     assert sorted(perm.tolist()) == list(range(P.rows))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_johnson_matches_scipy_negative_weights(seed):
+    rng = np.random.default_rng(seed)
+    n = 35
+    U = scipy_sparse.random(
+        n, n, density=0.15, random_state=rng,
+        data_rvs=lambda k: rng.uniform(-2, 5, k),
+    )
+    U = scipy_sparse.triu(U, k=1).tocsr()  # DAG: negative edges, no cycle
+    U.sort_indices()
+    M = CsrMatrix.from_scipy(U)
+    np.testing.assert_allclose(
+        g.johnson(M, indices=[0, 3, 7]), cs.johnson(U, indices=[0, 3, 7])
+    )
+    np.testing.assert_allclose(g.johnson(M), cs.johnson(U))
+    np.testing.assert_allclose(
+        g.shortest_path(M, method="J", indices=0), cs.johnson(U, indices=0)
+    )
+
+
+def test_johnson_negative_cycle_raises():
+    C = CsrMatrix.from_scipy(scipy_sparse.csr_matrix(
+        np.array([[0.0, 1, 0], [0, 0, 1], [-5, 0, 0]])
+    ))
+    with pytest.raises(g.NegativeCycleError):
+        g.johnson(C)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_maximum_flow_matches_scipy(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(4, 30))
+    mask = rng.random((n, n)) < 0.25
+    np.fill_diagonal(mask, False)
+    capm = np.where(mask, rng.integers(1, 20, (n, n)), 0)
+    A = scipy_sparse.csr_matrix(capm)
+    M = CsrMatrix.from_scipy(A.astype(np.float64))
+    res = g.maximum_flow(M, 0, n - 1)
+    ref = cs.maximum_flow(A.astype(np.int32), 0, n - 1)
+    assert res.flow_value == ref.flow_value
+    # validity: capacity bounds + conservation + antisymmetry
+    F = res.flow.to_scipy().toarray()
+    np.testing.assert_allclose(F, -F.T)
+    assert (F <= capm + 1e-9).all()
+    net = F.sum(axis=0)
+    inner = np.ones(n, bool)
+    inner[[0, n - 1]] = False
+    if inner.any():
+        assert np.abs(net[inner]).max() == 0
+    assert net[n - 1] == res.flow_value
+
+
+def test_maximum_flow_python_fallback(monkeypatch):
+    import sparse_matrix_tpu.graph.csgraph as mod
+
+    rng = np.random.default_rng(5)
+    n = 15
+    mask = rng.random((n, n)) < 0.3
+    np.fill_diagonal(mask, False)
+    capm = np.where(mask, rng.integers(1, 9, (n, n)), 0)
+    M = CsrMatrix.from_scipy(scipy_sparse.csr_matrix(capm.astype(np.float64)))
+    want = g.maximum_flow(M, 0, n - 1).flow_value
+    monkeypatch.setattr(mod, "maxflow_native", lambda *a, **k: None)
+    assert g.maximum_flow(M, 0, n - 1).flow_value == want
+
+
+def test_maximum_flow_rejects_bad_input():
+    M = CsrMatrix.from_coo(3, 3, [0, 1], [1, 2], [1.5, 2.0])
+    with pytest.raises(ValueError, match="integer"):
+        g.maximum_flow(M, 0, 2)
+    Mi = CsrMatrix.from_coo(3, 3, [0, 1], [1, 2], [1.0, 2.0])
+    with pytest.raises(ValueError, match="differ"):
+        g.maximum_flow(Mi, 1, 1)
