@@ -86,14 +86,23 @@ def main() -> None:
             m32 = m if m.vals.dtype == np.float32 else _to_f32(m)
             op = SpmvOperator(m32, force=args.spmv_force)
             x0 = jnp.asarray(np.random.default_rng(0).standard_normal(m.cols).astype(np.float32))
-            # operator arrays go in as jit ARGUMENTS (as_pytree/apply):
+            # big operators go in as jit ARGUMENTS (as_pytree/apply):
             # closure-captured constants exceed the remote-compile
-            # payload limit on the big packed formats (corpus_r4 hit
-            # HTTP 413 on powerlaw_262k exactly this way)
-            br = bench_device_loop(
-                name, lambda p, v: op.apply(p, v) * 0.5, x0, iters=100,
-                params=op.as_pytree(),
-            )
+            # payload limit past ~30 MB (corpus_r4 hit HTTP 413 on
+            # powerlaw_262k exactly this way). SMALL operators stay
+            # closure constants: corpus_r4b measured the args path 8x
+            # slower on DIA (66 -> 8 Gnnz/s femlike) because XLA keeps
+            # loop-invariant CONSTANTS VMEM-resident across the chained
+            # fori_loop but reloads arguments per iteration.
+            if op.bytes_per_apply() > 24 * 1024 * 1024:
+                br = bench_device_loop(
+                    name, lambda p, v: op.apply(p, v) * 0.5, x0, iters=100,
+                    params=op.as_pytree(),
+                )
+            else:
+                br = bench_device_loop(
+                    name, lambda v: op(v) * 0.5, x0, iters=100
+                )
             row["spmv_format"] = op.format
             # planner fill: slot occupancy of the chosen packed format —
             # the load-balancing metric of the slot-packing design (the
