@@ -20,10 +20,12 @@ from .csgraph import (  # noqa: F401
     MaximumFlowResult,
     maximum_bipartite_matching,
     maximum_flow,
+    min_weight_full_bipartite_matching,
     minimum_spanning_tree,
     reverse_cuthill_mckee,
     shortest_path,
     structural_rank,
+    yen,
 )
 from .device import (  # noqa: F401
     BandedGraphPlan,

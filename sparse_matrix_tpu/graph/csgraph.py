@@ -51,10 +51,12 @@ __all__ = [
     "MaximumFlowResult",
     "maximum_bipartite_matching",
     "maximum_flow",
+    "min_weight_full_bipartite_matching",
     "minimum_spanning_tree",
     "reverse_cuthill_mckee",
     "shortest_path",
     "structural_rank",
+    "yen",
 ]
 
 
@@ -740,6 +742,284 @@ def maximum_flow(a: CsrMatrix, source: int, sink: int) -> MaximumFlowResult:
     fv = np.concatenate([flow, -flow]).astype(np.float64)
     mat = CsrMatrix.from_coo(n, n, fr, fc, fv)  # duplicates (2-cycles) sum
     return MaximumFlowResult(int(val), mat)
+
+
+# ---------------------------------------------------------------------------
+# K-shortest simple paths (Yen)
+# ---------------------------------------------------------------------------
+
+
+def _sp_masked(n, offsets, indices, vals, src, sink, node_block, edge_block,
+               negative):
+    """Shortest SIMPLE path ``src -> sink`` honoring blocked nodes/edges.
+
+    Returns ``(cost, [src, ..., sink])`` or ``None`` when unreachable.
+    Non-negative weights: binary-heap Dijkstra with early exit at the
+    sink. Negative weights: SPFA (queue Bellman-Ford) with an n-relax
+    negative-cycle bound raising :class:`NegativeCycleError` — without a
+    negative cycle BF shortest paths are simple, which is what Yen's spur
+    step needs. Masks change on every spur, so this stays in Python
+    rather than rebuilding a filtered CSR for the native kernels each
+    time (the rebuild costs more than the traversal at spur scale)."""
+    INF = np.inf
+    dist = np.full(n, INF)
+    pred = np.full(n, -1, dtype=np.int64)
+    dist[src] = 0.0
+    if not negative:
+        pq = [(0.0, src)]
+        while pq:
+            d, v = heapq.heappop(pq)
+            if d > dist[v]:
+                continue
+            if v == sink:
+                break
+            for t in range(int(offsets[v]), int(offsets[v + 1])):
+                w = int(indices[t])
+                if edge_block is not None and edge_block[t]:
+                    continue
+                if node_block is not None and node_block[w]:
+                    continue
+                nd = d + float(vals[t])
+                if nd < dist[w]:
+                    dist[w] = nd
+                    pred[w] = v
+                    heapq.heappush(pq, (nd, w))
+    else:
+        from collections import deque
+
+        relax = np.zeros(n, dtype=np.int64)
+        inq = np.zeros(n, dtype=bool)
+        q = deque([src])
+        inq[src] = True
+        while q:
+            v = q.popleft()
+            inq[v] = False
+            d = dist[v]
+            for t in range(int(offsets[v]), int(offsets[v + 1])):
+                w = int(indices[t])
+                if edge_block is not None and edge_block[t]:
+                    continue
+                if node_block is not None and node_block[w]:
+                    continue
+                nd = d + float(vals[t])
+                if nd < dist[w]:
+                    dist[w] = nd
+                    pred[w] = v
+                    relax[w] += 1
+                    if relax[w] > n:
+                        raise NegativeCycleError(
+                            "negative-weight cycle reachable from source"
+                        )
+                    if not inq[w]:
+                        inq[w] = True
+                        q.append(w)
+    if not np.isfinite(dist[sink]):
+        return None
+    path = [sink]
+    while path[-1] != src:
+        path.append(int(pred[path[-1]]))
+    path.reverse()
+    return float(dist[sink]), path
+
+
+def yen(
+    a: CsrMatrix,
+    source: int,
+    sink: int,
+    K: int,
+    *,
+    directed: bool = True,
+    return_predecessors: bool = False,
+    unweighted: bool = False,
+):
+    """Yen's K-shortest SIMPLE paths from ``source`` to ``sink``.
+
+    Returns a float64 distance array of the up-to-K cheapest loopless
+    path costs found (shorter when fewer exist, empty when the sink is
+    unreachable); with ``return_predecessors`` also an int32 ``(K', n)``
+    predecessor matrix, one per-path chain per row, ``-9999`` elsewhere.
+    Negative weights are allowed (spur searches switch from Dijkstra to
+    queue Bellman-Ford); a reachable negative cycle raises
+    :class:`NegativeCycleError`. scipy parity:
+    ``scipy.sparse.csgraph.yen`` (same semantics incl. the trivial
+    ``source == sink`` zero path).
+    """
+    n = _check_square(a)
+    if not (0 <= int(source) < n and 0 <= int(sink) < n):
+        raise ValueError("source/sink out of range")
+    if K < 1:
+        raise ValueError("K must be >= 1")
+    NULL = -9999
+    if int(source) == int(sink):
+        dist = np.zeros(1)
+        pred = np.full((1, n), NULL, dtype=np.int32)
+        return (dist, pred) if return_predecessors else dist
+    g = a if directed else _undirected_min(a)
+    vals = (
+        np.ones(g.nnz(), dtype=np.float64)
+        if unweighted
+        else np.asarray(g.vals, dtype=np.float64)
+    )
+    negative = bool(vals.size) and float(vals.min()) < 0
+    offsets, indices = g.offsets, g.indices
+    nnz = len(vals)
+
+    first = _sp_masked(
+        n, offsets, indices, vals, int(source), int(sink), None, None, negative
+    )
+    if first is None:
+        out = np.empty(0, dtype=np.float64)
+        if return_predecessors:
+            return out, np.full((0, n), NULL, dtype=np.int32)
+        return out
+
+    def edge_pos(u, v):
+        lo, hi = int(offsets[u]), int(offsets[u + 1])
+        hit = np.flatnonzero(indices[lo:hi] == np.uint32(v))
+        return lo + int(hit[0])
+
+    accepted = [first]
+    candidates: list = []  # heap of (cost, path-as-tuple)
+    seen = {tuple(first[1])}
+    while len(accepted) < K:
+        prev_cost, prev_path = accepted[-1]
+        # prefix costs along prev_path
+        pref = [0.0]
+        for i in range(len(prev_path) - 1):
+            pref.append(pref[-1] + float(vals[edge_pos(prev_path[i], prev_path[i + 1])]))
+        for i in range(len(prev_path) - 1):
+            spur = prev_path[i]
+            root = prev_path[: i + 1]
+            edge_block = np.zeros(nnz, dtype=bool)
+            for _c, p in accepted:
+                if len(p) > i and p[: i + 1] == root:
+                    edge_block[edge_pos(p[i], p[i + 1])] = True
+            node_block = np.zeros(n, dtype=bool)
+            node_block[root[:-1]] = True
+            res = _sp_masked(
+                n, offsets, indices, vals, spur, int(sink),
+                node_block, edge_block, negative,
+            )
+            if res is None:
+                continue
+            spur_cost, spur_path = res
+            cand = tuple(root[:-1] + spur_path)
+            if cand in seen:
+                continue
+            seen.add(cand)
+            heapq.heappush(candidates, (pref[i] + spur_cost, cand))
+        if not candidates:
+            break
+        c, p = heapq.heappop(candidates)
+        accepted.append((c, list(p)))
+    dist = np.asarray([c for c, _p in accepted], dtype=np.float64)
+    if not return_predecessors:
+        return dist
+    pred = np.full((len(accepted), n), NULL, dtype=np.int32)
+    for k, (_c, p) in enumerate(accepted):
+        for i in range(len(p) - 1):
+            pred[k, p[i + 1]] = p[i]
+    return dist, pred
+
+
+# ---------------------------------------------------------------------------
+# min-weight full bipartite matching (sparse LAPJV)
+# ---------------------------------------------------------------------------
+
+
+def min_weight_full_bipartite_matching(b: CsrMatrix, maximize: bool = False):
+    """Minimum-weight FULL matching of the smaller side of a bipartite
+    graph given as its sparse biadjacency (absent entries = non-edges;
+    explicit zeros are removed first, with the same UserWarning as
+    scipy). Returns ``(row_ind, col_ind)`` pairs sorted by row index;
+    raises ValueError when no full matching exists. scipy parity:
+    ``scipy.sparse.csgraph.min_weight_full_bipartite_matching`` (LAPJVsp;
+    here Jonker-Volgenant successive shortest augmenting paths with dual
+    potentials — Dijkstra over reduced costs, kept non-negative by a
+    global weight shift, which preserves the argmin because every full
+    matching has exactly ``min(rows, cols)`` edges).
+    """
+    import warnings
+
+    r, c, v = _coo(b)
+    if v.size and np.any(v == 0):
+        warnings.warn("explicit zero weights are removed before matching")
+        keep = v != 0
+        r, c, v = r[keep], c[keep], v[keep]
+    transposed = b.rows > b.cols
+    nr, nc = (b.cols, b.rows) if transposed else (b.rows, b.cols)
+    if transposed:
+        r, c = c, r
+    if maximize:
+        v = -v
+    if v.size:
+        v = v - float(v.min())  # reduced costs start >= 0 with zero duals
+    # row-major adjacency over the (possibly transposed) edge list
+    order = np.argsort(r, kind="stable")
+    r, c, v = r[order], c[order], v[order]
+    row_off = np.searchsorted(r, np.arange(nr + 1, dtype=np.int64))
+    INF = np.inf
+    u = np.zeros(nr)
+    vd = np.zeros(nc)
+    match_row = np.full(nr, -1, dtype=np.int64)
+    match_col = np.full(nc, -1, dtype=np.int64)
+    for r0 in range(nr):
+        dist = np.full(nc, INF)
+        pred = np.full(nc, -1, dtype=np.int64)  # predecessor ROW per column
+        final = np.zeros(nc, dtype=bool)
+        pq = []
+        for t in range(int(row_off[r0]), int(row_off[r0 + 1])):
+            j = int(c[t])
+            nd = float(v[t]) - u[r0] - vd[j]
+            if nd < dist[j]:
+                dist[j] = nd
+                pred[j] = r0
+                heapq.heappush(pq, (nd, j))
+        jsink = -1
+        delta = 0.0
+        while pq:
+            d, j = heapq.heappop(pq)
+            if final[j] or d > dist[j]:
+                continue
+            if match_col[j] < 0:
+                jsink, delta = j, d
+                break
+            final[j] = True
+            i = int(match_col[j])
+            for t in range(int(row_off[i]), int(row_off[i + 1])):
+                j2 = int(c[t])
+                if final[j2]:
+                    continue
+                nd = d + float(v[t]) - u[i] - vd[j2]
+                if nd < dist[j2]:
+                    dist[j2] = nd
+                    pred[j2] = i
+                    heapq.heappush(pq, (nd, j2))
+        if jsink < 0:
+            raise ValueError("no full matching exists")
+        # dual update keeps every reduced cost non-negative (JV)
+        fin = np.flatnonzero(final)
+        vd[fin] += dist[fin] - delta
+        for j in fin:
+            u[int(match_col[j])] += delta - dist[j]
+        u[r0] += delta
+        # augment along the predecessor chain
+        j = jsink
+        while True:
+            i = int(pred[j])
+            pj = int(match_row[i])
+            match_col[j] = i
+            match_row[i] = j
+            if i == r0:
+                break
+            j = pj
+    if transposed:
+        # pairs are (original_row=match_row-side value, original_col=index);
+        # sort by original row, report col side as the int32 axis
+        rows = match_row  # original-matrix rows, one per original column
+        order = np.argsort(rows, kind="stable")
+        return rows[order].astype(np.int32), np.arange(nr, dtype=np.int64)[order]
+    return np.arange(nr, dtype=np.int64), match_row.astype(np.int32)
 
 
 def _maxflow_py(n, eu, ev, cap, source, sink):

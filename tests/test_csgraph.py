@@ -397,3 +397,132 @@ def test_maximum_flow_rejects_bad_input():
     Mi = CsrMatrix.from_coo(3, 3, [0, 1], [1, 2], [1.0, 2.0])
     with pytest.raises(ValueError, match="differ"):
         g.maximum_flow(Mi, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# yen K-shortest paths
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("directed", [True, False])
+def test_yen_matches_scipy(seed, directed):
+    M, A = _random_graph(seed, n=30, density=0.12)
+    rng = np.random.default_rng(seed + 77)
+    s, t = rng.choice(30, size=2, replace=False)
+    for K in (1, 3, 6):
+        want = cs.yen(A, int(s), int(t), K, directed=directed)
+        got = g.yen(M, int(s), int(t), K, directed=directed)
+        np.testing.assert_allclose(np.sort(got), np.sort(want), atol=1e-10)
+
+
+def test_yen_predecessors_reconstruct_valid_paths():
+    M, A = _random_graph(9, n=25, density=0.15)
+    dist, pred = g.yen(M, 0, 24, 4, return_predecessors=True)
+    want = cs.yen(A, 0, 24, 4)
+    np.testing.assert_allclose(np.sort(dist), np.sort(want), atol=1e-10)
+    Ad = A.toarray()
+    Ad[Ad == 0] = np.inf
+    for k in range(len(dist)):
+        # walk the chain back from the sink; it must be a simple path
+        # from 0 whose edge costs sum to dist[k]
+        path = [24]
+        while path[-1] != 0:
+            p = int(pred[k, path[-1]])
+            assert p != -9999
+            path.append(p)
+        assert len(set(path)) == len(path)
+        cost = sum(Ad[path[i + 1], path[i]] for i in range(len(path) - 1))
+        assert abs(cost - dist[k]) < 1e-10
+
+
+def test_yen_edge_cases_match_scipy():
+    # unreachable sink -> empty; source == sink -> [0.]; unweighted hops
+    M, A = _random_graph(4, n=20, density=0.08)
+    assert g.yen(M, 0, 0, 3).tolist() == cs.yen(A, 0, 0, 3).tolist() == [0.0]
+    iso = CsrMatrix.from_coo(5, 5, [0, 1], [1, 0], [1.0, 1.0])
+    assert g.yen(iso, 0, 4, 2).size == 0
+    got = g.yen(M, 0, 19, 4, unweighted=True)
+    want = cs.yen(A, 0, 19, 4, unweighted=True)
+    np.testing.assert_allclose(np.sort(got), np.sort(want))
+
+
+def test_yen_negative_weights_and_cycle():
+    dense = np.array(
+        [[0, -1.0, 2, 0], [0, 0, 1, 4], [0, 0, 0, 1], [0, 0, 0, 0]]
+    )
+    A = scipy_sparse.csr_matrix(dense)
+    M = CsrMatrix.from_scipy(A)
+    for K in (1, 3):
+        np.testing.assert_allclose(
+            np.sort(g.yen(M, 0, 3, K)), np.sort(cs.yen(A, 0, 3, K))
+        )
+    cyc = CsrMatrix.from_coo(3, 3, [0, 1, 1], [1, 0, 2], [-2.0, 1.0, 1.0])
+    with pytest.raises(g.NegativeCycleError):
+        g.yen(cyc, 0, 2, 2)
+
+
+# ---------------------------------------------------------------------------
+# min-weight full bipartite matching
+# ---------------------------------------------------------------------------
+
+
+def _random_bipartite(seed, nr, nc, density=0.4, allow_negative=False):
+    rng = np.random.default_rng(seed)
+    lo = -3.0 if allow_negative else 0.1
+    A = scipy_sparse.random(
+        nr, nc, density=density, random_state=rng,
+        data_rvs=lambda k: rng.uniform(lo, 5.0, k),
+    ).tocsr()
+    A.sort_indices()
+    A.data[A.data == 0] = 0.25
+    return CsrMatrix.from_scipy(A), A
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("shape", [(12, 12), (8, 14), (14, 8)])
+@pytest.mark.parametrize("maximize", [False, True])
+def test_mwfbm_matches_scipy(seed, shape, maximize):
+    M, A = _random_bipartite(seed, *shape, density=0.5)
+    try:
+        wr, wc = cs.min_weight_full_bipartite_matching(A, maximize=maximize)
+        feasible = True
+    except ValueError:
+        feasible = False
+    if not feasible:
+        with pytest.raises(ValueError, match="no full matching"):
+            g.min_weight_full_bipartite_matching(M, maximize=maximize)
+        return
+    gr, gc = g.min_weight_full_bipartite_matching(M, maximize=maximize)
+    # optimal matchings may differ; the optimal WEIGHT may not
+    Ad = A.toarray()
+    assert len(gr) == len(wr) == min(shape)
+    assert sorted(gr.tolist()) == sorted(wr.tolist())
+    assert sorted(gc.tolist()) == sorted(wc.tolist())
+    for i, j in zip(gr, gc):  # every reported pair must be a real edge
+        assert Ad[i, j] != 0
+    np.testing.assert_allclose(
+        Ad[gr, gc].sum(), Ad[wr, wc].sum(), atol=1e-9
+    )
+
+
+def test_mwfbm_negative_weights_and_zero_removal():
+    M, A = _random_bipartite(3, 10, 10, density=0.6, allow_negative=True)
+    wr, wc = cs.min_weight_full_bipartite_matching(A)
+    gr, gc = g.min_weight_full_bipartite_matching(M)
+    np.testing.assert_allclose(
+        A.toarray()[gr, gc].sum(), A.toarray()[wr, wc].sum(), atol=1e-9
+    )
+    # explicit zeros are dropped (with the scipy warning): the only full
+    # matching through a zero edge must become infeasible
+    Z = CsrMatrix.from_coo(2, 2, [0, 1], [0, 0], [0.0, 2.0])
+    with pytest.warns(UserWarning, match="explicit zero"):
+        with pytest.raises(ValueError, match="no full matching"):
+            g.min_weight_full_bipartite_matching(Z)
+
+
+def test_mwfbm_ordering():
+    # tall matrix: pairs come back sorted by original row index
+    M, A = _random_bipartite(11, 15, 6, density=0.7)
+    gr, gc = g.min_weight_full_bipartite_matching(M)
+    assert list(gr) == sorted(gr.tolist())
