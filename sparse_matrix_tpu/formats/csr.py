@@ -532,6 +532,112 @@ class CsrMatrix(Matrix):
         a[r, self.indices.astype(np.int64)] = self.vals
         return a
 
+    # -- scipy.sparse-shaped convenience surface -------------------------------
+    # Aliases so scipy.sparse users can switch with minimal edits (the compat
+    # namespace ``sparse_matrix_tpu.sparse`` builds on these). One deliberate
+    # difference: ``nnz`` is a METHOD here (reference ``Matrix::nnz``,
+    # spam_matrix/src/lib.rs:15-27), not scipy's property — use ``getnnz()``
+    # for the scipy spelling.
+
+    @property
+    def T(self) -> "CsrMatrix":
+        return self.transpose()
+
+    def toarray(self) -> np.ndarray:
+        return self.to_dense()
+
+    def todense(self) -> np.ndarray:
+        return self.to_dense()
+
+    def tocsr(self) -> "CsrMatrix":
+        return self
+
+    def getnnz(self) -> int:
+        return self.nnz()
+
+    def count_nonzero(self) -> int:
+        return int(np.count_nonzero(self.vals))
+
+    def dot(self, other):
+        """Matrix-matrix (CsrMatrix) or matrix-vector/block (ndarray)."""
+        if isinstance(other, CsrMatrix):
+            return self @ other
+        arr = np.asarray(other)
+        if arr.ndim == 1:
+            return self.matvec_host(arr)
+        if arr.ndim == 2:
+            return np.stack(
+                [self.matvec_host(arr[:, j]) for j in range(arr.shape[1])], axis=1
+            )
+        raise ValueError("dot expects a CsrMatrix, vector, or 2-D block")
+
+    def diagonal(self, k: int = 0) -> np.ndarray:
+        """The k-th diagonal as a dense vector (scipy semantics: missing
+        entries read as zero)."""
+        n = max(0, min(self._rows + min(k, 0), self._cols - max(k, 0)))
+        out = np.zeros(n, dtype=self.vals.dtype)
+        r = self.row_ids()
+        c = self.indices.astype(np.int64)
+        on = c - r == k
+        out[np.where(k >= 0, r[on], c[on])] = self.vals[on]
+        return out
+
+    def astype(self, dtype) -> "CsrMatrix":
+        return CsrMatrix(
+            self._rows, self._cols, self.vals.astype(dtype),
+            self.indices.copy(), self.offsets.copy(), is_sorted=self.is_sorted,
+        )
+
+    def copy(self) -> "CsrMatrix":
+        return self.astype(self.vals.dtype)
+
+    def conj(self) -> "CsrMatrix":
+        return CsrMatrix(
+            self._rows, self._cols, np.conj(self.vals),
+            self.indices.copy(), self.offsets.copy(), is_sorted=self.is_sorted,
+        )
+
+    def multiply(self, other: "CsrMatrix") -> "CsrMatrix":
+        """Elementwise (Hadamard) product; the output pattern is the
+        INTERSECTION of the two patterns (scipy.sparse semantics, unlike
+        :meth:`apply_elementwise`'s union merge for add/sub)."""
+        if not isinstance(other, CsrMatrix):
+            other = CsrMatrix.from_coo(
+                self._rows, self._cols,
+                *np.nonzero(np.asarray(other)),
+                np.asarray(other)[np.nonzero(np.asarray(other))],
+            )
+        if self.shape != other.shape:
+            raise ValueError("matrices must have identical dimensions")
+        ka = self.row_ids() * self._cols + self.indices.astype(np.int64)
+        kb = other.row_ids() * self._cols + other.indices.astype(np.int64)
+        _, ia, ib = np.intersect1d(ka, kb, assume_unique=True, return_indices=True)
+        v = self.vals[ia] * other.vals[ib]
+        k = ka[ia]
+        return CsrMatrix.from_coo(
+            self._rows, self._cols, k // self._cols, k % self._cols, v,
+            sum_duplicates=False,
+        )
+
+    def sum(self, axis=None):
+        """Total (axis=None), column sums (axis=0), or row sums (axis=1) —
+        returned as plain ndarrays, not np.matrix."""
+        if axis is None:
+            return self.vals.sum()
+        if axis in (0, -2):
+            return np.bincount(
+                self.indices.astype(np.int64), weights=self.vals.real,
+                minlength=self._cols,
+            ).astype(self.vals.dtype) if not np.iscomplexobj(self.vals) else (
+                np.bincount(self.indices.astype(np.int64), weights=self.vals.real, minlength=self._cols)
+                + 1j * np.bincount(self.indices.astype(np.int64), weights=self.vals.imag, minlength=self._cols)
+            )
+        if axis in (1, -1):
+            out = np.zeros(self._rows, dtype=self.vals.dtype)
+            np.add.at(out, self.row_ids(), self.vals)
+            return out
+        raise ValueError(f"axis must be None, 0, or 1, got {axis}")
+
 
 def _segsum_exact(seg: np.ndarray, v: np.ndarray) -> np.ndarray:
     """Segment sum preserving dtype (wrapping ints wrap; floats sum in order)."""

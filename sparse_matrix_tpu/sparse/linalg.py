@@ -1,0 +1,439 @@
+"""``sparse_matrix_tpu.sparse.linalg`` — a scipy.sparse.linalg-shaped facade.
+
+Thin signature adapters over :mod:`sparse_matrix_tpu.solvers`: iterative
+solvers return scipy's ``(x, info)`` tuples, ``eigs``/``eigsh``/``svds``
+return scipy-ordered arrays, and matrix arguments may be a
+:class:`~sparse_matrix_tpu.formats.csr.CsrMatrix`, any scipy.sparse matrix,
+a dense 2-D ndarray, or a :class:`LinearOperator`. Device execution (planned
+TPU operators) kicks in whenever the input is one of our host CSR matrices;
+foreign matrices are converted once up front.
+
+Semantics deltas vs scipy, stated once:
+
+* tolerances: convergence is ``||r|| <= max(rtol * ||b||, atol)`` like
+  modern scipy; ``M`` always applies an approximate inverse;
+* ``gmres``/``bicgstab`` precondition on the RIGHT (the stopping test sees
+  the TRUE residual — scipy's gmres is left-preconditioned and tests the
+  preconditioned residual);
+* ``eigsh`` is LOBPCG-backed: ``which`` supports LA/LM (largest) and SA/SM
+  (smallest ALGEBRAIC — for indefinite operators SM-as-magnitude needs
+  shift-invert, see ``solvers.eigen.inverse_power_iteration``);
+* ``lsqr``/``lsmr`` return scipy's tuple arity with the fields this
+  implementation tracks; untracked diagnostics are ``nan``.
+
+Reference anchor: the reference workspace has no solver layer (its surface
+ends at SpGEMM, ``spam_csr/src/mul_hash.rs``); this facade exists so users of
+scipy-based pipelines can adopt the rebuilt stack wholesale.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+from ..formats.csr import CsrMatrix
+from ..formats.construct import matrix_power, norm  # noqa: F401
+from ..solvers import (
+    bicgstab_solve,
+    cg_solve,
+    factorized,  # noqa: F401  (signature already scipy-shaped)
+    gmres_solve,
+    lsmr_solve,
+    lsqr_solve,
+    minres_solve,
+    pcg_solve,
+    spilu,  # noqa: F401
+    splu,  # noqa: F401
+    spsolve,  # noqa: F401
+    spsolve_triangular,  # noqa: F401
+)
+from ..solvers import condest, onenormest as _onenormest_mv
+from ..solvers import eigs as _eigs_arnoldi
+from ..solvers import lobpcg as _lobpcg
+from ..solvers import svds_csr
+from ..solvers import expm_multiply_csr
+
+__all__ = [
+    "LinearOperator", "aslinearoperator",
+    "cg", "bicgstab", "gmres", "minres", "lsqr", "lsmr",
+    "eigs", "eigsh", "lobpcg", "svds",
+    "spsolve", "spsolve_triangular", "splu", "spilu", "factorized",
+    "expm", "expm_multiply", "inv", "onenormest", "condest", "norm",
+    "matrix_power",
+]
+
+
+class LinearOperator:
+    """Minimal scipy-compatible linear operator: ``shape``, ``dtype``,
+    ``matvec`` (and optional ``rmatvec``/``matmat``). Subclass or construct
+    directly. JIT-composability: if ``matvec`` is jax-traceable, the
+    iterative solvers run it inside their jitted loops unchanged."""
+
+    def __init__(self, shape: Tuple[int, int], matvec: Callable = None, *,
+                 rmatvec: Callable = None, matmat: Callable = None,
+                 dtype=np.float32):
+        self.shape = (int(shape[0]), int(shape[1]))
+        self.dtype = np.dtype(dtype)
+        if matvec is not None:
+            self._matvec = matvec
+        self._rmatvec = rmatvec
+        self._matmat = matmat
+
+    def matvec(self, x):
+        return self._matvec(x)
+
+    def rmatvec(self, x):
+        if self._rmatvec is None:
+            raise NotImplementedError("rmatvec not provided")
+        return self._rmatvec(x)
+
+    def matmat(self, x):
+        if self._matmat is not None:
+            return self._matmat(x)
+        cols = [np.asarray(self.matvec(x[:, j])) for j in range(x.shape[1])]
+        return np.stack(cols, axis=1)
+
+    def __call__(self, x):
+        return self.matvec(x)
+
+    def __matmul__(self, x):
+        x = np.asarray(x) if not hasattr(x, "ndim") else x
+        return self.matvec(x) if x.ndim == 1 else self.matmat(x)
+
+    @property
+    def T(self) -> "LinearOperator":
+        return LinearOperator(
+            (self.shape[1], self.shape[0]), self._rmatvec,
+            rmatvec=self._matvec, dtype=self.dtype,
+        )
+
+
+def aslinearoperator(a) -> LinearOperator:
+    """Wrap a CsrMatrix / scipy matrix / dense array / LinearOperator."""
+    if isinstance(a, LinearOperator):
+        return a
+    a = _ascsr_maybe(a)
+    if isinstance(a, CsrMatrix):
+        from ..ops.operator import SpmvOperator
+
+        dt = np.float32  # device plans are f32-first (docs/DTYPES.md)
+        op = SpmvOperator(a, dtype=dt)
+        at = a.transpose()
+        opt = SpmvOperator(at, dtype=dt)
+        return LinearOperator(a.shape, op, rmatvec=opt,
+                              matmat=getattr(op, "matmat", None), dtype=dt)
+    arr = np.asarray(a)
+    if arr.ndim != 2:
+        raise ValueError("aslinearoperator expects a 2-D operator")
+    return LinearOperator(arr.shape, lambda x: arr @ x,
+                          rmatvec=lambda y: arr.T @ y, dtype=arr.dtype)
+
+
+def _ascsr_maybe(a):
+    """Foreign sparse -> CsrMatrix; anything else passes through."""
+    if hasattr(a, "tocsr") and hasattr(a, "tocoo") and not isinstance(a, CsrMatrix):
+        return CsrMatrix.from_scipy(a)
+    return a
+
+
+def _ascsr(a) -> CsrMatrix:
+    a = _ascsr_maybe(a)
+    if isinstance(a, CsrMatrix):
+        return a
+    arr = np.asarray(a)
+    if arr.ndim != 2:
+        raise ValueError(f"expected a matrix, got ndim={arr.ndim}")
+    r, c = np.nonzero(arr)
+    return CsrMatrix.from_coo(arr.shape[0], arr.shape[1], r, c, arr[r, c])
+
+
+def _square_matvec(a):
+    """(matvec, n) from a square operator of any accepted type."""
+    a = _ascsr_maybe(a)
+    if isinstance(a, CsrMatrix):
+        if a.rows != a.cols:
+            raise ValueError("square operator required")
+        from ..ops.operator import SpmvOperator
+
+        return SpmvOperator(a, dtype=np.float32), a.rows
+    if isinstance(a, LinearOperator):
+        if a.shape[0] != a.shape[1]:
+            raise ValueError("square operator required")
+        return a.matvec, a.shape[0]
+    arr = np.asarray(a)
+    if arr.ndim != 2 or arr.shape[0] != arr.shape[1]:
+        raise ValueError("square operator required")
+    import jax.numpy as jnp
+
+    dense = jnp.asarray(arr.astype(np.float32))
+    return (lambda x: dense @ x), arr.shape[0]
+
+
+def _precond_callable(m, n: int) -> Optional[Callable]:
+    """scipy's ``M`` (approximate inverse of A) -> an apply callable."""
+    if m is None:
+        return None
+    if callable(m) and not isinstance(m, (CsrMatrix, LinearOperator)):
+        return m
+    mv, mn = _square_matvec(m)
+    if mn != n:
+        raise ValueError("preconditioner shape does not match the operator")
+    return mv
+
+
+def _eff_tol(b, rtol: float, atol: float) -> float:
+    """Map scipy's (rtol, atol) onto the solvers' single relative tol:
+    ||r|| <= tol_eff * ||b|| with tol_eff = max(rtol, atol / ||b||)."""
+    bn = float(np.linalg.norm(np.asarray(b)))
+    return max(float(rtol), float(atol) / bn) if bn > 0 else float(rtol)
+
+
+def _info(res, b, tol_rel: float, maxiter: int) -> int:
+    rn = float(res.residual_norm)
+    bn = float(np.linalg.norm(np.asarray(b)))
+    return 0 if rn <= tol_rel * max(bn, 1e-300) * 1.001 else int(maxiter)
+
+
+def cg(a, b, x0=None, *, rtol=1e-5, atol=0.0, maxiter=None, M=None,
+       callback=None):
+    """scipy.sparse.linalg.cg-shaped: returns ``(x, info)``; info 0 on
+    convergence, else maxiter. ``callback`` is unsupported (the loop is one
+    jitted ``while_loop``) and must be None."""
+    if callback is not None:
+        raise NotImplementedError("callback: the CG loop is a single jitted while_loop")
+    mv, n = _square_matvec(a)
+    maxiter = int(maxiter) if maxiter is not None else 10 * n
+    tol = _eff_tol(b, rtol, atol)
+    m_inv = _precond_callable(M, n)
+    if m_inv is None:
+        res = cg_solve(mv, np.asarray(b, np.float32), x0, tol=tol, maxiter=maxiter)
+    else:
+        res = pcg_solve(mv, np.asarray(b, np.float32), m_inv, x0, tol=tol,
+                        maxiter=maxiter)
+    return np.asarray(res.x), _info(res, b, tol, maxiter)
+
+
+def bicgstab(a, b, x0=None, *, rtol=1e-5, atol=0.0, maxiter=None, M=None,
+             callback=None):
+    if callback is not None:
+        raise NotImplementedError("callback: jitted while_loop")
+    mv, n = _square_matvec(a)
+    maxiter = int(maxiter) if maxiter is not None else 10 * n
+    tol = _eff_tol(b, rtol, atol)
+    res = bicgstab_solve(mv, np.asarray(b, np.float32), x0, tol=tol,
+                         maxiter=maxiter, m_inv=_precond_callable(M, n))
+    return np.asarray(res.x), _info(res, b, tol, maxiter)
+
+
+def gmres(a, b, x0=None, *, rtol=1e-5, atol=0.0, restart=None, maxiter=None,
+          M=None, callback=None, callback_type=None):
+    """Right-preconditioned restarted GMRES (scipy preconditions left;
+    stopping here tests the TRUE residual). ``maxiter`` counts outer
+    (restart) cycles, as in scipy."""
+    if callback is not None:
+        raise NotImplementedError("callback: jitted while_loop")
+    del callback_type
+    mv, n = _square_matvec(a)
+    restart = int(restart) if restart is not None else min(n, 30)
+    outer = int(maxiter) if maxiter is not None else max(1, min(n, 1000) // max(restart, 1) + 1)
+    tol = _eff_tol(b, rtol, atol)
+    res = gmres_solve(mv, np.asarray(b, np.float32), x0, restart=restart,
+                      tol=tol, maxiter=outer * restart,
+                      m_inv=_precond_callable(M, n))
+    return np.asarray(res.x), _info(res, b, tol, outer)
+
+
+def minres(a, b, x0=None, *, rtol=1e-5, maxiter=None, M=None, callback=None,
+           shift=0.0):
+    if callback is not None:
+        raise NotImplementedError("callback: jitted while_loop")
+    mv, n = _square_matvec(a)
+    if shift:
+        base = mv
+        mv = lambda x: base(x) - shift * x  # noqa: E731
+    maxiter = int(maxiter) if maxiter is not None else 5 * n
+    if M is not None:
+        raise NotImplementedError("preconditioned MINRES is not offered; use pcg/solve")
+    res = minres_solve(mv, np.asarray(b, np.float32), x0, tol=float(rtol),
+                       maxiter=maxiter)
+    return np.asarray(res.x), _info(res, b, float(rtol), maxiter)
+
+
+def _rect_matvecs(a):
+    a = _ascsr_maybe(a)
+    if isinstance(a, LinearOperator):
+        return a.matvec, a.rmatvec, a.shape
+    a = _ascsr(a)
+    from ..ops.operator import SpmvOperator
+
+    op = SpmvOperator(a, dtype=np.float32)
+    opt = SpmvOperator(a.transpose(), dtype=np.float32)
+    return op, opt, a.shape
+
+
+def lsqr(a, b, damp=0.0, atol=1e-6, btol=1e-6, conlim=None, iter_lim=None,
+         **_ignored):
+    """scipy.sparse.linalg.lsqr-shaped 10-tuple
+    ``(x, istop, itn, r1norm, r2norm, anorm, acond, arnorm, xnorm, var)``;
+    diagnostics this implementation does not track are ``nan``. ``damp``
+    routes to LSMR (the damped Fong-Saunders form)."""
+    mv, rmv, (m, n) = _rect_matvecs(a)
+    del conlim
+    tol = max(float(atol), float(btol))
+    it = int(iter_lim) if iter_lim is not None else 2 * n
+    if damp:
+        res = lsmr_solve(mv, rmv, np.asarray(b, np.float32), n=n,
+                         damp=float(damp), tol=tol, maxiter=it)
+    else:
+        res = lsqr_solve(mv, rmv, np.asarray(b, np.float32), n=n, tol=tol,
+                         maxiter=it)
+    x = np.asarray(res.x)
+    r1 = float(res.residual_norm)
+    return (x, 1, int(res.iterations), r1, r1, np.nan, np.nan,
+            float(res.atr_norm), float(np.linalg.norm(x)), None)
+
+
+def lsmr(a, b, damp=0.0, atol=1e-6, btol=1e-6, conlim=None, maxiter=None,
+         **_ignored):
+    """scipy.sparse.linalg.lsmr-shaped 8-tuple
+    ``(x, istop, itn, normr, normar, norma, conda, normx)``."""
+    mv, rmv, (m, n) = _rect_matvecs(a)
+    del conlim
+    tol = max(float(atol), float(btol))
+    it = int(maxiter) if maxiter is not None else 2 * n
+    res = lsmr_solve(mv, rmv, np.asarray(b, np.float32), n=n,
+                     damp=float(damp), tol=tol, maxiter=it)
+    x = np.asarray(res.x)
+    return (x, 1, int(res.iterations), float(res.residual_norm),
+            float(res.atr_norm), np.nan, np.nan, float(np.linalg.norm(x)))
+
+
+def eigs(a, k: int = 6, *, which: str = "LM", v0=None, maxiter=None,
+         sigma=None, M=None, **_ignored):
+    """Arnoldi top-k-by-modulus eigenpairs (``which='LM'`` only; for
+    shift-invert use ``solvers.eigen.inverse_power_iteration``, whose inner
+    solves run on device — scipy's ``sigma=`` path needs a host
+    factorization inside the jitted Arnoldi loop, which cannot trace)."""
+    if which != "LM" or sigma is not None or M is not None:
+        raise NotImplementedError(
+            "eigs supports which='LM' (Arnoldi by modulus); see "
+            "solvers.eigen for shift-invert and generalized forms"
+        )
+    mv, n = _square_matvec(a)
+    m_steps = int(maxiter) if maxiter is not None else None
+    vals, vecs = _eigs_arnoldi(mv, n, int(k), m=m_steps)
+    return vals, vecs
+
+
+def eigsh(a, k: int = 6, *, which: str = "LA", v0=None, maxiter=None,
+          tol: float = 1e-5, sigma=None, M=None, seed: int = 0, **_ignored):
+    """Symmetric eigenpairs via LOBPCG. ``which``: LA/LM -> largest,
+    SA/SM -> smallest ALGEBRAIC. Returns ``(vals ascending, vecs)`` like
+    scipy."""
+    if sigma is not None or M is not None:
+        raise NotImplementedError("use solvers.eigen shift-invert helpers")
+    mv, n = _square_matvec(a)
+    k = int(k)
+    if not 1 <= k or 3 * k > n:
+        raise ValueError(f"k={k} needs 3k <= n={n} (LOBPCG block)")
+
+    def matmat(xb):
+        import jax.numpy as jnp
+
+        return jnp.stack([mv(xb[:, j]) for j in range(xb.shape[1])], axis=1)
+
+    x0 = (v0 if v0 is not None
+          else np.random.default_rng(seed).standard_normal((n, k)).astype(np.float32))
+    it = int(maxiter) if maxiter is not None else 500
+    res = _lobpcg(matmat, x0, largest=which in ("LA", "LM"), tol=float(tol),
+                  maxiter=it)
+    vals = np.asarray(res.eigenvalues)
+    vecs = np.asarray(res.eigenvectors)
+    order = np.argsort(vals)
+    return vals[order], vecs[:, order]
+
+
+def lobpcg(a, X, B=None, M=None, *, largest=True, tol=1e-5, maxiter=200,
+           **_ignored):
+    """scipy.sparse.linalg.lobpcg-shaped: returns ``(vals, vecs)``.
+    Generalized problems (``B``) are not offered."""
+    if B is not None:
+        raise NotImplementedError("generalized LOBPCG (B != I) is not offered")
+    mv, n = _square_matvec(a)
+
+    def matmat(xb):
+        import jax.numpy as jnp
+
+        return jnp.stack([mv(xb[:, j]) for j in range(xb.shape[1])], axis=1)
+
+    res = _lobpcg(matmat, np.asarray(X, np.float32), largest=bool(largest),
+                  precond=_precond_callable(M, n), tol=float(tol),
+                  maxiter=int(maxiter))
+    return np.asarray(res.eigenvalues), np.asarray(res.eigenvectors)
+
+
+def svds(a, k: int = 6, *, which: str = "LM", maxiter=None, seed: int = 0,
+         **_ignored):
+    """Top-k singular triplets; returns ``(u, s, vT)`` with ``s``
+    ASCENDING (scipy ordering)."""
+    if which != "LM":
+        raise NotImplementedError("svds supports which='LM'")
+    res = svds_csr(_ascsr(a), int(k), steps=maxiter, seed=seed)
+    u = np.asarray(res.u)[:, ::-1]
+    s = np.asarray(res.s)[::-1]
+    v = np.asarray(res.v)[:, ::-1]
+    return u, s, v.T
+
+
+def expm_multiply(a, b, start=None, stop=None, num=None, *, t: float = 1.0,
+                  **_ignored):
+    """``exp(t A) @ b`` (single endpoint; scipy's time-grid form is the
+    loop the caller writes)."""
+    if start is not None or stop is not None or num is not None:
+        raise NotImplementedError("time grids: call once per t")
+    return np.asarray(expm_multiply_csr(_ascsr(a), np.asarray(b, np.float32), t))
+
+
+_EXPM_DENSE_N = 2048
+
+
+def expm(a) -> CsrMatrix:
+    """Matrix exponential. Sparse expm densifies in general, so this runs
+    the dense Padé/scaling route (jax.scipy.linalg.expm) and re-sparsifies;
+    gated to n <= 2048 to keep the O(n^2) memory honest."""
+    a = _ascsr(a)
+    if a.rows != a.cols:
+        raise ValueError("expm needs a square matrix")
+    if a.rows > _EXPM_DENSE_N:
+        raise ValueError(
+            f"expm is dense-backed and capped at n={_EXPM_DENSE_N}; for "
+            "exp(tA) @ b actions at scale use expm_multiply"
+        )
+    import jax.scipy.linalg as jsl
+
+    dense = np.asarray(jsl.expm(np.asarray(a.to_dense(), np.float32)))
+    r, c = np.nonzero(dense)
+    return CsrMatrix.from_coo(a.rows, a.cols, r, c, dense[r, c])
+
+
+def inv(a) -> CsrMatrix:
+    """Exact sparse inverse through the native LU (column solves on the
+    identity). The inverse of a sparse matrix is generically dense —
+    intended for small/structured operators; prefer ``factorized`` or
+    ``splu().solve`` for repeated application."""
+    a = _ascsr(a)
+    if a.rows != a.cols:
+        raise ValueError("inv needs a square matrix")
+    f = splu(a)
+    x = f.solve(np.eye(a.rows, dtype=np.float64))
+    r, c = np.nonzero(x)
+    return CsrMatrix.from_coo(a.rows, a.cols, r, c, x[r, c])
+
+
+def onenormest(a, *, itmax: int = 8) -> float:
+    """Hager's 1-norm estimate from matvec/rmatvec probes."""
+    mv, rmv, (m, n) = _rect_matvecs(a)
+    if m != n:
+        raise ValueError("onenormest needs a square operator")
+    return _onenormest_mv(mv, rmv, n, itmax=itmax)
