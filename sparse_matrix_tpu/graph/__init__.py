@@ -12,9 +12,11 @@ from .csgraph import (  # noqa: F401
     breadth_first_order,
     breadth_first_tree,
     connected_components,
+    csgraph_to_dense,
     depth_first_order,
     depth_first_tree,
     dijkstra,
+    floyd_warshall,
     johnson,
     laplacian,
     MaximumFlowResult,

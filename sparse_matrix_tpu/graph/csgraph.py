@@ -435,6 +435,33 @@ def shortest_path(
     raise ValueError(f"unknown method {method!r}")
 
 
+def floyd_warshall(
+    a: CsrMatrix,
+    directed: bool = True,
+    return_predecessors: bool = False,
+    unweighted: bool = False,
+):
+    """All-pairs shortest paths (scipy.sparse.csgraph.floyd_warshall name):
+    the dense (min, +) DP runs on device — n fused rank-1 tropical updates
+    in one ``lax.fori_loop`` (:func:`~sparse_matrix_tpu.graph.device.
+    floyd_warshall_device`). Predecessor recovery is not offered on this
+    path (the device kernel keeps only distances resident); use
+    ``shortest_path(method="D"/"BF", return_predecessors=True)``."""
+    return shortest_path(
+        a, method="FW", directed=directed,
+        return_predecessors=return_predecessors, unweighted=unweighted,
+    )
+
+
+def csgraph_to_dense(a: CsrMatrix, null_value: float = 0.0) -> np.ndarray:
+    """Dense adjacency with ``null_value`` marking absent edges (scipy
+    semantics: stored entries win, including explicit zeros)."""
+    n_r, n_c = a.shape
+    out = np.full((n_r, n_c), float(null_value), dtype=np.float64)
+    out[a.row_ids(), a.indices.astype(np.int64)] = a.vals
+    return out
+
+
 # ---------------------------------------------------------------------------
 # traversals
 # ---------------------------------------------------------------------------

@@ -24,10 +24,11 @@ __all__ = [
     "NegativeCycleError", "MaximumFlowResult",
     "bellman_ford", "breadth_first_order", "breadth_first_tree",
     "connected_components", "depth_first_order", "depth_first_tree",
-    "dijkstra", "johnson", "laplacian", "maximum_bipartite_matching",
+    "dijkstra", "floyd_warshall", "johnson", "laplacian",
+    "maximum_bipartite_matching",
     "maximum_flow", "min_weight_full_bipartite_matching",
     "minimum_spanning_tree", "reverse_cuthill_mckee", "shortest_path",
-    "structural_rank", "yen", "csgraph_from_dense",
+    "structural_rank", "yen", "csgraph_from_dense", "csgraph_to_dense",
 ]
 
 
@@ -63,6 +64,8 @@ connected_components = _wrap(_graph.connected_components)
 depth_first_order = _wrap(_graph.depth_first_order)
 depth_first_tree = _wrap(_graph.depth_first_tree)
 dijkstra = _wrap(_graph.dijkstra)
+floyd_warshall = _wrap(_graph.floyd_warshall)
+csgraph_to_dense = _wrap(_graph.csgraph_to_dense)
 johnson = _wrap(_graph.johnson)
 laplacian = _wrap(_graph.laplacian)
 maximum_bipartite_matching = _wrap(_graph.maximum_bipartite_matching)

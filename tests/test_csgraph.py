@@ -526,3 +526,25 @@ def test_mwfbm_ordering():
     M, A = _random_bipartite(11, 15, 6, density=0.7)
     gr, gc = g.min_weight_full_bipartite_matching(M)
     assert list(gr) == sorted(gr.tolist())
+
+
+def test_floyd_warshall_name_matches_scipy():
+    M, A = _random_graph(31, n=40, density=0.12)
+    ours = g.floyd_warshall(M, directed=True)
+    theirs = cs.floyd_warshall(A, directed=True)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+    und = g.floyd_warshall(M, directed=False)
+    und_sp = cs.floyd_warshall(A, directed=False)
+    np.testing.assert_allclose(und, und_sp, rtol=1e-6)
+    with pytest.raises(NotImplementedError):
+        g.floyd_warshall(M, return_predecessors=True)
+
+
+def test_csgraph_dense_roundtrip():
+    M, A = _random_graph(32, n=25, density=0.2)
+    dense = g.csgraph_to_dense(M, null_value=0.0)
+    np.testing.assert_allclose(dense, A.toarray())
+    from sparse_matrix_tpu.sparse.csgraph import csgraph_from_dense
+
+    back = csgraph_from_dense(dense)
+    np.testing.assert_allclose(back.toarray(), A.toarray())
