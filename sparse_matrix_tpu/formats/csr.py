@@ -230,6 +230,38 @@ class CsrMatrix(Matrix):
 
         return to_scipy(self)
 
+    @classmethod
+    def from_bcoo(cls, b) -> "CsrMatrix":
+        """From a ``jax.experimental.sparse.BCOO`` (unbatched, unblocked);
+        duplicate coordinates are summed (BCOO allows them, CSR invariant 6
+        does not)."""
+        if getattr(b, "n_batch", 0) or getattr(b, "n_dense", 0):
+            raise ValueError("from_bcoo supports unbatched/unblocked BCOO only")
+        idx = np.asarray(b.indices, dtype=np.int64)
+        return cls.from_coo(
+            int(b.shape[0]), int(b.shape[1]), idx[:, 0], idx[:, 1],
+            np.asarray(b.data),
+        )
+
+    def to_bcoo(self, *, dtype=None):
+        """To ``jax.experimental.sparse.BCOO`` — the bridge to jax's own
+        experimental sparse stack (``sparsify`` transforms, BCOO matmuls).
+        Note BCOO's general matvec lowers to XLA gather/scatter (~0.14
+        Gelem/s on v5e, docs/PERF.md); planned operators
+        (:class:`~sparse_matrix_tpu.ops.operator.SpmvOperator`) stay the
+        fast path — this exists for interop, not speed."""
+        import jax.numpy as jnp
+        from jax.experimental import sparse as jsparse
+
+        v = self.vals if dtype is None else self.vals.astype(dtype)
+        idx = np.stack(
+            [self.row_ids(), self.indices.astype(np.int64)], axis=1
+        )
+        return jsparse.BCOO(
+            (jnp.asarray(v), jnp.asarray(idx)), shape=self.shape,
+            indices_sorted=self.is_sorted, unique_indices=True,
+        )
+
     def to_dok(self) -> DokMatrix:
         """CSR -> DOK (zero entries dropped by DOK set semantics),
         reference ``From<CsrMatrix> for DokMatrix`` (``spam_csr/src/lib.rs:375-384``)."""

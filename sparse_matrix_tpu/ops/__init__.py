@@ -17,6 +17,12 @@ from .spgemm_block import (  # noqa: F401
 from .spgemm_dia import spgemm_dia  # noqa: F401
 from .spmm import spmm_dia, spmm_bcsr  # noqa: F401
 from .operator import SpmvOperator  # noqa: F401
+from .autodiff import (  # noqa: F401
+    cg_solve_implicit,
+    differentiable_operator,
+    implicit_solve,
+    linear_matvec,
+)
 from .complex import ComplexSpmvOperator  # noqa: F401
 from .batched import (  # noqa: F401
     BatchedCgResult,

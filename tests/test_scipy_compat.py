@@ -378,3 +378,25 @@ def test_sparse_namespace_solves_poisson_end_to_end():
     x, info = cg(a, b, rtol=1e-6, maxiter=2000)
     assert info == 0
     assert np.linalg.norm(a.toarray() @ x - b) <= 1e-3
+
+
+def test_bcoo_interop_roundtrip():
+    from sparse_matrix_tpu.formats.csr import CsrMatrix as C
+
+    a = _rand(12, 9, 0.3, seed=21)
+    b = a.to_bcoo()
+    np.testing.assert_allclose(np.asarray(b.todense()), a.toarray(),
+                               rtol=1e-6)
+    back = C.from_bcoo(b)
+    assert back == a.astype(back.vals.dtype) or np.allclose(
+        back.toarray(), a.toarray())
+
+    # duplicate BCOO coordinates sum on conversion
+    import jax.numpy as jnp
+    from jax.experimental import sparse as jsparse
+
+    dup = jsparse.BCOO(
+        (jnp.asarray([1.0, 2.0]), jnp.asarray([[0, 1], [0, 1]])),
+        shape=(2, 2))
+    np.testing.assert_allclose(C.from_bcoo(dup).toarray(),
+                               [[0.0, 3.0], [0.0, 0.0]])

@@ -377,3 +377,35 @@ def test_fused_trisweep_kernel_parity():
         for _ in range(4):
             x = sj.dinv * (b - sj.n_op(x))
         np.testing.assert_allclose(got, np.asarray(x), rtol=2e-5, atol=2e-6)
+
+
+def test_autodiff_grad_through_pallas_kernels():
+    """jax.grad through the COMPILED Pallas matvec (custom_vjp routes the
+    cotangent through A^T's own planned kernel) and through an implicit
+    CG solve — dense-jax oracle."""
+    import jax.numpy as jnp
+
+    from sparse_matrix_tpu.ops import differentiable_operator, implicit_solve
+
+    a = poisson_2d_csr(32)
+    n = a.rows
+    f, op, op_t = differentiable_operator(a, force="lanepack")
+    d = jnp.asarray(a.to_dense().astype(np.float32))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    b = jnp.ones(n, jnp.float32)
+
+    @jax.jit
+    def loss(xx):
+        r = f(xx) - b
+        return 0.5 * jnp.vdot(r, r)
+
+    g = np.asarray(jax.grad(loss)(x))
+    g_ref = np.asarray(d.T @ (d @ x - b))
+    scale = max(1.0, float(np.abs(g_ref).max()))
+    np.testing.assert_allclose(g / scale, g_ref / scale, atol=5e-5)
+
+    gb = np.asarray(jax.grad(
+        lambda bb: implicit_solve(a, bb, tol=1e-7, maxiter=4000).sum())(b))
+    g_ref2 = np.linalg.solve(a.to_dense().astype(np.float64), np.ones(n))
+    np.testing.assert_allclose(gb, g_ref2, rtol=5e-3, atol=5e-3)
