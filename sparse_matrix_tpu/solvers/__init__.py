@@ -16,6 +16,8 @@ from .eigen import (  # noqa: F401
     inverse_power_iteration,
     lanczos,
     eigsh_extremal,
+    eigsh_shift_invert,
+    eigs_shift_invert,
 )
 from .funm import (  # noqa: F401
     expm_multiply,

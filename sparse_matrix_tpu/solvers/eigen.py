@@ -208,3 +208,140 @@ def eigs(matvec: Callable, n: int, k: int = 6, *, m: int = None, seed: int = 0):
     ritz_vecs = np.asarray(basis)[:m].T.astype(np.complex128) @ vecs[:, order]
     ritz_vecs = ritz_vecs / np.linalg.norm(ritz_vecs, axis=0, keepdims=True)
     return ritz_vals, ritz_vecs
+
+
+def _shifted(a, sigma: float):
+    from ..formats.construct import eye as _speye
+
+    if sigma == 0.0:
+        return a
+    sh = _speye(a.rows, dtype=np.float64)
+    sh.vals[:] = -float(sigma)
+    return a + sh
+
+
+def eigsh_shift_invert(
+    a,
+    k: int = 6,
+    sigma: float = 0.0,
+    *,
+    m: int = None,
+    seed: int = 0,
+    reorder: str = "rcm",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """``k`` eigenpairs of symmetric host CSR ``a`` NEAREST ``sigma``
+    (scipy's ``eigsh(sigma=...)`` surface): ONE exact LDL^T factorization
+    of ``A - sigma I`` (indefinite-safe, ``solvers/cholesky.py``), then
+    ``m``-step host Lanczos with full reorthogonalization on the solve
+    operator — interior eigenvalues of ``A`` map to EXTREMAL eigenvalues
+    ``1/(lambda - sigma)`` of the inverse, where Lanczos converges fast.
+
+    Host-path by design: the factorization is host-native anyway, so the
+    Lanczos recurrence stays f64 next to it (same stance as the
+    reference's host-irregular / device-regular split,
+    ``spam_csr/src/mul_hash.rs``). Returns ``(vals, vecs)`` of ``A``
+    itself, sorted by ``|val - sigma|``.
+    """
+    from .cholesky import ldl, ldl_solve
+
+    n = a.rows
+    if a.rows != a.cols:
+        raise ValueError("eigsh_shift_invert needs a square matrix")
+    if not 1 <= k < n:
+        raise ValueError(f"k={k} out of range for n={n}")
+    if m is None:
+        m = min(n, max(2 * k + 10, 20))
+    m = int(min(max(m, k + 2), n))
+
+    fac = ldl(_shifted(a, sigma), reorder=reorder)
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(n)
+    v /= np.linalg.norm(v)
+    basis = np.zeros((m, n))
+    alphas = np.zeros(m)
+    betas = np.zeros(m)
+    for j in range(m):
+        basis[j] = v
+        w = ldl_solve(fac, v)
+        alphas[j] = float(w @ v)
+        # full reorthogonalization (twice is enough, Parlett)
+        w -= basis[: j + 1].T @ (basis[: j + 1] @ w)
+        w -= basis[: j + 1].T @ (basis[: j + 1] @ w)
+        beta = float(np.linalg.norm(w))
+        betas[j] = beta
+        if beta <= 1e-14:
+            m = j + 1
+            basis = basis[:m]
+            alphas = alphas[:m]
+            betas = betas[:m]
+            break
+        v = w / beta
+    t = np.diag(alphas) + np.diag(betas[: m - 1], 1) + np.diag(betas[: m - 1], -1)
+    theta, y = np.linalg.eigh(t)
+    keep = np.abs(theta) > 1e-14  # theta -> 0 is the far end of the spectrum
+    theta, y = theta[keep], y[:, keep]
+    order = np.argsort(-np.abs(theta))[:k]
+    vals = sigma + 1.0 / theta[order]
+    vecs = basis.T @ y[:, order]
+    vecs /= np.linalg.norm(vecs, axis=0, keepdims=True)
+    fine = np.argsort(np.abs(vals - sigma))
+    return vals[fine], vecs[:, fine]
+
+
+def eigs_shift_invert(
+    a,
+    k: int = 6,
+    sigma: float = 0.0,
+    *,
+    m: int = None,
+    seed: int = 0,
+    reorder: str = "rcm",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Unsymmetric counterpart of :func:`eigsh_shift_invert`: exact sparse
+    LU (partial pivoting) of ``A - sigma I``, host Arnoldi with full
+    orthogonalization on the solve operator, Ritz values mapped back by
+    ``lambda = sigma + 1/theta``. Returns complex ``(vals, vecs)`` sorted
+    by ``|val - sigma|``."""
+    from .cholesky import lu, lu_solve
+
+    n = a.rows
+    if a.rows != a.cols:
+        raise ValueError("eigs_shift_invert needs a square matrix")
+    if not 1 <= k < n:
+        raise ValueError(f"k={k} out of range for n={n}")
+    if m is None:
+        m = min(n, max(2 * k + 10, 20))
+    m = int(min(max(m, k + 2), n))
+
+    fac = lu(_shifted(a, sigma), reorder=reorder)
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(n)
+    v /= np.linalg.norm(v)
+    basis = np.zeros((m + 1, n))
+    h = np.zeros((m + 1, m))
+    basis[0] = v
+    actual = m
+    for j in range(m):
+        w = lu_solve(fac, basis[j])
+        hj = basis[: j + 1] @ w
+        w -= basis[: j + 1].T @ hj
+        # second orthogonalization pass
+        hj2 = basis[: j + 1] @ w
+        w -= basis[: j + 1].T @ hj2
+        h[: j + 1, j] = hj + hj2
+        beta = float(np.linalg.norm(w))
+        h[j + 1, j] = beta
+        if beta <= 1e-14:
+            actual = j + 1
+            break
+        basis[j + 1] = w / beta
+    hm = h[:actual, :actual]
+    theta, y = np.linalg.eig(hm)
+    keep = np.abs(theta) > 1e-14
+    theta, y = theta[keep], y[:, keep]
+    order = np.argsort(-np.abs(theta))[:k]
+    vals = sigma + 1.0 / theta[order]
+    vecs = basis[:actual].T.astype(np.complex128) @ y[:, order]
+    vecs /= np.linalg.norm(vecs, axis=0, keepdims=True)
+    fine = np.argsort(np.abs(vals - sigma))
+    return vals[fine], vecs[:, fine]

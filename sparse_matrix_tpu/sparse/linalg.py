@@ -311,15 +311,20 @@ def lsmr(a, b, damp=0.0, atol=1e-6, btol=1e-6, conlim=None, maxiter=None,
 
 def eigs(a, k: int = 6, *, which: str = "LM", v0=None, maxiter=None,
          sigma=None, M=None, **_ignored):
-    """Arnoldi top-k-by-modulus eigenpairs (``which='LM'`` only; for
-    shift-invert use ``solvers.eigen.inverse_power_iteration``, whose inner
-    solves run on device — scipy's ``sigma=`` path needs a host
-    factorization inside the jitted Arnoldi loop, which cannot trace)."""
-    if which != "LM" or sigma is not None or M is not None:
+    """Arnoldi top-k-by-modulus eigenpairs (``which='LM'``).
+    ``sigma=`` runs shift-invert: exact sparse LU of ``A - sigma I``
+    (host-native, like the factorization itself) + host Arnoldi on the
+    solve operator — eigenvalues NEAREST sigma, scipy semantics."""
+    if which != "LM" or M is not None:
         raise NotImplementedError(
             "eigs supports which='LM' (Arnoldi by modulus); see "
-            "solvers.eigen for shift-invert and generalized forms"
+            "solvers.eigen for generalized forms"
         )
+    if sigma is not None:
+        from ..solvers import eigs_shift_invert
+
+        return eigs_shift_invert(_ascsr(a), int(k), float(sigma),
+                                 m=int(maxiter) if maxiter else None)
     mv, n = _square_matvec(a)
     m_steps = int(maxiter) if maxiter is not None else None
     vals, vecs = _eigs_arnoldi(mv, n, int(k), m=m_steps)
@@ -330,9 +335,17 @@ def eigsh(a, k: int = 6, *, which: str = "LA", v0=None, maxiter=None,
           tol: float = 1e-5, sigma=None, M=None, seed: int = 0, **_ignored):
     """Symmetric eigenpairs via LOBPCG. ``which``: LA/LM -> largest,
     SA/SM -> smallest ALGEBRAIC. Returns ``(vals ascending, vecs)`` like
-    scipy."""
-    if sigma is not None or M is not None:
-        raise NotImplementedError("use solvers.eigen shift-invert helpers")
+    scipy. ``sigma=`` runs shift-invert Lanczos over one exact LDL^T of
+    ``A - sigma I`` — eigenvalues NEAREST sigma."""
+    if M is not None:
+        raise NotImplementedError("generalized eigsh (M != I) is not offered")
+    if sigma is not None:
+        from ..solvers import eigsh_shift_invert
+
+        vals, vecs = eigsh_shift_invert(_ascsr(a), int(k), float(sigma),
+                                        m=int(maxiter) if maxiter else None)
+        order = np.argsort(vals)
+        return vals[order], vecs[:, order]
     mv, n = _square_matvec(a)
     k = int(k)
     if not 1 <= k or 3 * k > n:

@@ -400,3 +400,52 @@ def test_bcoo_interop_roundtrip():
         shape=(2, 2))
     np.testing.assert_allclose(C.from_bcoo(dup).toarray(),
                                [[0.0, 3.0], [0.0, 0.0]])
+
+
+def test_eigsh_sigma_shift_invert_matches_dense():
+    from sparse_matrix_tpu.sparse.linalg import eigsh
+
+    a = _spd(60, seed=22)
+    dense = np.linalg.eigvalsh(a.toarray())
+    sigma = float((dense[4] + dense[5]) / 2.0)  # interior target
+    vals, vecs = eigsh(a, k=4, sigma=sigma)
+    nearest = dense[np.argsort(np.abs(dense - sigma))[:4]]
+    np.testing.assert_allclose(np.sort(vals), np.sort(nearest), rtol=1e-8)
+    # residual check: A v ~ lam v for each returned pair
+    d = a.toarray()
+    order = np.argsort(vals)
+    vv = vecs[:, order]
+    for j, lam in enumerate(np.sort(vals)):
+        assert np.linalg.norm(d @ vv[:, j] - lam * vv[:, j]) <= 1e-6 * max(
+            1.0, abs(lam))
+
+
+@needs_scipy
+def test_eigsh_sigma_matches_scipy():
+    import scipy.sparse.linalg as sla
+
+    from sparse_matrix_tpu.sparse.linalg import eigsh
+
+    a = _spd(50, seed=23)
+    sigma = float(np.median(np.linalg.eigvalsh(a.toarray())))
+    ours, _ = eigsh(a, k=3, sigma=sigma)
+    theirs = sla.eigsh(a.to_scipy().tocsc(), k=3, sigma=sigma,
+                       return_eigenvectors=False)
+    np.testing.assert_allclose(np.sort(ours), np.sort(theirs), rtol=1e-7)
+
+
+def test_eigs_sigma_shift_invert_unsymmetric():
+    from sparse_matrix_tpu.sparse.linalg import eigs
+
+    n = 40
+    a = _spd(n, seed=24) + sp.random(n, n, 0.04, random_state=25)
+    dense = np.linalg.eigvals(a.toarray())
+    sigma = float(np.real(np.median(np.real(dense))))
+    vals, vecs = eigs(a, k=3, sigma=sigma)
+    nearest = dense[np.argsort(np.abs(dense - sigma))[:3]]
+    np.testing.assert_allclose(np.sort(np.abs(vals - sigma)),
+                               np.sort(np.abs(nearest - sigma)), rtol=1e-6)
+    d = a.toarray().astype(np.complex128)
+    for j in range(3):
+        r = np.linalg.norm(d @ vecs[:, j] - vals[j] * vecs[:, j])
+        assert r <= 1e-6 * max(1.0, abs(vals[j]))
