@@ -25,6 +25,12 @@ from .funm import (  # noqa: F401
     expm_multiply_sym,
 )
 from .bicgstab import bicgstab_solve  # noqa: F401
+from .krylov_extra import (  # noqa: F401
+    bicg_solve,
+    cgs_solve,
+    qmr_solve,
+    tfqmr_solve,
+)
 from .lsqr import LsqrResult, lsqr_solve  # noqa: F401
 from .lsmr import LsmrResult, lsmr_solve  # noqa: F401
 from .factorized import (  # noqa: F401

@@ -35,8 +35,12 @@ import numpy as np
 from ..formats.csr import CsrMatrix
 from ..formats.construct import matrix_power, norm  # noqa: F401
 from ..solvers import (
+    bicg_solve,
     bicgstab_solve,
     cg_solve,
+    cgs_solve,
+    qmr_solve,
+    tfqmr_solve,
     factorized,  # noqa: F401  (signature already scipy-shaped)
     gmres_solve,
     lsmr_solve,
@@ -56,7 +60,8 @@ from ..solvers import expm_multiply_csr
 
 __all__ = [
     "LinearOperator", "aslinearoperator",
-    "cg", "bicgstab", "gmres", "minres", "lsqr", "lsmr",
+    "cg", "bicg", "bicgstab", "cgs", "gmres", "minres", "qmr", "tfqmr",
+    "lsqr", "lsmr",
     "eigs", "eigsh", "lobpcg", "svds",
     "spsolve", "spsolve_triangular", "splu", "spilu", "factorized",
     "expm", "expm_multiply", "inv", "onenormest", "condest", "norm",
@@ -223,6 +228,79 @@ def bicgstab(a, b, x0=None, *, rtol=1e-5, atol=0.0, maxiter=None, M=None,
     tol = _eff_tol(b, rtol, atol)
     res = bicgstab_solve(mv, np.asarray(b, np.float32), x0, tol=tol,
                          maxiter=maxiter, m_inv=_precond_callable(M, n))
+    return np.asarray(res.x), _info(res, b, tol, maxiter)
+
+
+def _square_matvec_pair(a):
+    """(matvec, rmatvec, n) for solvers needing A^T (bicg/qmr)."""
+    a = _ascsr_maybe(a)
+    if isinstance(a, LinearOperator):
+        if a.shape[0] != a.shape[1]:
+            raise ValueError("square operator required")
+        return a.matvec, a.rmatvec, a.shape[0]
+    mv, rmv, (m, n) = _rect_matvecs(a)
+    if m != n:
+        raise ValueError("square operator required")
+    return mv, rmv, n
+
+
+def bicg(a, b, x0=None, *, rtol=1e-5, atol=0.0, maxiter=None, M=None,
+         callback=None):
+    """scipy.sparse.linalg.bicg-shaped. ``M`` applies the approximate
+    inverse on both sides (its transpose apply is assumed equal — true for
+    the symmetric preconditioners this library builds)."""
+    if callback is not None:
+        raise NotImplementedError("callback: jitted while_loop")
+    mv, rmv, n = _square_matvec_pair(a)
+    maxiter = int(maxiter) if maxiter is not None else 10 * n
+    tol = _eff_tol(b, rtol, atol)
+    m_inv = _precond_callable(M, n)
+    res = bicg_solve(mv, rmv, np.asarray(b, np.float32), x0, tol=tol,
+                     maxiter=maxiter, m_inv=m_inv)
+    return np.asarray(res.x), _info(res, b, tol, maxiter)
+
+
+def cgs(a, b, x0=None, *, rtol=1e-5, atol=0.0, maxiter=None, M=None,
+        callback=None):
+    """scipy.sparse.linalg.cgs-shaped (transpose-free)."""
+    if callback is not None:
+        raise NotImplementedError("callback: jitted while_loop")
+    mv, n = _square_matvec(a)
+    maxiter = int(maxiter) if maxiter is not None else 10 * n
+    tol = _eff_tol(b, rtol, atol)
+    res = cgs_solve(mv, np.asarray(b, np.float32), x0, tol=tol,
+                    maxiter=maxiter, m_inv=_precond_callable(M, n))
+    return np.asarray(res.x), _info(res, b, tol, maxiter)
+
+
+def qmr(a, b, x0=None, *, rtol=1e-5, atol=0.0, maxiter=None, M1=None,
+        M2=None, callback=None):
+    """scipy.sparse.linalg.qmr-shaped. Split preconditioning (M1/M2) is
+    not offered — precondition the operator, or use bicgstab/gmres."""
+    if callback is not None:
+        raise NotImplementedError("callback: jitted while_loop")
+    if M1 is not None or M2 is not None:
+        raise NotImplementedError("split-preconditioned QMR is not offered")
+    mv, rmv, n = _square_matvec_pair(a)
+    maxiter = int(maxiter) if maxiter is not None else 10 * n
+    tol = _eff_tol(b, rtol, atol)
+    res = qmr_solve(mv, rmv, np.asarray(b, np.float32), x0, tol=tol,
+                    maxiter=maxiter)
+    return np.asarray(res.x), _info(res, b, tol, maxiter)
+
+
+def tfqmr(a, b, x0=None, *, rtol=1e-5, atol=0.0, maxiter=None, M=None,
+          callback=None, show=False):
+    """scipy.sparse.linalg.tfqmr-shaped; ``maxiter`` counts half-steps
+    like scipy. ``M`` left-preconditions (scipy semantics)."""
+    del show
+    if callback is not None:
+        raise NotImplementedError("callback: jitted while_loop")
+    mv, n = _square_matvec(a)
+    maxiter = int(maxiter) if maxiter is not None else min(10000, 10 * n)
+    tol = _eff_tol(b, rtol, atol)
+    res = tfqmr_solve(mv, np.asarray(b, np.float32), x0, tol=tol,
+                      maxiter=maxiter, m_inv=_precond_callable(M, n))
     return np.asarray(res.x), _info(res, b, tol, maxiter)
 
 
