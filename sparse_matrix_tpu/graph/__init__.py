@@ -12,7 +12,11 @@ from .csgraph import (  # noqa: F401
     breadth_first_order,
     breadth_first_tree,
     connected_components,
+    construct_dist_matrix,
+    csgraph_from_masked,
+    csgraph_masked_from_dense,
     csgraph_to_dense,
+    csgraph_to_masked,
     depth_first_order,
     depth_first_tree,
     dijkstra,
@@ -24,6 +28,7 @@ from .csgraph import (  # noqa: F401
     maximum_flow,
     min_weight_full_bipartite_matching,
     minimum_spanning_tree,
+    reconstruct_path,
     reverse_cuthill_mckee,
     shortest_path,
     structural_rank,

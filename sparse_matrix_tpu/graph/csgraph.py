@@ -462,6 +462,125 @@ def csgraph_to_dense(a: CsrMatrix, null_value: float = 0.0) -> np.ndarray:
     return out
 
 
+def csgraph_to_masked(a: CsrMatrix) -> np.ma.MaskedArray:
+    """Dense masked-array adjacency: absent edges masked, stored entries
+    (including explicit zeros) unmasked. scipy parity:
+    ``scipy.sparse.csgraph.csgraph_to_masked``."""
+    n_r, n_c = a.shape
+    data = np.zeros((n_r, n_c), dtype=np.float64)
+    mask = np.ones((n_r, n_c), dtype=bool)
+    r, c = a.row_ids(), a.indices.astype(np.int64)
+    data[r, c] = a.vals
+    mask[r, c] = False
+    return np.ma.MaskedArray(data, mask=mask)
+
+
+def csgraph_from_masked(arr) -> CsrMatrix:
+    """CSR adjacency from a masked dense array (masked = absent edge).
+    scipy parity: ``scipy.sparse.csgraph.csgraph_from_masked``."""
+    arr = np.ma.asarray(arr)
+    if arr.ndim != 2:
+        raise ValueError("csgraph_from_masked expects a 2-D array")
+    keep = ~np.ma.getmaskarray(arr)
+    r, c = np.nonzero(keep)
+    return CsrMatrix.from_coo(
+        arr.shape[0], arr.shape[1], r, c,
+        np.asarray(arr.data, dtype=np.float64)[r, c],
+    )
+
+
+def csgraph_masked_from_dense(
+    arr, null_value=0.0, nan_null: bool = True, infinity_null: bool = True
+) -> np.ma.MaskedArray:
+    """Masked adjacency from a dense array: entries equal to
+    ``null_value`` (and NaN / ±inf when the flags say so) become masked.
+    scipy parity: ``scipy.sparse.csgraph.csgraph_masked_from_dense``."""
+    arr = np.asarray(arr, dtype=np.float64)
+    if arr.ndim != 2:
+        raise ValueError("csgraph_masked_from_dense expects a 2-D array")
+    mask = np.zeros(arr.shape, dtype=bool)
+    if null_value is not None:
+        mask |= arr == null_value
+    if nan_null:
+        mask |= np.isnan(arr)
+    if infinity_null:
+        mask |= np.isinf(arr)
+    return np.ma.MaskedArray(arr, mask=mask)
+
+
+def _edge_weights(g: CsrMatrix, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Weights of edges (u[k], v[k]) from sorted CSR (vectorized
+    per-edge binary search; missing edges read 0)."""
+    w = np.zeros(len(u), dtype=np.float64)
+    off = g.offsets.astype(np.int64)
+    cols = g.indices.astype(np.int64)
+    for k in range(len(u)):
+        lo, hi = off[u[k]], off[u[k] + 1]
+        t = lo + np.searchsorted(cols[lo:hi], v[k])
+        if t < hi and cols[t] == v[k]:
+            w[k] = g.vals[t]
+    return w
+
+
+def reconstruct_path(
+    a: CsrMatrix, predecessors: np.ndarray, directed: bool = True
+) -> CsrMatrix:
+    """Tree CSR from one predecessor vector (edges ``pred[i] -> i`` with
+    the graph's weights; negative sentinel = no predecessor). scipy
+    parity: ``scipy.sparse.csgraph.reconstruct_path``."""
+    n = _check_square(a)
+    pred = np.asarray(predecessors, dtype=np.int64).ravel()
+    if pred.shape != (n,):
+        raise ValueError("predecessors must have one entry per node")
+    g = a if directed else _undirected_min(a)
+    child = np.nonzero(pred >= 0)[0]
+    w = _edge_weights(g, pred[child], child)
+    return CsrMatrix.from_coo(n, n, pred[child], child, w)
+
+
+def construct_dist_matrix(
+    a: CsrMatrix,
+    predecessors: np.ndarray,
+    directed: bool = True,
+    null_value: float = np.inf,
+) -> np.ndarray:
+    """Distance matrix recomputed by walking predecessor trees and
+    summing the graph's edge weights (one DP pass per source). scipy
+    parity: ``scipy.sparse.csgraph.construct_dist_matrix`` — the
+    predecessor matrix must be square (n, n), row ``s`` describing the
+    tree rooted at source ``s``: ``dist[s, s] = 0``, nodes with no
+    predecessor (and != s) read ``null_value``."""
+    n = _check_square(a)
+    pred = np.asarray(predecessors, dtype=np.int64)
+    if pred.shape != (n, n):
+        raise ValueError(
+            "predecessors must be a square (n, n) matrix; row s is the "
+            "predecessor tree of source s")
+    g = a if directed else _undirected_min(a)
+    out = np.full(pred.shape, float(null_value), dtype=np.float64)
+    for s in range(n):
+        p = pred[s]
+        child = np.nonzero(p >= 0)[0]
+        w = np.zeros(n, dtype=np.float64)
+        w[child] = _edge_weights(g, p[child], child)
+        dist = np.full(n, np.nan)
+        dist[s] = 0.0  # the row's source; other roots are unreachable
+        # Propagate down the forest: children become ready once their
+        # predecessor's distance is known; a forest has depth <= n.
+        pending = child
+        while len(pending):
+            ready = pending[~np.isnan(dist[p[pending]])]
+            if not len(ready):
+                break  # unreachable subtree or cycle: leave NaN -> null
+            dist[ready] = dist[p[ready]] + w[ready]
+            keep = np.ones(n, dtype=bool)
+            keep[ready] = False
+            pending = pending[keep[pending]]
+        have = ~np.isnan(dist)
+        out[s, have] = dist[have]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # traversals
 # ---------------------------------------------------------------------------

@@ -29,6 +29,8 @@ __all__ = [
     "maximum_flow", "min_weight_full_bipartite_matching",
     "minimum_spanning_tree", "reverse_cuthill_mckee", "shortest_path",
     "structural_rank", "yen", "csgraph_from_dense", "csgraph_to_dense",
+    "csgraph_to_masked", "csgraph_from_masked", "csgraph_masked_from_dense",
+    "reconstruct_path", "construct_dist_matrix",
 ]
 
 
@@ -77,3 +79,8 @@ reverse_cuthill_mckee = _wrap(_graph.reverse_cuthill_mckee)
 shortest_path = _wrap(_graph.shortest_path)
 structural_rank = _wrap(_graph.structural_rank)
 yen = _wrap(_graph.yen)
+csgraph_to_masked = _wrap(_graph.csgraph_to_masked)
+csgraph_from_masked = _graph.csgraph_from_masked
+csgraph_masked_from_dense = _graph.csgraph_masked_from_dense
+reconstruct_path = _wrap(_graph.reconstruct_path)
+construct_dist_matrix = _wrap(_graph.construct_dist_matrix)

@@ -548,3 +548,53 @@ def test_csgraph_dense_roundtrip():
 
     back = csgraph_from_dense(dense)
     np.testing.assert_allclose(back.toarray(), A.toarray())
+
+
+def test_masked_conversions_match_scipy():
+    M, A = _random_graph(33, n=30, density=0.15)
+    ours = g.csgraph_to_masked(M)
+    theirs = cs.csgraph_to_masked(A)
+    np.testing.assert_array_equal(np.ma.getmaskarray(ours),
+                                  np.ma.getmaskarray(theirs))
+    np.testing.assert_allclose(ours.filled(0.0), theirs.filled(0.0))
+    back = g.csgraph_from_masked(ours)
+    np.testing.assert_allclose(back.toarray(), A.toarray())
+
+
+def test_masked_from_dense_matches_scipy():
+    rng = np.random.default_rng(34)
+    arr = rng.uniform(0, 3, (12, 12))
+    arr[arr < 1.0] = 0.0
+    arr[0, 1] = np.nan
+    arr[2, 3] = np.inf
+    ours = g.csgraph_masked_from_dense(arr)
+    theirs = cs.csgraph_masked_from_dense(arr)
+    np.testing.assert_array_equal(np.ma.getmaskarray(ours),
+                                  np.ma.getmaskarray(theirs))
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_reconstruct_path_matches_scipy(directed):
+    M, A = _random_graph(35, n=40, density=0.1)
+    _, pred = cs.dijkstra(A, directed=directed, indices=0,
+                          return_predecessors=True)
+    ours = g.reconstruct_path(M, pred, directed=directed)
+    theirs = cs.reconstruct_path(A, pred, directed=directed)
+    np.testing.assert_allclose(ours.toarray(), theirs.toarray(), rtol=1e-12)
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_construct_dist_matrix_matches_scipy(directed):
+    M, A = _random_graph(36, n=35, density=0.08)
+    dist, pred = cs.dijkstra(A, directed=directed, return_predecessors=True)
+    ours = g.construct_dist_matrix(M, pred, directed=directed)
+    theirs = cs.construct_dist_matrix(A, pred, directed=directed)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-10)
+    # also agrees with the dijkstra distances themselves
+    np.testing.assert_allclose(ours, dist, rtol=1e-10)
+
+
+def test_construct_dist_matrix_rejects_nonsquare_pred():
+    M, _ = _random_graph(37, n=10, density=0.2)
+    with pytest.raises(ValueError):
+        g.construct_dist_matrix(M, np.full(10, -9999))
