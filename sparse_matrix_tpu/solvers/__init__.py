@@ -25,6 +25,10 @@ from .funm import (  # noqa: F401
     expm_multiply_sym,
 )
 from .bicgstab import bicgstab_solve  # noqa: F401
+from .krylov_recycle import (  # noqa: F401
+    gcrotmk_solve,
+    lgmres_solve,
+)
 from .krylov_extra import (  # noqa: F401
     bicg_solve,
     cgs_solve,

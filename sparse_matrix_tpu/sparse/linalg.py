@@ -39,6 +39,8 @@ from ..solvers import (
     bicgstab_solve,
     cg_solve,
     cgs_solve,
+    gcrotmk_solve,
+    lgmres_solve,
     qmr_solve,
     tfqmr_solve,
     factorized,  # noqa: F401  (signature already scipy-shaped)
@@ -61,7 +63,7 @@ from ..solvers import expm_multiply_csr
 __all__ = [
     "LinearOperator", "aslinearoperator",
     "cg", "bicg", "bicgstab", "cgs", "gmres", "minres", "qmr", "tfqmr",
-    "lsqr", "lsmr",
+    "lgmres", "gcrotmk", "lsqr", "lsmr",
     "eigs", "eigsh", "lobpcg", "svds",
     "spsolve", "spsolve_triangular", "splu", "spilu", "factorized",
     "expm", "expm_multiply", "inv", "onenormest", "condest", "norm",
@@ -320,6 +322,51 @@ def gmres(a, b, x0=None, *, rtol=1e-5, atol=0.0, restart=None, maxiter=None,
                       tol=tol, maxiter=outer * restart,
                       m_inv=_precond_callable(M, n))
     return np.asarray(res.x), _info(res, b, tol, outer)
+
+
+def lgmres(a, b, x0=None, *, rtol=1e-5, atol=0.0, maxiter=1000, M=None,
+           callback=None, inner_m=30, outer_k=3, outer_v=None,
+           store_outer_Av=True, prepend_outer_v=False):
+    """scipy.sparse.linalg.lgmres-shaped. ``maxiter`` counts outer cycles
+    (scipy semantics); preconditioning is flexible/right, so the stopping
+    test sees the TRUE residual. ``outer_v`` seeding is not offered (the
+    augmentation store lives inside the jitted loop)."""
+    if callback is not None:
+        raise NotImplementedError("callback: jitted while_loop")
+    if outer_v:
+        raise NotImplementedError("outer_v seeding: buffer lives in-jit")
+    del store_outer_Av, prepend_outer_v
+    mv, n = _square_matvec(a)
+    tol = _eff_tol(b, rtol, atol)
+    t = min(int(inner_m), n) + min(int(outer_k), n)
+    res = lgmres_solve(mv, np.asarray(b, np.float32), x0,
+                       inner_m=int(inner_m), outer_k=int(outer_k), tol=tol,
+                       maxiter=int(maxiter) * t,
+                       m_inv=_precond_callable(M, n))
+    return np.asarray(res.x), _info(res, b, tol, int(maxiter))
+
+
+def gcrotmk(a, b, x0=None, *, rtol=1e-5, atol=0.0, maxiter=1000, M=None,
+            callback=None, m=20, k=None, CU=None, discard_C=False,
+            truncate="oldest"):
+    """scipy.sparse.linalg.gcrotmk-shaped. ``maxiter`` counts outer
+    cycles (scipy semantics); truncation is FIFO = scipy's ``'oldest'``;
+    ``CU`` seeding/return is not offered (the recycle space lives inside
+    the jitted loop)."""
+    if callback is not None:
+        raise NotImplementedError("callback: jitted while_loop")
+    if CU is not None:
+        raise NotImplementedError("CU seeding: recycle space lives in-jit")
+    if truncate != "oldest":
+        raise NotImplementedError("only truncate='oldest' (FIFO)")
+    del discard_C
+    mv, n = _square_matvec(a)
+    tol = _eff_tol(b, rtol, atol)
+    res = gcrotmk_solve(mv, np.asarray(b, np.float32), x0, m=int(m),
+                        k=None if k is None else int(k), tol=tol,
+                        maxiter=int(maxiter) * min(int(m), n),
+                        m_inv=_precond_callable(M, n))
+    return np.asarray(res.x), _info(res, b, tol, int(maxiter))
 
 
 def minres(a, b, x0=None, *, rtol=1e-5, maxiter=None, M=None, callback=None,
