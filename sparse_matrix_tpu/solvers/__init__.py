@@ -25,6 +25,7 @@ from .funm import (  # noqa: F401
     expm_multiply_sym,
 )
 from .bicgstab import bicgstab_solve  # noqa: F401
+from .funm_krylov import funm_multiply_krylov  # noqa: F401
 from .krylov_recycle import (  # noqa: F401
     gcrotmk_solve,
     lgmres_solve,

@@ -43,22 +43,26 @@ from ..solvers import (
     lgmres_solve,
     qmr_solve,
     tfqmr_solve,
-    factorized,  # noqa: F401  (signature already scipy-shaped)
     gmres_solve,
     lsmr_solve,
     lsqr_solve,
     minres_solve,
     pcg_solve,
-    spilu,  # noqa: F401
-    splu,  # noqa: F401
-    spsolve,  # noqa: F401
-    spsolve_triangular,  # noqa: F401
 )
+from ..solvers import factorized as _factorized_csr
+from ..solvers import spilu as _spilu_csr
+from ..solvers import splu as _splu_csr
+from ..solvers import spsolve as _spsolve_csr
+from ..solvers import spsolve_triangular as _spsolve_triangular_csr
 from ..solvers import condest, onenormest as _onenormest_mv
 from ..solvers import eigs as _eigs_arnoldi
 from ..solvers import lobpcg as _lobpcg
 from ..solvers import svds_csr
 from ..solvers import expm_multiply_csr
+from ..solvers.factorized import SpluFactor
+from ..solvers.funm_krylov import (
+    funm_multiply_krylov as _funm_multiply_krylov,
+)
 
 __all__ = [
     "LinearOperator", "aslinearoperator",
@@ -68,6 +72,9 @@ __all__ = [
     "spsolve", "spsolve_triangular", "splu", "spilu", "factorized",
     "expm", "expm_multiply", "inv", "onenormest", "condest", "norm",
     "matrix_power",
+    "funm_multiply_krylov", "is_sptriangular", "spbandwidth", "LaplacianNd",
+    "SuperLU", "use_solver", "MatrixRankWarning", "ArpackError",
+    "ArpackNoConvergence",
 ]
 
 
@@ -153,6 +160,33 @@ def _ascsr(a) -> CsrMatrix:
         raise ValueError(f"expected a matrix, got ndim={arr.ndim}")
     r, c = np.nonzero(arr)
     return CsrMatrix.from_coo(arr.shape[0], arr.shape[1], r, c, arr[r, c])
+
+
+def splu(a, permc_spec: str = "RCM"):
+    """Facade splu: accepts CsrMatrix / scipy.sparse / dense; see
+    :func:`sparse_matrix_tpu.solvers.factorized.splu`."""
+    return _splu_csr(_ascsr(a), permc_spec=permc_spec)
+
+
+def spilu(a, **kw):
+    """Facade spilu: accepts CsrMatrix / scipy.sparse / dense."""
+    return _spilu_csr(_ascsr(a), **kw)
+
+
+def factorized(a):
+    """Facade factorized: accepts CsrMatrix / scipy.sparse / dense."""
+    return _factorized_csr(_ascsr(a))
+
+
+def spsolve(a, b, **kw):
+    """Facade spsolve: accepts CsrMatrix / scipy.sparse / dense."""
+    return _spsolve_csr(_ascsr(a), b, **kw)
+
+
+def spsolve_triangular(a, b, **kw):
+    """Facade spsolve_triangular: accepts CsrMatrix / scipy.sparse /
+    dense."""
+    return _spsolve_triangular_csr(_ascsr(a), b, **kw)
 
 
 def _square_matvec(a):
@@ -575,3 +609,214 @@ def onenormest(a, *, itmax: int = 8) -> float:
     if m != n:
         raise ValueError("onenormest needs a square operator")
     return _onenormest_mv(mv, rmv, n, itmax=itmax)
+
+
+# ---------------------------------------------------------------------------
+# structure probes, grid Laplacian, and small scipy-surface parity shims
+# ---------------------------------------------------------------------------
+
+class MatrixRankWarning(UserWarning):
+    """scipy.sparse.linalg.MatrixRankWarning parity (singular-system
+    warnings; this library raises on exact zero pivots instead)."""
+
+
+class ArpackError(RuntimeError):
+    """scipy.sparse.linalg.ArpackError parity class (the eigensolvers
+    here are native Lanczos/Arnoldi/LOBPCG, not ARPACK; kept so except
+    clauses written against scipy keep working)."""
+
+
+class ArpackNoConvergence(ArpackError):
+    """scipy parity: raised semantics not used — eigensolvers return
+    their best estimate with documented residuals."""
+
+    def __init__(self, msg="", eigenvalues=None, eigenvectors=None):
+        super().__init__(msg)
+        self.eigenvalues = eigenvalues
+        self.eigenvectors = eigenvectors
+
+
+def use_solver(**kwargs):
+    """scipy.sparse.linalg.use_solver parity no-op: the direct backend
+    here is always the native LU/Cholesky runtime (there is no UMFPACK
+    toggle)."""
+
+
+def is_sptriangular(a):
+    """(is_lower, is_upper) from the CSR structure in one pass.
+    scipy parity: ``scipy.sparse.linalg.is_sptriangular``."""
+    a = _ascsr(a)
+    r = np.repeat(np.arange(a.rows), np.diff(a.offsets.astype(np.int64)))
+    c = a.indices.astype(np.int64)
+    nz = a.vals != 0
+    return bool(not np.any((c > r) & nz)), bool(not np.any((c < r) & nz))
+
+
+def spbandwidth(a):
+    """(below, above): widths of the lower/upper band holding every
+    stored nonzero. scipy parity: ``scipy.sparse.linalg.spbandwidth``."""
+    a = _ascsr(a)
+    r = np.repeat(np.arange(a.rows), np.diff(a.offsets.astype(np.int64)))
+    c = a.indices.astype(np.int64)
+    nz = a.vals != 0
+    r, c = r[nz], c[nz]
+    if len(r) == 0:
+        return 0, 0
+    return int(np.maximum(r - c, 0).max()), int(np.maximum(c - r, 0).max())
+
+
+def _lap1d_modes(n: int, bc: str):
+    """Per-axis eigenpairs of the 1-D grid Laplacian (diag -2, off +1)
+    under the named boundary condition; vectors orthonormal."""
+    i = np.arange(n, dtype=np.float64)
+    k = np.arange(n, dtype=np.float64)
+    if bc == "dirichlet":
+        lam = -4.0 * np.sin(np.pi * (k + 1) / (2 * (n + 1))) ** 2
+        vecs = np.sqrt(2.0 / (n + 1)) * np.sin(
+            np.pi * np.outer(k + 1, i + 1) / (n + 1))
+    elif bc == "neumann":
+        lam = -4.0 * np.sin(np.pi * k / (2 * n)) ** 2
+        vecs = np.sqrt(2.0 / n) * np.cos(np.pi * np.outer(k, i + 0.5) / n)
+        vecs[0] = 1.0 / np.sqrt(n)
+    elif bc == "periodic":
+        freq = np.minimum(k, n - k)
+        lam = -4.0 * np.sin(np.pi * freq / n) ** 2
+        vecs = np.empty((n, n))
+        for kk in range(n):
+            if kk == 0:
+                vecs[kk] = 1.0 / np.sqrt(n)
+            elif 2 * kk == n:
+                vecs[kk] = np.where(i.astype(np.int64) % 2 == 0, 1.0, -1.0) / np.sqrt(n)
+            elif kk <= n // 2:
+                vecs[kk] = np.sqrt(2.0 / n) * np.cos(2 * np.pi * kk * i / n)
+            else:
+                vecs[kk] = np.sqrt(2.0 / n) * np.sin(2 * np.pi * (n - kk) * i / n)
+    else:
+        raise ValueError(
+            "boundary_conditions must be 'neumann', 'dirichlet' or "
+            f"'periodic', got {bc!r}")
+    return lam, vecs
+
+
+class LaplacianNd(LinearOperator):
+    """N-D grid Laplacian (negative semi-definite second difference) as a
+    LinearOperator with ANALYTIC eigenpairs — scipy parity:
+    ``scipy.sparse.linalg.LaplacianNd`` (boundary_conditions in
+    {'neumann', 'dirichlet', 'periodic'}). ``tosparse`` returns the host
+    :class:`CsrMatrix` built by Kronecker sums of the 1-D stencils, so
+    the operator drops straight onto the device DIA/SpMV paths.
+
+    Documented delta: for a degenerate size-1 axis scipy's ``toarray``
+    emits a ``-1`` diagonal that contradicts its own analytic
+    ``eigenvalues()`` (0 for neumann/periodic); here matvec / tosparse /
+    toarray / eigenvalues are mutually consistent (that axis contributes
+    0 under neumann/periodic, -2 under dirichlet)."""
+
+    def __init__(self, grid_shape, *, boundary_conditions="neumann",
+                 dtype=np.int8):
+        self.grid_shape = tuple(int(g) for g in grid_shape)
+        if any(g < 1 for g in self.grid_shape):
+            raise ValueError("grid_shape entries must be >= 1")
+        self.boundary_conditions = boundary_conditions
+        n = int(np.prod(self.grid_shape))
+        self._modes = [_lap1d_modes(g, boundary_conditions)
+                       for g in self.grid_shape]
+        super().__init__((n, n), None, dtype=dtype)
+
+    def _matvec(self, x):
+        x = np.asarray(x)
+        promote = np.promote_types(x.dtype, np.float64) \
+            if x.dtype.kind == "f" else np.float64
+        g = x.reshape(self.grid_shape).astype(promote)
+        out = np.zeros_like(g)
+        bc = self.boundary_conditions
+        for ax, nax in enumerate(self.grid_shape):
+            t = -2.0 * g
+            t += np.roll(g, 1, axis=ax) + np.roll(g, -1, axis=ax)
+            if bc != "periodic":
+                # undo the wraparound contributions at the two faces
+                first = [slice(None)] * g.ndim
+                last = [slice(None)] * g.ndim
+                first[ax] = 0
+                last[ax] = nax - 1
+                wrap_hi = [slice(None)] * g.ndim
+                wrap_lo = [slice(None)] * g.ndim
+                wrap_hi[ax] = nax - 1
+                wrap_lo[ax] = 0
+                t[tuple(first)] -= g[tuple(wrap_hi)]
+                t[tuple(last)] -= g[tuple(wrap_lo)]
+                if bc == "neumann":
+                    t[tuple(first)] += g[tuple(first)]
+                    t[tuple(last)] += g[tuple(last)]
+            out += t
+        return out.reshape(x.shape)
+
+    def rmatvec(self, x):  # symmetric
+        return self._matvec(x)
+
+    def tosparse(self) -> CsrMatrix:
+        def lap1(n):
+            d = -2.0 * np.eye(n) + np.eye(n, k=1) + np.eye(n, k=-1)
+            if self.boundary_conditions == "neumann":
+                d[0, 0] += 1.0  # += (not =) so n == 1 reads 0
+                d[n - 1, n - 1] += 1.0
+            elif self.boundary_conditions == "periodic":
+                d[0, n - 1] += 1.0
+                d[n - 1, 0] += 1.0
+            return d
+
+        from ..formats.construct import eye as speye, kron as spkron
+
+        def ascsr(d):
+            r, c = np.nonzero(d)
+            return CsrMatrix.from_coo(d.shape[0], d.shape[1], r, c, d[r, c])
+
+        total = None
+        for ax, nax in enumerate(self.grid_shape):
+            term = ascsr(lap1(nax))
+            for g in self.grid_shape[:ax]:
+                term = spkron(speye(g), term)
+            for g in self.grid_shape[ax + 1:]:
+                term = spkron(term, speye(g))
+            total = term if total is None else total + term
+        return total
+
+    def toarray(self) -> np.ndarray:
+        return self.tosparse().to_dense().astype(self.dtype)
+
+    def _eigval_grid(self):
+        lam = self._modes[0][0]
+        for l2, _ in self._modes[1:]:
+            lam = np.add.outer(lam, l2)
+        return lam  # shape = grid_shape, indexed by per-axis mode
+
+    def eigenvalues(self, m=None) -> np.ndarray:
+        lam = np.sort(self._eigval_grid().ravel())
+        return lam if m is None else lam[-int(m):]
+
+    def eigenvectors(self, m=None) -> np.ndarray:
+        lam = self._eigval_grid().ravel()
+        m = len(lam) if m is None else int(m)
+        order = np.argsort(lam, kind="stable")[-m:]
+        cols = []
+        for flat in order:
+            idx = np.unravel_index(flat, self.grid_shape)
+            v = self._modes[0][1][idx[0]]
+            for ax in range(1, len(self.grid_shape)):
+                v = np.kron(v, self._modes[ax][1][idx[ax]])
+            cols.append(v)
+        return np.stack(cols, axis=1)
+
+
+def funm_multiply_krylov(f, A, b, *, assume_a="general", t=1.0, atol=0.0,
+                         rtol=1e-6, restart_every_m=None, max_restarts=20):
+    """scipy.sparse.linalg.funm_multiply_krylov-shaped; see
+    :func:`sparse_matrix_tpu.solvers.funm_krylov.funm_multiply_krylov`."""
+    a = _ascsr_maybe(A)
+    op = a if isinstance(a, (CsrMatrix, LinearOperator)) else _ascsr(A)
+    return _funm_multiply_krylov(
+        f, op, b, assume_a=assume_a, t=t, atol=atol, rtol=rtol,
+        restart_every_m=restart_every_m, max_restarts=max_restarts)
+
+
+SuperLU = SpluFactor  # scipy names the splu return type SuperLU

@@ -1,0 +1,128 @@
+"""scipy.sparse.linalg surface completion: funm_multiply_krylov,
+LaplacianNd, is_sptriangular/spbandwidth, facade direct-solver input
+conversion, and the small parity shims."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as sla
+
+import sparse_matrix_tpu.sparse.linalg as L
+
+
+# --------------------------------------------------------------- funm
+
+def _sparse_general(rng, n, scale=0.3):
+    d = (rng.random((n, n)) < 0.04) * rng.standard_normal((n, n)) * scale
+    np.fill_diagonal(d, -1.0)
+    return d
+
+
+def test_funm_krylov_expm_matches_exact_and_scipy():
+    from scipy.linalg import expm
+
+    rng = np.random.default_rng(0)
+    d = _sparse_general(rng, 250)
+    b = rng.standard_normal(250)
+    exact = expm(0.7 * d) @ b
+    ours = L.funm_multiply_krylov(expm, sp.csr_matrix(d), b, t=0.7,
+                                  restart_every_m=12, rtol=1e-10)
+    assert np.linalg.norm(ours - exact) <= 1e-8 * np.linalg.norm(exact)
+    theirs = sla.funm_multiply_krylov(expm, sp.csr_matrix(d), b, t=0.7,
+                                      restart_every_m=12, rtol=1e-10)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-7, atol=1e-10)
+
+
+def test_funm_krylov_symmetric_lanczos_and_restarts():
+    from scipy.linalg import cosm
+
+    rng = np.random.default_rng(1)
+    d = _sparse_general(rng, 200)
+    d = (d + d.T) / 2
+    b = rng.standard_normal(200)
+    exact = cosm(0.5 * d) @ b
+    # tiny restart size forces several Eiermann-Ernst cycles
+    ours = L.funm_multiply_krylov(cosm, d, b, assume_a="her", t=0.5,
+                                  restart_every_m=6, rtol=1e-11,
+                                  max_restarts=40)
+    assert np.linalg.norm(ours - exact) <= 1e-8 * np.linalg.norm(exact)
+
+
+def test_funm_krylov_small_space_exhaustion_and_zero_b():
+    from scipy.linalg import expm
+
+    rng = np.random.default_rng(2)
+    d = rng.standard_normal((5, 5))
+    b = rng.standard_normal(5)
+    ours = L.funm_multiply_krylov(expm, d, b, restart_every_m=30)
+    np.testing.assert_allclose(ours, expm(d) @ b, rtol=1e-10)
+    np.testing.assert_array_equal(
+        L.funm_multiply_krylov(expm, d, np.zeros(5)), 0.0)
+
+
+# --------------------------------------------------------- LaplacianNd
+
+@pytest.mark.parametrize("bc", ["neumann", "dirichlet", "periodic"])
+@pytest.mark.parametrize("shape", [(7,), (4, 5), (3, 4, 2)])
+def test_laplaciannd_matches_scipy(bc, shape):
+    ours = L.LaplacianNd(shape, boundary_conditions=bc)
+    theirs = sla.LaplacianNd(shape, boundary_conditions=bc)
+    a = theirs.toarray().astype(float)
+    np.testing.assert_allclose(ours.toarray().astype(float), a)
+    np.testing.assert_allclose(ours.tosparse().to_dense(), a)
+    x = np.random.default_rng(0).standard_normal(ours.shape[0])
+    np.testing.assert_allclose(ours.matvec(x), a @ x, atol=1e-12)
+    np.testing.assert_allclose(ours.eigenvalues(), theirs.eigenvalues(),
+                               atol=1e-10)
+    np.testing.assert_allclose(ours.eigenvalues(3), theirs.eigenvalues(3),
+                               atol=1e-10)
+    m = min(4, ours.shape[0])
+    vecs = ours.eigenvectors(m)
+    lam = ours.eigenvalues(m)
+    np.testing.assert_allclose(a @ vecs, vecs * lam, atol=1e-9)
+    np.testing.assert_allclose(vecs.T @ vecs, np.eye(m), atol=1e-10)
+
+
+def test_laplaciannd_size1_axis_self_consistent():
+    """Documented delta: scipy's toarray for a size-1 axis contradicts
+    its own eigenvalues; ours is internally consistent."""
+    for bc in ("neumann", "periodic"):
+        ours = L.LaplacianNd((1, 3), boundary_conditions=bc)
+        a = ours.toarray().astype(float)
+        np.testing.assert_allclose(np.sort(np.linalg.eigvalsh(a)),
+                                   ours.eigenvalues(), atol=1e-10)
+
+
+def test_laplaciannd_rejects_bad_bc():
+    with pytest.raises(ValueError):
+        L.LaplacianNd((4,), boundary_conditions="robin")
+
+
+# ------------------------------------------------- structure probes
+
+def test_is_sptriangular_and_spbandwidth_match_scipy():
+    rng = np.random.default_rng(3)
+    t = sp.random(40, 40, density=0.08, random_state=rng).tocsr()
+    for m in (t, sp.tril(t).tocsr(), sp.triu(t).tocsr(), sp.eye(7).tocsr()):
+        assert L.is_sptriangular(m) == tuple(sla.is_sptriangular(m))
+        assert L.spbandwidth(m) == tuple(sla.spbandwidth(m))
+    assert L.spbandwidth(sp.csr_matrix((5, 5))) == (0, 0)
+
+
+# --------------------------------------------------------- shims
+
+def test_facade_direct_solvers_accept_scipy_and_dense():
+    rng = np.random.default_rng(4)
+    d = np.diag(rng.uniform(1, 2, 8))
+    d[0, 3] = 0.5
+    b = rng.standard_normal(8)
+    s = sp.csr_matrix(d)
+    lu = L.splu(s)
+    assert isinstance(lu, L.SuperLU)
+    np.testing.assert_allclose(d @ lu.solve(b), b, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(d @ L.spsolve(s, b), b, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(d @ L.factorized(d)(b), b, rtol=1e-6,
+                               atol=1e-6)
+    assert L.use_solver(useUmfpack=False) is None
+    assert issubclass(L.ArpackNoConvergence, L.ArpackError)
+    assert issubclass(L.MatrixRankWarning, Warning)
