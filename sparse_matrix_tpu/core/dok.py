@@ -87,6 +87,20 @@ class DokMatrix(Matrix[T]):
         self.entries[pos] = t
         return old
 
+    def __getitem__(self, pos: Tuple[int, int]) -> T:
+        """scipy.sparse.dok spelling: absent entries read as 0 (the
+        trait-parity spelling, ``get_element``, returns None instead —
+        ``spam_matrix/src/lib.rs`` Matrix::get)."""
+        v = self.get_element((int(pos[0]), int(pos[1])))
+        if v is not None:
+            return v
+        return np.dtype(self.dtype).type(0) if self.dtype is not None else 0
+
+    def __setitem__(self, pos: Tuple[int, int], t: T) -> None:
+        """scipy.sparse.dok spelling of :meth:`set_element` (zero writes
+        delete, same as the named method)."""
+        self.set_element((int(pos[0]), int(pos[1])), t)
+
     def transpose(self) -> "DokMatrix[T]":
         return DokMatrix(
             self._cols,

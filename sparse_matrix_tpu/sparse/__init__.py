@@ -220,3 +220,213 @@ isspmatrix = issparse
 
 def isspmatrix_csr(x) -> bool:
     return isinstance(x, CsrMatrix)
+
+
+# ---------------------------------------------------------------------------
+# remaining scipy.sparse surface: format aliases, predicates, utilities
+# ---------------------------------------------------------------------------
+
+from ..core.matrix import Matrix as _MatrixABC  # noqa: E402
+
+# isinstance targets, scipy spelling: both formats subclass the trait ABC
+sparray = _MatrixABC
+spmatrix = _MatrixABC
+
+
+class SparseWarning(Warning):
+    """scipy.sparse.SparseWarning parity."""
+
+
+class SparseEfficiencyWarning(SparseWarning):
+    """scipy.sparse.SparseEfficiencyWarning parity."""
+
+
+def dok_matrix(arg1, shape=None, dtype=None) -> DokMatrix:
+    """scipy.sparse.dok_matrix-shaped: returns the dict-backed
+    :class:`DokMatrix` (incremental ``d[i, j] = v`` supported). Accepts
+    an ``(M, N)`` shape tuple, a dense array, a ``CsrMatrix``/scipy
+    matrix, or another ``DokMatrix``."""
+    del shape  # only meaningful with the tuple form, where arg1 IS it
+    if isinstance(arg1, DokMatrix):
+        return DokMatrix(arg1.rows, arg1.cols, dict(arg1.entries),
+                         dtype=dtype if dtype is not None else arg1.dtype)
+    if isinstance(arg1, tuple) and len(arg1) == 2 and all(
+        isinstance(d, (int, np.integer)) for d in arg1
+    ):
+        return DokMatrix.new(int(arg1[0]), int(arg1[1]), dtype=dtype)
+    return csr_matrix(arg1, dtype=dtype).to_dok()
+
+
+def dia_matrix(arg1, shape=None, dtype=None) -> CsrMatrix:
+    """scipy.sparse.dia_matrix-shaped constructor (storage is CSR; the
+    DEVICE dia format is planned separately via ``SpmvOperator`` /
+    ``formats.dia``). The ``(data, offsets)`` form uses scipy's
+    column-aligned convention: entry ``(j - off, j)`` reads
+    ``data[k, j]``. Explicit stored zeros inside the band are KEPT
+    (scipy ``.tocsr()`` parity)."""
+    if isinstance(arg1, tuple) and len(arg1) == 2 and not all(
+        isinstance(d, (int, np.integer)) for d in arg1
+    ):
+        data, offsets = arg1
+        data = np.atleast_2d(np.asarray(data))
+        if dtype is not None:
+            data = data.astype(dtype)
+        offs = np.atleast_1d(np.asarray(offsets, dtype=np.int64))
+        if shape is None:
+            shape = (data.shape[1], data.shape[1])
+        m, n = int(shape[0]), int(shape[1])
+        rr, cc, vv = [], [], []
+        for k, off in enumerate(offs):
+            off = int(off)
+            j0 = max(0, off)
+            j1 = min(n, m + off, data.shape[1])
+            if j1 <= j0:
+                continue
+            j = np.arange(j0, j1, dtype=np.int64)
+            rr.append(j - off)
+            cc.append(j)
+            vv.append(data[k, j0:j1])
+        if not rr:
+            return CsrMatrix.new(m, n, dtype=data.dtype)
+        return CsrMatrix.from_coo(m, n, np.concatenate(rr),
+                                  np.concatenate(cc), np.concatenate(vv))
+    return csr_matrix(arg1, shape=shape, dtype=dtype)
+
+
+def bsr_matrix(arg1, shape=None, dtype=None, blocksize=None) -> CsrMatrix:
+    """scipy.sparse.bsr_matrix-shaped constructor (storage is CSR; block
+    structure is rediscovered by the device block-SpGEMM/BCSR planners).
+    Accepts the raw BSR triple ``(data, indices, indptr)`` with 3-D
+    ``data`` of shape (nblocks, R, C), plus every ``csr_matrix`` form."""
+    if (isinstance(arg1, tuple) and len(arg1) == 3
+            and np.asarray(arg1[0]).ndim == 3):
+        data, indices, indptr = (np.asarray(x) for x in arg1)
+        if dtype is not None:
+            data = data.astype(dtype)
+        nb, br, bc = data.shape
+        brows = len(indptr) - 1
+        if shape is None:
+            bcols = (int(indices.max()) + 1) if len(indices) else 1
+            shape = (brows * br, bcols * bc)
+        blockrow = np.repeat(np.arange(brows, dtype=np.int64),
+                             np.diff(indptr.astype(np.int64)))
+        r = (blockrow[:, None, None] * br
+             + np.arange(br, dtype=np.int64)[None, :, None])
+        c = (indices.astype(np.int64)[:, None, None] * bc
+             + np.arange(bc, dtype=np.int64)[None, None, :])
+        r = np.broadcast_to(r, data.shape).ravel()
+        c = np.broadcast_to(c, data.shape).ravel()
+        return CsrMatrix.from_coo(int(shape[0]), int(shape[1]), r, c,
+                                  data.ravel())
+    del blocksize  # storage is CSR either way
+    return csr_matrix(arg1, shape=shape, dtype=dtype)
+
+
+lil_matrix = csr_matrix
+csc_array = csr_matrix
+lil_array = csr_matrix
+dia_array = dia_matrix
+bsr_array = bsr_matrix
+dok_array = dok_matrix
+block_array = bmat
+
+
+def eye_array(m, n=None, *, k=0, dtype=np.float64) -> CsrMatrix:
+    """scipy.sparse.eye_array parity."""
+    return eye(int(m), None if n is None else int(n), int(k), dtype=dtype)
+
+
+def isspmatrix_csc(x) -> bool:
+    return False  # storage here is always row-major CSR
+
+
+def isspmatrix_coo(x) -> bool:
+    return False
+
+
+def isspmatrix_dia(x) -> bool:
+    return False
+
+
+def isspmatrix_lil(x) -> bool:
+    return False
+
+
+def isspmatrix_bsr(x) -> bool:
+    return False
+
+
+def isspmatrix_dok(x) -> bool:
+    return isinstance(x, DokMatrix)
+
+
+def swapaxes(x, axis1: int, axis2: int):
+    """Array-API parity for 2-D sparse: (0, 1) transposes."""
+    ax = {axis1 % 2, axis2 % 2}
+    return x.transpose() if ax == {0, 1} else csr_matrix(x)
+
+
+def permute_dims(x, axes=None):
+    """Array-API parity for 2-D sparse: (1, 0) transposes."""
+    if axes is None or tuple(axes) == (1, 0):
+        return x.transpose()
+    if tuple(axes) == (0, 1):
+        return csr_matrix(x)
+    raise ValueError(f"axes must be a permutation of (0, 1), got {axes!r}")
+
+
+def get_index_dtype(arrays=(), maxval=None, check_contents=False):
+    """scipy.sparse.get_index_dtype parity: int32 when every index fits,
+    else int64."""
+    i32max = np.iinfo(np.int32).max
+    if maxval is not None and maxval > i32max:
+        return np.int64
+    for arr in arrays:
+        arr = np.asarray(arr)
+        if arr.dtype.kind not in "iu":
+            return np.int64
+        if check_contents and arr.size:
+            if int(arr.max(initial=0)) > i32max or int(arr.min(initial=0)) < np.iinfo(np.int32).min:
+                return np.int64
+        elif np.iinfo(arr.dtype).max > i32max:
+            return np.int64
+    return np.int32
+
+
+def safely_cast_index_arrays(a, idx_dtype=np.int32, msg=""):
+    """scipy.sparse.safely_cast_index_arrays parity for CSR inputs:
+    returns (indices, indptr) cast to ``idx_dtype``, raising ValueError
+    when a value would not survive the cast."""
+    a = csr_matrix(a)
+    idx_dtype = np.dtype(idx_dtype)
+    out = []
+    for arr in (a.indices, a.offsets):
+        arr = np.asarray(arr)
+        cast = arr.astype(idx_dtype)
+        if arr.size and not np.array_equal(cast.astype(np.int64),
+                                           arr.astype(np.int64)):
+            raise ValueError(f"index values too large for {idx_dtype}{msg and ': ' + msg}")
+        out.append(cast)
+    return tuple(out)
+
+
+__all__ += [
+    "sparray", "spmatrix", "SparseWarning", "SparseEfficiencyWarning",
+    "dok_matrix", "dok_array", "dia_matrix", "dia_array", "bsr_matrix",
+    "bsr_array", "lil_matrix", "lil_array", "csc_array", "block_array",
+    "eye_array", "kronsum", "spdiags", "isspmatrix_csc", "isspmatrix_coo",
+    "isspmatrix_dia", "isspmatrix_lil", "isspmatrix_bsr", "isspmatrix_dok",
+    "swapaxes", "permute_dims", "get_index_dtype", "safely_cast_index_arrays",
+]
+
+
+def expand_dims(x, axis=0):
+    """scipy.sparse.expand_dims produces an n-D sparse array; storage
+    here is strictly 2-D (CSR), so this is an explicit capability gate
+    rather than a silent wrong answer."""
+    raise NotImplementedError(
+        "expand_dims targets n-D sparse arrays; this library's storage is "
+        "2-D CSR. Reshape through dense/COO data explicitly instead.")
+
+
+__all__ += ["expand_dims"]

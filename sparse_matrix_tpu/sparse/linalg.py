@@ -112,6 +112,8 @@ class LinearOperator:
         return self.matvec(x)
 
     def __matmul__(self, x):
+        if isinstance(x, LinearOperator):
+            return self._compose(x)
         x = np.asarray(x) if not hasattr(x, "ndim") else x
         return self.matvec(x) if x.ndim == 1 else self.matmat(x)
 
@@ -121,6 +123,92 @@ class LinearOperator:
             (self.shape[1], self.shape[0]), self._rmatvec,
             rmatvec=self._matvec, dtype=self.dtype,
         )
+
+    # -- scipy-parity operator algebra (closure-composed; jit-friendly
+    # whenever the leaves' matvecs are jax-traceable) -------------------
+    @property
+    def H(self) -> "LinearOperator":
+        """Adjoint (real operators here: same as ``.T``)."""
+        return self.T
+
+    def adjoint(self) -> "LinearOperator":
+        return self.H
+
+    def dot(self, x):
+        return self @ x
+
+    def _compose(self, other: "LinearOperator") -> "LinearOperator":
+        if self.shape[1] != other.shape[0]:
+            raise ValueError(
+                f"cannot compose {self.shape} with {other.shape}")
+        return LinearOperator(
+            (self.shape[0], other.shape[1]),
+            lambda x: self.matvec(other.matvec(x)),
+            rmatvec=lambda y: other.rmatvec(self.rmatvec(y)),
+            dtype=np.promote_types(self.dtype, other.dtype),
+        )
+
+    def __add__(self, other) -> "LinearOperator":
+        if not isinstance(other, LinearOperator):
+            other = aslinearoperator(other)
+        if other.shape != self.shape:
+            raise ValueError(f"shape mismatch: {self.shape} + {other.shape}")
+        return LinearOperator(
+            self.shape,
+            lambda x: self.matvec(x) + other.matvec(x),
+            rmatvec=lambda y: self.rmatvec(y) + other.rmatvec(y),
+            dtype=np.promote_types(self.dtype, other.dtype),
+        )
+
+    __radd__ = __add__
+
+    def __neg__(self) -> "LinearOperator":
+        return self * (-1)
+
+    def __sub__(self, other) -> "LinearOperator":
+        return self + (-(other if isinstance(other, LinearOperator)
+                         else aslinearoperator(other)))
+
+    def __mul__(self, other):
+        if np.isscalar(other):
+            s = other
+            return LinearOperator(
+                self.shape, lambda x: s * self.matvec(x),
+                rmatvec=lambda y: np.conj(s) * self.rmatvec(y),
+                dtype=self.dtype,
+            )
+        if isinstance(other, LinearOperator):  # scipy: A * B composes
+            return self._compose(other)
+        return self @ other
+
+    def __rmul__(self, other):
+        if np.isscalar(other):
+            return self * other
+        return NotImplemented
+
+    def __truediv__(self, other):
+        if not np.isscalar(other):
+            raise ValueError("can only divide a LinearOperator by a scalar")
+        return self * (1.0 / other)
+
+    def __pow__(self, p: int) -> "LinearOperator":
+        if self.shape[0] != self.shape[1]:
+            raise ValueError("operator power needs a square operator")
+        p = int(p)
+        if p < 0:
+            raise ValueError("negative operator powers are not defined here")
+
+        def mv(x, p=p):
+            for _ in range(p):
+                x = self.matvec(x)
+            return x
+
+        def rmv(y, p=p):
+            for _ in range(p):
+                y = self.rmatvec(y)
+            return y
+
+        return LinearOperator(self.shape, mv, rmatvec=rmv, dtype=self.dtype)
 
 
 def aslinearoperator(a) -> LinearOperator:

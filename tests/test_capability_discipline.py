@@ -42,6 +42,7 @@ CLOCK_ALLOWED = {
 # modules whose API contract is "explicit path in, I/O out"
 OPEN_ALLOWED = {
     "core/matrix_market.py",
+    "io.py",  # mmread/mmwrite/mminfo take explicit caller-supplied paths
     "native/build.py",
     "native/loader.py",
     "ops/operator.py",

@@ -126,3 +126,48 @@ def test_facade_direct_solvers_accept_scipy_and_dense():
     assert L.use_solver(useUmfpack=False) is None
     assert issubclass(L.ArpackNoConvergence, L.ArpackError)
     assert issubclass(L.MatrixRankWarning, Warning)
+
+
+# ------------------------------------------ LinearOperator algebra
+
+def test_linearoperator_algebra():
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((5, 4))
+    b = rng.standard_normal((4, 6))
+    c = rng.standard_normal((5, 4))
+    la, lb, lc = (L.aslinearoperator(m) for m in (a, b, c))
+    x6, x4, y5 = (rng.standard_normal(k) for k in (6, 4, 5))
+    np.testing.assert_allclose((la @ lb).matvec(x6), a @ (b @ x6),
+                               rtol=1e-6)
+    np.testing.assert_allclose((la * lb).rmatvec(y5), b.T @ (a.T @ y5),
+                               rtol=1e-6)
+    np.testing.assert_allclose((la + lc)(x4), (a + c) @ x4, rtol=1e-6)
+    np.testing.assert_allclose((la - lc)(x4), (a - c) @ x4, rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose((2.5 * la)(x4), 2.5 * (a @ x4), rtol=1e-6)
+    np.testing.assert_allclose((la / 2)(x4), (a @ x4) / 2, rtol=1e-6)
+    np.testing.assert_allclose((-la)(x4), -(a @ x4), rtol=1e-6)
+    np.testing.assert_allclose(la.H.matvec(y5), a.T @ y5, rtol=1e-6)
+    np.testing.assert_allclose(la.dot(x4), a @ x4, rtol=1e-6)
+    s = a[:4]
+    np.testing.assert_allclose((L.aslinearoperator(s) ** 3)(x4),
+                               s @ s @ s @ x4, rtol=1e-5)
+    with pytest.raises(ValueError):
+        lb @ la  # (4,6) @ (5,4)
+    with pytest.raises(ValueError):
+        la + lb
+    with pytest.raises(ValueError):
+        lb ** 2  # not square
+
+
+def test_linearoperator_algebra_feeds_solvers():
+    """Composed operators drop straight into the iterative solvers."""
+    rng = np.random.default_rng(6)
+    d = np.diag(rng.uniform(1.0, 2.0, 30))
+    spd = d + 0.05 * np.eye(30)
+    shifted = L.aslinearoperator(spd) + 0.5 * L.aslinearoperator(np.eye(30))
+    b = rng.standard_normal(30)
+    x, info = L.cg(shifted, b, rtol=1e-8)
+    assert info == 0
+    np.testing.assert_allclose((spd + 0.5 * np.eye(30)) @ x, b, rtol=1e-4,
+                               atol=1e-5)
