@@ -702,18 +702,37 @@ class SpmvOperator:
             return y
         y = None
         if self._bell is not None:
-            # per-column loop over the streaming kernel (operand reuse via
-            # the shared device arrays); a packed BELL SpMM kernel is a
-            # candidate once a workload demands it
-            from .spmv_bell import spmv_bell
+            from .spmm import bell_spmm_viable, spmm_bell
 
-            y = jnp.stack(
-                [
-                    spmv_bell(self._bell, x[:, k], device_arrays=self._bell_arrs)
-                    for k in range(x.shape[1])
-                ],
-                axis=1,
-            )
+            k = int(x.shape[1])
+            # measured crossover (experiments/bell_spmm_bench.out): the
+            # packed kernel wins at K >= 8 (poisson 1.75x, femlike 1.25x)
+            # and loses at K <= 4 to the per-column loop (relayout +
+            # K-in-middle overhead); K > 16 runs in packed chunks
+            if k >= 8 and bell_spmm_viable(self._bell, min(k, 16)):
+                nchunks = -(-k // 16)  # balanced chunks, each in [8, 16]
+                base, rem = divmod(k, nchunks)
+                sizes = [base + (i < rem) for i in range(nchunks)]
+                parts, j = [], 0
+                for step in sizes:
+                    parts.append(
+                        spmm_bell(self._bell, x[:, j:j + step],
+                                  device_arrays=self._bell_arrs))
+                    j += step
+                y = parts[0] if len(parts) == 1 else jnp.concatenate(
+                    parts, axis=1)
+            else:
+                # small K / giant packed RHS: per-column loop over the
+                # streaming kernel (operand reuse via the shared arrays)
+                from .spmv_bell import spmv_bell
+
+                y = jnp.stack(
+                    [
+                        spmv_bell(self._bell, x[:, j], device_arrays=self._bell_arrs)
+                        for j in range(k)
+                    ],
+                    axis=1,
+                )
         if self._dia is not None:
             from .spmm import spmm_dia
 

@@ -28,6 +28,8 @@ __all__ = [
     "spmm_aligned",
     "spmm_aligned_packed",
     "aligned_matvec_multi",
+    "spmm_bell",
+    "bell_spmm_viable",
     "spmm_lanepack",
     "spmm_lanepack_packed",
     "lanepack_matvec_multi",
@@ -616,3 +618,213 @@ def spmm_bcsr(m: BsrMatrix, x, *, precision=None):
     )
     y3 = jnp.where(jnp.asarray(has)[:, None, None], y3, 0.0)
     return y3.reshape(m.brows * m.bs, fpad)[: m.rows, :f]
+
+# ---------------------------------------------------------------------------
+# BELL SpMM: the streaming general-path family (formats/bell.py) with K
+# right-hand sides. The slot planes (the HBM-dominant stream: 5 B/slot)
+# are read ONCE for all K columns; x lives VMEM-resident in the packed
+# (rows_tot, K, 128) layout and each (layer, half) costs one (BR, K, 128)
+# dynamic slice + one batched (BR*K, 128) lane gather. This removes
+# SpmvOperator.matmat's per-column loop on BELL operators (the dominant
+# general format since the round-3 dispatch) for K in [2, 16].
+# ---------------------------------------------------------------------------
+
+
+def _make_bell_spmm_kernel(ds: tuple, modes: tuple, span: int, lo: int,
+                           br: int, k: int):
+    from jax.experimental import pallas as pl
+
+    bias = LANES if span == 128 else 0
+
+    def kernel(vals_ref, lane_ref, x_ref, y_ref):
+        i = pl.program_id(0)
+        base = i * br
+        acc = jnp.zeros((br, k, LANES), x_ref.dtype)
+        slices = {}  # absolute window-row offset -> (br, k, 128) slice
+        for li, (d, mask) in enumerate(zip(ds, modes)):
+            pos = lane_ref[li].astype(jnp.int32) + bias  # (br, 128)
+            idx = jnp.bitwise_and(pos, 127)
+            half = jax.lax.shift_right_logical(pos, 7)
+            idx3 = jnp.broadcast_to(
+                idx[:, None, :], (br, k, LANES)).reshape(br * k, LANES)
+            xg = None
+            for h in range(span // 128 + 1):
+                if not (mask >> h) & 1:
+                    continue
+                off = d + h
+                if off not in slices:
+                    slices[off] = x_ref[pl.ds(base + lo + off, br), :, :]
+                g = jnp.take_along_axis(
+                    slices[off].reshape(br * k, LANES), idx3, axis=1
+                ).reshape(br, k, LANES)
+                if xg is None:
+                    xg = g
+                else:
+                    # planner guarantees each slot's half bit is in mask,
+                    # so the per-half masks partition: additive select
+                    # (Mosaic cannot broadcast i1 in 3-D)
+                    mh = jnp.where(half == h, 1.0, 0.0).astype(x_ref.dtype)
+                    xg = xg * (1.0 - mh[:, None, :]) + g * mh[:, None, :]
+            acc = acc + vals_ref[li][:, None, :] * xg
+        y_ref[...] = acc
+
+    return kernel
+
+
+def _bell_spmm_x3(x, *, cols: int, lo: int, hi: int):
+    """(cols, K) -> VMEM-resident (lo + c128 + hi, K, 128) packed RHS."""
+    c128 = -(-cols // LANES)
+    k = x.shape[1]
+    xpad = jnp.zeros((c128 * LANES, k), x.dtype).at[: x.shape[0]].set(x)
+    x3 = xpad.reshape(c128, LANES, k).transpose(0, 2, 1)
+    return jnp.concatenate(
+        [
+            jnp.zeros((lo, k, LANES), x.dtype),
+            x3,
+            jnp.zeros((hi, k, LANES), x.dtype),
+        ],
+        axis=0,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ds", "modes", "span", "rows", "cols", "br", "k",
+                     "interpret"),
+)
+def _spmm_bell_jit(vals, lane, x, *, ds: tuple, modes: tuple, span: int,
+                   rows: int, cols: int, br: int, k: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r128p = vals.shape[1]
+    c128 = -(-cols // LANES)
+    nh = span // 128 + 1
+    dmin = min(ds) if ds else 0
+    dmax = max(ds) if ds else 0
+    lo = max(0, -dmin)
+    win_rows = lo + br + max(dmax + nh - 1, 0)
+    win_rows += (-win_rows) % 8
+    total_rows = max((r128p // br - 1) * br + win_rows, lo + c128)
+    hi = total_rows - lo - c128
+    x3 = _bell_spmm_x3(x, cols=cols, lo=lo, hi=hi)
+
+    bias = LANES if span == 128 else 0
+    if interpret:
+        # pure-XLA reference (CPU path + semantics oracle), same math
+        y3 = jnp.zeros((r128p, k, LANES), x.dtype)
+        for li, (d, mask) in enumerate(zip(ds, modes)):
+            pos = lane[li].astype(jnp.int32) + bias
+            idx = jnp.bitwise_and(pos, 127)
+            half = jax.lax.shift_right_logical(pos, 7)
+            idx3 = jnp.broadcast_to(
+                idx[:, None, :], (r128p, k, LANES)).reshape(r128p * k, LANES)
+            xg = None
+            for h in range(nh):
+                if not (mask >> h) & 1:
+                    continue
+                a = jax.lax.slice_in_dim(x3, lo + d + h, lo + d + h + r128p,
+                                         axis=0)
+                g = jnp.take_along_axis(
+                    a.reshape(r128p * k, LANES), idx3, axis=1
+                ).reshape(r128p, k, LANES)
+                if xg is None:
+                    xg = g
+                else:
+                    xg = jnp.where(half[:, None, :] == h, g, xg)
+            y3 = y3 + vals[li][:, None, :] * xg
+        return y3.transpose(0, 2, 1).reshape(-1, k)[:rows]
+
+    L = len(ds)
+    y3 = pl.pallas_call(
+        _make_bell_spmm_kernel(ds, modes, span, lo, br, k),
+        grid=(r128p // br,),
+        in_specs=[
+            pl.BlockSpec((L, br, LANES), lambda i: (0, i, 0)),
+            pl.BlockSpec((L, br, LANES), lambda i: (0, i, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x3 resident
+        ],
+        out_specs=pl.BlockSpec((br, k, LANES), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((r128p, k, LANES), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(vals, lane, x3)
+    return y3.transpose(0, 2, 1).reshape(-1, k)[:rows]
+
+
+def bell_spmm_viable(plan, k: int) -> bool:
+    """Kernel gate: 2 <= K <= 16 and the resident packed RHS + streamed
+    planes stay inside the VMEM budget."""
+    from ..formats.bell import _BELL_VMEM_BUDGET
+
+    return 2 <= k <= 16 and _bell_spmm_pick_br(plan, k, 512) >= 32
+
+
+def _bell_spmm_pick_br(plan, k: int, br0: int) -> int:
+    """Largest BR whose kernel working set fits the VMEM budget, or 0.
+
+    Working set = resident packed RHS + double-buffered slot planes +
+    one live (BR, K, 128) x slice per DISTINCT window offset (the
+    kernel's ``slices`` dict — forgetting these cost a measured 14 MB
+    OOM at femlike K=16, experiments/bell_spmm_bench.out) + y block
+    (double-buffered) + the accumulator. The per-offset term is DOUBLED:
+    the register allocator spills gather/reshape temporaries of the same
+    shape (measured 99 MB of spill slots at femlike L=9 K=16 BR=512,
+    experiments/bell_spmm_k16_fix.out; the doubled model picks BR=256
+    there while keeping BR=512 at poisson K=16 and femlike K=8, both of
+    which compiled and ran)."""
+    from ..formats.bell import _BELL_VMEM_BUDGET
+
+    c128 = -(-plan.cols // LANES)
+    x3_bytes = (c128 + 16) * k * LANES * 4
+    sb = plan.vals.dtype.itemsize + plan.lane.dtype.itemsize
+    nh = plan.span // 128 + 1
+    n_off = len({
+        d + h
+        for d, mask in zip(plan.ds, plan.modes)
+        for h in range(nh)
+        if (mask >> h) & 1
+    }) or 1
+    per_br = (2 * max(plan.num_layers, 1) * LANES * sb
+              + (2 * n_off + 6) * k * LANES * 4)
+    br = br0
+    while br >= 32 and x3_bytes + br * per_br > _BELL_VMEM_BUDGET:
+        br //= 2
+    return br if br >= 32 else 0
+
+
+def spmm_bell(plan, x, *, device_arrays=None):
+    """Y = A @ X (X is (cols, K)) on a :class:`~..formats.bell.BellPlan`:
+    one streamed pass over the slot planes for all K columns (+ the
+    lanepack SpMM on the spill sub-plan when the plan has one)."""
+    from .spmv_bell import bell_device_arrays
+
+    x = jnp.asarray(x, dtype=plan.dtype)
+    k = int(x.shape[1])
+    if not bell_spmm_viable(plan, k):
+        raise ValueError(
+            f"spmm_bell gate: K={k} (need 2..16) or packed RHS exceeds the "
+            "VMEM budget; chunk K or fall back to per-column spmv_bell")
+    arrs = (device_arrays if device_arrays is not None
+            else bell_device_arrays(plan))
+    interp = jax.default_backend() != "tpu"
+    if plan.num_layers:
+        # shrink BR until the K-scaled working set fits alongside x3
+        br = _bell_spmm_pick_br(plan, k, int(arrs["br"]))
+        r128p = arrs["vals"].shape[1]
+        vals, lane = arrs["vals"], arrs["lane"]
+        if r128p % br:
+            pad = br - r128p % br
+            vals = jnp.pad(vals, ((0, 0), (0, pad), (0, 0)))
+            lane = jnp.pad(lane, ((0, 0), (0, pad), (0, 0)))
+        y = _spmm_bell_jit(
+            vals, lane, x,
+            ds=plan.ds, modes=plan.modes, span=plan.span, rows=plan.rows,
+            cols=plan.cols, br=br, k=k, interpret=interp,
+        )
+    else:
+        y = jnp.zeros((plan.rows, k), dtype=plan.dtype)
+    if plan.spill is not None:
+        y = y + spmm_lanepack(plan.spill, x,
+                              device_arrays=arrs.get("spill"))
+    return y

@@ -228,3 +228,86 @@ def test_operator_matmat_lazy_cache_across_jit_traces():
     ref = p.to_dense().astype(np.float32) @ X
     np.testing.assert_allclose(y1, ref, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(y2, ref, rtol=1e-4, atol=1e-4)
+
+
+# ----------------------------------------------------------- BELL SpMM
+
+def _bell_spmm_case(m, dense, rng, k, rtol=2e-4):
+    from sparse_matrix_tpu.formats.bell import plan_bell
+    from sparse_matrix_tpu.ops.spmm import spmm_bell
+
+    x = rng.standard_normal((m.cols, k)).astype(np.float32)
+    plan = plan_bell(m)
+    y = np.asarray(spmm_bell(plan, x))
+    y_ref = (dense.astype(np.float64) @ x.astype(np.float64)).astype(
+        np.float32)
+    scale = max(1.0, np.abs(y_ref).max())
+    np.testing.assert_allclose(y / scale, y_ref / scale, atol=rtol)
+    return plan
+
+
+@pytest.mark.parametrize("k", [2, 5, 8, 16])
+def test_spmm_bell_matches_dense(k):
+    rng = np.random.default_rng(10)
+    n = 512
+    dense = ((rng.random((n, n)) < 0.05)
+             * rng.standard_normal((n, n))).astype(np.float32)
+    # local structure so the planner keeps layers resident
+    i = np.arange(n)
+    for off in (-2, -1, 0, 1, 3):
+        j = np.clip(i + off, 0, n - 1)
+        dense[i, j] = rng.standard_normal(n)
+    m = CsrMatrix.from_dok(DokMatrix.from_dense(dense))
+    _bell_spmm_case(m, dense, rng, k)
+
+
+def test_spmm_bell_rectangular_and_spill():
+    from sparse_matrix_tpu.formats.bell import plan_bell
+
+    rng = np.random.default_rng(11)
+    rows, cols = 300, 520
+    dense = np.zeros((rows, cols), np.float32)
+    i = np.arange(rows)
+    for off in (0, 1, 2, 130):
+        j = np.clip(i + off, 0, cols - 1)
+        dense[i, j] = rng.standard_normal(rows)
+    m = CsrMatrix.from_dok(DokMatrix.from_dense(dense))
+    _bell_spmm_case(m, dense, rng, 4)
+    # force a spill sub-plan via the layer cap and keep parity
+    x = rng.standard_normal((cols, 4)).astype(np.float32)
+    from sparse_matrix_tpu.ops.spmm import spmm_bell
+
+    plan = plan_bell(m, max_layers=2)
+    assert plan.spill is not None
+    y = np.asarray(spmm_bell(plan, x))
+    y_ref = (dense.astype(np.float64) @ x.astype(np.float64)).astype(
+        np.float32)
+    np.testing.assert_allclose(y, y_ref, atol=2e-3)
+
+
+def test_spmm_bell_gate_and_operator_route():
+    from sparse_matrix_tpu.formats.bell import plan_bell
+    from sparse_matrix_tpu.ops.spmm import bell_spmm_viable, spmm_bell
+
+    rng = np.random.default_rng(12)
+    n = 256
+    dense = np.zeros((n, n), np.float32)
+    i = np.arange(n)
+    for off in (-1, 0, 1):
+        j = np.clip(i + off, 0, n - 1)
+        dense[i, j] = rng.standard_normal(n)
+    m = CsrMatrix.from_dok(DokMatrix.from_dense(dense))
+    plan = plan_bell(m)
+    assert not bell_spmm_viable(plan, 1)
+    assert not bell_spmm_viable(plan, 17)
+    assert bell_spmm_viable(plan, 8)
+    with pytest.raises(ValueError):
+        spmm_bell(plan, np.zeros((n, 1), np.float32))
+    # operator.matmat routes BELL through the packed kernel
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+
+    op = SpmvOperator(m, force="bell")
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    y = np.asarray(op.matmat(x))
+    np.testing.assert_allclose(
+        y, dense.astype(np.float64) @ x.astype(np.float64), atol=2e-3)

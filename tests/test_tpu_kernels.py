@@ -409,3 +409,37 @@ def test_autodiff_grad_through_pallas_kernels():
         lambda bb: implicit_solve(a, bb, tol=1e-7, maxiter=4000).sum())(b))
     g_ref2 = np.linalg.solve(a.to_dense().astype(np.float64), np.ones(n))
     np.testing.assert_allclose(gb, g_ref2, rtol=5e-3, atol=5e-3)
+
+
+def test_spmm_bell_kernel_parity():
+    """Packed BELL SpMM on hardware: one streamed pass over the slot
+    planes for all K columns vs the float64 oracle, plus the
+    operator.matmat packed route (K=8) and K-chunking (K=20)."""
+    from sparse_matrix_tpu.formats.bell import plan_bell
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+    from sparse_matrix_tpu.ops.spmm import bell_spmm_viable, spmm_bell
+    from sparse_matrix_tpu.ops.spmv import spmv_oracle
+
+    a = poisson_2d_csr(96)
+    plan = plan_bell(a)
+    assert plan.num_layers > 0
+    rng = np.random.default_rng(0)
+    for k in (2, 8, 16):
+        assert bell_spmm_viable(plan, k)
+        x = rng.standard_normal((a.cols, k)).astype(np.float32)
+        y = np.asarray(spmm_bell(plan, x))
+        y_ref = np.stack(
+            [spmv_oracle(a, x[:, j].astype(np.float64)) for j in range(k)],
+            axis=1,
+        ).astype(np.float32)
+        scale = max(1.0, np.abs(y_ref).max())
+        np.testing.assert_allclose(y / scale, y_ref / scale, atol=2e-4)
+    op = SpmvOperator(a, force="bell")
+    x = rng.standard_normal((a.cols, 20)).astype(np.float32)
+    y = np.asarray(op.matmat(x))
+    y_ref = np.stack(
+        [spmv_oracle(a, x[:, j].astype(np.float64)) for j in range(20)],
+        axis=1,
+    ).astype(np.float32)
+    scale = max(1.0, np.abs(y_ref).max())
+    np.testing.assert_allclose(y / scale, y_ref / scale, atol=2e-4)
