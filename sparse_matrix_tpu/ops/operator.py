@@ -126,7 +126,16 @@ class SpmvOperator:
     or ``lanepack`` (segmented-reduce general path).
     """
 
-    def __init__(self, m: CsrMatrix, *, dtype=np.float32, force: Optional[str] = None):
+    _values_dtype = None  # class default: loaded plans bypass __init__
+
+    def __init__(self, m: CsrMatrix, *, dtype=np.float32,
+                 force: Optional[str] = None, values_dtype=None):
+        # values_dtype=bfloat16 stores the DIA band / BELL slot value
+        # planes half-width (the dominant HBM stream of those kernels);
+        # products widen to ``dtype`` before accumulation. Only the
+        # streaming formats support it — anything else raises in its
+        # _set_* so a silent f32 operator can't masquerade as bf16.
+        self._values_dtype = values_dtype
         self.rows, self.cols = m.rows, m.cols
         self.nnz = m.nnz()
         self._dia = None
@@ -188,7 +197,8 @@ class SpmvOperator:
                     sub = CsrMatrix(
                         m.rows, int(hi - lo), vv, idx, offs, is_sorted=m.is_sorted
                     )
-                    sub_op = SpmvOperator(sub, dtype=dtype, force=sub_force)
+                    sub_op = SpmvOperator(sub, dtype=dtype, force=sub_force,
+                                  values_dtype=self._values_dtype)
                     sub_force = _shard_force(sub_force, sub_op)
                     self._colsplit.append((int(lo), int(hi), sub_op))
                 return
@@ -341,7 +351,8 @@ class SpmvOperator:
                 m.offsets[lo : hi + 1] - lo_o,
                 is_sorted=m.is_sorted,
             )
-            sub_op = SpmvOperator(sub, dtype=dtype, force=sub_force)
+            sub_op = SpmvOperator(sub, dtype=dtype, force=sub_force,
+                                  values_dtype=self._values_dtype)
             sub_force = _shard_force(sub_force, sub_op)
             self._rowsplit.append((int(lo), int(hi), sub_op))
 
@@ -500,6 +511,8 @@ class SpmvOperator:
 
         from .spmv import ell_from_csr, ell_spill_from_csr
 
+        self._no_bf16("ell")
+
         # width guard: one dense row must not inflate the padded array to
         # rows x max_row_nnz — skewed matrices get a capped ELL + COO spill
         row_nnz = np.diff(m.offsets)
@@ -514,10 +527,19 @@ class SpmvOperator:
             self._ell = (jnp.asarray(ev), jnp.asarray(ec))
             self._ell_spill = None
 
+    def _no_bf16(self, fmt: str):
+        if self._values_dtype is not None:
+            raise ValueError(
+                f"values_dtype is only supported on the streaming formats "
+                f"(dia, bell); dispatch chose {fmt!r} — force='dia' or "
+                f"force='bell', or drop values_dtype"
+            )
+
     def _set_aligned(self, m, dtype):
         from ..formats.aligned import plan_aligned
         from .spmv import aligned_device_arrays
 
+        self._no_bf16("aligned")
         self._aligned = plan_aligned(m, dtype=dtype)
         self._ali_arrs = aligned_device_arrays(self._aligned)
 
@@ -526,17 +548,25 @@ class SpmvOperator:
         from .spmv_bell import bell_device_arrays
 
         self._bell = plan_bell(m, dtype=dtype)
-        self._bell_arrs = bell_device_arrays(self._bell)
+        self._bell_arrs = bell_device_arrays(
+            self._bell, values_dtype=self._values_dtype
+        )
 
     def _set_dia(self, dia):
         from .spmv_dia import dia_device_arrays
 
         self._dia = dia
-        self._dia_arrs = dia_device_arrays(dia)
+        self._dia_arrs = dia_device_arrays(
+            dia, values_dtype=self._values_dtype
+        )
 
     def _set_plan(self, m, dtype):
         from .spmv import lanepack_device_arrays
 
+        # hybrid keeps its DIA part bf16-capable; the lanepack residual
+        # stays f32 (it is the minority nnz by construction)
+        if self.format not in ("hybrid",):
+            self._no_bf16("lanepack")
         self._plan = plan_lanepack(m, dtype=dtype)
         self._lp_arrs = lanepack_device_arrays(self._plan)
 

@@ -665,7 +665,10 @@ def _make_bell_spmm_kernel(ds: tuple, modes: tuple, span: int, lo: int,
                     # (Mosaic cannot broadcast i1 in 3-D)
                     mh = jnp.where(half == h, 1.0, 0.0).astype(x_ref.dtype)
                     xg = xg * (1.0 - mh[:, None, :]) + g * mh[:, None, :]
-            acc = acc + vals_ref[li][:, None, :] * xg
+            v = vals_ref[li]
+            if v.dtype != acc.dtype:  # bf16 planes: widen, f32 accumulate
+                v = v.astype(acc.dtype)
+            acc = acc + v[:, None, :] * xg
         y_ref[...] = acc
 
     return kernel
@@ -732,7 +735,7 @@ def _spmm_bell_jit(vals, lane, x, *, ds: tuple, modes: tuple, span: int,
                     xg = g
                 else:
                     xg = jnp.where(half[:, None, :] == h, g, xg)
-            y3 = y3 + vals[li][:, None, :] * xg
+            y3 = y3 + vals[li].astype(x.dtype)[:, None, :] * xg
         return y3.transpose(0, 2, 1).reshape(-1, k)[:rows]
 
     L = len(ds)

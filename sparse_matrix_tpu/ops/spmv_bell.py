@@ -39,17 +39,25 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def bell_device_arrays(plan: BellPlan, *, br: int | None = None):
+def bell_device_arrays(plan: BellPlan, *, br: int | None = None,
+                       values_dtype=None):
     """Move a plan's slot planes to device once, row-blocks padded to a
-    whole number of BR-steps (int8 tiling wants BR a multiple of 32)."""
+    whole number of BR-steps (int8 tiling wants BR a multiple of 32).
+
+    ``values_dtype=jnp.bfloat16`` stores the value planes half-width: the
+    slot stream drops from 5 B/slot (f32 val + i8 lane) to 3 B/slot; the
+    kernels widen per block and accumulate in the x dtype (f32). The
+    spill sub-plan (lanepack) keeps f32 values — spill is a tiny nnz
+    fraction by construction."""
     from .spmv import lanepack_device_arrays
 
     L = plan.num_layers
     dmax = max(plan.ds) if plan.ds else 0
-    sb = plan.vals.dtype.itemsize + plan.lane.dtype.itemsize
+    vdt = np.dtype(values_dtype) if values_dtype is not None else plan.vals.dtype
+    sb = vdt.itemsize + plan.lane.dtype.itemsize
     br = br if br is not None else pick_br(max(L, 1), dmax, sb)
     r128p = max(br, -(-plan.r128 // br) * br)
-    vals = np.zeros((L, r128p, LANES), plan.vals.dtype)
+    vals = np.zeros((L, r128p, LANES), vdt)
     # pad rows point at index 0 of each layer's first used half (same
     # convention as the planner's pad slots): contribute 0, never force
     # an unused window slice
@@ -59,7 +67,7 @@ def bell_device_arrays(plan: BellPlan, *, br: int | None = None):
         while mask and not (mask >> h0) & 1:
             h0 += 1
         lane[i] = LANES * h0 - (LANES if plan.span == 128 else 0)
-    vals[:, : plan.r128] = plan.vals
+    vals[:, : plan.r128] = plan.vals.astype(vdt, copy=False)
     lane[:, : plan.r128] = plan.lane
     arrs = dict(br=br, vals=jnp.asarray(vals), lane=jnp.asarray(lane))
     if plan.spill is not None:
@@ -88,7 +96,10 @@ def _make_bell_kernel(ds: tuple, modes: tuple, span: int, lo: int, br: int):
                     slices[off] = x_ref[pl.ds(lo + off, br), :]
                 g = jnp.take_along_axis(slices[off], idx, axis=1)
                 xg = g if xg is None else jnp.where(half == h, g, xg)
-            acc = acc + vals_ref[li] * xg
+            v = vals_ref[li]
+            if v.dtype != acc.dtype:  # bf16 planes: widen, f32 accumulate
+                v = v.astype(acc.dtype)
+            acc = acc + v * xg
         y_ref[...] = acc
 
     return kernel
@@ -144,7 +155,7 @@ def _spmv_bell_jit(
                 )
                 g = jnp.take_along_axis(a, idx, axis=1)
                 xg = g if xg is None else jnp.where(half == h, g, xg)
-            y2 = y2 + vals[li] * xg
+            y2 = y2 + vals[li].astype(x.dtype) * xg
         return y2.reshape(-1)[:rows]
 
     L = len(ds)

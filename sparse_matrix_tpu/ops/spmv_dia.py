@@ -18,8 +18,17 @@ from ..formats.dia import DiaMatrix
 __all__ = ["spmv_dia", "dia_device_arrays"]
 
 
-def dia_device_arrays(m: DiaMatrix):
-    return dict(data=jnp.asarray(m.data))
+def dia_device_arrays(m: DiaMatrix, *, values_dtype=None):
+    """``values_dtype=jnp.bfloat16`` stores the band planes half-width:
+    the value stream is the ONLY HBM traffic of the DIA kernel beyond x,
+    so bf16 storage halves bytes/nnz. The kernel widens each block to the
+    x dtype before the fma (f32 accumulate) — relative error per product
+    is bf16-eps (~4e-3), which the mixed-precision refinement solvers
+    (solvers/cg.py cg_solve_ir) recover to working accuracy."""
+    data = jnp.asarray(m.data)
+    if values_dtype is not None:
+        data = data.astype(values_dtype)
+    return dict(data=data)
 
 
 # above this band-data size the working set cannot stay VMEM-resident and
@@ -36,6 +45,8 @@ def _spmv_dia_jit(data, x, *, offsets: tuple, rows: int, cols: int):
     lo = -min(0, min(offsets))
     hi = max(0, max(offsets)) + max(rows, cols)
     xpad = jnp.zeros(lo + hi, x.dtype).at[lo : lo + x.shape[0]].set(x)
+    if data.dtype != x.dtype:  # bf16 value planes: widen, f32 accumulate
+        data = data.astype(x.dtype)
     if nb * rows * x.dtype.itemsize > _DIA_STACK_BYTES:
         wins = jnp.stack(
             [jax.lax.dynamic_slice(xpad, (lo + off,), (rows,)) for off in offsets]
@@ -78,7 +89,10 @@ def _make_dia_kernel(offsets, lo_rows: int, br: int, nb: int):
             else:
                 bview = x_ref[pl.ds(lo_rows + q + 1, br), :]
                 win = jnp.concatenate([a[:, r:], bview[:, :r]], axis=1)
-            acc = acc + data_ref[b] * win
+            d = data_ref[b]
+            if d.dtype != acc.dtype:  # bf16 planes: widen, f32 accumulate
+                d = d.astype(acc.dtype)
+            acc = acc + d * win
         y_ref[...] = acc
 
     return kernel
@@ -148,8 +162,11 @@ def spmv_dia(m: DiaMatrix, x, *, device_arrays=None):
     arrs = device_arrays if device_arrays is not None else dia_device_arrays(m)
     x = jnp.asarray(x)
     data = arrs["data"]
+    # gate on the f32-EQUIVALENT size: the XLA path's wall is its f32
+    # accumulation working set, which bf16 storage does not shrink — a
+    # bf16 2048^2 operator (42 MB) must still stream through the kernel
     if (
-        data.nbytes > _DIA_STACK_BYTES
+        data.size * x.dtype.itemsize > _DIA_STACK_BYTES
         and m.rows == m.cols
         and _DIA_PALLAS_BR * 128 <= m.rows <= 24_000_000  # x VMEM-resident
     ):

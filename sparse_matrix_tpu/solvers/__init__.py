@@ -3,6 +3,7 @@
 from .cg import (  # noqa: F401
     CgResult,
     cg_solve,
+    cg_solve_ir,
     cg_solve_multi,
     pcg_solve,
     pcg_solve_multi,

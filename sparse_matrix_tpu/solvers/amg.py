@@ -276,6 +276,7 @@ class AmgHierarchy:
         nu: int,
         omega: float,
         cheb_degree: int,
+        outer_a_op=None,
     ):
         self.levels = levels
         self.coarse_inv = coarse_inv  # jnp (nc, nc) dense inverse
@@ -283,6 +284,10 @@ class AmgHierarchy:
         self.nu = nu
         self.omega = omega
         self.cheb_degree = cheb_degree
+        # full-precision finest-level operator for the OUTER Krylov matvec
+        # when the hierarchy itself runs half-width value planes (the
+        # V-cycle is a preconditioner; the outer residual must not be)
+        self.outer_a_op = outer_a_op
 
     # -- smoothers (pre and post use the same symmetric operator) ----------
     def _smooth(self, lv: AmgLevel, x, r):
@@ -420,6 +425,7 @@ def amg_setup(
     operator_force: Optional[str] = None,
     verbose: bool = False,
     coarsening=None,
+    values_dtype=None,
 ) -> AmgHierarchy:
     """Build a smoothed-aggregation hierarchy for symmetric M-matrix-like
     ``a`` (host CsrMatrix).
@@ -452,12 +458,26 @@ def amg_setup(
             max_levels=max_levels,
             coarse_size=coarse_size,
         )
+    def _op(mat):
+        # values_dtype=bfloat16: half-width value planes where the chosen
+        # format supports them (the streaming dia/bell formats, which
+        # carry the dominant nnz). A V-cycle is a PRECONDITIONER — an
+        # inexact M^{-1} only perturbs the PCG iteration count, so
+        # falling back to f32 on the remaining operators (per-operator,
+        # explicit here, not inside SpmvOperator) keeps correctness while
+        # the big streams run half-width.
+        if values_dtype is not None:
+            try:
+                return SpmvOperator(
+                    mat, dtype=dtype, force=operator_force,
+                    values_dtype=values_dtype,
+                )
+            except ValueError:
+                pass
+        return SpmvOperator(mat, dtype=dtype, force=operator_force)
+
     for cur_l, p, dinv, lam in host_levels:
-        lv_ops = (
-            SpmvOperator(cur_l, dtype=dtype, force=operator_force),
-            SpmvOperator(p, dtype=dtype, force=operator_force),
-            SpmvOperator(p.transpose(), dtype=dtype, force=operator_force),
-        )
+        lv_ops = (_op(cur_l), _op(p), _op(p.transpose()))
         levels.append(
             AmgLevel(
                 a_op=lv_ops[0],
@@ -478,6 +498,14 @@ def amg_setup(
 
     dense = cur.to_dense().astype(np.float64)
     coarse_inv = jnp.asarray(np.linalg.pinv(dense).astype(dtype))
+    outer = None
+    if values_dtype is not None and host_levels:
+        # plan a full-precision finest operator for the outer Krylov
+        # matvec (reuses the level-0 matrix; the bf16 one above serves
+        # only the V-cycle smoothers)
+        outer = SpmvOperator(
+            host_levels[0][0], dtype=dtype, force=operator_force
+        )
     return AmgHierarchy(
         levels,
         coarse_inv,
@@ -485,6 +513,7 @@ def amg_setup(
         nu=nu,
         omega=omega,
         cheb_degree=cheb_degree,
+        outer_a_op=outer,
     )
 
 
@@ -603,7 +632,9 @@ def amg_pcg_solve(
     from .cg import pcg_solve, pcg_solve_multi
 
     hier = hierarchy if hierarchy is not None else amg_setup(a, **setup_kw)
-    if hier.levels:
+    if getattr(hier, "outer_a_op", None) is not None:
+        op = hier.outer_a_op
+    elif hier.levels:
         op = hier.levels[0].a_op
     else:
         # degenerate: the whole problem fit on the coarse level
