@@ -213,6 +213,28 @@ def main():
                 float(np.exp(np.mean(np.log(corpus_rates)))), 2
             )
 
+        # streaming-regime row: Poisson 2048^2 through the DIA streaming
+        # kernel, f32 vs bf16 value planes (the bf16 planes fit the
+        # 128 MB VMEM as loop invariants — measured 2.33x, bf16_bench.out)
+        try:
+            a2 = poisson_2d_csr(2048, dtype=np.float32)
+            x2 = jnp.asarray(
+                rng.standard_normal(a2.rows).astype(np.float32)
+            )
+            for tag, vdt in (("f32", None), ("bf16", jnp.bfloat16)):
+                op2 = SpmvOperator(a2, force="dia", values_dtype=vdt)
+                bad = _spot_check(a2, op2, x2, rng)
+                assert bad is None, f"dia2048 {tag} mismatch: {bad}"
+                r2, wall = _bench(op2, x2, 400)
+                rate = a2.nnz() / r2.seconds / 1e9
+                out[f"dia_stream_2048_gnnz_{tag}"] = round(rate, 1)
+                log(
+                    f"dia-stream 2048^2 {tag}: {r2.seconds*1e6:.1f} us -> "
+                    f"{rate:.1f} Gnnz/s, iters={r2.iters}, wall {wall:.0f}s"
+                )
+        except Exception as e:  # pragma: no cover - diagnostics only
+            log(f"dia-stream row failed: {e!r}")
+
     print(json.dumps(out))
 
 

@@ -633,7 +633,9 @@ class SpmvOperator:
             from .spmv_dia import _DIA_STACK_BYTES, _dia_pallas_blocked_data
 
             d = dict(self._dia_arrs)
-            if d["data"].nbytes > _DIA_STACK_BYTES and "data_blocked" not in d:
+            # f32-EQUIVALENT gate, matching spmv_dia's streaming dispatch
+            # (bf16 planes halve nbytes but still stream)
+            if d["data"].size * 4 > _DIA_STACK_BYTES and "data_blocked" not in d:
                 # pre-block once so the traced apply never pays the 2x-data
                 # reformat copies per call (docs/PERF.md large-DIA section)
                 d["data_blocked"] = _dia_pallas_blocked_data(

@@ -205,7 +205,7 @@ class TriangularJacobi:
     """
 
     def __init__(self, t, *, sweeps: int = 4, dtype=np.float32, force=None,
-                 fused=None):
+                 fused=None, values_dtype=None):
         import jax.numpy as jnp
 
         from ..formats.csr import CsrMatrix
@@ -227,7 +227,20 @@ class TriangularJacobi:
         n_mat = CsrMatrix.from_coo(
             t.rows, t.cols, rid[strict], cid[strict], t.vals[strict].astype(dtype)
         )
-        self.n_op = SpmvOperator(n_mat, dtype=dtype, force=force)
+        # values_dtype=bfloat16: half-width planes on the strict part N
+        # when its format supports them (preconditioner-grade — the sweep
+        # polynomial is approximate by construction; dinv stays f32). At
+        # 2048^2 the 3-band L factor is 50 MB f32 -> streaming regime,
+        # where bf16 measured 2.33x (docs/PERF.md session-5 table).
+        self.n_op = None
+        if values_dtype is not None:
+            try:
+                self.n_op = SpmvOperator(n_mat, dtype=dtype, force=force,
+                                         values_dtype=values_dtype)
+            except ValueError:
+                pass
+        if self.n_op is None:
+            self.n_op = SpmvOperator(n_mat, dtype=dtype, force=force)
         # banded factors (IC/ILU of stencil operators) CAN run all sweeps
         # in one fused Pallas call with x VMEM-resident (ops/trisweep.py),
         # but the v5e ablation (experiments/ilu_pcg_1024.out, docs/PERF.md)
@@ -285,17 +298,19 @@ class TriangularJacobi:
 
 
 def ilu_preconditioner(a, *, sweeps: int = 4, dtype=np.float32, force=None,
-                       fused=None) -> Callable:
+                       fused=None, values_dtype=None) -> Callable:
     """``M^{-1} r ~= U^{-1} L^{-1} r`` from ILU(0), both solves by Jacobi
     sweeps on device. For unsymmetric systems (BiCGStab / GMRES)."""
     f = ilu0(a)
-    sl = TriangularJacobi(f.l, sweeps=sweeps, dtype=dtype, force=force, fused=fused)
-    su = TriangularJacobi(f.u, sweeps=sweeps, dtype=dtype, force=force, fused=fused)
+    sl = TriangularJacobi(f.l, sweeps=sweeps, dtype=dtype, force=force, fused=fused,
+                          values_dtype=values_dtype)
+    su = TriangularJacobi(f.u, sweeps=sweeps, dtype=dtype, force=force, fused=fused,
+                          values_dtype=values_dtype)
     return lambda r: su(sl(r))
 
 
 def ic_preconditioner(a, *, sweeps: int = 4, dtype=np.float32, force=None,
-                      fused=None) -> Callable:
+                      fused=None, values_dtype=None) -> Callable:
     """Symmetric PSD ``M^{-1} ~= L^{-T} L^{-1}`` from IC(0).
 
     Both solves use the same sweep count, so the lower-solve polynomial
@@ -304,21 +319,23 @@ def ic_preconditioner(a, *, sweeps: int = 4, dtype=np.float32, force=None,
     PCG requires (an *inexact* unsymmetric pairing would silently break
     the CG three-term recurrence)."""
     lc = ic0(a)
-    sl = TriangularJacobi(lc, sweeps=sweeps, dtype=dtype, force=force, fused=fused)
+    sl = TriangularJacobi(lc, sweeps=sweeps, dtype=dtype, force=force, fused=fused,
+                          values_dtype=values_dtype)
     su = TriangularJacobi(lc.transpose(), sweeps=sweeps, dtype=dtype, force=force,
-                          fused=fused)
+                          fused=fused, values_dtype=values_dtype)
     return lambda r: su(sl(r))
 
 
 def ic_pcg_solve(a, b, *, sweeps: int = 4, tol: float = 1e-6, maxiter: int = 1000,
-                 dtype=np.float32, force=None):
+                 dtype=np.float32, force=None, values_dtype=None):
     """IC(0)-preconditioned CG on a host CSR operator (whole solve jits
     into one ``lax.while_loop``; see :func:`~.cg.pcg_solve`)."""
     from ..ops.operator import SpmvOperator
     from .cg import pcg_solve
 
     op = SpmvOperator(a, dtype=dtype, force=force)
-    m_inv = ic_preconditioner(a, sweeps=sweeps, dtype=dtype, force=force)
+    m_inv = ic_preconditioner(a, sweeps=sweeps, dtype=dtype, force=force,
+                              values_dtype=values_dtype)
     return pcg_solve(op, b, m_inv, tol=tol, maxiter=maxiter)
 
 

@@ -174,3 +174,24 @@ def test_amg_pcg_bf16_hierarchy():
     assert tr <= 1e-5 * bn
     # preconditioner degradation is mild
     assert int(r16.iterations) <= int(r32.iterations) + 10
+
+
+def test_ic_pcg_bf16_sweeps():
+    """bf16 value planes on the IC(0) factor sweeps (preconditioner-
+    grade): PCG still converges to working tolerance with a comparable
+    iteration count, and the reported residual is the true f32 one."""
+    from sparse_matrix_tpu.solvers.ilu import ic_pcg_solve
+
+    a = _scaled_poisson(24, seed=10)
+    b = np.random.default_rng(11).standard_normal(a.rows).astype(np.float32)
+    bn = np.linalg.norm(b)
+    r32 = ic_pcg_solve(a, b, sweeps=2, tol=1e-6, maxiter=400)
+    r16 = ic_pcg_solve(a, b, sweeps=2, tol=1e-6, maxiter=400,
+                       values_dtype=jnp.bfloat16)
+    assert float(r32.residual_norm) <= 1e-6 * bn
+    assert float(r16.residual_norm) <= 1e-6 * bn
+    tr = np.linalg.norm(
+        b.astype(np.float64) - spmv_oracle(a, np.asarray(r16.x, np.float64))
+    )
+    assert tr <= 1e-5 * bn
+    assert int(r16.iterations) <= int(r32.iterations) + 10
