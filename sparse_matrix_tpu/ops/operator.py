@@ -767,8 +767,36 @@ class SpmvOperator:
                 )
         if self._dia is not None:
             from .spmm import spmm_dia
+            from .spmv_dia import _DIA_STACK_BYTES, spmm_dia_stream
 
-            y = spmm_dia(self._dia, x)
+            k = int(x.shape[1])
+            arrs = self._dia_arrs
+            if (
+                arrs["data"].size * 4 > _DIA_STACK_BYTES
+                and self._dia.rows == self._dia.cols
+                and k >= 2
+            ):
+                # streaming regime: band planes read ONCE per chunk of
+                # <=16 columns (vs K re-reads in the XLA shifted-slice
+                # form, which also walls at its f32 working set here)
+                nchunks = -(-k // 16)
+                base, rem = divmod(k, nchunks)
+                sizes = [base + (i < rem) for i in range(nchunks)]
+                parts, j = [], 0
+                for step in sizes:
+                    if step >= 2:
+                        parts.append(spmm_dia_stream(
+                            self._dia, x[:, j:j + step], device_arrays=arrs))
+                    else:
+                        from .spmv_dia import spmv_dia
+
+                        parts.append(spmv_dia(
+                            self._dia, x[:, j], device_arrays=arrs)[:, None])
+                    j += step
+                y = parts[0] if len(parts) == 1 else jnp.concatenate(
+                    parts, axis=1)
+            else:
+                y = spmm_dia(self._dia, x)
         if self._aligned is not None:
             from .spmm import spmm_aligned
 
