@@ -584,8 +584,19 @@ class CsrMatrix(Matrix):
     def tocsr(self) -> "CsrMatrix":
         return self
 
-    def getnnz(self) -> int:
-        return self.nnz()
+    def getnnz(self, axis=None):
+        """Stored-entry counts: total (``axis=None``), per column
+        (``axis=0``), or per row (``axis=1``) — scipy.sparse semantics
+        (explicit zeros count)."""
+        if axis is None:
+            return self.nnz()
+        if axis in (0, -2):
+            return np.bincount(
+                self.indices.astype(np.int64), minlength=self._cols
+            ).astype(np.int64)
+        if axis in (1, -1):
+            return np.diff(self.offsets).astype(np.int64)
+        raise ValueError(f"axis must be None, 0, or 1, got {axis}")
 
     def count_nonzero(self) -> int:
         return int(np.count_nonzero(self.vals))
@@ -669,6 +680,711 @@ class CsrMatrix(Matrix):
             np.add.at(out, self.row_ids(), self.vals)
             return out
         raise ValueError(f"axis must be None, 0, or 1, got {axis}")
+
+    # -- scipy.sparse.csr_matrix method-surface completion ------------------
+    # Everything below mirrors scipy's csr_matrix public methods so a scipy
+    # user can switch without renaming (differential-tested in
+    # tests/test_csr_scipy_surface.py; the dir()-diff coverage test there
+    # pins the surface to scipy's with zero exclusions). Design notes:
+    # * CSR is the single canonical host storage — the row-major
+    #   "conversions" (tocoo/tocsc/tolil/tobsr) return CSR objects, while
+    #   todok/todia build the real alternate structures.
+    # * axis reductions return plain 1-D ndarrays, not np.matrix.
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+    @property
+    def data(self) -> np.ndarray:
+        """scipy name for the value array (alias of ``vals``)."""
+        return self.vals
+
+    @property
+    def indptr(self) -> np.ndarray:
+        """scipy name for the row-offset array (alias of ``offsets``)."""
+        return self.offsets
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    @property
+    def size(self) -> int:
+        return self.nnz()
+
+    @property
+    def format(self) -> str:
+        return "csr"
+
+    maxprint = 50  # scipy's repr truncation knob; our repr never dumps entries
+
+    def getmaxprint(self) -> int:
+        return self.maxprint
+
+    def getformat(self) -> str:
+        return self.format
+
+    def get_shape(self) -> Tuple[int, int]:
+        return self.shape
+
+    def set_shape(self, shape) -> None:
+        """In-place reshape (scipy semantics: same number of elements)."""
+        r = self.reshape(shape)
+        self._adopt(r)
+
+    def _adopt(self, other: "CsrMatrix") -> None:
+        """In-place mutation helper: take ``other``'s fields, invalidate
+        memos, and bump ``_version`` so memo stamps held by other matrices
+        (the transpose memo) detect the change."""
+        self._rows, self._cols = other._rows, other._cols
+        self.vals, self.indices, self.offsets = (
+            other.vals, other.indices, other.offsets,
+        )
+        self.is_sorted = other.is_sorted
+        self._cache = {}
+        self._version += 1
+
+    @property
+    def real(self) -> "CsrMatrix":
+        return CsrMatrix(
+            self._rows, self._cols, np.ascontiguousarray(self.vals.real),
+            self.indices.copy(), self.offsets.copy(), is_sorted=self.is_sorted,
+        )
+
+    @property
+    def imag(self) -> "CsrMatrix":
+        return CsrMatrix(
+            self._rows, self._cols, np.ascontiguousarray(self.vals.imag),
+            self.indices.copy(), self.offsets.copy(), is_sorted=self.is_sorted,
+        )
+
+    @property
+    def has_sorted_indices(self) -> bool:
+        return self.is_sorted
+
+    @property
+    def has_canonical_format(self) -> bool:
+        # CSR invariant 6 forbids duplicate columns in a row, so sorted
+        # implies canonical
+        return self.is_sorted
+
+    def conjugate(self) -> "CsrMatrix":
+        return self.conj()
+
+    def getH(self) -> "CsrMatrix":
+        return self.conj().transpose()
+
+    def asfptype(self) -> "CsrMatrix":
+        if self.vals.dtype.kind in ("f", "c"):
+            return self
+        return self.astype(np.float64)
+
+    def check_format(self, full_check: bool = True) -> None:
+        """Raise ``ValueError`` unless the seven CSR invariants hold
+        (scipy's check_format analog; ``full_check`` kept for signature
+        parity — the invariants are always checked in full)."""
+        if not self.invariants():
+            raise ValueError("CSR invariants violated")
+
+    def nonzero(self):
+        """Row/column arrays of the explicitly NONZERO entries in row-major
+        order (scipy filters stored zeros)."""
+        m = self if self.is_sorted else self.sorted_indices()
+        keep = m.vals != 0
+        return (
+            m.row_ids()[keep].copy(),
+            m.indices[keep].astype(np.int64),
+        )
+
+    # -- canonical-format maintenance ---------------------------------------
+
+    def sort_indices(self) -> None:
+        """In-place within-row column sort (no-op when already sorted)."""
+        if self.is_sorted:
+            return
+        order = np.lexsort((self.indices, self.row_ids()))
+        new = CsrMatrix(
+            self._rows, self._cols, self.vals[order], self.indices[order],
+            self.offsets.copy(), is_sorted=True,
+        )
+        self._adopt(new)
+
+    def sorted_indices(self) -> "CsrMatrix":
+        out = self.copy()
+        out.sort_indices()
+        return out
+
+    def sum_duplicates(self) -> None:
+        """Sort indices and merge duplicate coordinates in place. Our
+        invariants already forbid duplicates, so after the sort this is a
+        defensive no-op — kept for scipy signature parity."""
+        self.sort_indices()
+        c = self.indices
+        r = self.row_ids()
+        if len(c) == 0:
+            return
+        dup = (c[1:] == c[:-1]) & (r[1:] == r[:-1])
+        if not dup.any():
+            return
+        self._adopt(CsrMatrix.from_coo(self._rows, self._cols, r, c, self.vals))
+
+    def eliminate_zeros(self) -> None:
+        """Drop explicitly-stored zero entries in place."""
+        keep = self.vals != 0
+        if keep.all():
+            return
+        r = self.row_ids()[keep]
+        offs = np.zeros(self._rows + 1, dtype=OFFSET_DTYPE)
+        offs[1:] = np.bincount(r, minlength=self._rows)
+        np.cumsum(offs, out=offs)
+        self._adopt(CsrMatrix(
+            self._rows, self._cols, self.vals[keep], self.indices[keep],
+            offs, is_sorted=self.is_sorted,
+        ))
+
+    def prune(self) -> None:
+        """Trim storage to ``nnz`` entries. Our arrays are exact-size by
+        construction (no growth slack), so this is a documented no-op."""
+
+    # -- shape changes -------------------------------------------------------
+
+    def reshape(self, *shape, order: str = "C") -> "CsrMatrix":
+        """New shape with the same number of elements; entries keep their
+        ``order``-linearized position (scipy.sparse semantics). Accepts
+        ``reshape((r, c))`` or ``reshape(r, c)``."""
+        if len(shape) == 1:
+            shape = tuple(np.atleast_1d(shape[0])) if not isinstance(
+                shape[0], tuple
+            ) else shape[0]
+        if len(shape) != 2:
+            raise ValueError("sparse matrices stay 2-D under reshape")
+        r2, c2 = int(shape[0]), int(shape[1])
+        if r2 == -1:
+            r2 = (self._rows * self._cols) // c2
+        if c2 == -1:
+            c2 = (self._rows * self._cols) // r2
+        if r2 * c2 != self._rows * self._cols:
+            raise ValueError(
+                f"cannot reshape {self.shape} ({self._rows * self._cols} "
+                f"elements) into ({r2}, {c2})"
+            )
+        r = self.row_ids()
+        c = self.indices.astype(np.int64)
+        if order == "C":
+            lin = r * self._cols + c
+            nr, nc = lin // c2, lin % c2
+        elif order == "F":
+            lin = c * self._rows + r
+            nr, nc = lin % r2, lin // r2
+        else:
+            raise ValueError("order must be 'C' or 'F'")
+        return CsrMatrix.from_coo(r2, c2, nr, nc, self.vals, sum_duplicates=False)
+
+    def resize(self, *shape) -> None:
+        """In-place shape change; entries outside the new bounds are
+        dropped (scipy.sparse semantics, unlike reshape)."""
+        if len(shape) == 1:
+            shape = tuple(shape[0])
+        r2, c2 = check_dims(int(shape[0]), int(shape[1]))
+        r = self.row_ids()
+        c = self.indices.astype(np.int64)
+        keep = (r < r2) & (c < c2)
+        offs = np.zeros(r2 + 1, dtype=OFFSET_DTYPE)
+        offs[1:] = np.bincount(r[keep], minlength=r2)
+        np.cumsum(offs, out=offs)
+        self._adopt(CsrMatrix(
+            r2, c2, self.vals[keep], self.indices[keep], offs,
+            is_sorted=self.is_sorted,
+        ))
+
+    # -- indexing -------------------------------------------------------------
+
+    def _norm_index(self, key, n: int) -> np.ndarray:
+        """Normalize an int/slice/array/bool-mask index into an int64 array
+        of positions in ``[0, n)``."""
+        if isinstance(key, (int, np.integer)):
+            i = int(key) + (n if key < 0 else 0)
+            if not 0 <= i < n:
+                raise IndexError(f"index {key} out of range for axis of {n}")
+            return np.array([i], dtype=np.int64)
+        if isinstance(key, slice):
+            return np.arange(*key.indices(n), dtype=np.int64)
+        a = np.asarray(key)
+        if a.dtype == bool:
+            if a.shape != (n,):
+                raise IndexError("boolean mask length mismatch")
+            return np.nonzero(a)[0].astype(np.int64)
+        a = a.astype(np.int64).ravel()
+        a = np.where(a < 0, a + n, a)
+        if len(a) and (a.min() < 0 or a.max() >= n):
+            raise IndexError(f"index out of range for axis of {n}")
+        return a
+
+    def _select_rows(self, ri: np.ndarray) -> "CsrMatrix":
+        """Rows ``ri`` in order (duplicates allowed) — vectorized segment
+        gather over the offset array."""
+        cnt = np.diff(self.offsets)[ri]
+        cum = np.cumsum(cnt)
+        total = int(cum[-1]) if len(cum) else 0
+        starts = self.offsets[ri].astype(np.int64)
+        idx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(cum - cnt, cnt)
+            + np.repeat(starts, cnt)
+        )
+        offs = np.zeros(len(ri) + 1, dtype=OFFSET_DTYPE)
+        offs[1:] = cum
+        return CsrMatrix(
+            len(ri), self._cols, self.vals[idx], self.indices[idx], offs,
+            is_sorted=self.is_sorted,
+        )
+
+    def _select_cols(self, ci: np.ndarray) -> "CsrMatrix":
+        """Columns ``ci`` in order (duplicates allowed): each stored entry
+        with column ``c`` expands into one output entry per occurrence of
+        ``c`` in ``ci`` — fully vectorized via a sorted-selection
+        searchsorted expansion."""
+        so = np.argsort(ci, kind="stable")
+        sci = ci[so]
+        c = self.indices.astype(np.int64)
+        lo = np.searchsorted(sci, c, side="left")
+        hi = np.searchsorted(sci, c, side="right")
+        reps = hi - lo
+        cum = np.cumsum(reps)
+        total = int(cum[-1]) if len(cum) else 0
+        pos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(cum - reps, reps)
+            + np.repeat(lo, reps)
+        )
+        out_c = so[pos]
+        out_r = np.repeat(self.row_ids(), reps)
+        out_v = np.repeat(self.vals, reps)
+        return CsrMatrix.from_coo(
+            self._rows, len(ci), out_r, out_c, out_v, sum_duplicates=False
+        )
+
+    def __getitem__(self, key):
+        """scipy-style indexing: ``A[i]``/``A[i, j]``/slices/int arrays/
+        boolean masks, outer selection for (rows, cols) pairs of
+        slices/arrays, and inner pair indexing when both are arrays
+        (``A[[1, 2], [3, 4]]`` -> 1x2 of the two elements, as scipy)."""
+        if isinstance(key, tuple):
+            if len(key) != 2:
+                raise IndexError("only 2-D indexing is supported")
+            rk, ck = key
+        else:
+            rk, ck = key, slice(None)
+        int_r = isinstance(rk, (int, np.integer))
+        int_c = isinstance(ck, (int, np.integer))
+        if int_r and int_c:
+            i = int(rk) + (self._rows if rk < 0 else 0)
+            j = int(ck) + (self._cols if ck < 0 else 0)
+            got = self.get_element((i, j))
+            # get_element mirrors the reference's Option-returning get;
+            # scipy indexing reads absent entries as zero
+            return self.vals.dtype.type(0) if got is None else got
+        arr_r = not int_r and not isinstance(rk, slice)
+        arr_c = not int_c and not isinstance(ck, slice)
+        if arr_r and arr_c:
+            ri = self._norm_index(rk, self._rows)
+            ci = self._norm_index(ck, self._cols)
+            if len(ri) != len(ci):
+                raise IndexError("inner indexing arrays must match in length")
+            vals = np.array(
+                [self[int(i), int(j)] for i, j in zip(ri, ci)]
+            )
+            return CsrMatrix.from_coo(
+                1, len(ri), np.zeros(len(ri), np.int64),
+                np.arange(len(ri), dtype=np.int64),
+                vals.astype(self.vals.dtype), sum_duplicates=False,
+            )
+        out = self._select_rows(self._norm_index(rk, self._rows))
+        if not (isinstance(ck, slice) and ck == slice(None)):
+            out = out._select_cols(out._norm_index(ck, out._cols))
+        return out
+
+    def __setitem__(self, key, value):
+        if (
+            isinstance(key, tuple) and len(key) == 2
+            and all(isinstance(k, (int, np.integer)) for k in key)
+        ):
+            i = int(key[0]) + (self._rows if key[0] < 0 else 0)
+            j = int(key[1]) + (self._cols if key[1] < 0 else 0)
+            self.set_element((i, j), value)
+            return
+        raise NotImplementedError(
+            "only single-element assignment A[i, j] = v is supported; "
+            "build matrices through DOK or from_coo"
+        )
+
+    def getrow(self, i: int) -> "CsrMatrix":
+        return self[i]
+
+    def getcol(self, j: int) -> "CsrMatrix":
+        return self[:, [int(j) + (self._cols if j < 0 else 0)]]
+
+    # -- scalar arithmetic ----------------------------------------------------
+
+    def _scaled(self, s) -> "CsrMatrix":
+        dt = np.result_type(self.vals.dtype, np.asarray(s).dtype)
+        return CsrMatrix(
+            self._rows, self._cols, self.vals.astype(dt) * s,
+            self.indices.copy(), self.offsets.copy(), is_sorted=self.is_sorted,
+        )
+
+    @staticmethod
+    def _is_scalar(x) -> bool:
+        return np.isscalar(x) or (
+            isinstance(x, np.ndarray) and x.ndim == 0
+        )
+
+    def __mul__(self, other):
+        """Scalar scaling, or matrix product for matrix/vector operands
+        (scipy.sparse.spmatrix ``*`` semantics)."""
+        if self._is_scalar(other):
+            return self._scaled(other)
+        return self.dot(other)
+
+    def __rmul__(self, other):
+        if self._is_scalar(other):
+            return self._scaled(other)
+        return NotImplemented
+
+    def __truediv__(self, other):
+        if self._is_scalar(other):
+            dt = np.result_type(self.vals.dtype, np.asarray(other).dtype, np.float64)
+            return CsrMatrix(
+                self._rows, self._cols, self.vals.astype(dt) / other,
+                self.indices.copy(), self.offsets.copy(),
+                is_sorted=self.is_sorted,
+            )
+        return NotImplemented
+
+    def __neg__(self) -> "CsrMatrix":
+        return self._scaled(-1)
+
+    def __abs__(self) -> "CsrMatrix":
+        return CsrMatrix(
+            self._rows, self._cols, np.abs(self.vals),
+            self.indices.copy(), self.offsets.copy(), is_sorted=self.is_sorted,
+        )
+
+    def __pow__(self, n):
+        """Matrix power (spmatrix ``**`` semantics; elementwise power is
+        :meth:`power`)."""
+        from .construct import matrix_power
+
+        return matrix_power(self, n)
+
+    def power(self, n, dtype=None) -> "CsrMatrix":
+        """ELEMENTWISE power over stored entries (scipy semantics; the
+        pattern is preserved, so ``n`` must be a positive scalar — implicit
+        zeros under ``n <= 0`` would densify)."""
+        if not self._is_scalar(n):
+            raise NotImplementedError("power expects a scalar exponent")
+        if not n > 0:
+            raise ValueError("power exponent must be > 0 (0**n densifies)")
+        v = self.vals.astype(dtype) if dtype is not None else self.vals
+        return CsrMatrix(
+            self._rows, self._cols, v ** n, self.indices.copy(),
+            self.offsets.copy(), is_sorted=self.is_sorted,
+        )
+
+    # -- elementwise binary min/max --------------------------------------------
+
+    @classmethod
+    def _from_dense(cls, d: np.ndarray) -> "CsrMatrix":
+        r, c = np.nonzero(d)
+        return cls.from_coo(
+            d.shape[0], d.shape[1], r, c, d[r, c], sum_duplicates=False
+        )
+
+    def _minmax_binop(self, other, f) -> "CsrMatrix":
+        if isinstance(other, CsrMatrix):
+            return self.apply_elementwise(other, f)
+        if self._is_scalar(other):
+            if other == 0:
+                return CsrMatrix(
+                    self._rows, self._cols, f(self.vals, other),
+                    self.indices.copy(), self.offsets.copy(),
+                    is_sorted=self.is_sorted,
+                )
+            # a nonzero scalar flips every implicit zero: densify (scipy
+            # takes the same path, with the same efficiency caveat)
+            return self._from_dense(f(self.to_dense(), other))
+        return self._from_dense(f(self.to_dense(), np.asarray(other)))
+
+    def maximum(self, other) -> "CsrMatrix":
+        """Elementwise maximum vs a sparse matrix, scalar, or dense array
+        (scipy semantics: implicit zeros participate)."""
+        return self._minmax_binop(other, np.maximum)
+
+    def minimum(self, other) -> "CsrMatrix":
+        """Elementwise minimum (see :meth:`maximum`)."""
+        return self._minmax_binop(other, np.minimum)
+
+    # -- reductions -------------------------------------------------------------
+
+    def _minmax_reduce(self, axis, ufunc, skip_nan: bool):
+        v = self.vals
+        if skip_nan and np.issubdtype(v.dtype, np.floating):
+            keep = ~np.isnan(v)
+            v = v[keep]
+            ridx = self.row_ids()[keep]
+            cidx = self.indices[keep].astype(np.int64)
+        else:
+            ridx = self.row_ids()
+            cidx = self.indices.astype(np.int64)
+        full = self.nnz() == self._rows * self._cols and len(v) == self.nnz()
+        if axis is None:
+            if len(v) == 0:
+                return self.vals.dtype.type(0)
+            m = ufunc.reduce(v)
+            if not full:
+                m = ufunc(m, self.vals.dtype.type(0))
+            return m
+        if axis in (0, -2):
+            n, idx, other = self._cols, cidx, self._rows
+        elif axis in (1, -1):
+            n, idx, other = self._rows, ridx, self._cols
+        else:
+            raise ValueError(f"axis must be None, 0, or 1, got {axis}")
+        ident = (
+            -np.inf if ufunc is np.maximum else np.inf
+        ) if np.issubdtype(v.dtype, np.floating) else (
+            np.iinfo(v.dtype).min if ufunc is np.maximum else np.iinfo(v.dtype).max
+        )
+        out = np.full(n, ident, dtype=v.dtype)
+        ufunc.at(out, idx, v)
+        count = np.bincount(idx, minlength=n)
+        out = np.where(count < other, ufunc(out, v.dtype.type(0)), out)
+        return out.astype(self.vals.dtype)
+
+    def max(self, axis=None, out=None):
+        """Maximum including implicit zeros; axis reductions return plain
+        1-D ndarrays (scipy returns coo matrices)."""
+        return self._minmax_reduce(axis, np.maximum, skip_nan=False)
+
+    def min(self, axis=None, out=None):
+        return self._minmax_reduce(axis, np.minimum, skip_nan=False)
+
+    def nanmax(self, axis=None, out=None):
+        return self._minmax_reduce(axis, np.maximum, skip_nan=True)
+
+    def nanmin(self, axis=None, out=None):
+        return self._minmax_reduce(axis, np.minimum, skip_nan=True)
+
+    def mean(self, axis=None, dtype=None, out=None):
+        """Arithmetic mean over ALL elements (implicit zeros included)."""
+        dt = np.dtype(dtype) if dtype is not None else np.result_type(
+            self.vals.dtype, np.float64
+        )
+        if axis is None:
+            denom = self._rows * self._cols
+            return (self.vals.astype(dt).sum() / denom) if denom else dt.type(0)
+        s = self.sum(axis=axis).astype(dt)
+        return s / (self._rows if axis in (0, -2) else self._cols)
+
+    def _first_gap_cols(self) -> np.ndarray:
+        """Per row: the first column holding an IMPLICIT zero (== cols for
+        full rows). Sorted canonical rows have their first gap at the first
+        k with ``indices[k] != k`` (else at the row's entry count)."""
+        m = self if self.is_sorted else self.sorted_indices()
+        cnt = np.diff(m.offsets)
+        exc = m.offsets[:-1].astype(np.int64)
+        local = np.arange(m.nnz(), dtype=np.int64) - np.repeat(exc, cnt)
+        mism = m.indices.astype(np.int64) != local
+        cand = np.where(mism, local, self._cols)
+        first = np.full(self._rows, self._cols, dtype=np.int64)
+        np.minimum.at(first, m.row_ids(), cand)
+        return np.minimum(first, cnt)
+
+    def _arg_reduce(self, axis, ufunc):
+        if self._rows * self._cols == 0:
+            raise ValueError("cannot take argmin/argmax of a zero-size matrix")
+        want_max = ufunc is np.maximum
+        m = self if self.is_sorted else self.sorted_indices()
+        v = m.vals
+        r = m.row_ids()
+        c = m.indices.astype(np.int64)
+        nan_pos = (
+            np.nonzero(np.isnan(v))[0]
+            if np.issubdtype(v.dtype, np.floating) else np.zeros(0, np.int64)
+        )
+        # per-row best explicit entry, first occurrence on ties: lexsort by
+        # (row, -value-rank, col); NaN propagates like numpy (first NaN wins)
+        if len(v):
+            key = np.where(np.isnan(v), np.inf if want_max else -np.inf, v) \
+                if np.issubdtype(v.dtype, np.floating) else v
+            order = np.lexsort((c, -key if want_max else key, r))
+            head = np.r_[True, r[order][1:] != r[order][:-1]]
+            hrow = r[order][head]
+            hval = v[order][head]
+            hcol = c[order][head]
+        else:
+            hrow = np.zeros(0, np.int64)
+            hval = np.zeros(0, v.dtype)
+            hcol = np.zeros(0, np.int64)
+        best_v = np.zeros(self._rows, dtype=np.result_type(v.dtype, np.float64))
+        best_c = np.zeros(self._rows, dtype=np.int64)
+        has = np.zeros(self._rows, dtype=bool)
+        best_v[hrow] = hval
+        best_c[hrow] = hcol
+        has[hrow] = True
+        gap = self._first_gap_cols()
+        has_gap = gap < self._cols
+        zero_beats = np.where(
+            want_max, best_v < 0, best_v > 0
+        ) & has_gap
+        zero_ties = (best_v == 0) & has_gap
+        best_c = np.where(~has & has_gap, gap, best_c)
+        best_v = np.where(~has, 0.0, best_v)
+        best_c = np.where(has & zero_beats, gap, best_c)
+        best_v = np.where(has & zero_beats, 0.0, best_v)
+        best_c = np.where(has & zero_ties, np.minimum(best_c, gap), best_c)
+        if axis in (1, -1):
+            out = best_c.copy()
+            if len(nan_pos):  # numpy-style NaN: first NaN in the row wins
+                first = np.full(self._rows, -1, np.int64)
+                first[r[nan_pos[::-1]]] = nan_pos[::-1]
+                hitr = first >= 0
+                out[hitr] = c[first[hitr]]
+            return out
+        if axis is None:
+            if len(nan_pos):
+                p = int(nan_pos[0])
+                return int(r[p] * self._cols + c[p])
+            i = (
+                int(np.argmax(best_v)) if want_max else int(np.argmin(best_v))
+            )
+            return int(i * self._cols + best_c[i])
+        if axis in (0, -2):
+            # reduce the transpose's rows (same semantics, columns swapped)
+            return self.transpose()._arg_reduce(1, ufunc)
+        raise ValueError(f"axis must be None, 0, or 1, got {axis}")
+
+    def argmax(self, axis=None, out=None):
+        """Index of the maximum including implicit zeros: linear row-major
+        index for ``axis=None``, per-row/column int64 arrays otherwise."""
+        return self._arg_reduce(axis, np.maximum)
+
+    def argmin(self, axis=None, out=None):
+        return self._arg_reduce(axis, np.minimum)
+
+    # -- diagonal / misc ---------------------------------------------------------
+
+    def setdiag(self, values, k: int = 0) -> None:
+        """Set diagonal ``k`` in place (scipy semantics: a short array sets
+        only its length; new entries are inserted, set zeros stay explicit
+        per the cancellation-zero policy)."""
+        ndiag = max(0, min(self._rows + min(k, 0), self._cols - max(k, 0)))
+        varr = np.asarray(values)
+        if varr.ndim == 0:
+            n = ndiag
+            dvals = np.full(n, varr[()])
+        else:
+            n = min(ndiag, len(varr))
+            dvals = varr[:n]
+        row0 = max(0, -k)
+        dr = np.arange(n, dtype=np.int64) + row0
+        dc = dr + k
+        r = self.row_ids()
+        c = self.indices.astype(np.int64)
+        keep = ~((c - r == k) & (r >= row0) & (r < row0 + n))
+        dt = np.result_type(self.vals.dtype, dvals.dtype)
+        self._adopt(CsrMatrix.from_coo(
+            self._rows, self._cols,
+            np.concatenate([r[keep], dr]),
+            np.concatenate([c[keep], dc]),
+            np.concatenate([self.vals[keep].astype(dt), dvals.astype(dt)]),
+            sum_duplicates=False,
+        ))
+
+    def trace(self, offset: int = 0):
+        return self.diagonal(offset).sum()
+
+    # -- format conversions --------------------------------------------------
+
+    def tocoo(self, copy: bool = False) -> "CsrMatrix":
+        """CSR is the canonical row-major storage; the coo/csc/lil/bsr
+        "conversions" return CSR objects (the compat namespace's
+        constructors for those formats build CSR too)."""
+        return self.copy() if copy else self
+
+    def tocsc(self, copy: bool = False) -> "CsrMatrix":
+        return self.copy() if copy else self
+
+    def tolil(self, copy: bool = False) -> "CsrMatrix":
+        return self.copy() if copy else self
+
+    def tobsr(self, blocksize=None, copy: bool = False) -> "CsrMatrix":
+        return self.copy() if copy else self
+
+    def todok(self, copy: bool = False) -> "DokMatrix":
+        return self.to_dok()
+
+    def todia(self, copy: bool = False):
+        """A real :class:`~.dia.DiaMatrix` (dense band planes). Guarded
+        against scattered patterns whose band count would explode memory —
+        the same hazard scipy's todia warns about."""
+        from .dia import DiaMatrix
+
+        r = self.row_ids()
+        c = self.indices.astype(np.int64)
+        offs = np.unique(c - r) if self.nnz() else np.array([0], np.int64)
+        if len(offs) * self._rows > (1 << 26):
+            raise ValueError(
+                f"todia would allocate {len(offs)} bands x {self._rows} rows; "
+                "the pattern is too scattered for DIA"
+            )
+        data = np.zeros((len(offs), self._rows), dtype=self.vals.dtype)
+        b = np.searchsorted(offs, c - r)
+        data[b, r] = self.vals
+        return DiaMatrix(self._rows, self._cols, data, tuple(int(o) for o in offs))
+
+    def asformat(self, format, copy: bool = False):
+        """Convert to ``format`` by name (scipy's asformat dispatch)."""
+        if format is None or format == "csr":
+            return self.copy() if copy else self
+        conv = {
+            "coo": self.tocoo, "csc": self.tocsc, "lil": self.tolil,
+            "bsr": self.tobsr, "dok": self.todok, "dia": self.todia,
+            "array": self.toarray, "dense": self.todense,
+        }.get(format)
+        if conv is None:
+            raise ValueError(f"unknown format {format!r}")
+        try:
+            return conv(copy=copy)
+        except TypeError:
+            return conv()
+
+
+def _attach_elementwise_ufuncs():
+    """scipy's zero-preserving elementwise methods (sin, sqrt, expm1, ...):
+    one stored-entry ufunc application each, pattern preserved. Generated
+    in a loop — eighteen hand-written clones would say nothing more."""
+    for f in (
+        np.sin, np.tan, np.arcsin, np.arctan, np.sinh, np.tanh,
+        np.arcsinh, np.arctanh, np.ceil, np.floor, np.rint, np.trunc,
+        np.sqrt, np.sign, np.expm1, np.log1p, np.deg2rad, np.rad2deg,
+    ):
+        def method(self, *, _f=f):
+            return CsrMatrix(
+                self._rows, self._cols, _f(self.vals), self.indices.copy(),
+                self.offsets.copy(), is_sorted=self.is_sorted,
+            )
+
+        method.__name__ = f.__name__
+        method.__doc__ = (
+            f"Elementwise {f.__name__} over stored entries "
+            "(zero-preserving, pattern unchanged; scipy.sparse parity)."
+        )
+        setattr(CsrMatrix, f.__name__, method)
+
+
+_attach_elementwise_ufuncs()
 
 
 def _segsum_exact(seg: np.ndarray, v: np.ndarray) -> np.ndarray:
