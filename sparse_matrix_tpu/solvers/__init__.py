@@ -20,6 +20,10 @@ from .eigen import (  # noqa: F401
     eigsh_shift_invert,
     eigs_shift_invert,
 )
+from .generalized import (  # noqa: F401
+    eigsh_generalized,
+    lobpcg_generalized,
+)
 from .funm import (  # noqa: F401
     expm_multiply,
     expm_multiply_csr,

@@ -583,9 +583,17 @@ def eigsh(a, k: int = 6, *, which: str = "LA", v0=None, maxiter=None,
     """Symmetric eigenpairs via LOBPCG. ``which``: LA/LM -> largest,
     SA/SM -> smallest ALGEBRAIC. Returns ``(vals ascending, vecs)`` like
     scipy. ``sigma=`` runs shift-invert Lanczos over one exact LDL^T of
-    ``A - sigma I`` — eigenvalues NEAREST sigma."""
+    ``A - sigma I`` — eigenvalues NEAREST sigma. ``M=`` (SPD) solves the
+    generalized pencil via exact chol(M) + M-Lanczos
+    (``solvers.generalized``)."""
     if M is not None:
-        raise NotImplementedError("generalized eigsh (M != I) is not offered")
+        from ..solvers import eigsh_generalized
+
+        return eigsh_generalized(
+            _ascsr(a), _ascsr(M), int(k), which=which,
+            sigma=None if sigma is None else float(sigma),
+            m=int(maxiter) if maxiter else None,
+        )
     if sigma is not None:
         from ..solvers import eigsh_shift_invert
 
@@ -617,9 +625,15 @@ def eigsh(a, k: int = 6, *, which: str = "LA", v0=None, maxiter=None,
 def lobpcg(a, X, B=None, M=None, *, largest=True, tol=1e-5, maxiter=200,
            **_ignored):
     """scipy.sparse.linalg.lobpcg-shaped: returns ``(vals, vecs)``.
-    Generalized problems (``B``) are not offered."""
+    Generalized problems (``B`` SPD) route through one exact ``chol(B)``
+    + M-Lanczos (``solvers.generalized``)."""
     if B is not None:
-        raise NotImplementedError("generalized LOBPCG (B != I) is not offered")
+        from ..solvers import lobpcg_generalized
+
+        return lobpcg_generalized(
+            _ascsr(a), np.asarray(X), _ascsr(B),
+            largest=bool(largest), m=int(maxiter) if maxiter else None,
+        )
     mv, n = _square_matvec(a)
 
     def matmat(xb):
