@@ -500,10 +500,8 @@ def minres(a, b, x0=None, *, rtol=1e-5, maxiter=None, M=None, callback=None,
         base = mv
         mv = lambda x: base(x) - shift * x  # noqa: E731
     maxiter = int(maxiter) if maxiter is not None else 5 * n
-    if M is not None:
-        raise NotImplementedError("preconditioned MINRES is not offered; use pcg/solve")
     res = minres_solve(mv, np.asarray(b, np.float32), x0, tol=float(rtol),
-                       maxiter=maxiter)
+                       maxiter=maxiter, precond=_precond_callable(M, n))
     return np.asarray(res.x), _info(res, b, float(rtol), maxiter)
 
 
