@@ -424,14 +424,19 @@ def shortest_path(
     if method == "FW":
         from .device import floyd_warshall_device
 
-        if return_predecessors:
-            raise NotImplementedError("FW predecessors: use method='D'/'BF'")
-        dist = floyd_warshall_device(a if directed else _undirected_min(a))
+        out = floyd_warshall_device(
+            a if directed else _undirected_min(a),
+            return_predecessors=return_predecessors,
+        )
+        dist, pred = out if return_predecessors else (out, None)
         if indices is not None:
             src, scalar = _sources(indices, n)
             dist = dist[src]
+            if pred is not None:
+                pred = pred[src]
+                return (dist[0], pred[0]) if scalar else (dist, pred)
             return dist[0] if scalar else dist
-        return dist
+        return (dist, pred) if return_predecessors else dist
     raise ValueError(f"unknown method {method!r}")
 
 
@@ -444,9 +449,8 @@ def floyd_warshall(
     """All-pairs shortest paths (scipy.sparse.csgraph.floyd_warshall name):
     the dense (min, +) DP runs on device — n fused rank-1 tropical updates
     in one ``lax.fori_loop`` (:func:`~sparse_matrix_tpu.graph.device.
-    floyd_warshall_device`). Predecessor recovery is not offered on this
-    path (the device kernel keeps only distances resident); use
-    ``shortest_path(method="D"/"BF", return_predecessors=True)``."""
+    floyd_warshall_device`); ``return_predecessors`` carries the int32
+    predecessor matrix through the same loop."""
     return shortest_path(
         a, method="FW", directed=directed,
         return_predecessors=return_predecessors, unweighted=unweighted,

@@ -167,12 +167,25 @@ def _fw_loop(d0, *, n: int):
     return jax.lax.fori_loop(0, n, body, d0)
 
 
-def floyd_warshall_device(a: CsrMatrix) -> np.ndarray:
+def _fw_loop_pred(d0, p0, *, n: int):
+    def body(k, dp):
+        d, p = dp
+        cand = d[:, k][:, None] + d[k, :][None, :]
+        take = cand < d  # strict improvement, scipy tie-breaking
+        return jnp.where(take, cand, d), jnp.where(take, p[k, :][None, :], p)
+
+    return jax.lax.fori_loop(0, n, body, (d0, p0))
+
+
+def floyd_warshall_device(a: CsrMatrix, return_predecessors: bool = False):
     """All-pairs shortest paths, dense Floyd-Warshall on device: n fused
     rank-1 (min, +) updates in one ``lax.fori_loop`` — the tropical analog
     of a blocked dense factorization, sized for n up to a few thousand
-    (n^2 floats resident). Negative cycles are reported when any diagonal
-    goes negative. scipy parity: ``scipy.sparse.csgraph.floyd_warshall``."""
+    (n^2 floats resident). ``return_predecessors`` carries the int32
+    predecessor matrix through the same loop (``pred[i, j] <- pred[k, j]``
+    on strict improvement, scipy semantics/sentinel -9999). Negative
+    cycles are reported when any diagonal goes negative. scipy parity:
+    ``scipy.sparse.csgraph.floyd_warshall``."""
     n = _check_square(a)
     d0 = np.full((n, n), np.inf, dtype=np.float32)
     r = np.repeat(np.arange(n, dtype=np.int64), np.diff(a.offsets))
@@ -181,7 +194,16 @@ def floyd_warshall_device(a: CsrMatrix) -> np.ndarray:
     # caller's concern; keep the min to be safe
     np.minimum.at(d0, (r, c), a.vals.astype(np.float32))
     np.fill_diagonal(d0, np.minimum(d0.diagonal(), 0.0))
-    dist = np.asarray(_fw_loop(jnp.asarray(d0), n=n), dtype=np.float64)
+    if not return_predecessors:
+        dist = np.asarray(_fw_loop(jnp.asarray(d0), n=n), dtype=np.float64)
+        if np.any(np.diagonal(dist) < 0):
+            raise NegativeCycleError("negative-weight cycle present")
+        return dist
+    p0 = np.full((n, n), -9999, dtype=np.int32)
+    p0[r, c] = r.astype(np.int32)
+    np.fill_diagonal(p0, -9999)
+    dist, pred = _fw_loop_pred(jnp.asarray(d0), jnp.asarray(p0), n=n)
+    dist = np.asarray(dist, dtype=np.float64)
     if np.any(np.diagonal(dist) < 0):
         raise NegativeCycleError("negative-weight cycle present")
-    return dist
+    return dist, np.asarray(pred)

@@ -536,8 +536,60 @@ def test_floyd_warshall_name_matches_scipy():
     und = g.floyd_warshall(M, directed=False)
     und_sp = cs.floyd_warshall(A, directed=False)
     np.testing.assert_allclose(und, und_sp, rtol=1e-6)
-    with pytest.raises(NotImplementedError):
-        g.floyd_warshall(M, return_predecessors=True)
+
+
+def _walk_cost(pred, dense, i, j):
+    """Path weight recovered by walking pred back from j to i."""
+    cost, cur, hops = 0.0, j, 0
+    while cur != i:
+        p = int(pred[cur])
+        if p < 0 or hops > pred.shape[0]:
+            return np.inf
+        cost += dense[p, cur]
+        cur, hops = p, hops + 1
+    return cost
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_floyd_warshall_predecessors(directed):
+    # integer weights: shortest-path VALUES are exact in f32, and the
+    # recovered pred walk must reproduce the scipy distance exactly
+    rng = np.random.default_rng(33)
+    n = 30
+    A = scipy_sparse.random(
+        n, n, density=0.15, random_state=rng,
+        data_rvs=lambda k: rng.integers(1, 8, k).astype(np.float64),
+    ).tocsr()
+    A.sort_indices()
+    M = CsrMatrix.from_scipy(A)
+    dist, pred = g.floyd_warshall(M, directed=directed,
+                                  return_predecessors=True)
+    d_sp, p_sp = cs.floyd_warshall(A, directed=directed,
+                                   return_predecessors=True)
+    np.testing.assert_allclose(dist, d_sp, rtol=1e-6)
+    assert pred.dtype == np.int32 and pred.shape == (n, n)
+    # unreachable/diagonal sentinel matches scipy
+    np.testing.assert_array_equal(pred < 0, p_sp < 0)
+    dense = g.csgraph_to_dense(M, null_value=np.inf)
+    if not directed:
+        dense = np.minimum(dense, dense.T)
+    for i in range(0, n, 7):
+        for j in range(n):
+            if i == j or not np.isfinite(dist[i, j]):
+                continue
+            assert _walk_cost(pred[i], dense, i, j) == pytest.approx(
+                d_sp[i, j], rel=1e-6
+            )
+
+
+def test_shortest_path_fw_with_indices_and_pred():
+    M, A = _random_graph(34, n=25, density=0.2)
+    dist, pred = g.shortest_path(M, method="FW", indices=[3, 7],
+                                 return_predecessors=True)
+    # scipy's FW rejects indices=; slice its full all-pairs result
+    d_sp = cs.shortest_path(A, method="FW", return_predecessors=True)[0]
+    np.testing.assert_allclose(dist, d_sp[[3, 7]], rtol=1e-5)
+    assert pred.shape == (2, 25)
 
 
 def test_csgraph_dense_roundtrip():
