@@ -21,6 +21,7 @@ from .eigen import (  # noqa: F401
     eigs_shift_invert,
 )
 from .generalized import (  # noqa: F401
+    eigs_generalized,
     eigsh_generalized,
     lobpcg_generalized,
 )

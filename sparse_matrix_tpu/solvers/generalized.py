@@ -23,7 +23,7 @@ from typing import Callable, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["eigsh_generalized", "lobpcg_generalized"]
+__all__ = ["eigsh_generalized", "eigs_generalized", "lobpcg_generalized"]
 
 
 def _scaled_csr(a, s: float):
@@ -166,6 +166,124 @@ def eigsh_generalized(
 
     order = np.argsort(vals)
     return vals[order], vecs[:, order]
+
+
+def _host_arnoldi(op, n: int, m: int, seed: int):
+    """Arnoldi with two-pass full orthogonalization (the recurrence of
+    ``eigen.py::eigs_shift_invert``). Returns ``(hm, basis)`` with
+    ``basis`` (actual, n)."""
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(n)
+    v /= np.linalg.norm(v)
+    basis = np.zeros((m + 1, n))
+    h = np.zeros((m + 1, m))
+    basis[0] = v
+    actual = m
+    for j in range(m):
+        w = op(basis[j])
+        hj = basis[: j + 1] @ w
+        w -= basis[: j + 1].T @ hj
+        hj2 = basis[: j + 1] @ w
+        w -= basis[: j + 1].T @ hj2
+        h[: j + 1, j] = hj + hj2
+        beta = float(np.linalg.norm(w))
+        h[j + 1, j] = beta
+        if beta <= 1e-14:
+            actual = j + 1
+            break
+        basis[j + 1] = w / beta
+    return h[:actual, :actual], basis[:actual]
+
+
+def eigs_generalized(
+    a,
+    m_mat,
+    k: int = 6,
+    *,
+    which: str = "LM",
+    sigma: Optional[float] = None,
+    m: Optional[int] = None,
+    tol: float = 1e-8,
+    seed: int = 0,
+    reorder: str = "rcm",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Unsymmetric generalized pencil ``A x = lambda M x`` (M SPD): scipy's
+    ``eigs(A, k, M=M)`` surface. Plain mode runs host Arnoldi on
+    ``M^-1 A`` (one exact chol(M), eigenvalues of the pencil are the
+    operator's); ``sigma=`` runs shift-invert Arnoldi on
+    ``(A - sigma M)^-1 M`` through one exact sparse LU. Returns complex
+    ``(vals, vecs)`` — largest-modulus order (plain) or nearest-sigma
+    order (shift-invert), matching the ``eigs`` facades.
+
+    Like :func:`eigsh_generalized`, the Arnoldi space doubles until the
+    pencil residual of every returned pair meets ``tol`` (unless ``m``
+    pins it).
+    """
+    from .cholesky import chol, chol_solve, ldl  # noqa: F401  (chol for M)
+    from .cholesky import lu, lu_solve
+
+    n = a.rows
+    if a.rows != a.cols or m_mat.rows != m_mat.cols or m_mat.rows != n:
+        raise ValueError("eigs_generalized needs square A, M of equal size")
+    if not 1 <= k < n:
+        raise ValueError(f"k={k} out of range for n={n}")
+    if which != "LM":
+        raise ValueError("eigs_generalized supports which='LM' "
+                         "(use sigma= for interior/smallest)")
+    adaptive = m is None
+    if adaptive:
+        m = min(n, max(4 * k + 20, 40))
+    m = int(min(max(m, k + 2), n))
+
+    def mv_m(v):
+        return m_mat.dot(np.asarray(v, np.float64))
+
+    if sigma is None:
+        fac = chol(m_mat, reorder=reorder)
+
+        def op(v):
+            return chol_solve(fac, a.dot(np.asarray(v, np.float64)))
+
+        def select(m_try):
+            hm, basis = _host_arnoldi(op, n, m_try, seed)
+            theta, y = np.linalg.eig(hm)
+            order = np.argsort(-np.abs(theta))[:k]
+            vals = theta[order]
+            vecs = basis.T.astype(np.complex128) @ y[:, order]
+            vecs /= np.linalg.norm(vecs, axis=0, keepdims=True)
+            return vals, vecs
+
+    else:
+        shifted = a + _scaled_csr(m_mat, -float(sigma))
+        fac = lu(shifted, reorder=reorder)
+
+        def op(v):
+            return lu_solve(fac, mv_m(v))
+
+        def select(m_try):
+            hm, basis = _host_arnoldi(op, n, m_try, seed)
+            theta, y = np.linalg.eig(hm)
+            keep = np.abs(theta) > 1e-14
+            theta, y = theta[keep], y[:, keep]
+            order = np.argsort(-np.abs(theta))[:k]
+            vals = float(sigma) + 1.0 / theta[order]
+            vecs = basis.T.astype(np.complex128) @ y[:, order]
+            vecs /= np.linalg.norm(vecs, axis=0, keepdims=True)
+            fine = np.argsort(np.abs(vals - float(sigma)))
+            return vals[fine], vecs[:, fine]
+
+    while True:
+        vals, vecs = select(m)
+        if not adaptive or m >= n:
+            break
+        r = (a.dot(vecs.real) + 1j * a.dot(vecs.imag)
+             - (m_mat.dot(vecs.real) + 1j * m_mat.dot(vecs.imag))
+             * vals[None, :])
+        rn = np.linalg.norm(r, axis=0)
+        if np.all(rn <= tol * np.maximum(1.0, np.abs(vals))):
+            break
+        m = min(n, 2 * m)
+    return vals, vecs
 
 
 def lobpcg_generalized(

@@ -560,10 +560,18 @@ def eigs(a, k: int = 6, *, which: str = "LM", v0=None, maxiter=None,
     ``sigma=`` runs shift-invert: exact sparse LU of ``A - sigma I``
     (host-native, like the factorization itself) + host Arnoldi on the
     solve operator — eigenvalues NEAREST sigma, scipy semantics."""
-    if which != "LM" or M is not None:
+    if which != "LM":
         raise NotImplementedError(
             "eigs supports which='LM' (Arnoldi by modulus); see "
             "solvers.eigen for generalized forms"
+        )
+    if M is not None:
+        from ..solvers import eigs_generalized
+
+        return eigs_generalized(
+            _ascsr(a), _ascsr(M), int(k), which=which,
+            sigma=None if sigma is None else float(sigma),
+            m=int(maxiter) if maxiter else None,
         )
     if sigma is not None:
         from ..solvers import eigs_shift_invert
