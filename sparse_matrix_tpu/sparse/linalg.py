@@ -655,10 +655,34 @@ def lobpcg(a, X, B=None, M=None, *, largest=True, tol=1e-5, maxiter=200,
 
 def svds(a, k: int = 6, *, which: str = "LM", maxiter=None, seed: int = 0,
          **_ignored):
-    """Top-k singular triplets; returns ``(u, s, vT)`` with ``s``
-    ASCENDING (scipy ordering)."""
+    """Top-k (``which='LM'``, GKL) or bottom-k (``which='SM'``) singular
+    triplets; returns ``(u, s, vT)`` with ``s`` ASCENDING (scipy
+    ordering). ``'SM'`` runs shift-invert Lanczos at 0 on the SPD normal
+    matrix ``A^T A`` (one exact LDL^T; rank-deficient inputs surface as
+    the factorization's zero-pivot error, as in scipy's ARPACK failure
+    mode)."""
+    if which == "SM":
+        from ..solvers import eigsh_shift_invert
+
+        A = _ascsr(a)
+        c = A.transpose() @ A  # SPD normal matrix (host SpGEMM)
+        if not c.is_sorted:
+            c = c.sorted_indices()
+        vals, v = eigsh_shift_invert(c, int(k), 0.0,
+                                     m=int(maxiter) if maxiter else None)
+        s = np.sqrt(np.maximum(np.asarray(vals), 0.0))
+        order = np.argsort(s)
+        s, v = s[order], np.asarray(v)[:, order]
+        av = A.dot(v)
+        u0 = av / np.where(s > 0, s, 1.0)[None, :]
+        # re-orthonormalize U (defensive for clustered tiny s); QR may
+        # flip column signs — restore the A v alignment
+        u, _ = np.linalg.qr(u0)
+        sgn = np.sign(np.sum(u * u0, axis=0))
+        u = u * np.where(sgn == 0, 1.0, sgn)[None, :]
+        return u, s, v.T
     if which != "LM":
-        raise NotImplementedError("svds supports which='LM'")
+        raise NotImplementedError("svds supports which='LM' or 'SM'")
     res = svds_csr(_ascsr(a), int(k), steps=maxiter, seed=seed)
     u = np.asarray(res.u)[:, ::-1]
     s = np.asarray(res.s)[::-1]
@@ -666,13 +690,29 @@ def svds(a, k: int = 6, *, which: str = "LM", maxiter=None, seed: int = 0,
     return u, s, v.T
 
 
-def expm_multiply(a, b, start=None, stop=None, num=None, *, t: float = 1.0,
-                  **_ignored):
-    """``exp(t A) @ b`` (single endpoint; scipy's time-grid form is the
-    loop the caller writes)."""
-    if start is not None or stop is not None or num is not None:
-        raise NotImplementedError("time grids: call once per t")
-    return np.asarray(expm_multiply_csr(_ascsr(a), np.asarray(b, np.float32), t))
+def expm_multiply(a, b, start=None, stop=None, num=None, endpoint=True,
+                  *, t: float = 1.0, **_ignored):
+    """``exp(t A) @ b``; with ``start/stop/num`` returns the scipy time
+    grid ``X[i] = exp(t_i A) @ b`` over ``t_i = linspace(start, stop,
+    num, endpoint)``, stepped as ``X_{i+1} = exp(dt A) X_i`` so the
+    operator is planned once and each grid point costs one substep chain."""
+    a = _ascsr(a)
+    b = np.asarray(b, np.float32)
+    if start is None and stop is None and num is None:
+        return np.asarray(expm_multiply_csr(a, b, t))
+    if stop is None:
+        raise ValueError("time grid needs stop= (scipy semantics)")
+    start = 0.0 if start is None else float(start)
+    num = 50 if num is None else int(num)
+    ts = np.linspace(start, float(stop), num, endpoint=bool(endpoint))
+    out = np.empty((num,) + b.shape, dtype=b.dtype)
+    x = expm_multiply_csr(a, b, float(ts[0])) if ts[0] != 0.0 else b
+    out[0] = np.asarray(x)
+    for i in range(1, num):
+        dt = float(ts[i] - ts[i - 1])
+        x = expm_multiply_csr(a, np.asarray(x, np.float32), dt)
+        out[i] = np.asarray(x)
+    return out
 
 
 _EXPM_DENSE_N = 2048

@@ -116,3 +116,22 @@ def test_eigs_on_operator():
 def test_eigs_k_out_of_range():
     with pytest.raises(ValueError, match="out of range"):
         eigs(lambda v: v, 5, k=6)
+
+
+def test_expm_multiply_time_grid_vs_scipy():
+    import scipy.sparse.linalg as sla
+
+    from sparse_matrix_tpu.sparse.linalg import expm_multiply
+    from sparse_matrix_tpu.solvers.poisson import poisson_2d_csr
+
+    A = poisson_2d_csr(6, dtype=np.float64) * (-1.0)  # decaying semigroup
+    rng = np.random.default_rng(8)
+    b = rng.standard_normal(36)
+    ours = expm_multiply(A, b, start=0.0, stop=1.0, num=5)
+    ref = sla.expm_multiply(A.to_scipy().tocsc(), b, start=0.0, stop=1.0,
+                            num=5)
+    assert ours.shape == (5, 36)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+    # single-t form unchanged
+    one = expm_multiply(A, b, t=0.5)
+    np.testing.assert_allclose(one, ref[2], rtol=2e-4, atol=2e-5)

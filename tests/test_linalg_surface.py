@@ -171,3 +171,25 @@ def test_linearoperator_algebra_feeds_solvers():
     assert info == 0
     np.testing.assert_allclose((spd + 0.5 * np.eye(30)) @ x, b, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_svds_smallest_vs_scipy():
+    import scipy.sparse.linalg as sla
+
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+    from sparse_matrix_tpu.sparse.linalg import svds
+
+    rng = np.random.default_rng(9)
+    import scipy.sparse as sp
+
+    A_s = sp.random(40, 30, density=0.3, random_state=rng,
+                    data_rvs=lambda k: rng.uniform(0.5, 2.0, k)).tocsr()
+    A_s = A_s + sp.diags(np.full(30, 3.0), 0, shape=(40, 30))  # full rank
+    A_s.sort_indices()
+    A = CsrMatrix.from_scipy(A_s)
+    u, s, vt = svds(A, 3, which="SM")
+    ref = np.sort(np.linalg.svd(A_s.toarray(), compute_uv=False))[:3]
+    np.testing.assert_allclose(s, ref, rtol=1e-8)
+    # triplets reconstruct: A v = s u
+    np.testing.assert_allclose(A_s.toarray() @ vt.T, u * s[None, :],
+                               atol=1e-7)
