@@ -166,12 +166,24 @@ def qmr_solve(
     *,
     tol: float = 1e-6,
     maxiter: int = 1000,
+    m1_solve: Callable = None,
+    m1t_solve: Callable = None,
+    m2_solve: Callable = None,
+    m2t_solve: Callable = None,
 ) -> CgResult:
     """Quasi-Minimal Residual (Freund & Nachtigal, no look-ahead):
     Lanczos biorthogonalization with a quasi-minimizing Givens update —
-    BiCG's subspace with MINRES-smooth convergence. Unpreconditioned
-    (split M1/M2 preconditioning is not offered; precondition the
-    operator or use BiCGStab/GMRES)."""
+    BiCG's subspace with MINRES-smooth convergence. Split M1/M2
+    preconditioning (Templates fig. 2.9; scipy's ``qmr(M1=, M2=)``):
+    ``m1_solve``/``m2_solve`` apply the left/right approximate-inverse
+    factors, ``m1t_solve``/``m2t_solve`` their transposes — all four
+    default to identity (pass matching pairs or the dual Lanczos sequence
+    loses biorthogonality)."""
+    ident = lambda v: v  # noqa: E731
+    m1s = m1_solve or ident
+    m1ts = m1t_solve or ident
+    m2s = m2_solve or ident
+    m2ts = m2t_solve or ident
     b = jnp.asarray(b)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
 
@@ -179,37 +191,41 @@ def qmr_solve(
     b_norm2 = jnp.vdot(b, b).real
     tol2 = jnp.asarray(tol, b_norm2.dtype) ** 2 * jnp.where(b_norm2 > 0, b_norm2, 1.0)
     vt = r
-    rho = jnp.sqrt(jnp.vdot(vt, vt).real)
+    y0 = m1s(vt)
+    rho = jnp.sqrt(jnp.vdot(y0, y0).real)
     wt = r
-    xi = jnp.sqrt(jnp.vdot(wt, wt).real)
+    z0 = m2ts(wt)
+    xi = jnp.sqrt(jnp.vdot(z0, z0).real)
     zero = jnp.zeros_like(b)
     one = jnp.ones((), b_norm2.dtype)
 
-    # state: x, r, vt, wt, p, q, d, s, rho, xi, gamma, eta, theta, eps,
-    # rr, ok, k — first-iteration cases fold away via p=q=d=s=0, eps=1,
-    # gamma=1, eta=-1, theta=0 (same algebra as the branchy form).
+    # state: x, r, vt, y, wt, z, p, q, d, s, rho, xi, gamma, eta, theta,
+    # eps, rr, ok, k — first-iteration cases fold away via p=q=d=s=0,
+    # eps=1, gamma=1, eta=-1, theta=0 (same algebra as the branchy form).
     def cond(st):
-        rr, ok, k = st[14], st[15], st[16]
+        rr, ok, k = st[16], st[17], st[18]
         return jnp.logical_and(jnp.logical_and(rr > tol2, ok), k < maxiter)
 
     def body(st):
-        (x, r, vt, wt, p, q, d, s, rho, xi, gamma, eta, theta, eps,
+        (x, r, vt, yc, wt, zc, p, q, d, s, rho, xi, gamma, eta, theta, eps,
          _rr, _ok, k) = st
         v = vt / _guard(rho)
-        y = v
+        y = yc / _guard(rho)
         w = wt / _guard(xi)
-        z = w
+        z = zc / _guard(xi)
         delta = jnp.vdot(z, y).real
-        p = y - (xi * delta / _guard(eps)) * p
-        q = z - (rho * delta / _guard(eps)) * q
+        p = m2s(y) - (xi * delta / _guard(eps)) * p
+        q = m1ts(z) - (rho * delta / _guard(eps)) * q
         pt = matvec(p)
         eps = jnp.vdot(q, pt).real
         beta = eps / _guard(delta)
         vt = pt - beta * v
+        y_new = m1s(vt)
         rho_prev = rho
-        rho = jnp.sqrt(jnp.vdot(vt, vt).real)
+        rho = jnp.sqrt(jnp.vdot(y_new, y_new).real)
         wt = rmatvec(q) - beta * w
-        xi = jnp.sqrt(jnp.vdot(wt, wt).real)
+        z_new = m2ts(wt)
+        xi = jnp.sqrt(jnp.vdot(z_new, z_new).real)
         gamma_prev = gamma
         theta_prev = theta
         theta = rho / _guard(gamma_prev * jnp.abs(beta))
@@ -228,14 +244,14 @@ def qmr_solve(
         s = jnp.where(ok, eta * pt + fac * s, s)
         x = jnp.where(ok, x + d, x)
         r = jnp.where(ok, r - s, r)
-        return (x, r, vt, wt, p, q, d, s, rho, xi, gamma, eta, theta, eps,
-                jnp.vdot(r, r).real, ok, k + 1)
+        return (x, r, vt, y_new, wt, z_new, p, q, d, s, rho, xi, gamma,
+                eta, theta, eps, jnp.vdot(r, r).real, ok, k + 1)
 
-    st0 = (x, r, vt, wt, zero, zero, zero, zero, rho, xi, one, -one,
-           jnp.zeros((), b_norm2.dtype), one, jnp.vdot(r, r).real,
+    st0 = (x, r, vt, y0, wt, z0, zero, zero, zero, zero, rho, xi, one,
+           -one, jnp.zeros((), b_norm2.dtype), one, jnp.vdot(r, r).real,
            jnp.bool_(True), jnp.int32(0))
     st = jax.lax.while_loop(cond, body, st0)
-    return CgResult(x=st[0], iterations=st[16], residual_norm=jnp.sqrt(st[14]))
+    return CgResult(x=st[0], iterations=st[18], residual_norm=jnp.sqrt(st[16]))
 
 
 def tfqmr_solve(

@@ -399,17 +399,32 @@ def cgs(a, b, x0=None, *, rtol=1e-5, atol=0.0, maxiter=None, M=None,
 
 def qmr(a, b, x0=None, *, rtol=1e-5, atol=0.0, maxiter=None, M1=None,
         M2=None, callback=None):
-    """scipy.sparse.linalg.qmr-shaped. Split preconditioning (M1/M2) is
-    not offered — precondition the operator, or use bicgstab/gmres."""
+    """scipy.sparse.linalg.qmr-shaped. ``M1``/``M2`` are the left/right
+    approximate-inverse factors (scipy semantics: applying them applies
+    the inverse); their transposed applies come from ``rmatvec``/``.T``
+    when available, else the factor must be symmetric."""
     if callback is not None:
         raise NotImplementedError("callback: jitted while_loop")
-    if M1 is not None or M2 is not None:
-        raise NotImplementedError("split-preconditioned QMR is not offered")
     mv, rmv, n = _square_matvec_pair(a)
+
+    def _pair(mfac):
+        if mfac is None:
+            return None, None
+        fwd = _precond_callable(mfac, n)
+        if hasattr(mfac, "rmatvec"):
+            return fwd, mfac.rmatvec
+        if isinstance(mfac, (CsrMatrix, LinearOperator)):
+            tmv, _tn = _square_matvec(mfac.T)
+            return fwd, tmv
+        return fwd, fwd  # bare callable: symmetric-factor assumption
+
+    m1s, m1ts = _pair(M1)
+    m2s, m2ts = _pair(M2)
     maxiter = int(maxiter) if maxiter is not None else 10 * n
     tol = _eff_tol(b, rtol, atol)
     res = qmr_solve(mv, rmv, np.asarray(b, np.float32), x0, tol=tol,
-                    maxiter=maxiter)
+                    maxiter=maxiter, m1_solve=m1s, m1t_solve=m1ts,
+                    m2_solve=m2s, m2t_solve=m2ts)
     return np.asarray(res.x), _info(res, b, tol, maxiter)
 
 

@@ -131,13 +131,14 @@ def test_tfqmr_residual_is_true_residual():
     )
 
 
-def test_qmr_rejects_split_preconditioner():
+def test_qmr_accepts_identity_split_preconditioner():
     from sparse_matrix_tpu.sparse import linalg as xla_sla
 
     A = poisson_2d_csr(4, dtype=np.float32)
     b = np.ones(16, np.float32)
-    with pytest.raises(NotImplementedError):
-        xla_sla.qmr(A, b, M1=np.eye(16))
+    x, info = xla_sla.qmr(A, b, M1=np.eye(16))
+    assert info == 0
+    np.testing.assert_allclose(A.to_dense() @ x, b, atol=1e-3)
 
 
 def test_breakdown_returns_current_iterate():
@@ -155,3 +156,60 @@ def test_breakdown_returns_current_iterate():
     ]:
         res = solver(*args, tol=1e-6, maxiter=50)
         assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_qmr_split_preconditioned_converges_faster():
+    # badly scaled nonsymmetric system; split Jacobi sqrt(D) on both sides
+    n = 12
+    d = _convdiff(n).astype(np.float32)
+    rng = np.random.default_rng(11)
+    sc = np.exp(rng.uniform(-1.5, 1.5, n * n)).astype(np.float32)
+    d = d * sc[None, :] * sc[:, None]
+    mv = lambda x: d @ x  # noqa: E731
+    rmv = lambda x: d.T @ x  # noqa: E731
+    b = rng.standard_normal(n * n).astype(np.float32)
+    # f32 loop: 1e-5 is the attainable relative residual regime
+    plain = qmr_solve(mv, rmv, b, tol=1e-5, maxiter=3000)
+    inv_sqrt = (1.0 / np.sqrt(np.abs(np.diag(d)))).astype(np.float32)
+    pre = qmr_solve(
+        mv, rmv, b, tol=1e-5, maxiter=3000,
+        m1_solve=lambda v: inv_sqrt * v, m1t_solve=lambda v: inv_sqrt * v,
+        m2_solve=lambda v: inv_sqrt * v, m2t_solve=lambda v: inv_sqrt * v,
+    )
+    rn = np.linalg.norm(d @ np.asarray(pre.x, np.float64) - b)
+    assert rn <= 1e-4 * np.linalg.norm(b)
+    assert int(pre.iterations) < int(plain.iterations)
+
+
+def test_qmr_identity_precond_matches_plain():
+    n = 10
+    d = _convdiff(n).astype(np.float32)
+    rng = np.random.default_rng(12)
+    b = rng.standard_normal(n * n).astype(np.float32)
+    mv = lambda x: d @ x  # noqa: E731
+    rmv = lambda x: d.T @ x  # noqa: E731
+    plain = qmr_solve(mv, rmv, b, tol=1e-7, maxiter=2000)
+    ident = qmr_solve(mv, rmv, b, tol=1e-7, maxiter=2000,
+                      m1_solve=lambda v: v, m2t_solve=lambda v: v)
+    np.testing.assert_allclose(np.asarray(ident.x), np.asarray(plain.x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_facade_qmr_m1_m2_vs_scipy():
+    from sparse_matrix_tpu.sparse.linalg import qmr
+
+    n = 10
+    d = _convdiff(n)
+    A = CsrMatrix.from_scipy(scipy.sparse.csr_matrix(d))
+    rng = np.random.default_rng(13)
+    b = rng.standard_normal(n * n)
+    inv_diag = 1.0 / np.diag(d)
+    M1 = scipy.sparse.diags(inv_diag).tocsr()
+    x, info = qmr(A, b, rtol=1e-5, M1=CsrMatrix.from_scipy(M1))
+    assert info == 0
+    eye = sla.aslinearoperator(scipy.sparse.identity(n * n).tocsr())
+    ref = sla.qmr(scipy.sparse.csr_matrix(d), b, rtol=1e-7,
+                  M1=sla.aslinearoperator(M1), M2=eye)[0]
+    rn = np.linalg.norm(d @ np.asarray(x, np.float64) - b)
+    assert rn <= 1e-4 * np.linalg.norm(b)
+    np.testing.assert_allclose(x, ref, atol=5e-3)
