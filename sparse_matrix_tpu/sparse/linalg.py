@@ -602,11 +602,26 @@ def eigs(a, k: int = 6, *, which: str = "LM", v0=None, maxiter=None,
 def eigsh(a, k: int = 6, *, which: str = "LA", v0=None, maxiter=None,
           tol: float = 1e-5, sigma=None, M=None, seed: int = 0, **_ignored):
     """Symmetric eigenpairs via LOBPCG. ``which``: LA/LM -> largest,
-    SA/SM -> smallest ALGEBRAIC. Returns ``(vals ascending, vecs)`` like
-    scipy. ``sigma=`` runs shift-invert Lanczos over one exact LDL^T of
-    ``A - sigma I`` — eigenvalues NEAREST sigma. ``M=`` (SPD) solves the
-    generalized pencil via exact chol(M) + M-Lanczos
+    SA/SM -> smallest ALGEBRAIC, BE -> both ends (k//2 smallest +
+    k-k//2 largest, scipy's split). Returns ``(vals ascending, vecs)``
+    like scipy. ``sigma=`` runs shift-invert Lanczos over one exact
+    LDL^T of ``A - sigma I`` — eigenvalues NEAREST sigma. ``M=`` (SPD)
+    solves the generalized pencil via exact chol(M) + M-Lanczos
     (``solvers.generalized``)."""
+    if which == "BE" and sigma is None:
+        k = int(k)
+        k_lo = k // 2
+        k_hi = k - k_lo
+        lo = eigsh(a, k_lo, which="SA", v0=None, maxiter=maxiter, tol=tol,
+                   M=M, seed=seed) if k_lo else (np.empty(0), None)
+        hi = eigsh(a, k_hi, which="LA", v0=None, maxiter=maxiter, tol=tol,
+                   M=M, seed=seed)
+        if k_lo == 0:
+            return hi
+        vals = np.concatenate([lo[0], hi[0]])
+        vecs = np.concatenate([np.asarray(lo[1]), np.asarray(hi[1])], axis=1)
+        order = np.argsort(vals)
+        return vals[order], vecs[:, order]
     if M is not None:
         from ..solvers import eigsh_generalized
 

@@ -193,3 +193,24 @@ def test_svds_smallest_vs_scipy():
     # triplets reconstruct: A v = s u
     np.testing.assert_allclose(A_s.toarray() @ vt.T, u * s[None, :],
                                atol=1e-7)
+
+
+def test_eigsh_both_ends():
+    import scipy.sparse.linalg as sla
+
+    from sparse_matrix_tpu.sparse.linalg import eigsh
+    from sparse_matrix_tpu.solvers.poisson import poisson_2d_csr
+
+    A = poisson_2d_csr(8, dtype=np.float64)
+    vals, vecs = eigsh(A, 4, which="BE", tol=1e-8, maxiter=2000)
+    ref = np.sort(sla.eigsh(A.to_scipy().tocsc(), 4, which="BE")[0])
+    np.testing.assert_allclose(vals, ref, rtol=1e-4)
+    assert vecs.shape == (64, 4)
+    # generalized BE through the M-Lanczos path
+    from sparse_matrix_tpu.formats.construct import diags
+
+    M = diags([0.25, 1.0, 0.25], [-1, 0, 1], shape=(64, 64), dtype=np.float64)
+    gv, _ = eigsh(A, 4, which="BE", M=M)
+    gref = np.sort(sla.eigsh(A.to_scipy().tocsc(), 4, which="BE",
+                             M=M.to_scipy().tocsc())[0])
+    np.testing.assert_allclose(gv, gref, rtol=1e-6)
