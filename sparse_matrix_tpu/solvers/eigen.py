@@ -249,41 +249,90 @@ def eigsh_shift_invert(
         raise ValueError("eigsh_shift_invert needs a square matrix")
     if not 1 <= k < n:
         raise ValueError(f"k={k} out of range for n={n}")
-    if m is None:
+    adaptive = m is None
+    if adaptive:
         m = min(n, max(2 * k + 10, 20))
     m = int(min(max(m, k + 2), n))
 
     fac = ldl(_shifted(a, sigma), reorder=reorder)
-    rng = np.random.default_rng(seed)
-    v = rng.standard_normal(n)
-    v /= np.linalg.norm(v)
-    basis = np.zeros((m, n))
-    alphas = np.zeros(m)
-    betas = np.zeros(m)
-    for j in range(m):
-        basis[j] = v
-        w = ldl_solve(fac, v)
-        alphas[j] = float(w @ v)
-        # full reorthogonalization (twice is enough, Parlett)
-        w -= basis[: j + 1].T @ (basis[: j + 1] @ w)
-        w -= basis[: j + 1].T @ (basis[: j + 1] @ w)
-        beta = float(np.linalg.norm(w))
-        betas[j] = beta
-        if beta <= 1e-14:
-            m = j + 1
-            basis = basis[:m]
-            alphas = alphas[:m]
-            betas = betas[:m]
+
+    def run(m_try, kk, deflate, seed_i):
+        """One Lanczos sweep orthogonal to the ``deflate`` rows; returns
+        the kk Ritz pairs nearest sigma."""
+        rng = np.random.default_rng(seed_i)
+        v = rng.standard_normal(n)
+        if deflate.shape[0]:
+            v -= deflate.T @ (deflate @ v)
+        v /= np.linalg.norm(v)
+        basis = np.zeros((m_try, n))
+        alphas = np.zeros(m_try)
+        betas = np.zeros(m_try)
+        for j in range(m_try):
+            basis[j] = v
+            w = ldl_solve(fac, v)
+            alphas[j] = float(w @ v)
+            # full reorthogonalization (twice is enough, Parlett) against
+            # both the running basis and the locked/deflated vectors
+            for _ in range(2):
+                w -= basis[: j + 1].T @ (basis[: j + 1] @ w)
+                if deflate.shape[0]:
+                    w -= deflate.T @ (deflate @ w)
+            beta = float(np.linalg.norm(w))
+            betas[j] = beta
+            if beta <= 1e-14:
+                m_try = j + 1
+                basis = basis[:m_try]
+                alphas = alphas[:m_try]
+                betas = betas[:m_try]
+                break
+            v = w / beta
+        t = (np.diag(alphas) + np.diag(betas[: m_try - 1], 1)
+             + np.diag(betas[: m_try - 1], -1))
+        theta, y = np.linalg.eigh(t)
+        keep = np.abs(theta) > 1e-14  # theta -> 0 = far end of the spectrum
+        theta, y = theta[keep], y[:, keep]
+        order = np.argsort(-np.abs(theta))[: min(kk, len(theta))]
+        vals = sigma + 1.0 / theta[order]
+        vecs = basis.T @ y[:, order]
+        vecs /= np.linalg.norm(vecs, axis=0, keepdims=True)
+        fine = np.argsort(np.abs(vals - sigma))
+        return vals[fine], vecs[:, fine]
+
+    if not adaptive:
+        return run(m, k, np.zeros((0, n)), seed)
+
+    # Adaptive path with locking restarts: one Krylov sequence holds at
+    # most ONE copy of a degenerate eigenvalue, so converged pairs are
+    # locked and the next sweep runs deflated against them — the restart
+    # recovers the remaining copies of clustered/multiple eigenvalues.
+    locked_v: list = []
+    locked_x = np.zeros((0, n))
+    seed_i = seed
+    while len(locked_v) < k:
+        vals, vecs = run(m, k - len(locked_v), locked_x, seed_i)
+        r = a.dot(vecs) - vecs * vals[None, :]
+        rn = np.linalg.norm(r, axis=0)
+        good = rn <= 1e-8 * np.maximum(1.0, np.abs(vals))
+        if np.any(good):
+            gx = vecs[:, good]
+            # re-orthogonalize against already-locked before locking
+            if locked_x.shape[0]:
+                gx = gx - locked_x.T @ (locked_x @ gx)
+                gx /= np.maximum(np.linalg.norm(gx, axis=0, keepdims=True),
+                                 1e-30)
+            locked_v.extend(vals[good].tolist())
+            locked_x = np.concatenate([locked_x, gx.T], axis=0)
+            seed_i += 1
+            continue
+        if m >= n:
+            # cannot do better: return locked + best unconverged residue
+            need = k - len(locked_v)
+            locked_v.extend(vals[:need].tolist())
+            locked_x = np.concatenate([locked_x, vecs[:, :need].T], axis=0)
             break
-        v = w / beta
-    t = np.diag(alphas) + np.diag(betas[: m - 1], 1) + np.diag(betas[: m - 1], -1)
-    theta, y = np.linalg.eigh(t)
-    keep = np.abs(theta) > 1e-14  # theta -> 0 is the far end of the spectrum
-    theta, y = theta[keep], y[:, keep]
-    order = np.argsort(-np.abs(theta))[:k]
-    vals = sigma + 1.0 / theta[order]
-    vecs = basis.T @ y[:, order]
-    vecs /= np.linalg.norm(vecs, axis=0, keepdims=True)
+        m = min(n, 2 * m)
+    vals = np.asarray(locked_v[:k])
+    vecs = locked_x[:k].T
     fine = np.argsort(np.abs(vals - sigma))
     return vals[fine], vecs[:, fine]
 

@@ -601,13 +601,45 @@ def eigs(a, k: int = 6, *, which: str = "LM", v0=None, maxiter=None,
 
 def eigsh(a, k: int = 6, *, which: str = "LA", v0=None, maxiter=None,
           tol: float = 1e-5, sigma=None, M=None, seed: int = 0, **_ignored):
-    """Symmetric eigenpairs via LOBPCG. ``which``: LA/LM -> largest,
-    SA/SM -> smallest ALGEBRAIC, BE -> both ends (k//2 smallest +
-    k-k//2 largest, scipy's split). Returns ``(vals ascending, vecs)``
-    like scipy. ``sigma=`` runs shift-invert Lanczos over one exact
-    LDL^T of ``A - sigma I`` — eigenvalues NEAREST sigma. ``M=`` (SPD)
-    solves the generalized pencil via exact chol(M) + M-Lanczos
-    (``solvers.generalized``)."""
+    """Symmetric eigenpairs via LOBPCG. ``which``: LA -> largest
+    ALGEBRAIC, SA -> smallest ALGEBRAIC, LM/SM -> largest/smallest
+    MAGNITUDE (scipy semantics: LM computes both spectrum ends and keeps
+    the k largest ``|lambda|``; SM runs shift-invert at 0), BE -> both
+    ends (k//2 smallest + k-k//2 largest, scipy's split). Returns
+    ``(vals ascending, vecs)`` like scipy. ``sigma=`` runs shift-invert
+    Lanczos over one exact LDL^T of ``A - sigma I`` — eigenvalues
+    NEAREST sigma. ``M=`` (SPD) solves the generalized pencil via exact
+    chol(M) + M-Lanczos (``solvers.generalized``)."""
+    if which == "SM" and sigma is None and M is None:
+        # smallest |lambda| = eigenvalues nearest 0 (exact LDL shift-invert)
+        return eigsh(a, k, which="LM", v0=v0, maxiter=maxiter, tol=tol,
+                     sigma=0.0, seed=seed)
+    if which == "LM" and sigma is None:
+        # largest |lambda|: both spectrum ends, keep the k biggest moduli
+        k = int(k)
+        lo = eigsh(a, k, which="SA", v0=v0, maxiter=maxiter, tol=tol,
+                   M=M, seed=seed)
+        hi = eigsh(a, k, which="LA", v0=v0, maxiter=maxiter, tol=tol,
+                   M=M, seed=seed)
+        vals = np.concatenate([lo[0], hi[0]])
+        vecs = np.concatenate([np.asarray(lo[1]), np.asarray(hi[1])], axis=1)
+        # the two runs can duplicate pairs when the ends overlap (k > n/2
+        # is rejected upstream, but clustered spectra can still collide)
+        sel = np.argsort(-np.abs(vals))
+        picked, pvals = [], []
+        for i in sel:
+            if any(abs(vals[i] - pv) <= 1e-10 * max(1.0, abs(pv))
+                   and abs(np.abs(np.vdot(vecs[:, i], vecs[:, j]))) > 0.99
+                   for pv, j in zip(pvals, picked)):
+                continue
+            picked.append(i)
+            pvals.append(vals[i])
+            if len(picked) == k:
+                break
+        vals = vals[picked]
+        vecs = vecs[:, picked]
+        order = np.argsort(vals)
+        return vals[order], vecs[:, order]
     if which == "BE" and sigma is None:
         k = int(k)
         k_lo = k // 2

@@ -214,3 +214,27 @@ def test_eigsh_both_ends():
     gref = np.sort(sla.eigsh(A.to_scipy().tocsc(), 4, which="BE",
                              M=M.to_scipy().tocsc())[0])
     np.testing.assert_allclose(gv, gref, rtol=1e-6)
+
+
+def test_eigsh_lm_sm_are_magnitude_not_algebraic():
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as sla
+
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+    from sparse_matrix_tpu.sparse.linalg import eigsh
+    from sparse_matrix_tpu.solvers.poisson import poisson_2d_csr
+
+    # indefinite: spectrum of Poisson(8) - 6I spans about (-6, 2), so
+    # largest-|lambda| pairs are NEGATIVE — LM must not return LA's
+    A_s = (poisson_2d_csr(8, dtype=np.float64).to_scipy()
+           - 6.0 * sp.identity(64)).tocsr()
+    A = CsrMatrix.from_scipy(A_s)
+    vals, vecs = eigsh(A, 3, which="LM", tol=1e-9, maxiter=3000)
+    ref = np.sort(sla.eigsh(A_s, 3, which="LM")[0])
+    np.testing.assert_allclose(vals, ref, rtol=1e-5)
+    assert np.all(vals < 0)  # the magnitude winners are the negative end
+    sm_vals, _ = eigsh(A, 3, which="SM")
+    sm_ref = np.sort(sla.eigsh(A_s, 3, which="SM")[0])
+    # atol: the spectrum contains an exact zero — two numerical zeros
+    # never match under rtol alone
+    np.testing.assert_allclose(sm_vals, sm_ref, rtol=1e-6, atol=1e-12)
