@@ -575,9 +575,13 @@ def eigs(a, k: int = 6, *, which: str = "LM", v0=None, maxiter=None,
     ``sigma=`` runs shift-invert: exact sparse LU of ``A - sigma I``
     (host-native, like the factorization itself) + host Arnoldi on the
     solve operator — eigenvalues NEAREST sigma, scipy semantics."""
+    if which == "SM" and sigma is None:
+        # smallest |lambda| = eigenvalues nearest 0 (exact LU shift-invert)
+        return eigs(a, k, which="LM", v0=v0, maxiter=maxiter, sigma=0.0,
+                    M=M)
     if which != "LM":
         raise NotImplementedError(
-            "eigs supports which='LM' (Arnoldi by modulus); see "
+            "eigs supports which='LM'/'SM' (Arnoldi by modulus); see "
             "solvers.eigen for generalized forms"
         )
     if M is not None:

@@ -238,3 +238,25 @@ def test_eigsh_lm_sm_are_magnitude_not_algebraic():
     # atol: the spectrum contains an exact zero — two numerical zeros
     # never match under rtol alone
     np.testing.assert_allclose(sm_vals, sm_ref, rtol=1e-6, atol=1e-12)
+
+
+def test_eigs_smallest_magnitude_vs_scipy():
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as sla
+
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+    from sparse_matrix_tpu.sparse.linalg import eigs
+    from sparse_matrix_tpu.solvers.poisson import poisson_2d_csr
+
+    # nonsymmetric, nonsingular: Poisson + skew + shift
+    d = poisson_2d_csr(7, dtype=np.float64).to_dense()
+    i = np.arange(48)
+    d[i, i + 1] += 0.3
+    d[i + 1, i] -= 0.3
+    d += 0.7 * np.eye(49)
+    A_s = sp.csr_matrix(d)
+    A = CsrMatrix.from_scipy(A_s)
+    vals, _ = eigs(A, 3, which="SM")
+    ref = sla.eigs(A_s, 3, which="SM")[0]
+    np.testing.assert_allclose(np.sort(np.abs(vals)), np.sort(np.abs(ref)),
+                               rtol=1e-7)
