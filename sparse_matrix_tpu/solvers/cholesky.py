@@ -155,6 +155,7 @@ def chol(a, *, reorder: str = "rcm") -> CholFactor:
     if out is None:
         out = _chol_python(a.rows, a.offsets, a.indices.astype(np.int64), vals)
     lp, li, lx = out
+    li, lx = li[: int(lp[-1])], lx[: int(lp[-1])]  # buffers are min-1 alloc'd
     # native layout = L by columns, diagonal first = sorted CSR of U = L^T
     u = CsrMatrix(a.rows, a.cols, lx, li.astype(np.uint32), lp, is_sorted=True)
     return CholFactor(l=u.transpose(), u=u, perm=perm)
@@ -271,6 +272,7 @@ def ldl(a, *, reorder: str = "rcm") -> LdlFactor:
     if out is None:
         out = _ldl_python(a.rows, a.offsets, a.indices.astype(np.int64), vals)
     lp, li, lx, d = out
+    li, lx = li[: int(lp[-1])], lx[: int(lp[-1])]  # buffers are min-1 alloc'd
     # strict L by columns = CSR of strict U; add explicit unit diagonals
     u_strict = CsrMatrix(
         a.rows, a.cols, lx, li.astype(np.uint32), lp, is_sorted=True
@@ -440,6 +442,8 @@ def lu(a, *, reorder: str = "rcm") -> LuFactor:
     if out is None:
         out = _lu_python(n, bp, bi, bx)
     lp, li, lx, up, ui, ux, pinv = out
+    li, lx = li[: int(lp[-1])], lx[: int(lp[-1])]  # buffers are min-1 alloc'd
+    ui, ux = ui[: int(up[-1])], ux[: int(up[-1])]
     # L, U arrive by COLUMNS with unsorted row order inside each column:
     # rebuild as sorted CSR via from_coo (cols of the CSC are CSR rows of
     # the transpose)

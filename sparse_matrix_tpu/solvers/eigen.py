@@ -310,6 +310,9 @@ def eigsh_shift_invert(
     seed_i = seed
     while len(locked_v) < k:
         vals, vecs = run(m, k - len(locked_v), locked_x, seed_i)
+        # a fresh start vector every sweep — a failed sweep must not
+        # restart with the same seed or it repeats verbatim forever
+        seed_i += 1
         r = a.dot(vecs) - vecs * vals[None, :]
         rn = np.linalg.norm(r, axis=0)
         good = rn <= 1e-8 * np.maximum(1.0, np.abs(vals))
@@ -322,17 +325,28 @@ def eigsh_shift_invert(
                                  1e-30)
             locked_v.extend(vals[good].tolist())
             locked_x = np.concatenate([locked_x, gx.T], axis=0)
-            seed_i += 1
             continue
         if m >= n:
-            # cannot do better: return locked + best unconverged residue
+            # cannot do better: return locked + best unconverged residue;
+            # an early Lanczos breakdown can leave vals SHORT of the need
             need = k - len(locked_v)
-            locked_v.extend(vals[:need].tolist())
-            locked_x = np.concatenate([locked_x, vecs[:, :need].T], axis=0)
+            take = min(need, vals.shape[0])
+            locked_v.extend(vals[:take].tolist())
+            locked_x = np.concatenate([locked_x, vecs[:, :take].T], axis=0)
+            if len(locked_v) < k:
+                import warnings
+
+                warnings.warn(
+                    f"eigsh_shift_invert: only {len(locked_v)} of k={k} "
+                    "pairs resolved at the full-subspace exit (Lanczos "
+                    "breakdown filtered the rest); returning the pairs "
+                    "found", RuntimeWarning, stacklevel=2,
+                )
             break
         m = min(n, 2 * m)
-    vals = np.asarray(locked_v[:k])
-    vecs = locked_x[:k].T
+    kk = min(k, len(locked_v))
+    vals = np.asarray(locked_v[:kk])
+    vecs = locked_x[:kk].T
     fine = np.argsort(np.abs(vals - sigma))
     return vals[fine], vecs[:, fine]
 

@@ -293,6 +293,7 @@ def lobpcg_generalized(
     *,
     largest: bool = True,
     m: Optional[int] = None,
+    tol: float = 1e-8,
     seed: int = 0,
     reorder: str = "rcm",
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -300,12 +301,13 @@ def lobpcg_generalized(
     extremal eigenpairs of the pencil. Routed through the exact M-Lanczos
     (one chol(M) beats LOBPCG's per-iteration B-orthonormalizations at
     the host sizes this targets); returns scipy's ordering (descending
-    when ``largest``)."""
+    when ``largest``). ``m=None`` keeps the adaptive residual-driven
+    subspace growth (gated by ``tol``); an explicit ``m`` pins it."""
     x0 = np.asarray(x0)
     k = x0.shape[1] if x0.ndim == 2 else 1
     vals, vecs = eigsh_generalized(
         a, m_mat, k, which="LA" if largest else "SA",
-        m=m, seed=seed, reorder=reorder,
+        m=m, tol=tol, seed=seed, reorder=reorder,
     )
     if largest:
         return vals[::-1], vecs[:, ::-1]

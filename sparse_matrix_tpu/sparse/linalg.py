@@ -15,9 +15,11 @@ Semantics deltas vs scipy, stated once:
 * ``gmres``/``bicgstab`` precondition on the RIGHT (the stopping test sees
   the TRUE residual — scipy's gmres is left-preconditioned and tests the
   preconditioned residual);
-* ``eigsh`` is LOBPCG-backed: ``which`` supports LA/LM (largest) and SA/SM
-  (smallest ALGEBRAIC — for indefinite operators SM-as-magnitude needs
-  shift-invert, see ``solvers.eigen.inverse_power_iteration``);
+* ``eigsh``/``eigs`` follow scipy's MAGNITUDE semantics for LM/SM:
+  ``LM`` keeps the k largest ``|lambda|`` (symmetric case: both spectrum
+  ends are computed and merged), ``SM`` routes through exact LDL^T / LU
+  shift-invert at 0 (singular operators retry at a tiny positive shift);
+  LA/SA are largest/smallest ALGEBRAIC (LOBPCG / Lanczos backed);
 * ``lsqr``/``lsmr`` return scipy's tuple arity with the fields this
   implementation tracks; untracked diagnostics are ``nan``.
 
@@ -569,16 +571,39 @@ def lsmr(a, b, damp=0.0, atol=1e-6, btol=1e-6, conlim=None, maxiter=None,
             float(res.atr_norm), np.nan, np.nan, float(np.linalg.norm(x)))
 
 
+def _sm_sigma_retry(run_at, a):
+    """Run ``run_at(sigma)`` at sigma=0; on the exact factorization's
+    zero-pivot/singular error (A singular — e.g. a graph Laplacian, whose
+    smallest eigenvalue is exactly 0) retry at a tiny positive shift
+    scaled to the matrix (scipy's ARPACK SM handles singular operators;
+    the exact shift-invert route here needs the nudge)."""
+    try:
+        return run_at(0.0)
+    except ValueError as e:
+        msg = str(e)
+        if not ("pivot" in msg or "singular" in msg):
+            raise
+    m = _ascsr(a)
+    scale = float(np.max(np.abs(m.vals))) if m.nnz() else 1.0
+    eps = 1e-6 * max(scale, 1e-30)
+    return run_at(eps)
+
+
 def eigs(a, k: int = 6, *, which: str = "LM", v0=None, maxiter=None,
          sigma=None, M=None, **_ignored):
     """Arnoldi top-k-by-modulus eigenpairs (``which='LM'``).
     ``sigma=`` runs shift-invert: exact sparse LU of ``A - sigma I``
     (host-native, like the factorization itself) + host Arnoldi on the
-    solve operator — eigenvalues NEAREST sigma, scipy semantics."""
+    solve operator — eigenvalues NEAREST sigma, scipy semantics.
+    ``which='SM'`` shift-inverts at 0; a singular ``A`` retries at a tiny
+    matrix-scaled shift (see :func:`_sm_sigma_retry`)."""
     if which == "SM" and sigma is None:
         # smallest |lambda| = eigenvalues nearest 0 (exact LU shift-invert)
-        return eigs(a, k, which="LM", v0=v0, maxiter=maxiter, sigma=0.0,
-                    M=M)
+        return _sm_sigma_retry(
+            lambda s: eigs(a, k, which="LM", v0=v0, maxiter=maxiter,
+                           sigma=s, M=M),
+            a,
+        )
     if which != "LM":
         raise NotImplementedError(
             "eigs supports which='LM'/'SM' (Arnoldi by modulus); see "
@@ -615,31 +640,65 @@ def eigsh(a, k: int = 6, *, which: str = "LA", v0=None, maxiter=None,
     NEAREST sigma. ``M=`` (SPD) solves the generalized pencil via exact
     chol(M) + M-Lanczos (``solvers.generalized``)."""
     if which == "SM" and sigma is None and M is None:
-        # smallest |lambda| = eigenvalues nearest 0 (exact LDL shift-invert)
-        return eigsh(a, k, which="LM", v0=v0, maxiter=maxiter, tol=tol,
-                     sigma=0.0, seed=seed)
+        # smallest |lambda| = eigenvalues nearest 0 (exact LDL shift-invert;
+        # singular A retries at a tiny matrix-scaled shift)
+        return _sm_sigma_retry(
+            lambda s: eigsh(a, k, which="LM", v0=v0, maxiter=maxiter,
+                            tol=tol, sigma=s, seed=seed),
+            a,
+        )
     if which == "LM" and sigma is None:
-        # largest |lambda|: both spectrum ends, keep the k biggest moduli
+        # largest |lambda|: both spectrum ends, keep the k biggest moduli.
+        # The two end-runs can resolve the SAME pair when the ends overlap
+        # (clustered spectra); dedup by (value, vector-overlap), then top
+        # up with wider end-runs if collisions left fewer than k pairs.
         k = int(k)
-        lo = eigsh(a, k, which="SA", v0=v0, maxiter=maxiter, tol=tol,
-                   M=M, seed=seed)
-        hi = eigsh(a, k, which="LA", v0=v0, maxiter=maxiter, tol=tol,
-                   M=M, seed=seed)
-        vals = np.concatenate([lo[0], hi[0]])
-        vecs = np.concatenate([np.asarray(lo[1]), np.asarray(hi[1])], axis=1)
-        # the two runs can duplicate pairs when the ends overlap (k > n/2
-        # is rejected upstream, but clustered spectra can still collide)
-        sel = np.argsort(-np.abs(vals))
-        picked, pvals = [], []
-        for i in sel:
-            if any(abs(vals[i] - pv) <= 1e-10 * max(1.0, abs(pv))
-                   and abs(np.abs(np.vdot(vecs[:, i], vecs[:, j]))) > 0.99
-                   for pv, j in zip(pvals, picked)):
-                continue
-            picked.append(i)
-            pvals.append(vals[i])
-            if len(picked) == k:
-                break
+
+        def ends(kk):
+            lo = eigsh(a, kk, which="SA", v0=v0, maxiter=maxiter, tol=tol,
+                       M=M, seed=seed)
+            hi = eigsh(a, kk, which="LA", v0=v0, maxiter=maxiter, tol=tol,
+                       M=M, seed=seed)
+            vals = np.concatenate([lo[0], hi[0]])
+            vecs = np.concatenate(
+                [np.asarray(lo[1]), np.asarray(hi[1])], axis=1)
+            return vals, vecs
+
+        def dedup(vals, vecs):
+            # generalized-pencil runs return M-orthonormal vectors; the
+            # overlap test needs 2-normalized copies or a duplicated pair
+            # can evade it (||v||_2 != 1 shrinks the inner product)
+            nv = vecs / np.maximum(
+                np.linalg.norm(vecs, axis=0, keepdims=True), 1e-30)
+            sel = np.argsort(-np.abs(vals))
+            picked, pvals = [], []
+            for i in sel:
+                if any(abs(vals[i] - pv) <= 1e-10 * max(1.0, abs(pv))
+                       and np.abs(np.vdot(nv[:, i], nv[:, j])) > 0.99
+                       for pv, j in zip(pvals, picked)):
+                    continue
+                picked.append(i)
+                pvals.append(vals[i])
+                if len(picked) == k:
+                    break
+            return picked
+
+        vals, vecs = ends(k)
+        picked = dedup(vals, vecs)
+        if len(picked) < k:
+            # widen both ends by the shortfall and re-dedup once
+            kk = k + (k - len(picked)) + 1
+            try:
+                vals, vecs = ends(kk)
+                picked = dedup(vals, vecs)
+            except ValueError:
+                pass  # wider k violated a backend bound; report below
+        if len(picked) < k:
+            raise RuntimeError(
+                f"eigsh(which='LM') resolved only {len(picked)} distinct "
+                f"pairs of the requested k={k} (spectrum-end runs "
+                "collided); request fewer pairs or use which='LA'/'SA'"
+            )
         vals = vals[picked]
         vecs = vecs[:, picked]
         order = np.argsort(vals)
@@ -694,17 +753,21 @@ def eigsh(a, k: int = 6, *, which: str = "LA", v0=None, maxiter=None,
     return vals[order], vecs[:, order]
 
 
-def lobpcg(a, X, B=None, M=None, *, largest=True, tol=1e-5, maxiter=200,
+def lobpcg(a, X, B=None, M=None, *, largest=True, tol=1e-5, maxiter=None,
            **_ignored):
     """scipy.sparse.linalg.lobpcg-shaped: returns ``(vals, vecs)``.
     Generalized problems (``B`` SPD) route through one exact ``chol(B)``
-    + M-Lanczos (``solvers.generalized``)."""
+    + M-Lanczos (``solvers.generalized``). For the generalized path
+    ``maxiter`` (when given) pins the Lanczos subspace size; the default
+    ``None`` keeps the residual-driven adaptive subspace growth, with
+    ``tol`` as its convergence gate."""
     if B is not None:
         from ..solvers import lobpcg_generalized
 
         return lobpcg_generalized(
             _ascsr(a), np.asarray(X), _ascsr(B),
-            largest=bool(largest), m=int(maxiter) if maxiter else None,
+            largest=bool(largest), tol=float(tol),
+            m=int(maxiter) if maxiter is not None else None,
         )
     mv, n = _square_matvec(a)
 
@@ -715,7 +778,7 @@ def lobpcg(a, X, B=None, M=None, *, largest=True, tol=1e-5, maxiter=200,
 
     res = _lobpcg(matmat, np.asarray(X, np.float32), largest=bool(largest),
                   precond=_precond_callable(M, n), tol=float(tol),
-                  maxiter=int(maxiter))
+                  maxiter=int(maxiter) if maxiter is not None else 200)
     return np.asarray(res.eigenvalues), np.asarray(res.eigenvectors)
 
 
@@ -723,29 +786,41 @@ def svds(a, k: int = 6, *, which: str = "LM", maxiter=None, seed: int = 0,
          **_ignored):
     """Top-k (``which='LM'``, GKL) or bottom-k (``which='SM'``) singular
     triplets; returns ``(u, s, vT)`` with ``s`` ASCENDING (scipy
-    ordering). ``'SM'`` runs shift-invert Lanczos at 0 on the SPD normal
-    matrix ``A^T A`` (one exact LDL^T; rank-deficient inputs surface as
-    the factorization's zero-pivot error, as in scipy's ARPACK failure
-    mode)."""
+    ordering). ``'SM'`` runs shift-invert Lanczos at 0 on the SPD Gram
+    matrix of the SMALLER side (``A^T A`` when tall, ``A A^T`` when wide
+    — the larger side's Gram is rank-deficient by construction for
+    rectangular inputs and would zero-pivot); genuinely rank-deficient
+    inputs surface as the factorization's zero-pivot error, as in
+    scipy's ARPACK failure mode."""
     if which == "SM":
         from ..solvers import eigsh_shift_invert
 
         A = _ascsr(a)
-        c = A.transpose() @ A  # SPD normal matrix (host SpGEMM)
+        wide = A.rows < A.cols
+        c = A @ A.transpose() if wide else A.transpose() @ A
         if not c.is_sorted:
             c = c.sorted_indices()
-        vals, v = eigsh_shift_invert(c, int(k), 0.0,
+        vals, w = eigsh_shift_invert(c, int(k), 0.0,
                                      m=int(maxiter) if maxiter else None)
         s = np.sqrt(np.maximum(np.asarray(vals), 0.0))
         order = np.argsort(s)
-        s, v = s[order], np.asarray(v)[:, order]
-        av = A.dot(v)
-        u0 = av / np.where(s > 0, s, 1.0)[None, :]
-        # re-orthonormalize U (defensive for clustered tiny s); QR may
-        # flip column signs — restore the A v alignment
-        u, _ = np.linalg.qr(u0)
-        sgn = np.sign(np.sum(u * u0, axis=0))
-        u = u * np.where(sgn == 0, 1.0, sgn)[None, :]
+        s, w = s[order], np.asarray(w)[:, order]
+
+        def other_side(side):
+            # recover the partner factor, re-orthonormalize (defensive
+            # for clustered tiny s); QR may flip column signs — restore
+            # the A-product alignment
+            o0 = side / np.where(s > 0, s, 1.0)[None, :]
+            o, _ = np.linalg.qr(o0)
+            sgn = np.sign(np.sum(o * o0, axis=0))
+            return o * np.where(sgn == 0, 1.0, sgn)[None, :]
+
+        if wide:
+            u = w  # eigenvectors of A A^T
+            v = other_side(A.transpose().dot(u))
+        else:
+            v = w  # eigenvectors of A^T A
+            u = other_side(A.dot(v))
         return u, s, v.T
     if which != "LM":
         raise NotImplementedError("svds supports which='LM' or 'SM'")

@@ -257,3 +257,23 @@ def test_solve_method_direct_block_rhs():
     res = solve(a, B, method="direct")
     np.testing.assert_allclose(d @ np.asarray(res.x), B, rtol=1e-9, atol=1e-9)
     assert float(res.residual_norm) < 1e-9
+
+
+def test_factorizations_of_diagonal_matrix():
+    # round-4 regression: a pure-diagonal input has an EMPTY strict
+    # factor, but the native/python factor buffers are min-1 allocated;
+    # the consumers must trim to lp[-1] or downstream from_coo dies with
+    # mismatched key shapes.
+    import numpy as np
+
+    from sparse_matrix_tpu.formats.construct import diags
+    from sparse_matrix_tpu.solvers.cholesky import (
+        chol, chol_solve, ldl, ldl_solve, lu, lu_solve,
+    )
+
+    d = np.array([2.0, 1.0, 3.0, 5.0, 4.0, 7.0, 6.0, 9.0])
+    A = diags([d], [0], shape=(8, 8), dtype=np.float64)
+    b = np.arange(1.0, 9.0)
+    for fac, solve in ((chol, chol_solve), (ldl, ldl_solve), (lu, lu_solve)):
+        f = fac(A)
+        np.testing.assert_allclose(solve(f, b), b / d, rtol=1e-12)

@@ -260,3 +260,100 @@ def test_eigs_smallest_magnitude_vs_scipy():
     ref = sla.eigs(A_s, 3, which="SM")[0]
     np.testing.assert_allclose(np.sort(np.abs(vals)), np.sort(np.abs(ref)),
                                rtol=1e-7)
+
+
+# ------------------------------------------------- round-4 ADVICE fixes
+
+def test_svds_smallest_wide_matrix():
+    # ADVICE r3: svds(which='SM') on a WIDE matrix used to form the
+    # cols x cols Gram (rank-deficient by construction) and zero-pivot;
+    # it must Gram the smaller side and recover V = A^T U / s.
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+    from sparse_matrix_tpu.sparse.linalg import svds
+
+    rng = np.random.default_rng(11)
+    A_s = sp.random(30, 40, density=0.3, random_state=rng,
+                    data_rvs=lambda k: rng.uniform(0.5, 2.0, k)).tocsr()
+    A_s = A_s + sp.diags(np.full(30, 3.0), 0, shape=(30, 40))  # full row rank
+    A_s.sort_indices()
+    u, s, vt = svds(CsrMatrix.from_scipy(A_s), 3, which="SM")
+    ref = np.sort(np.linalg.svd(A_s.toarray(), compute_uv=False))[:3]
+    np.testing.assert_allclose(s, ref, rtol=1e-8)
+    np.testing.assert_allclose(A_s.toarray() @ vt.T, u * s[None, :],
+                               atol=1e-7)
+    np.testing.assert_allclose(u.T @ u, np.eye(3), atol=1e-8)
+    np.testing.assert_allclose(vt @ vt.T, np.eye(3), atol=1e-8)
+
+
+def test_eigsh_sm_singular_operator():
+    # ADVICE r3: SM shift-invert at 0 needs A nonsingular; a singular A
+    # (here an exactly-singular diagonal) must retry at a tiny shift
+    # instead of dying on the LDL zero pivot.
+    from sparse_matrix_tpu.formats.construct import diags
+    from sparse_matrix_tpu.sparse.linalg import eigsh
+
+    d = np.array([0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0])
+    A = diags([d], [0], shape=(10, 10), dtype=np.float64)
+    vals, vecs = eigsh(A, 2, which="SM")
+    np.testing.assert_allclose(vals, [0.0, 1.0], atol=1e-6)
+    r = A.to_dense() @ vecs - vecs * vals[None, :]
+    assert np.linalg.norm(r) < 1e-6
+
+
+def test_eigs_sm_singular_operator():
+    # unsymmetric counterpart: LU 'singular at column' must also retry
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+    from sparse_matrix_tpu.sparse.linalg import eigs
+
+    d = np.diag([0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0])
+    d[0, 1] = 0.0  # keep exactly singular, nonsymmetric via off-diag below
+    d[2, 5] = 0.3
+    A = CsrMatrix.from_scipy(sp.csr_matrix(d))
+    vals, _ = eigs(A, 2, which="SM")
+    np.testing.assert_allclose(np.sort(np.abs(vals)), [0.0, 1.0], atol=1e-5)
+
+
+def test_eigsh_lm_generalized_dedup_is_m_aware():
+    # ADVICE r3: with M given the end-run vectors are M-orthonormal
+    # (||v||_2 != 1); the overlap dedup must 2-normalize or a duplicated
+    # pair evades it and the true k-th pair is silently dropped.
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+    from sparse_matrix_tpu.formats.construct import diags
+    from sparse_matrix_tpu.sparse.linalg import eigsh
+
+    # ends overlap: 2k > n so SA- and LA-runs share interior pairs; M
+    # entries > 1 shrink Euclidean overlaps of M-normalized duplicates
+    a_d = np.array([-2.0, -1.0, 0.5, 2.0, 4.0])
+    m_d = np.array([4.0, 9.0, 16.0, 4.0, 9.0])
+    A = diags([a_d], [0], shape=(5, 5), dtype=np.float64)
+    M = diags([m_d], [0], shape=(5, 5), dtype=np.float64)
+    vals, vecs = eigsh(A, 3, which="LM", M=M)
+    ref = np.sort(sla.eigsh(A.to_scipy().tocsc(), 3, which="LM",
+                            M=M.to_scipy().tocsc())[0])
+    np.testing.assert_allclose(vals, ref, rtol=1e-8)
+    # no duplicated eigenvectors among the returned pairs
+    nv = vecs / np.linalg.norm(vecs, axis=0, keepdims=True)
+    g = np.abs(nv.T @ nv) - np.eye(3)
+    assert g.max() < 0.9
+
+
+def test_lobpcg_generalized_adaptive_default():
+    # ADVICE r3: the facade pinned the Lanczos subspace to maxiter=200,
+    # disabling adaptive growth for n > 200 pencils; default must adapt.
+    from sparse_matrix_tpu.formats.construct import diags
+    from sparse_matrix_tpu.sparse.linalg import lobpcg
+
+    n = 300
+    rng = np.random.default_rng(3)
+    main = 2.0 + rng.random(n)
+    off = 0.3 * rng.random(n - 1)
+    A = sp.diags([off, main, off], [-1, 0, 1]).tocsr()
+    B = sp.diags([1.0 + rng.random(n)], [0]).tocsr()
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+
+    X = rng.standard_normal((n, 2))
+    vals, vecs = lobpcg(CsrMatrix.from_scipy(A), X,
+                        B=CsrMatrix.from_scipy(B))
+    dense_vals = np.sort(
+        np.real(np.linalg.eigvals(np.linalg.solve(B.toarray(), A.toarray()))))
+    np.testing.assert_allclose(np.sort(vals), dense_vals[-2:], rtol=1e-7)
