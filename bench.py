@@ -180,14 +180,21 @@ def main():
         except Exception as e:  # pragma: no cover - diagnostics only
             log(f"general row failed: {e!r}")
 
-        # corpus: the two non-banded bench classes on their dispatched
-        # formats (femlike -> bell span 256, randlocal -> aligned)
-        from sparse_matrix_tpu.bench.corpus import _fem_like, _random_local
+        # corpus: the non-banded bench classes on their dispatched formats,
+        # each tagged with its structure class so per-class roofline pct is
+        # visible round-over-round (VERDICT r3 #7: the geomean hides tail
+        # regressions). banded = the headline DIA row above.
+        from sparse_matrix_tpu.bench.corpus import (
+            _fem_like, _power_law_rows, _random_local,
+        )
 
         crng = np.random.default_rng(0)
-        for cname, cm in (
-            ("femlike_262k", _fem_like(crng, 512, 2)),
-            ("randlocal_262k", _random_local(crng, 1 << 18, 16, 4096)),
+        out["class_banded_pct"] = out["value"]
+        for cname, cls_tag, cm in (
+            ("femlike_262k", "local", _fem_like(crng, 512, 2)),
+            ("randlocal_262k", "scatter",
+             _random_local(crng, 1 << 18, 16, 4096)),
+            ("powerlaw_262k", "skew", _power_law_rows(crng, 1 << 18, 16)),
         ):
             try:
                 cop = SpmvOperator(cm)
@@ -200,10 +207,12 @@ def main():
                 rate = cm.nnz() / rc.seconds / 1e9
                 corpus_rates.append(rate)
                 cib = cm.nnz() * 8 + (cm.rows + cm.cols) * 4
+                cpct = 100.0 * cib / rc.seconds / 1e9 / hbm_gbps
+                out[f"class_{cls_tag}_pct"] = round(cpct, 2)
+                out[f"class_{cls_tag}_gnnz"] = round(rate, 2)
                 log(
                     f"corpus {cname} ({cop.format}): {rc.seconds*1e3:.4f} ms"
-                    f" -> {rate:.1f} Gnnz/s "
-                    f"({100.0*cib/rc.seconds/1e9/hbm_gbps:.1f}%), "
+                    f" -> {rate:.1f} Gnnz/s ({cpct:.1f}%), "
                     f"iters={rc.iters}, wall {wall:.0f}s"
                 )
             except Exception as e:  # pragma: no cover

@@ -86,6 +86,9 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.spmx_spgemm_symbolic.argtypes = [
         c_i64, _I64P, _U32P, _I64P, _U32P, _I64P, c_i64, c_int, _I64P,
     ]
+    lib.spmx_debug_set.argtypes = [c_int]
+    lib.spmx_debug_clear.argtypes = []
+    lib.spmx_debug_probe_hist.argtypes = [_I64P, _I64P]
     lib.spmx_blocks_count_nnz.restype = c_i64
     lib.spmx_blocks_count_nnz.argtypes = [_F32P, c_i64, c_i64]
     lib.spmx_blocks_to_coo.restype = c_i64
@@ -462,6 +465,46 @@ def colmap_smoothed_native(a, ws, rhs):
     )
 
 
+def _native_debug_begin(lib):
+    """Arm the native probe-length recorder when SPMX_DEBUG is on.
+
+    This instruments the engine that actually runs in production — the
+    reference's `debug` feature records probe histograms from inside
+    mul_hash (spam_csr/src/mul_hash.rs:98-99,188-189; linprobe/src/map.rs:
+    17-18), not from a fallback path. Returns True when armed."""
+    from ..utils.debugflags import debug_enabled
+
+    if not debug_enabled():
+        return False
+    lib.spmx_debug_clear()
+    lib.spmx_debug_set(1)
+    return True
+
+
+def _native_debug_end(lib, row_nz):
+    """Read back + disarm; surface through utils.debugflags histograms."""
+    from ..utils.debugflags import record_histogram
+
+    sym = np.zeros(64, dtype=np.int64)
+    num = np.zeros(64, dtype=np.int64)
+    lib.spmx_debug_probe_hist(sym, num)
+    lib.spmx_debug_set(0)
+    record_histogram(
+        "native_probe_symbolic",
+        {int(i): int(c) for i, c in enumerate(sym) if c},
+    )
+    record_histogram(
+        "native_probe_numeric",
+        {int(i): int(c) for i, c in enumerate(num) if c},
+    )
+    # per-phase row_nz dump analog (mul_hash.rs:18-25): output row-length
+    # histogram of the run that just completed
+    lens, counts = np.unique(row_nz, return_counts=True)
+    record_histogram(
+        "native_row_nz", {int(k): int(v) for k, v in zip(lens, counts)}
+    )
+
+
 def spgemm_hash_native(lhs, rhs, *, output_sorted: bool = False, num_threads: int = 0):
     """Two-phase threaded hash SpGEMM via the C++ runtime (mul_hash analog)."""
     from ..formats.csr import CsrMatrix, INDEX_DTYPE, OFFSET_DTYPE
@@ -489,6 +532,8 @@ def spgemm_hash_native(lhs, rhs, *, output_sorted: bool = False, num_threads: in
     # FLOPs (measured: experiments/spa_spgemm.out)
     flops_total = int(row_nz.sum())
     use_spa = rhs.cols <= _SPA_COLS_LIMIT and flops_total >= rhs.cols // 4
+
+    debug_armed = False if use_spa else _native_debug_begin(lib)
 
     # phase 2: symbolic -> exact row nnz
     if use_spa:
@@ -519,6 +564,8 @@ def spgemm_hash_native(lhs, rhs, *, output_sorted: bool = False, num_threads: in
             num_parts, num_threads, 1 if output_sorted else 0,
             out_indices, out_vals,
         )
+    if debug_armed:
+        _native_debug_end(lib, row_nz)
     return CsrMatrix(
         lhs.rows, rhs.cols, out_vals, out_indices, offsets, is_sorted=output_sorted
     )

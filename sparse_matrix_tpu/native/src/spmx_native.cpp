@@ -44,6 +44,58 @@ static inline i64 table_capacity(i64 n) {
 }
 
 // ---------------------------------------------------------------------------
+// Debug instrumentation: probe-length histograms (the reference's `debug`
+// cargo feature, linprobe/src/map.rs:17-18 + spam_csr/src/mul_hash.rs:18-25,
+// 98-99, 188-189 — per-phase probe histograms recorded by the engine that
+// actually runs). Runtime flag instead of a compile-time feature: when off,
+// the hot loops pay one predictable branch. Bin i counts lookups that took
+// i extra probe steps (0 = direct hit), capped at kProbeBins-1.
+// ---------------------------------------------------------------------------
+
+static const int kProbeBins = 64;
+static bool g_debug_probes = false;
+static std::atomic<long long> g_probe_hist_symbolic[kProbeBins];
+static std::atomic<long long> g_probe_hist_numeric[kProbeBins];
+
+extern "C" void spmx_debug_set(int on) { g_debug_probes = on != 0; }
+
+extern "C" void spmx_debug_clear() {
+  for (int i = 0; i < kProbeBins; ++i) {
+    g_probe_hist_symbolic[i].store(0, std::memory_order_relaxed);
+    g_probe_hist_numeric[i].store(0, std::memory_order_relaxed);
+  }
+}
+
+// out_symbolic/out_numeric: caller-allocated i64[64] each.
+extern "C" void spmx_debug_probe_hist(i64* out_symbolic, i64* out_numeric) {
+  for (int i = 0; i < kProbeBins; ++i) {
+    out_symbolic[i] = (i64)g_probe_hist_symbolic[i].load(std::memory_order_relaxed);
+    out_numeric[i] = (i64)g_probe_hist_numeric[i].load(std::memory_order_relaxed);
+  }
+}
+
+namespace {
+
+// Per-thread histogram buffer; flushed to the global atomics once per chunk
+// so the instrumented hot loop stays atomic-free.
+struct ProbeHist {
+  long long bins[kProbeBins] = {};
+  inline void record(int steps) {
+    ++bins[steps < kProbeBins ? steps : kProbeBins - 1];
+  }
+  void flush(std::atomic<long long>* global) {
+    for (int i = 0; i < kProbeBins; ++i) {
+      if (bins[i]) {
+        global[i].fetch_add(bins[i], std::memory_order_relaxed);
+        bins[i] = 0;
+      }
+    }
+  }
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
 // FLOP counting + row partitioning (the rows_to_threads analog)
 // ---------------------------------------------------------------------------
 
@@ -96,16 +148,22 @@ struct ProbeSet {
   inline int insert(u32 key) {
     i64 mask = window - 1;
     i64 idx = hash_u32(key) & mask;
-    for (;;) {
+    for (int steps = 0;; ++steps) {
       u32 cur = slots[idx];
       if (cur == kEmpty) {
         slots[idx] = key;
+        if (g_debug_probes) hist.record(steps);
         return 1;
       }
-      if (cur == key) return 0;
+      if (cur == key) {
+        if (g_debug_probes) hist.record(steps);
+        return 0;
+      }
       idx = (idx + 1) & mask;
     }
   }
+
+  ProbeHist hist;
 };
 
 template <typename V>
@@ -128,20 +186,24 @@ struct ProbeMap {
   inline void upsert(u32 key, V v) {
     i64 mask = window - 1;
     i64 idx = hash_u32(key) & mask;
-    for (;;) {
+    for (int steps = 0;; ++steps) {
       u32 cur = keys[idx];
       if (cur == kEmpty) {
         keys[idx] = key;
         vals[idx] = v;
+        if (g_debug_probes) hist.record(steps);
         return;
       }
       if (cur == key) {
         vals[idx] += v;
+        if (g_debug_probes) hist.record(steps);
         return;
       }
       idx = (idx + 1) & mask;
     }
   }
+
+  ProbeHist hist;
 };
 
 void run_chunked(i64 num_parts, const i64* rows_offset, int num_threads,
@@ -184,6 +246,7 @@ extern "C" void spmx_spgemm_symbolic(i64 rows, const i64* lhs_offsets, const u32
       }
       row_nz[i] = count;
     }
+    if (g_debug_probes) hs.hist.flush(g_probe_hist_symbolic);
   });
 }
 
@@ -231,6 +294,7 @@ static void spgemm_numeric_impl(i64 rows, const i64* lhs_offsets, const u32* lhs
         }
       }
     }
+    if (g_debug_probes) hm.hist.flush(g_probe_hist_numeric);
   });
 }
 
