@@ -35,6 +35,8 @@ __all__ = [
     "lanepack_device_arrays",
     "spmv_aligned",
     "aligned_device_arrays",
+    "spmv_stripe",
+    "stripe_device_arrays",
     "spmv_ell_xla",
     "ell_from_csr",
     "spmv_oracle",
@@ -516,6 +518,196 @@ def spmv_aligned(plan, x, *, device_arrays=None, allow_downcast=False):
             pack=plan.spill.pack,
         )
     return y
+
+
+# ---------------------------------------------------------------------------
+# Stripe kernel (multi-level destinations; formats/stripe.py)
+# ---------------------------------------------------------------------------
+
+
+def _make_stripe_kernel(b: int, lvl: int, kw: int, nbuf: int = 2):
+    """Stripe slabs: 8 chunks share one stripe of ``lvl`` row blocks; each
+    chunk reads ONE ``kw``*128-col x window, products prefix-sum on the
+    MXU, and ``lvl`` ends/starts boundary-gather pairs extract per-level
+    run sums — stacked to an (lvl,128) tile and accumulated into y with
+    one dynamic add per slab. Breaks the one-row-block-per-chunk cell
+    bound that capped fill at ~0.25 on scattered matrices (see
+    formats/stripe.py)."""
+    from jax.experimental import pallas as pl
+
+    def kernel(stripe_rb_ref, col_off_ref, x_ref, vals_ref, lane_ref,
+               ends_ref, starts_ref, y_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            y_ref[...] = jnp.zeros_like(y_ref)
+
+        base = i * b * SUBLANES
+        xw = jnp.concatenate(
+            [x_ref[pl.ds(col_off_ref[base + j], kw), :]
+             for j in range(b * SUBLANES)],
+            axis=0,
+        ).reshape(b * SUBLANES, kw, LANES)
+        lane = lane_ref[...].reshape(b * SUBLANES, LANES).astype(jnp.int32)
+        v = vals_ref[...].reshape(b * SUBLANES, LANES)
+        if kw == 1:
+            xg = jnp.take_along_axis(xw[:, 0, :], lane, axis=1)
+        else:
+            sub = jax.lax.shift_right_logical(lane, 7)
+            l = jax.lax.bitwise_and(lane, 127)
+            xg = jnp.zeros_like(v)
+            for k in range(kw):
+                g = jnp.take_along_axis(xw[:, k, :], l, axis=1)
+                xg = xg + jnp.where(sub == k, g, 0.0)
+        p = v * xg
+        c = _lane_cumsum_mxu(p)
+        for bb in range(b):
+            c8 = c[bb * SUBLANES:(bb + 1) * SUBLANES]
+            parts = []
+            for l in range(lvl):
+                ends = ends_ref[bb, l].astype(jnp.int32)
+                starts = starts_ref[bb, l].astype(jnp.int32)
+                g_end = jnp.take_along_axis(c8, ends, axis=1)
+                g_start = jnp.where(
+                    starts < 0, 0.0,
+                    jnp.take_along_axis(c8, jnp.maximum(starts, 0), axis=1))
+                parts.append(
+                    jnp.sum(g_end - g_start, axis=0, keepdims=True))
+            contrib = jnp.concatenate(parts, axis=0)  # (lvl, 128)
+            buf = bb % nbuf
+            y_ref[buf, pl.ds(stripe_rb_ref[i * b + bb], lvl), :] += contrib
+
+    return kernel
+
+
+def stripe_device_arrays(plan, *, b: Optional[int] = None):
+    """Device arrays for a :class:`~..formats.stripe.StripePlan`, padded to
+    whole B-slab steps (padding slabs are all-zero: ends=starts=0 gathers
+    cancel, and they accumulate a zero tile into row block 0)."""
+    b = b if b is not None else _pick_b(plan.num_slabs)
+    s = plan.num_slabs
+    sp = max(b, -(-s // b) * b)
+
+    def pad(a):
+        if a.shape[0] == sp:
+            return jnp.asarray(a)
+        out = np.zeros((sp,) + a.shape[1:], dtype=a.dtype)
+        out[: a.shape[0]] = a
+        return jnp.asarray(out)
+
+    def pad1(a, fill, scale=1):
+        out = np.full(sp * scale, fill, dtype=np.int32)
+        out[: min(len(a), s * scale)] = a[: s * scale]
+        return jnp.asarray(out)
+
+    return dict(
+        b=b,
+        vals=pad(plan.vals),
+        lane=pad(plan.lane),
+        ends=pad(plan.ends),
+        starts=pad(plan.starts),
+        stripe_rb=pad1(plan.stripe_rb, 0),
+        col_off=pad1(plan.col_off, 0, SUBLANES),
+        chunk_stripe=pad1(plan.chunk_stripe, 0, SUBLANES),
+        rb_mask=jnp.asarray(plan.rb_mask),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rows", "cols", "lvl", "kw", "b", "nbuf", "interpret"))
+def _spmv_stripe_jit(arrs, x, *, rows: int, cols: int, lvl: int, kw: int,
+                     b: int, nbuf: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c128 = -(-cols // LANES)
+    num_slabs = arrs["vals"].shape[0]
+    xpad = jnp.zeros((c128 + kw) * LANES, x.dtype).at[: x.shape[0]].set(x)
+    x2d = xpad.reshape(c128 + kw, LANES)
+
+    if interpret:
+        return _stripe_reference(arrs, x2d, rows=rows, lvl=lvl, kw=kw)
+
+    r128p = arrs["rb_mask"].shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_slabs // b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((b, SUBLANES, LANES), lambda i, *refs: (i, 0, 0))] * 2
+        + [pl.BlockSpec((b, lvl, SUBLANES, LANES),
+                        lambda i, *refs: (i, 0, 0, 0))] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    y = pl.pallas_call(
+        _make_stripe_kernel(b, lvl, kw, nbuf),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nbuf, r128p, LANES), x.dtype),
+    )(
+        arrs["stripe_rb"],
+        arrs["col_off"],
+        x2d,
+        arrs["vals"],
+        arrs["lane"],
+        arrs["ends"],
+        arrs["starts"],
+    )
+    y = jnp.sum(y, axis=0)
+    y = jnp.where(arrs["rb_mask"][:, None] > 0, y, 0.0)
+    return y.reshape(-1)[:rows]
+
+
+def _stripe_reference(arrs, x2d, *, rows: int, lvl: int, kw: int):
+    """Pure-XLA evaluation of a stripe plan (CPU path + semantics oracle)."""
+    s8 = arrs["vals"].shape[0] * SUBLANES
+    vals = arrs["vals"].reshape(s8, LANES)
+    lane = arrs["lane"].reshape(s8, LANES).astype(jnp.int32)
+    ends = arrs["ends"].transpose(0, 2, 1, 3).reshape(s8, lvl, LANES)
+    starts = arrs["starts"].transpose(0, 2, 1, 3).reshape(s8, lvl, LANES)
+    co = arrs["col_off"].astype(jnp.int32)
+    win = x2d[co[:, None] + jnp.arange(kw)[None, :]].reshape(s8, kw * LANES)
+    p = vals * jnp.take_along_axis(win, lane, axis=1)
+    c = jnp.cumsum(p, axis=1)
+    r128p = arrs["rb_mask"].shape[0]
+    y2d = jnp.zeros((r128p, LANES), vals.dtype)
+    for l in range(lvl):
+        e = ends[:, l].astype(jnp.int32)
+        s = starts[:, l].astype(jnp.int32)
+        g_end = jnp.take_along_axis(c, e, axis=1)
+        g_start = jnp.where(
+            s < 0, 0.0, jnp.take_along_axis(c, jnp.maximum(s, 0), axis=1))
+        rb = arrs["chunk_stripe"].astype(jnp.int32) * lvl + l
+        y2d = y2d.at[rb].add(g_end - g_start)
+    y2d = jnp.where(arrs["rb_mask"][:, None] > 0, y2d, 0.0)
+    return y2d.reshape(-1)[:rows]
+
+
+def spmv_stripe(plan, x, *, device_arrays=None, allow_downcast=False):
+    """y = A @ x via the stripe kernel (multi-level destinations; the
+    no-locality path). See formats/stripe.py for the design."""
+    if plan.cols > _VMEM_X_LIMIT:
+        raise ValueError(
+            f"stripe kernel keeps x in VMEM; cols={plan.cols} exceeds "
+            f"{_VMEM_X_LIMIT} — use spmv_ell_xla or shard over a mesh")
+    if plan.num_slabs * SUBLANES * 4 > 900_000:
+        raise ValueError(
+            f"stripe plan has {plan.num_slabs} slabs; scalar-prefetch "
+            "arrays exceed the SMEM budget — use SpmvOperator (guards "
+            "automatically)")
+    arrs = device_arrays if device_arrays is not None else stripe_device_arrays(plan)
+    x = _cast_x(x, plan.dtype, allow_downcast)
+    return _spmv_stripe_jit(
+        {k: v for k, v in arrs.items() if k != "b"},
+        x,
+        rows=plan.rows,
+        cols=plan.cols,
+        lvl=plan.levels,
+        kw=plan.kw,
+        b=arrs["b"],
+        nbuf=2,
+        interpret=_interpret(),
+    )
 
 
 # ---------------------------------------------------------------------------

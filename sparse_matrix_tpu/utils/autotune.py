@@ -72,6 +72,13 @@ DEFAULTS: Dict[str, float] = {
     # 1.07 ns @ dspan 9, 1.22 @ 11, 3.08 @ 60 — linear in dspan,
     # r^2 > 0.99; the x-window working set, not BR, is the cost axis)
     "bell_chunk_dspan_ns": 0.04,
+    # stripe kernel (multi-level destinations, formats/stripe.py):
+    # per-slab ns = fixed + kw_slope*KW + lvl_slope*L (pre-hardware
+    # estimates from the lanepack/aligned ablations; recalibrated on v5e
+    # by experiments/stripe_bench.py)
+    "stripe_fixed_ns": 14.0,
+    "stripe_kw_ns": 1.2,
+    "stripe_lvl_ns": 2.8,
     # spgemm_auto rates
     "spgemm_host_products_per_s": 5e7,  # per core
     "spgemm_host_touch_s_per_byte": 4e-9,  # numpy densify/sparsify passes

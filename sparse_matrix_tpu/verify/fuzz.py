@@ -51,9 +51,17 @@ def _draw_dok(rng: np.random.Generator, rows: int, cols: int, non_finite: bool) 
     # made 256-dim cases 15x slower for no extra coverage
     m = DokMatrix(rows, cols, dtype=np.float64)
     n_ops = int(rng.integers(0, min(1000, rows * cols + 5) + 1))
+    near_sentinel = cols > (1 << 31)
     for _ in range(n_ops):
         i = int(rng.integers(0, rows))
-        j = int(rng.integers(0, cols))
+        if near_sentinel and rng.random() < 0.5:
+            # u32-sentinel edge: columns within 16 of cols-1 (up to
+            # 2^32-2, one below the 0xFFFFFFFF empty sentinel) — the
+            # discipline the reference's n in [1, 2^32-1] exercises
+            # (fuzz/fuzz_targets/mul_hash.rs:15-19)
+            j = int(cols - 1 - rng.integers(0, min(cols, 16)))
+        else:
+            j = int(rng.integers(0, cols))
         if non_finite and rng.random() < 0.02:
             t = rng.choice([np.nan, np.inf, -np.inf])
         else:
@@ -99,25 +107,45 @@ def fuzz_spgemm(
     *,
     seed: int = 0,
     max_dim: int = 24,
+    big_dim_prob: float = 0.05,
+    wide_prob: float = 0.05,
     non_finite: bool = True,
     include_device: bool = False,
     dump_dir: str = "fuzz_failures",
     verbose: bool = False,
 ) -> int:
     """Run the fuzz loop; returns the number of cases executed. Raises
-    :class:`FuzzFailure` (after dumping inputs) on any violation."""
+    :class:`FuzzFailure` (after dumping inputs) on any violation.
+
+    Envelope matches the reference's libFuzzer target
+    (``fuzz/fuzz_targets/mul_hash.rs:15-19``): with probability
+    ``big_dim_prob`` the dims are drawn up to 256 instead of ``max_dim``;
+    with probability ``wide_prob`` the RHS column count is drawn near
+    ``2^32 - 1`` (the u32-sentinel boundary — l and m stay bounded, as in
+    the reference, because row counts size the offsets array)."""
     rng = np.random.default_rng(seed)
     impls = _implementations(include_device)
     for case in range(cases):
-        l = int(rng.integers(1, max_dim + 1))
-        m = int(rng.integers(1, max_dim + 1))
-        n = int(rng.integers(1, max_dim + 1))
+        dim_cap = 256 if rng.random() < big_dim_prob else max_dim
+        l = int(rng.integers(1, dim_cap + 1))
+        m = int(rng.integers(1, dim_cap + 1))
+        if rng.random() < wide_prob:
+            # top 3 values end at 2^32-1 cols => max index 2^32-2, one
+            # below the 0xFFFFFFFF empty sentinel
+            n = int((1 << 32) - 1 - rng.integers(0, 3))
+        else:
+            n = int(rng.integers(1, dim_cap + 1))
         a = _draw_dok(rng, l, m, non_finite)
         b = _draw_dok(rng, m, n, non_finite)
         ca = CsrMatrix.from_dok_shuffled(a, rng)
         cb = CsrMatrix.from_dok_shuffled(b, rng)
         small = l * m * n < ORACLE_LIMIT
         for name, impl, u in impls:
+            if name == "esc_device" and n > (1 << 31) - 1:
+                # device sorted ops carry columns in int32 lanes; the
+                # near-sentinel column space is a documented host-side
+                # capability (the kernels gate on cols, ops/spmv.py)
+                continue
             c = impl(ca, cb)
             if c is None:  # engine gated out for this size
                 continue
@@ -151,6 +179,8 @@ def main() -> None:
     ap.add_argument("--cases", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-dim", type=int, default=24)
+    ap.add_argument("--big-dim-prob", type=float, default=0.05)
+    ap.add_argument("--wide-prob", type=float, default=0.05)
     ap.add_argument("--finite-only", action="store_true")
     ap.add_argument("--device", action="store_true", help="include the device ESC path")
     args = ap.parse_args()
@@ -159,6 +189,8 @@ def main() -> None:
         args.cases,
         seed=args.seed,
         max_dim=args.max_dim,
+        big_dim_prob=args.big_dim_prob,
+        wide_prob=args.wide_prob,
         non_finite=not args.finite_only,
         include_device=args.device,
         verbose=True,
