@@ -142,6 +142,7 @@ class SpmvOperator:
         self._plan = None
         self._aligned = None
         self._bell = None
+        self._stripe = None
         self._ell = None
         self._ell_spill = None
         self._colsplit = None
@@ -216,6 +217,11 @@ class SpmvOperator:
         if force == "bell":
             self.format = "bell"
             self._set_bell(m, dtype)
+            return
+
+        if force == "stripe":
+            self.format = "stripe"
+            self._set_stripe(m, dtype)
             return
 
         if force in (None, "dia"):
@@ -552,6 +558,14 @@ class SpmvOperator:
             self._bell, values_dtype=self._values_dtype
         )
 
+    def _set_stripe(self, m, dtype):
+        from ..formats.stripe import plan_stripe
+        from .spmv import stripe_device_arrays
+
+        self._no_bf16("stripe")
+        self._stripe = plan_stripe(m, dtype=dtype)
+        self._stripe_arrs = stripe_device_arrays(self._stripe)
+
     def _set_dia(self, dia):
         from .spmv_dia import dia_device_arrays
 
@@ -586,6 +600,10 @@ class SpmvOperator:
             from .spmv_bell import spmv_bell
 
             y = spmv_bell(self._bell, x, device_arrays=self._bell_arrs)
+        if self._stripe is not None:
+            from .spmv import spmv_stripe
+
+            y = spmv_stripe(self._stripe, x, device_arrays=self._stripe_arrs)
         if self._aligned is not None:
             from .spmv import spmv_aligned
 
@@ -647,6 +665,8 @@ class SpmvOperator:
             params["ali"] = _strip_static(self._ali_arrs)
         if self._bell is not None:
             params["bell"] = _strip_static(self._bell_arrs)
+        if self._stripe is not None:
+            params["stripe"] = _strip_static(self._stripe_arrs)
         if self._plan is not None:
             params["lp"] = _strip_static(self._lp_arrs)
         if self._ell is not None:
@@ -680,6 +700,11 @@ class SpmvOperator:
 
             bl = _graft_static(params["bell"], self._bell_arrs)
             y = spmv_bell(self._bell, x, device_arrays=bl)
+        if self._stripe is not None:
+            from .spmv import spmv_stripe
+
+            st = _graft_static(params["stripe"], self._stripe_arrs)
+            y = spmv_stripe(self._stripe, x, device_arrays=st)
         if self._aligned is not None:
             from .spmv import spmv_aligned
 
@@ -765,6 +790,19 @@ class SpmvOperator:
                     ],
                     axis=1,
                 )
+        if self._stripe is not None:
+            from .spmv import spmv_stripe
+
+            # per-column loop (no packed stripe SpMM kernel yet; the
+            # format targets single-vector no-locality SpMV)
+            y = jnp.stack(
+                [
+                    spmv_stripe(self._stripe, x[:, j],
+                                device_arrays=self._stripe_arrs)
+                    for j in range(int(x.shape[1]))
+                ],
+                axis=1,
+            )
         if self._dia is not None:
             from .spmm import spmm_dia
             from .spmv_dia import _DIA_STACK_BYTES, spmm_dia_stream
@@ -885,6 +923,8 @@ class SpmvOperator:
             total += self._aligned.slot_bytes()
         if self._bell is not None:
             total += self._bell.slot_bytes()
+        if self._stripe is not None:
+            total += self._stripe.slot_bytes()
         return total
 
 
@@ -970,6 +1010,16 @@ def _payload_into(op: SpmvOperator, pre: str, payload: dict) -> None:
         })
         if bl.spill is not None:
             payload.update(_lanepack_payload(bl.spill, pre + "bellsp_"))
+    if getattr(op, "_stripe", None) is not None:
+        st = op._stripe
+        payload.update({
+            pre + "stripe_vals": st.vals, pre + "stripe_lane": st.lane,
+            pre + "stripe_ends": st.ends, pre + "stripe_starts": st.starts,
+            pre + "stripe_rb": st.stripe_rb, pre + "stripe_col_off": st.col_off,
+            pre + "stripe_chunk_stripe": st.chunk_stripe,
+            pre + "stripe_rb_mask": st.rb_mask, pre + "stripe_nnz": st.nnz,
+            pre + "stripe_levels": st.levels, pre + "stripe_kw": st.kw,
+        })
     if op._plan is not None:
         payload.update(_lanepack_payload(op._plan, pre + "lp_"))
     if getattr(op, "_ell", None) is not None:
@@ -1001,6 +1051,7 @@ def _op_from_payload(z, pre: str) -> SpmvOperator:
     op._plan = None
     op._aligned = None
     op._bell = None
+    op._stripe = None
     op._ell = None
     op._ell_spill = None
     op._rowsplit = None
@@ -1064,6 +1115,24 @@ def _op_from_payload(z, pre: str) -> SpmvOperator:
             spill=spill,
         )
         op._bell_arrs = bell_device_arrays(op._bell)
+    if pre + "stripe_vals" in z:
+        from ..formats.stripe import StripePlan
+        from .spmv import stripe_device_arrays
+
+        op._stripe = StripePlan(
+            rows=op.rows, cols=op.cols,
+            levels=int(z[pre + "stripe_levels"]),
+            kw=int(z[pre + "stripe_kw"]),
+            vals=z[pre + "stripe_vals"], lane=z[pre + "stripe_lane"],
+            ends=z[pre + "stripe_ends"], starts=z[pre + "stripe_starts"],
+            stripe_rb=z[pre + "stripe_rb"],
+            col_off=z[pre + "stripe_col_off"],
+            chunk_stripe=z[pre + "stripe_chunk_stripe"],
+            rb_mask=z[pre + "stripe_rb_mask"],
+            nnz=int(z[pre + "stripe_nnz"]),
+            dtype=z[pre + "stripe_vals"].dtype,
+        )
+        op._stripe_arrs = stripe_device_arrays(op._stripe)
     if pre + "lp_vals" in z:
         from .spmv import lanepack_device_arrays
 

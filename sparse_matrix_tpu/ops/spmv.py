@@ -562,21 +562,28 @@ def _make_stripe_kernel(b: int, lvl: int, kw: int, nbuf: int = 2):
                 xg = xg + jnp.where(sub == k, g, 0.0)
         p = v * xg
         c = _lane_cumsum_mxu(p)
+        # level extraction VECTORIZED over the whole slab tile (per-chunk
+        # slicing in the b-loop measured 45-69 ns/slab, experiments/
+        # stripe_bench.out first sweep); the b-loop below only reassembles
+        # per-slab (lvl,128) tiles and accumulates
+        levels = []
+        for l in range(lvl):
+            ends = ends_ref[:, l].reshape(b * SUBLANES, LANES).astype(
+                jnp.int32)
+            starts = starts_ref[:, l].reshape(b * SUBLANES, LANES).astype(
+                jnp.int32)
+            g_end = jnp.take_along_axis(c, ends, axis=1)
+            g_start = jnp.where(
+                starts < 0, 0.0,
+                jnp.take_along_axis(c, jnp.maximum(starts, 0), axis=1))
+            # per-slab sublane reduction: (b,8,128) -> (b,128)
+            levels.append(jnp.sum(
+                (g_end - g_start).reshape(b, SUBLANES, LANES), axis=1))
+        contrib_all = jnp.stack(levels, axis=1)  # (b, lvl, 128)
         for bb in range(b):
-            c8 = c[bb * SUBLANES:(bb + 1) * SUBLANES]
-            parts = []
-            for l in range(lvl):
-                ends = ends_ref[bb, l].astype(jnp.int32)
-                starts = starts_ref[bb, l].astype(jnp.int32)
-                g_end = jnp.take_along_axis(c8, ends, axis=1)
-                g_start = jnp.where(
-                    starts < 0, 0.0,
-                    jnp.take_along_axis(c8, jnp.maximum(starts, 0), axis=1))
-                parts.append(
-                    jnp.sum(g_end - g_start, axis=0, keepdims=True))
-            contrib = jnp.concatenate(parts, axis=0)  # (lvl, 128)
             buf = bb % nbuf
-            y_ref[buf, pl.ds(stripe_rb_ref[i * b + bb], lvl), :] += contrib
+            y_ref[buf, pl.ds(stripe_rb_ref[i * b + bb], lvl), :] += (
+                contrib_all[bb])
 
     return kernel
 

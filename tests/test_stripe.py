@@ -107,3 +107,32 @@ def test_stripe_count_matches_plan():
     for L, KW in [(1, 1), (2, 2), (4, 1), (8, 2)]:
         assert count_stripe_slabs(m, L, KW) == plan_stripe(
             m, levels=L, kw=KW).num_slabs
+
+
+def test_operator_force_stripe():
+    import jax.numpy as jnp
+
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+
+    rng = np.random.default_rng(8)
+    m = _rand_csr(rng, 2000, 2000, 10, band=300)
+    op = SpmvOperator(m, force="stripe")
+    assert op.format == "stripe"
+    x = rng.standard_normal(2000).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(op(jnp.asarray(x))), spmv_oracle(m, x),
+        rtol=0, atol=3e-5 * 40)
+    # as_pytree/apply round-trip (operators as jit arguments)
+    import jax
+
+    params = op.as_pytree()
+    y2 = jax.jit(lambda pp, xx: op.apply(pp, xx))(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y2), spmv_oracle(m, x),
+                               rtol=0, atol=3e-5 * 40)
+    # matmat per-column loop
+    X = rng.standard_normal((2000, 3)).astype(np.float32)
+    Y = np.asarray(op.matmat(jnp.asarray(X)))
+    for j in range(3):
+        np.testing.assert_allclose(Y[:, j], spmv_oracle(m, X[:, j]),
+                                   rtol=0, atol=3e-5 * 40)
+    assert op.bytes_per_apply() > 0
