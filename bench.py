@@ -75,9 +75,18 @@ def _bench(op, xj, iters):
     from sparse_matrix_tpu.bench.runner import bench_device_loop
 
     t0 = time.time()
-    r = bench_device_loop(
-        "op", lambda v: op(v) * 0.2, xj, iters=iters, repeats=3
-    )
+    if op.bytes_per_apply() > 24 * 2**20:
+        # big operators ride as jit ARGUMENTS: closure constants past
+        # ~30 MB exceed the remote-compile payload (HTTP 413) — the
+        # powerlaw_262k rowsplit/stripe plans are in this regime
+        r = bench_device_loop(
+            "op", lambda p, v: op.apply(p, v) * 0.2, xj,
+            iters=iters, repeats=3, params=op.as_pytree(),
+        )
+    else:
+        r = bench_device_loop(
+            "op", lambda v: op(v) * 0.2, xj, iters=iters, repeats=3
+        )
     return r, time.time() - t0
 
 

@@ -196,10 +196,45 @@ def expand_plan(lhs: CsrMatrix, rhs: CsrMatrix) -> Tuple[np.ndarray, np.ndarray,
     return src.astype(np.int32), q.astype(np.int32), out_r.astype(np.int32)
 
 
+def _packed_run_reduce(key, val, rows: int, cols: int):
+    """:func:`_run_reduce` on int32-packed ``row * cols + col`` keys —
+    fewer sort operands/key compares on both sorts (the packed main sort
+    + this compaction are the ESC hot phases, experiments/esc_phases)."""
+    n = val.shape[0]
+    same_prev = jnp.concatenate(
+        [jnp.zeros(1, bool), key[1:] == key[:-1]])
+    is_end = jnp.concatenate([~same_prev[1:], jnp.ones(1, bool)])
+
+    def _combine(a, b):
+        va, ha = a
+        vb, hb = b
+        return jnp.where(hb, vb, va + vb), ha | hb
+
+    run_total, _ = jax.lax.associative_scan(_combine, (val, ~same_prev))
+    # stable partition (run ends first) via one packed key: bit 30 is the
+    # not-an-end flag, low bits the original position (n < 2^30 guarded
+    # by the caller)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    part_key = jnp.where(is_end, idx, idx + (1 << 30))
+    _k, key_o, val_o = jax.lax.sort((part_key, key, run_total), num_keys=1)
+    nnz = jnp.sum(is_end.astype(jnp.int32))
+    valid = idx < nnz
+    row_o = jnp.where(valid, key_o // jnp.int32(cols), rows)
+    col_o = jnp.where(valid, key_o % jnp.int32(cols), 0)
+    val_o = jnp.where(valid, val_o, 0)
+    return row_o.astype(jnp.int32), col_o.astype(jnp.int32), val_o, nnz
+
+
 @functools.partial(jax.jit, static_argnames=("rows", "cols"))
 def _esc_impl(lhs_vals, rhs_vals, rhs_indices, src, q, out_r, *, rows: int, cols: int):
     out_c = rhs_indices[q]
     out_v = lhs_vals[src] * rhs_vals[q]
+    n = out_v.shape[0]
+    if n and rows * cols < (1 << 31) and n < (1 << 30):
+        # packed path: ONE int32 key -> 1-key sorts with fewer operands
+        key = out_r * jnp.int32(cols) + out_c
+        k_s, v_s = jax.lax.sort((key, out_v), num_keys=1)
+        return _packed_run_reduce(k_s, v_s, rows, cols)
     r_s, c_s, v_s = jax.lax.sort((out_r, out_c, out_v), num_keys=2)
     return _run_reduce(r_s, c_s, v_s, rows)
 
