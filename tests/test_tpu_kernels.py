@@ -486,3 +486,39 @@ def test_bf16_value_planes_on_tpu():
         b.astype(np.float64) - spmv_oracle(a, np.asarray(res.x, np.float64))
     )
     assert true_r <= 1e-4 * np.linalg.norm(b)
+
+
+def test_stripe_kernel_parity():
+    """Round-4 stripe kernel (multi-level destinations): Mosaic vs oracle
+    across (L, KW) configs including the multi-window gather path."""
+    from sparse_matrix_tpu.formats.stripe import plan_stripe
+    from sparse_matrix_tpu.ops.spmv import spmv_stripe
+
+    rng = np.random.default_rng(44)
+    r = np.repeat(np.arange(900, dtype=np.int64), 10)
+    c = np.clip(r + rng.integers(-250, 251, len(r)), 0, 899)
+    m = CsrMatrix.from_coo(900, 900, r, c, rng.standard_normal(len(r)))
+    x = rng.standard_normal(900).astype(np.float32)
+    ref = spmv_oracle(m, x)
+    for L, KW in [(2, 1), (4, 2), (2, 4)]:
+        plan = plan_stripe(m, levels=L, kw=KW)
+        y = np.asarray(spmv_stripe(plan, x))
+        np.testing.assert_allclose(
+            y, ref, rtol=0, atol=3e-5 * max(1.0, np.abs(ref).max()),
+            err_msg=f"L={L} KW={KW}")
+
+
+def test_esc_packed_key_parity_on_tpu():
+    """Round-4 packed-key ESC SpGEMM (1-key int32 sorts) on hardware."""
+    from sparse_matrix_tpu.formats.device import DeviceCsr
+    from sparse_matrix_tpu.ops.device_sorted import (
+        expand_plan, padded_to_host, spgemm_esc_device,
+    )
+
+    rng = np.random.default_rng(45)
+    A, ad = _rand_csr(rng, 96, 96, 0.08)
+    B, bd = _rand_csr(rng, 96, 96, 0.08)
+    c = padded_to_host(spgemm_esc_device(
+        DeviceCsr.from_host(A), DeviceCsr.from_host(B),
+        plan=expand_plan(A, B)))
+    np.testing.assert_allclose(c.to_dense(), ad @ bd, atol=1e-3)
