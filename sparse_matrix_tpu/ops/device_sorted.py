@@ -149,6 +149,11 @@ def _merge_impl(ra, ca, va, rb, cb, vb, *, rows: int, cols: int, sign: int):
     row = jnp.concatenate([ra, rb])
     col = jnp.concatenate([ca, cb])
     val = jnp.concatenate([va, jnp.asarray(sign, va.dtype) * vb])
+    n = val.shape[0]
+    if n and (rows + 1) * cols < (1 << 31) and n < (1 << 30):
+        key = row * jnp.int32(cols) + col
+        k_s, v_s = jax.lax.sort((key, val), num_keys=1)
+        return _packed_run_reduce(k_s, v_s, rows, cols)
     r_s, c_s, v_s = jax.lax.sort((row, col, val), num_keys=2)
     return _run_reduce(r_s, c_s, v_s, rows)
 
@@ -230,7 +235,7 @@ def _esc_impl(lhs_vals, rhs_vals, rhs_indices, src, q, out_r, *, rows: int, cols
     out_c = rhs_indices[q]
     out_v = lhs_vals[src] * rhs_vals[q]
     n = out_v.shape[0]
-    if n and rows * cols < (1 << 31) and n < (1 << 30):
+    if n and (rows + 1) * cols < (1 << 31) and n < (1 << 30):
         # packed path: ONE int32 key -> 1-key sorts with fewer operands
         key = out_r * jnp.int32(cols) + out_c
         k_s, v_s = jax.lax.sort((key, out_v), num_keys=1)
