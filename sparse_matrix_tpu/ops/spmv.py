@@ -525,6 +525,23 @@ def spmv_aligned(plan, x, *, device_arrays=None, allow_downcast=False):
 # ---------------------------------------------------------------------------
 
 
+def _lane_cumsum_mxu_both(p: jnp.ndarray):
+    """(inclusive, exclusive) lane prefix sums from ONE (128,256) MXU
+    matmul — the exclusive scan lets boundary gathers run unmasked: a run
+    [h, t] contributes ``incl[t] - excl[h]`` and the empty-run default
+    (ends=0, starts+1=1) cancels exactly, so the stripe kernel's per-level
+    ``where(starts<0)``/``maximum`` ops vanish."""
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    tri_incl = jnp.where(rowi <= coli, 1.0, 0.0).astype(p.dtype)
+    tri_excl = jnp.where(rowi < coli, 1.0, 0.0).astype(p.dtype)
+    both = jnp.concatenate([tri_incl, tri_excl], axis=1)
+    c2 = jnp.dot(
+        p, both, preferred_element_type=p.dtype,
+        precision=jax.lax.Precision.HIGHEST)
+    return c2[:, :LANES], c2[:, LANES:]
+
+
 def _make_stripe_kernel(b: int, lvl: int, kw: int, nbuf: int = 2):
     """Stripe slabs: 8 chunks share one stripe of ``lvl`` row blocks; each
     chunk reads ONE ``kw``*128-col x window, products prefix-sum on the
@@ -561,21 +578,20 @@ def _make_stripe_kernel(b: int, lvl: int, kw: int, nbuf: int = 2):
                 g = jnp.take_along_axis(xw[:, k, :], l, axis=1)
                 xg = xg + jnp.where(sub == k, g, 0.0)
         p = v * xg
-        c = _lane_cumsum_mxu(p)
+        incl, excl = _lane_cumsum_mxu_both(p)
         # level extraction VECTORIZED over the whole slab tile (per-chunk
         # slicing in the b-loop measured 45-69 ns/slab, experiments/
         # stripe_bench.out first sweep); the b-loop below only reassembles
-        # per-slab (lvl,128) tiles and accumulates
+        # per-slab (lvl,128) tiles and accumulates. Unmasked gathers: run
+        # [h,t] = incl[t] - excl[h]; empty default (0, 1) cancels.
         levels = []
         for l in range(lvl):
             ends = ends_ref[:, l].reshape(b * SUBLANES, LANES).astype(
                 jnp.int32)
-            starts = starts_ref[:, l].reshape(b * SUBLANES, LANES).astype(
-                jnp.int32)
-            g_end = jnp.take_along_axis(c, ends, axis=1)
-            g_start = jnp.where(
-                starts < 0, 0.0,
-                jnp.take_along_axis(c, jnp.maximum(starts, 0), axis=1))
+            h = starts_ref[:, l].reshape(b * SUBLANES, LANES).astype(
+                jnp.int32) + 1
+            g_end = jnp.take_along_axis(incl, ends, axis=1)
+            g_start = jnp.take_along_axis(excl, h, axis=1)
             # per-slab sublane reduction: (b,8,128) -> (b,128)
             levels.append(jnp.sum(
                 (g_end - g_start).reshape(b, SUBLANES, LANES), axis=1))
