@@ -1,6 +1,6 @@
 """Stripe: the multi-level destination format for no-locality SpMV.
 
-The round-2/3 formats (LanePack, Aligned) all hit the same wall on
+The round-2/3 formats (LanePack, Aligned, BELL) all hit the same wall on
 scattered matrices: a chunk (128 slots sharing one x-window slice) can only
 target ONE 128-row block, because run sums are placed at destination lanes
 ``row % 128`` and lane uniqueness requires all rows of a chunk to live in
@@ -9,30 +9,32 @@ one block. Entries per (row block x column window) cell are the fill bound
 band), which is why every round-3 design bottomed at ~16% roofline there
 (docs/PERF.md).
 
-Stripe breaks the cell bound on BOTH axes at once:
+Stripe breaks the cell bound: a chunk spans ``L`` row blocks (a *stripe*
+of ``L*128`` rows) while reading one column window. Within a stripe,
+``(row % 128, (row % (L*128)) // 128)`` = (destination lane, level) is
+UNIQUE per row, so per-level host-planned boundary gathers place every
+row's contribution: fill multiplies by ~L for ~2 streamed bytes and a few
+VPU ops per level. Two modes, picked by a calibrated cost model:
 
-* a chunk spans ``L`` row blocks (a *stripe* of ``L*128`` rows) while
-  sharing one ``KW*128``-column x window. Within a stripe,
-  ``(row % 128, (row % (L*128)) // 128)`` = (destination lane, level) is
-  UNIQUE per row, so the single lane-axis prefix sum still resolves every
-  row's run: ``L`` pairs of host-planned ``ends``/``starts`` boundary
-  gathers extract per-level run sums, each landing at its destination lane
-  within its own level's row block. ``L=1`` degenerates to the LanePack
-  cell structure;
-* entries are sorted by ``(stripe, window, row, col)``; a chunk is up to
-  128 consecutive slots of one ``(stripe, window)`` group — on randlocal
-  at (L=4, KW=4) groups hold ~500 entries, so chunks pack at ~0.85 fill
-  vs 0.24 for the single-cell formats; powerlaw's uniform scatter reaches
-  ~0.7 at (L=8, KW=16) vs 0.012 aligned;
-* a slab (8 chunks) shares one stripe; the kernel stacks the L level sums
-  into an ``(L, 128)`` tile and accumulates it into the VMEM-resident y
-  with ONE dynamic-index add per slab (alternating buffers break the RMW
-  chain, as in the aligned kernel).
+* ``scan`` — entries sorted by (stripe, window, row, col); a chunk holds
+  row-contiguous runs, one MXU prefix scan (inclusive+exclusive in one
+  (128,256) matmul) resolves them, and per level TWO gathers take
+  ``incl[end] - excl[start]``. General (multi-entry runs); pays the
+  window-width gather (KW masked selects/slot) because fill needs wide
+  windows: measured per-slab model on v5e ns = 6.4 + 6.15*KW + 8.2*L
+  (experiments/stripe_bench_v2.out).
+* ``select`` — entries sorted by (stripe, window, col): each chunk's OWN
+  column span is tiny by construction (~groupwidth*128/groupsize), so the
+  gather width decouples from the fill-driving window width. Each
+  (dst, level) then holds at most ONE entry per chunk, so the per-level
+  contribution is a single ``take_along(p, ends)`` — NO scan, NO starts
+  stream (slot 0 of every chunk is a reserved zero so the empty default
+  gathers 0). Same-row collisions within a chunk are rare for scatter
+  structure and spill to a LanePack sub-plan.
 
-HBM stream per slot: 4B value + lane (1B at KW=1, else 2B) + 2L bytes of
-ends/starts. The (KW, L) trade is picked by a calibrated per-slab cost
-model over the measured slab counts (utils/autotune: stripe_fixed_ns +
-stripe_kw_ns*KW + stripe_lvl_ns*L).
+A slab (8 chunks) shares one stripe; the kernel stacks the L level sums
+into an ``(L, 128)`` tile and accumulates it into the VMEM-resident y with
+ONE dynamic-index add per slab (alternating buffers break the RMW chain).
 
 New scope vs the reference (no SpMV there); the irregular-axis packing
 follows the FLOP-balancing idea of ``rows_to_threads``
@@ -58,28 +60,31 @@ class StripePlan:
     """Host-side plan; numpy arrays, moved to device by the kernel wrapper.
 
     ``S`` slabs: ``vals`` (S,8,128) dtype; ``lane`` (S,8,128) int8/int16
-    (column within the chunk's KW*128-col window); ``ends``/``starts``
-    (S,L,8,128) int8 run boundaries per level (starts may be -1; 0/0 =
-    empty); ``stripe_rb`` (S,) int32 first destination row block
+    (column minus the chunk's window base); ``ends`` (S,L,8,128) int8
+    positions; ``starts`` (S,L,8,128) int8 (scan mode only, None in
+    select mode); ``stripe_rb`` (S,) int32 first destination row block
     (= stripe * L); ``col_off`` (S*8,) int32 x2d window row per chunk;
     ``chunk_stripe`` (S*8,) int32 per-chunk stripe (reference path);
-    ``rb_mask`` (r128_padded,) nonzero where the row block has entries.
+    ``rb_mask`` (r128_padded,); ``spill`` optional LanePack plan holding
+    select-mode collision entries.
     """
 
     rows: int
     cols: int
     levels: int
     kw: int
+    mode: str  # "scan" | "select"
     vals: np.ndarray
     lane: np.ndarray
     ends: np.ndarray
-    starts: np.ndarray
+    starts: Optional[np.ndarray]
     stripe_rb: np.ndarray
     col_off: np.ndarray
     chunk_stripe: np.ndarray
     rb_mask: np.ndarray
     nnz: int
     dtype: np.dtype
+    spill: object = None  # Optional[LanePackPlan]
 
     @property
     def num_slabs(self) -> int:
@@ -106,17 +111,20 @@ class StripePlan:
 
     def slot_bytes(self) -> int:
         """Total HBM bytes streamed per SpMV (slab arrays)."""
-        return int(
-            self.vals.nbytes + self.lane.nbytes + self.ends.nbytes
-            + self.starts.nbytes
-        )
+        b = int(self.vals.nbytes + self.lane.nbytes + self.ends.nbytes)
+        if self.starts is not None:
+            b += int(self.starts.nbytes)
+        if self.spill is not None:
+            b += self.spill.slot_bytes()
+        return b
 
 
-def count_stripe_slabs(m: CsrMatrix, levels: int, kw: int) -> int:
-    """Slab count for a candidate (L, KW) pair (cheap, no packing) — the
-    dispatch cost model's input, memoized like lanepack's _count_slabs."""
+def _stripe_counts(m: CsrMatrix, levels: int, kw: int,
+                   cap: int) -> Tuple[int, int]:
+    """(slabs, groups) for a candidate (L, KW) at chunk capacity ``cap``
+    (128 scan / 127 select). Memoized; the dispatch cost model's input."""
     memo = m._cache.setdefault("count_stripe_slabs", {})
-    hit = memo.get((levels, kw))
+    hit = memo.get((levels, kw, cap))
     if hit is not None:
         return hit
     h = levels * LANES
@@ -125,37 +133,61 @@ def count_stripe_slabs(m: CsrMatrix, levels: int, kw: int) -> int:
     wtot = m.cols // (kw * LANES) + 2
     keys = np.sort((r // h) * wtot + w)
     if len(keys) == 0:
-        memo[(levels, kw)] = 0
-        return 0
+        memo[(levels, kw, cap)] = (0, 0)
+        return (0, 0)
     head = np.r_[True, keys[1:] != keys[:-1]]
     sizes = np.diff(np.append(np.nonzero(head)[0], len(keys)))
-    chunks_per_group = -(-sizes // LANES)
-    # chunks regroup per stripe (slabs pad at stripe boundaries)
+    chunks_per_group = -(-sizes // cap)
     grp_stripe = (keys[head] // wtot).astype(np.int64)
     order = np.argsort(grp_stripe, kind="stable")
     cg = chunks_per_group[order]
     gs = grp_stripe[order]
     s_head = np.r_[True, gs[1:] != gs[:-1]]
     per_stripe = np.add.reduceat(cg, np.nonzero(s_head)[0])
-    out = int(np.sum(-(-per_stripe // SUBLANES)))
-    memo[(levels, kw)] = out
+    out = (int(np.sum(-(-per_stripe // SUBLANES))), int(len(sizes)))
+    memo[(levels, kw, cap)] = out
     return out
 
 
-def _cost_constants() -> Tuple[float, float, float]:
+def count_stripe_slabs(m: CsrMatrix, levels: int, kw: int,
+                       mode: str = "scan") -> int:
+    return _stripe_counts(m, levels, kw, 128 if mode == "scan" else 127)[0]
+
+
+def _cost_constants():
     from ..utils import autotune
 
     return (
         autotune.get("stripe_fixed_ns"),
         autotune.get("stripe_kw_ns"),
         autotune.get("stripe_lvl_ns"),
+        autotune.get("stripe_sel_fixed_ns"),
+        autotune.get("stripe_sel_kw_ns"),
+        autotune.get("stripe_sel_lvl_ns"),
     )
 
 
-def stripe_cost(m: CsrMatrix, levels: int, kw: int) -> float:
-    """Estimated apply ns for a candidate (L, KW): slabs * per-slab model."""
-    c0, ck, cl = _cost_constants()
-    return count_stripe_slabs(m, levels, kw) * (c0 + ck * kw + cl * levels)
+def _mode_cost(m: CsrMatrix, mode: str, lc: int, kc: int, nnz: int,
+               consts) -> float:
+    c0, ck, cl, s0, sk, sl = consts
+    if mode == "scan":
+        slabs, _ = _stripe_counts(m, lc, kc, 128)
+        return slabs * (c0 + ck * kc + cl * lc)
+    slabs, groups = _stripe_counts(m, lc, kc, 127)
+    if slabs == 0:
+        return 0.0
+    # select-mode gather width ~ chunk column span: a chunk's 127
+    # col-sorted entries cover ~ window_cols * 127/group_size columns
+    avg_group = max(1.0, nnz / max(groups, 1))
+    kw_g = min(kc + 1, int(np.ceil(kc * LANES * 127.0 / avg_group / LANES))
+               + 1)
+    return slabs * (s0 + sk * kw_g + sl * lc)
+
+
+def stripe_cost(m: CsrMatrix, levels: int, kw: int,
+                mode: str = "scan") -> float:
+    """Estimated apply ns for a candidate (mode, L, KW)."""
+    return _mode_cost(m, mode, levels, kw, m.nnz(), _cost_constants())
 
 
 def plan_stripe(
@@ -164,37 +196,41 @@ def plan_stripe(
     dtype=np.float32,
     levels: Optional[int] = None,
     kw: Optional[int] = None,
+    mode: str = "auto",
     level_candidates: Sequence[int] = (1, 2, 4, 8),
     kw_candidates: Sequence[int] = (1, 2, 4, 8, 16),
 ) -> StripePlan:
     """Plan SpMV for ``m``; O(nnz log nnz) host time, vectorized numpy.
 
-    ``levels`` (L) and ``kw`` default to the calibrated cost-model argmin
-    over the candidate grid (slab counts are cheap to evaluate; on
-    multi-M-nnz inputs the memoized counts dominate plan time far less
-    than the fill pass)."""
+    ``levels`` (L), ``kw`` and ``mode`` default to the calibrated
+    cost-model argmin over the candidate grid."""
     rows, cols = m.rows, m.cols
     nnz = m.nnz()
 
-    if levels is None or kw is None:
+    consts = _cost_constants()
+    if levels is None or kw is None or mode == "auto":
         mm, mscale = m, 1.0
         if nnz > 1_500_000:
             from .csr import sample_row_bands
 
             mm, mscale = sample_row_bands(m)
-        c0, ck, cl = _cost_constants()
-        best, best_cost = (1, 1), float("inf")
-        for lc in (level_candidates if levels is None else (levels,)):
-            if lc > 1 and (lc // 2) * LANES >= rows + LANES:
-                continue
-            for kc in (kw_candidates if kw is None else (kw,)):
-                if kc > 1 and (kc // 2) * LANES > cols + LANES:
+        best, best_cost = ("scan", 1, 1), float("inf")
+        for mc in (("scan", "select") if mode == "auto" else (mode,)):
+            for lc in (level_candidates if levels is None else (levels,)):
+                if lc > 1 and (lc // 2) * LANES >= rows + LANES:
                     continue
-                s = count_stripe_slabs(mm, lc, kc) * mscale
-                cost = s * (c0 + ck * kc + cl * lc)
-                if cost < best_cost:
-                    best, best_cost = (lc, kc), cost
-        levels, kw = best
+                for kc in (kw_candidates if kw is None else (kw,)):
+                    if kc > 1 and (kc // 2) * LANES > cols + LANES:
+                        continue
+                    cost = _mode_cost(mm, mc, lc, kc, mm.nnz(), consts)
+                    cost *= mscale
+                    if cost < best_cost:
+                        best, best_cost = (mc, lc, kc), cost
+        mode_f = best[0] if mode == "auto" else mode
+        levels = best[1] if levels is None else levels
+        kw = best[2] if kw is None else kw
+    else:
+        mode_f = mode
     lvl = int(levels)
     kwi = int(kw)
     h = lvl * LANES
@@ -206,22 +242,31 @@ def plan_stripe(
 
     stripe = r // h
     w = c // wsz
-    lane_dtype = np.int8 if kwi == 1 else np.int16
-    lane = (c % wsz).astype(lane_dtype)
 
-    perm = np.lexsort((c, r, w, stripe))
-    r, w, lane, v, stripe = r[perm], w[perm], lane[perm], v[perm], stripe[perm]
+    if mode_f == "scan":
+        perm = np.lexsort((c, r, w, stripe))
+        cap = LANES
+    else:
+        perm = np.lexsort((r, c, w, stripe))
+        cap = LANES - 1
+    r, w, v, c_s = r[perm], w[perm], v[perm], c[perm]
+    stripe = stripe[perm]
     wtot = cols // wsz + 2
     gk = stripe * wtot + w
 
+    spill_mask = np.zeros(nnz, dtype=bool)
     if nnz:
         new_group = np.empty(nnz, dtype=bool)
         new_group[0] = True
         new_group[1:] = gk[1:] != gk[:-1]
         group_start = np.maximum.accumulate(
             np.where(new_group, np.arange(nnz), 0))
-        pos = (np.arange(nnz) - group_start) % LANES
-        is_chunk_head = (pos == 0)
+        pos_in_group = np.arange(nnz) - group_start
+        chunk_in_group = pos_in_group // cap
+        pos = pos_in_group % cap
+        if mode_f == "select":
+            pos = pos + 1  # slot 0 reserved zero (empty-gather target)
+        is_chunk_head = (pos_in_group % cap) == 0
         heads = np.nonzero(is_chunk_head)[0]
         head_stripe = stripe[heads]
         head_w = w[heads]
@@ -253,38 +298,79 @@ def plan_stripe(
         chunk_sub = np.zeros(0, np.int64)
         num_slabs = 0
 
+    # select mode: per-chunk window base from the chunk's OWN min column
+    # (the gather width decouples from the group window width); compute
+    # the plan-wide gather width kw_g
+    chunk_id = np.cumsum(is_chunk_head) - 1 if nnz else np.zeros(0, np.int64)
+    if nnz and mode_f == "select":
+        chunk_min_c = np.minimum.reduceat(c_s, heads) >> 7
+        chunk_max_c = np.maximum.reduceat(c_s, heads)
+        kw_g = int(np.max(chunk_max_c // LANES - chunk_min_c + 1))
+        lane_vals = c_s - (chunk_min_c[chunk_id] << 7)
+        chunk_w_off = chunk_min_c.astype(np.int32)
+        # collisions: a (dst, level) pair may hold only ONE entry per
+        # chunk; same-row repeats within a chunk spill to LanePack
+        order2 = np.lexsort((r, chunk_id))
+        ci2, r2 = chunk_id[order2], r[order2]
+        dup2 = np.r_[False, (ci2[1:] == ci2[:-1]) & (r2[1:] == r2[:-1])]
+        spill_mask[order2[dup2]] = True
+    else:
+        kw_g = kwi
+        lane_vals = c_s - (head_w[chunk_id] * wsz if nnz else 0)
+        chunk_w_off = (head_w * kwi).astype(np.int32) if nnz else head_w
+
+    lane_dtype = np.int8 if kw_g == 1 else np.int16
     vals_s = np.zeros((num_slabs, SUBLANES, LANES), dtype=dtype)
     lane_s = np.zeros((num_slabs, SUBLANES, LANES), dtype=lane_dtype)
     ends_s = np.zeros((num_slabs, lvl, SUBLANES, LANES), dtype=np.int8)
-    starts_s = np.zeros((num_slabs, lvl, SUBLANES, LANES), dtype=np.int8)
+    starts_s = (
+        np.zeros((num_slabs, lvl, SUBLANES, LANES), dtype=np.int8)
+        if mode_f == "scan" else None
+    )
     col_off = np.zeros(max(num_slabs, 1) * SUBLANES, dtype=np.int32)
     chunk_stripe = np.zeros(max(num_slabs, 1) * SUBLANES, dtype=np.int32)
     stripe_rb = np.zeros(max(num_slabs, 1), dtype=np.int32)
 
     if nnz:
         ci = chunk_slab * SUBLANES + chunk_sub
-        col_off[ci] = (head_w * kwi).astype(np.int32)
+        col_off[ci] = chunk_w_off
         chunk_stripe[ci] = head_stripe.astype(np.int32)
         stripe_rb[chunk_slab] = (head_stripe * lvl).astype(np.int32)
 
-        chunk_id = np.cumsum(is_chunk_head) - 1
+        keep = ~spill_mask
         slab_of = chunk_slab[chunk_id]
         sub_of = chunk_sub[chunk_id]
-        vals_s[slab_of, sub_of, pos] = v
-        lane_s[slab_of, sub_of, pos] = lane
+        vals_s[slab_of[keep], sub_of[keep], pos[keep]] = v[keep]
+        lane_s[slab_of[keep], sub_of[keep], pos[keep]] = lane_vals[
+            keep].astype(lane_dtype)
 
         dst = (r % LANES).astype(np.int64)
         lev = ((r % h) // LANES).astype(np.int64)
-        run_head = np.empty(nnz, dtype=bool)
-        run_head[0] = True
-        run_head[1:] = (r[1:] != r[:-1]) | (chunk_id[1:] != chunk_id[:-1])
-        run_tail = np.r_[run_head[1:], True]
-        hh = np.nonzero(run_head)[0]
-        tt = np.nonzero(run_tail)[0]
-        starts_s[slab_of[hh], lev[hh], sub_of[hh], dst[hh]] = (
-            pos[hh] - 1).astype(np.int8)
-        ends_s[slab_of[tt], lev[tt], sub_of[tt], dst[tt]] = pos[tt].astype(
-            np.int8)
+        if mode_f == "scan":
+            run_head = np.empty(nnz, dtype=bool)
+            run_head[0] = True
+            run_head[1:] = (r[1:] != r[:-1]) | (chunk_id[1:] != chunk_id[:-1])
+            run_tail = np.r_[run_head[1:], True]
+            hh = np.nonzero(run_head)[0]
+            tt = np.nonzero(run_tail)[0]
+            starts_s[slab_of[hh], lev[hh], sub_of[hh], dst[hh]] = (
+                pos[hh] - 1).astype(np.int8)
+            ends_s[slab_of[tt], lev[tt], sub_of[tt], dst[tt]] = pos[
+                tt].astype(np.int8)
+        else:
+            ends_s[slab_of[keep], lev[keep], sub_of[keep], dst[keep]] = pos[
+                keep].astype(np.int8)
+
+    spill_plan = None
+    if spill_mask.any():
+        from .lanepack import plan_lanepack
+
+        sp_idx = np.nonzero(spill_mask)[0]
+        sp = CsrMatrix.from_coo(
+            rows, cols, r[sp_idx], c_s[sp_idx], v[sp_idx],
+            sum_duplicates=False,
+        )
+        spill_plan = plan_lanepack(sp, dtype=dtype)
 
     rb_mask = np.zeros(max(-(-rows // h) * lvl, 1), dtype=dtype)
     if nnz:
@@ -295,7 +381,8 @@ def plan_stripe(
         rows=rows,
         cols=cols,
         levels=lvl,
-        kw=kwi,
+        kw=int(kw_g),
+        mode=mode_f,
         vals=vals_s,
         lane=lane_s,
         ends=ends_s,
@@ -306,4 +393,5 @@ def plan_stripe(
         rb_mask=rb_mask,
         nnz=nnz,
         dtype=np.dtype(dtype),
+        spill=spill_plan,
     )

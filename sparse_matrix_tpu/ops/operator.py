@@ -1014,12 +1014,17 @@ def _payload_into(op: SpmvOperator, pre: str, payload: dict) -> None:
         st = op._stripe
         payload.update({
             pre + "stripe_vals": st.vals, pre + "stripe_lane": st.lane,
-            pre + "stripe_ends": st.ends, pre + "stripe_starts": st.starts,
+            pre + "stripe_ends": st.ends,
             pre + "stripe_rb": st.stripe_rb, pre + "stripe_col_off": st.col_off,
             pre + "stripe_chunk_stripe": st.chunk_stripe,
             pre + "stripe_rb_mask": st.rb_mask, pre + "stripe_nnz": st.nnz,
             pre + "stripe_levels": st.levels, pre + "stripe_kw": st.kw,
+            pre + "stripe_mode": st.mode,
         })
+        if st.starts is not None:
+            payload[pre + "stripe_starts"] = st.starts
+        if st.spill is not None:
+            payload.update(_lanepack_payload(st.spill, pre + "stripesp_"))
     if op._plan is not None:
         payload.update(_lanepack_payload(op._plan, pre + "lp_"))
     if getattr(op, "_ell", None) is not None:
@@ -1123,14 +1128,19 @@ def _op_from_payload(z, pre: str) -> SpmvOperator:
             rows=op.rows, cols=op.cols,
             levels=int(z[pre + "stripe_levels"]),
             kw=int(z[pre + "stripe_kw"]),
+            mode=str(z[pre + "stripe_mode"]),
             vals=z[pre + "stripe_vals"], lane=z[pre + "stripe_lane"],
-            ends=z[pre + "stripe_ends"], starts=z[pre + "stripe_starts"],
+            ends=z[pre + "stripe_ends"],
+            starts=(z[pre + "stripe_starts"]
+                    if pre + "stripe_starts" in z else None),
             stripe_rb=z[pre + "stripe_rb"],
             col_off=z[pre + "stripe_col_off"],
             chunk_stripe=z[pre + "stripe_chunk_stripe"],
             rb_mask=z[pre + "stripe_rb_mask"],
             nnz=int(z[pre + "stripe_nnz"]),
             dtype=z[pre + "stripe_vals"].dtype,
+            spill=(_lanepack_from_payload(z, pre + "stripesp_")
+                   if pre + "stripesp_vals" in z else None),
         )
         op._stripe_arrs = stripe_device_arrays(op._stripe)
     if pre + "lp_vals" in z:

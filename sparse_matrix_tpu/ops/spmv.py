@@ -542,18 +542,26 @@ def _lane_cumsum_mxu_both(p: jnp.ndarray):
     return c2[:, :LANES], c2[:, LANES:]
 
 
-def _make_stripe_kernel(b: int, lvl: int, kw: int, nbuf: int = 2):
+def _make_stripe_kernel(b: int, lvl: int, kw: int, scan: bool,
+                        nbuf: int = 2):
     """Stripe slabs: 8 chunks share one stripe of ``lvl`` row blocks; each
-    chunk reads ONE ``kw``*128-col x window, products prefix-sum on the
-    MXU, and ``lvl`` ends/starts boundary-gather pairs extract per-level
-    run sums — stacked to an (lvl,128) tile and accumulated into y with
-    one dynamic add per slab. Breaks the one-row-block-per-chunk cell
-    bound that capped fill at ~0.25 on scattered matrices (see
-    formats/stripe.py)."""
+    chunk reads ONE ``kw``*128-col x window. Scan mode: products
+    prefix-sum on the MXU (inclusive+exclusive in one matmul) and per
+    level two unmasked boundary gathers take ``incl[end] - excl[start]``.
+    Select mode (col-sorted chunks, one entry per (dst,level) per chunk):
+    the per-level contribution is a single ``take_along(p, ends)`` — no
+    scan, no starts stream (slot 0 is a reserved zero). Level sums stack
+    to an (lvl,128) tile, ONE dynamic y add per slab. Breaks the
+    one-row-block-per-chunk cell bound that capped fill at ~0.25 on
+    scattered matrices (see formats/stripe.py)."""
     from jax.experimental import pallas as pl
 
     def kernel(stripe_rb_ref, col_off_ref, x_ref, vals_ref, lane_ref,
-               ends_ref, starts_ref, y_ref):
+               *rest):
+        if scan:
+            ends_ref, starts_ref, y_ref = rest
+        else:
+            ends_ref, y_ref = rest
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -578,23 +586,26 @@ def _make_stripe_kernel(b: int, lvl: int, kw: int, nbuf: int = 2):
                 g = jnp.take_along_axis(xw[:, k, :], l, axis=1)
                 xg = xg + jnp.where(sub == k, g, 0.0)
         p = v * xg
-        incl, excl = _lane_cumsum_mxu_both(p)
+        if scan:
+            incl, excl = _lane_cumsum_mxu_both(p)
         # level extraction VECTORIZED over the whole slab tile (per-chunk
         # slicing in the b-loop measured 45-69 ns/slab, experiments/
         # stripe_bench.out first sweep); the b-loop below only reassembles
-        # per-slab (lvl,128) tiles and accumulates. Unmasked gathers: run
-        # [h,t] = incl[t] - excl[h]; empty default (0, 1) cancels.
+        # per-slab (lvl,128) tiles and accumulates
         levels = []
         for l in range(lvl):
             ends = ends_ref[:, l].reshape(b * SUBLANES, LANES).astype(
                 jnp.int32)
-            h = starts_ref[:, l].reshape(b * SUBLANES, LANES).astype(
-                jnp.int32) + 1
-            g_end = jnp.take_along_axis(incl, ends, axis=1)
-            g_start = jnp.take_along_axis(excl, h, axis=1)
+            if scan:
+                h = starts_ref[:, l].reshape(b * SUBLANES, LANES).astype(
+                    jnp.int32) + 1
+                g = (jnp.take_along_axis(incl, ends, axis=1)
+                     - jnp.take_along_axis(excl, h, axis=1))
+            else:
+                g = jnp.take_along_axis(p, ends, axis=1)
             # per-slab sublane reduction: (b,8,128) -> (b,128)
             levels.append(jnp.sum(
-                (g_end - g_start).reshape(b, SUBLANES, LANES), axis=1))
+                g.reshape(b, SUBLANES, LANES), axis=1))
         contrib_all = jnp.stack(levels, axis=1)  # (b, lvl, 128)
         for bb in range(b):
             buf = bb % nbuf
@@ -624,24 +635,29 @@ def stripe_device_arrays(plan, *, b: Optional[int] = None):
         out[: min(len(a), s * scale)] = a[: s * scale]
         return jnp.asarray(out)
 
-    return dict(
+    arrs = dict(
         b=b,
         vals=pad(plan.vals),
         lane=pad(plan.lane),
         ends=pad(plan.ends),
-        starts=pad(plan.starts),
         stripe_rb=pad1(plan.stripe_rb, 0),
         col_off=pad1(plan.col_off, 0, SUBLANES),
         chunk_stripe=pad1(plan.chunk_stripe, 0, SUBLANES),
         rb_mask=jnp.asarray(plan.rb_mask),
     )
+    if plan.starts is not None:
+        arrs["starts"] = pad(plan.starts)
+    if plan.spill is not None:
+        arrs["spill"] = lanepack_device_arrays(plan.spill)
+    return arrs
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rows", "cols", "lvl", "kw", "b", "nbuf", "interpret"))
+    static_argnames=("rows", "cols", "lvl", "kw", "scan", "b", "nbuf",
+                     "interpret"))
 def _spmv_stripe_jit(arrs, x, *, rows: int, cols: int, lvl: int, kw: int,
-                     b: int, nbuf: int, interpret: bool):
+                     scan: bool, b: int, nbuf: int, interpret: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -651,20 +667,23 @@ def _spmv_stripe_jit(arrs, x, *, rows: int, cols: int, lvl: int, kw: int,
     x2d = xpad.reshape(c128 + kw, LANES)
 
     if interpret:
-        return _stripe_reference(arrs, x2d, rows=rows, lvl=lvl, kw=kw)
+        return _stripe_reference(arrs, x2d, rows=rows, lvl=lvl, kw=kw,
+                                 scan=scan)
 
     r128p = arrs["rb_mask"].shape[0]
+    n_lvl_ops = 2 if scan else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_slabs // b,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
         + [pl.BlockSpec((b, SUBLANES, LANES), lambda i, *refs: (i, 0, 0))] * 2
         + [pl.BlockSpec((b, lvl, SUBLANES, LANES),
-                        lambda i, *refs: (i, 0, 0, 0))] * 2,
+                        lambda i, *refs: (i, 0, 0, 0))] * n_lvl_ops,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
+    ops = [arrs["ends"]] + ([arrs["starts"]] if scan else [])
     y = pl.pallas_call(
-        _make_stripe_kernel(b, lvl, kw, nbuf),
+        _make_stripe_kernel(b, lvl, kw, scan, nbuf),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbuf, r128p, LANES), x.dtype),
     )(
@@ -673,42 +692,49 @@ def _spmv_stripe_jit(arrs, x, *, rows: int, cols: int, lvl: int, kw: int,
         x2d,
         arrs["vals"],
         arrs["lane"],
-        arrs["ends"],
-        arrs["starts"],
+        *ops,
     )
     y = jnp.sum(y, axis=0)
     y = jnp.where(arrs["rb_mask"][:, None] > 0, y, 0.0)
     return y.reshape(-1)[:rows]
 
 
-def _stripe_reference(arrs, x2d, *, rows: int, lvl: int, kw: int):
+def _stripe_reference(arrs, x2d, *, rows: int, lvl: int, kw: int,
+                      scan: bool):
     """Pure-XLA evaluation of a stripe plan (CPU path + semantics oracle)."""
     s8 = arrs["vals"].shape[0] * SUBLANES
     vals = arrs["vals"].reshape(s8, LANES)
     lane = arrs["lane"].reshape(s8, LANES).astype(jnp.int32)
     ends = arrs["ends"].transpose(0, 2, 1, 3).reshape(s8, lvl, LANES)
-    starts = arrs["starts"].transpose(0, 2, 1, 3).reshape(s8, lvl, LANES)
     co = arrs["col_off"].astype(jnp.int32)
     win = x2d[co[:, None] + jnp.arange(kw)[None, :]].reshape(s8, kw * LANES)
     p = vals * jnp.take_along_axis(win, lane, axis=1)
-    c = jnp.cumsum(p, axis=1)
+    if scan:
+        starts = arrs["starts"].transpose(0, 2, 1, 3).reshape(s8, lvl, LANES)
+        c = jnp.cumsum(p, axis=1)
     r128p = arrs["rb_mask"].shape[0]
     y2d = jnp.zeros((r128p, LANES), vals.dtype)
     for l in range(lvl):
         e = ends[:, l].astype(jnp.int32)
-        s = starts[:, l].astype(jnp.int32)
-        g_end = jnp.take_along_axis(c, e, axis=1)
-        g_start = jnp.where(
-            s < 0, 0.0, jnp.take_along_axis(c, jnp.maximum(s, 0), axis=1))
+        if scan:
+            s = starts[:, l].astype(jnp.int32)
+            g_end = jnp.take_along_axis(c, e, axis=1)
+            g_start = jnp.where(
+                s < 0, 0.0,
+                jnp.take_along_axis(c, jnp.maximum(s, 0), axis=1))
+            g = g_end - g_start
+        else:
+            g = jnp.take_along_axis(p, e, axis=1)
         rb = arrs["chunk_stripe"].astype(jnp.int32) * lvl + l
-        y2d = y2d.at[rb].add(g_end - g_start)
+        y2d = y2d.at[rb].add(g)
     y2d = jnp.where(arrs["rb_mask"][:, None] > 0, y2d, 0.0)
     return y2d.reshape(-1)[:rows]
 
 
 def spmv_stripe(plan, x, *, device_arrays=None, allow_downcast=False):
     """y = A @ x via the stripe kernel (multi-level destinations; the
-    no-locality path). See formats/stripe.py for the design."""
+    no-locality path) + the LanePack kernel on the collision spill when
+    the plan has one. See formats/stripe.py for the design."""
     if plan.cols > _VMEM_X_LIMIT:
         raise ValueError(
             f"stripe kernel keeps x in VMEM; cols={plan.cols} exceeds "
@@ -720,17 +746,34 @@ def spmv_stripe(plan, x, *, device_arrays=None, allow_downcast=False):
             "automatically)")
     arrs = device_arrays if device_arrays is not None else stripe_device_arrays(plan)
     x = _cast_x(x, plan.dtype, allow_downcast)
-    return _spmv_stripe_jit(
-        {k: v for k, v in arrs.items() if k != "b"},
+    interp = _interpret()
+    y = _spmv_stripe_jit(
+        {k: v for k, v in arrs.items() if k not in ("b", "spill")},
         x,
         rows=plan.rows,
         cols=plan.cols,
         lvl=plan.levels,
         kw=plan.kw,
+        scan=plan.mode == "scan",
         b=arrs["b"],
         nbuf=2,
-        interpret=_interpret(),
+        interpret=interp,
     )
+    if plan.spill is not None:
+        sp_arrs = arrs.get("spill")
+        if sp_arrs is None:
+            sp_arrs = lanepack_device_arrays(plan.spill)
+        y = y + _spmv_lanepack_jit(
+            {k: v for k, v in sp_arrs.items() if k != "b"},
+            x,
+            rows=plan.rows,
+            cols=plan.cols,
+            kw=plan.spill.kw,
+            b=sp_arrs["b"],
+            interpret=interp,
+            pack=plan.spill.pack,
+        )
+    return y
 
 
 # ---------------------------------------------------------------------------

@@ -76,9 +76,18 @@ DEFAULTS: Dict[str, float] = {
     # per-slab ns = fixed + kw_slope*KW + lvl_slope*L (pre-hardware
     # estimates from the lanepack/aligned ablations; recalibrated on v5e
     # by experiments/stripe_bench.py)
-    "stripe_fixed_ns": 14.0,
-    "stripe_kw_ns": 1.2,
-    "stripe_lvl_ns": 2.8,
+    # scan mode, v5e-measured fit (experiments/stripe_bench_v2.out:
+    # ns/slab = 6.4 + 6.15*KW + 8.2*L over five (L,KW) points)
+    "stripe_fixed_ns": 6.4,
+    "stripe_kw_ns": 6.15,
+    "stripe_lvl_ns": 8.2,
+    # select mode (col-sorted singleton chunks: no scan, no starts, ONE
+    # gather per level; kw term applies to the CHUNK span kw_g, not the
+    # group window) — pre-hardware estimates, recalibrated by
+    # experiments/stripe_bench_v3.py
+    "stripe_sel_fixed_ns": 10.0,
+    "stripe_sel_kw_ns": 6.0,
+    "stripe_sel_lvl_ns": 4.5,
     # spgemm_auto rates
     "spgemm_host_products_per_s": 5e7,  # per core
     "spgemm_host_touch_s_per_byte": 4e-9,  # numpy densify/sparsify passes

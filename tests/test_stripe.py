@@ -32,12 +32,15 @@ def _rand_csr(rng, rows, cols, per_row, band=None, skew=False):
     return CsrMatrix.from_coo(rows, cols, r, c, v)
 
 
+@pytest.mark.parametrize("mode", ["scan", "select"])
 @pytest.mark.parametrize("levels,kw", [(1, 1), (2, 1), (4, 2), (8, 4), (2, 8)])
-def test_stripe_parity_banded_random(levels, kw):
+def test_stripe_parity_banded_random(levels, kw, mode):
     rng = np.random.default_rng(levels * 10 + kw)
     m = _rand_csr(rng, 1500, 1500, 12, band=400)
-    plan = plan_stripe(m, levels=levels, kw=kw)
-    assert plan.levels == levels and plan.kw == kw
+    plan = plan_stripe(m, levels=levels, kw=kw, mode=mode)
+    assert plan.levels == levels and plan.mode == mode
+    if mode == "scan":
+        assert plan.kw == kw  # select reports the chunk-span gather width
     x = rng.standard_normal(1500).astype(np.float32)
     y = np.asarray(spmv_stripe(plan, x))
     ref = spmv_oracle(m, x)
