@@ -154,6 +154,39 @@ def count_stripe_slabs(m: CsrMatrix, levels: int, kw: int,
     return _stripe_counts(m, levels, kw, 128 if mode == "scan" else 127)[0]
 
 
+def _select_spill_frac(m: CsrMatrix, levels: int, kw: int) -> float:
+    """Fraction of entries a select-mode plan would spill (same-row
+    repeats within a chunk) — memoized; the cost model must price the
+    spill or skewed matrices get misrouted to select."""
+    memo = m._cache.setdefault("stripe_spill_frac", {})
+    hit = memo.get((levels, kw))
+    if hit is not None:
+        return hit
+    nnz = m.nnz()
+    if nnz == 0:
+        memo[(levels, kw)] = 0.0
+        return 0.0
+    h = levels * LANES
+    r = m.row_ids().astype(np.int64)
+    c = m.indices.astype(np.int64)
+    w = c // (kw * LANES)
+    stripe = r // h
+    wtot = m.cols // (kw * LANES) + 2
+    gk = stripe * wtot + w
+    order = np.lexsort((r, c, gk))
+    gks = gk[order]
+    new_group = np.r_[True, gks[1:] != gks[:-1]]
+    group_start = np.maximum.accumulate(
+        np.where(new_group, np.arange(nnz), 0))
+    chunk = group_start * 64 + (np.arange(nnz) - group_start) // (LANES - 1)
+    rs = r[order]
+    o2 = np.lexsort((rs, chunk))
+    dup = (chunk[o2][1:] == chunk[o2][:-1]) & (rs[o2][1:] == rs[o2][:-1])
+    frac = float(np.count_nonzero(dup)) / nnz
+    memo[(levels, kw)] = frac
+    return frac
+
+
 def _cost_constants():
     from ..utils import autotune
 
@@ -169,6 +202,8 @@ def _cost_constants():
 
 def _mode_cost(m: CsrMatrix, mode: str, lc: int, kc: int, nnz: int,
                consts) -> float:
+    from ..utils import autotune
+
     c0, ck, cl, s0, sk, sl = consts
     if mode == "scan":
         slabs, _ = _stripe_counts(m, lc, kc, 128)
@@ -181,7 +216,10 @@ def _mode_cost(m: CsrMatrix, mode: str, lc: int, kc: int, nnz: int,
     avg_group = max(1.0, nnz / max(groups, 1))
     kw_g = min(kc + 1, int(np.ceil(kc * LANES * 127.0 / avg_group / LANES))
                + 1)
-    return slabs * (s0 + sk * kw_g + sl * lc)
+    # collision spill runs on the LanePack kernel at scatter-class fill
+    spill = _select_spill_frac(m, lc, kc) * nnz * autotune.get(
+        "stripe_spill_per_nnz_ns")
+    return slabs * (s0 + sk * kw_g + sl * lc) + spill
 
 
 def stripe_cost(m: CsrMatrix, levels: int, kw: int,

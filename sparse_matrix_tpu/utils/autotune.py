@@ -88,6 +88,9 @@ DEFAULTS: Dict[str, float] = {
     "stripe_sel_fixed_ns": 10.0,
     "stripe_sel_kw_ns": 6.0,
     "stripe_sel_lvl_ns": 4.5,
+    # per-ENTRY cost of select-mode collision spill (LanePack kernel at
+    # scatter-class fill ~0.25: ~30 ns / 256 useful slots)
+    "stripe_spill_per_nnz_ns": 0.12,
     # spgemm_auto rates
     "spgemm_host_products_per_s": 5e7,  # per core
     "spgemm_host_touch_s_per_byte": 4e-9,  # numpy densify/sparsify passes
