@@ -282,6 +282,16 @@ class SpmvOperator:
                 bell_ok = est["viable"] and est["spill_nnz"] <= est["kept_nnz"]
                 t_aligned, t_gen, slabs = self._general_costs(m)
                 t_bell = est["cost_ns"] if bell_ok else float("inf")
+                # the stripe family was built for exactly this corner
+                # (scatter/skew structure beyond LanePack's SMEM budget)
+                t_stripe, stripe_ok = self._stripe_cost_and_viable(m)
+                if stripe_ok and t_stripe < min(
+                    t_aligned, t_bell,
+                    t_gen if t_gen is not None else float("inf"),
+                ):
+                    self.format = "stripe"
+                    self._set_stripe(m, dtype)
+                    return
                 # SMEM row-split: when LanePack is the clear cost-model
                 # winner but its scalar-prefetch arrays exceed the 1 MB
                 # SMEM, shard rows so each part fits and re-dispatch the
@@ -330,6 +340,10 @@ class SpmvOperator:
             if choice == "aligned":
                 self.format = "aligned"
                 self._set_aligned(m, dtype)
+                return
+            if choice == "stripe":
+                self.format = "stripe"
+                self._set_stripe(m, dtype)
                 return
 
         self.format = "lanepack"
@@ -422,11 +436,42 @@ class SpmvOperator:
         return t_aligned, t_gen, gen_slabs
 
     @staticmethod
+    def _stripe_cost_and_viable(m: CsrMatrix):
+        """(best stripe ns, viable) over the (mode, L, KW) grid — sampled
+        counts on large matrices; stripe is the multi-level scatter-class
+        family (formats/stripe.py) and enters dispatch only when its
+        scalar-prefetch arrays fit SMEM."""
+        from ..formats.stripe import _mode_cost, _cost_constants
+        from ..formats.stripe import _stripe_counts
+
+        mm, scale = SpmvOperator._sampled_for_counts(m)
+        consts = _cost_constants()
+        best, best_slabs = None, None
+        for mode in ("scan", "select"):
+            for lc in (2, 4, 8):
+                if (lc // 2) * 128 >= m.rows + 128:
+                    continue
+                for kc in (1, 2, 4, 8, 16):
+                    if kc > 1 and (kc // 2) * 128 > m.cols + 128:
+                        continue
+                    t = _mode_cost(mm, mode, lc, kc, mm.nnz(), consts) * scale
+                    if best is None or t < best:
+                        best = t
+                        best_slabs = _stripe_counts(
+                            mm, lc, kc, 128 if mode == "scan" else 127,
+                        )[0] * scale
+        if best is None:
+            return float("inf"), False
+        viable = best_slabs is not None and best_slabs * 36 < 800_000
+        return best, viable
+
+    @staticmethod
     def _general_choice(m: CsrMatrix) -> str:
         """Pick the general-path family by estimated kernel time:
         ``bell`` (round-3 streaming, wins on high-fill local structure —
-        135 vs 62 Gnnz/s on Poisson 512²), ``aligned``, or ``lanepack``
-        (experiments/bell_spmv.out)."""
+        135 vs 62 Gnnz/s on Poisson 512²), ``aligned``, ``stripe``
+        (round-4 multi-level scatter family), or ``lanepack``
+        (experiments/bell_spmv.out, stripe_bench*.out)."""
         from ..formats.bell import estimate_bell
 
         if m.nnz() == 0:
@@ -438,6 +483,12 @@ class SpmvOperator:
         bell_ok = est["viable"] and est["spill_nnz"] <= est["kept_nnz"]
         t_bell = est["cost_ns"] if bell_ok else float("inf")
         t_aligned, t_gen, _slabs = SpmvOperator._general_costs(m)
+        t_stripe, stripe_ok = SpmvOperator._stripe_cost_and_viable(m)
+        t_gen_f = t_gen if t_gen is not None else float("inf")
+        # stripe needs a clear margin: it is the newest family and its
+        # constants were calibrated on two corpus classes
+        if stripe_ok and t_stripe < 0.8 * min(t_bell, t_aligned, t_gen_f):
+            return "stripe"
         if t_bell < t_aligned and (t_gen is None or t_bell < t_gen):
             return "bell"
         if t_gen is None or t_aligned < t_gen:
