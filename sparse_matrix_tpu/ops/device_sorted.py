@@ -231,6 +231,14 @@ def _packed_run_reduce(key, val, rows: int, cols: int):
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "cols"))
+def _packed_reduce_presort(key_const, p, rows: int, cols: int):
+    """Sort (static packed key, products) and run-reduce — the back half
+    of the Pallas-expansion ESC engine (the key is plan data)."""
+    k_s, v_s = jax.lax.sort((key_const, p), num_keys=1)
+    return _packed_run_reduce(k_s, v_s, rows, cols)
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols"))
 def _esc_impl(lhs_vals, rhs_vals, rhs_indices, src, q, out_r, *, rows: int, cols: int):
     out_c = rhs_indices[q]
     out_v = lhs_vals[src] * rhs_vals[q]
@@ -260,22 +268,58 @@ class EscSpgemm:
     operators without re-planning).
     """
 
-    def __init__(self, lhs: CsrMatrix, rhs: CsrMatrix, *, dtype=np.float32):
+    def __init__(self, lhs: CsrMatrix, rhs: CsrMatrix, *, dtype=np.float32,
+                 engine: str = "auto"):
         if lhs.cols != rhs.rows:
             raise ValueError("LHS cols != RHS rows")
-        src, q, out_r = expand_plan(lhs, rhs)
-        self.num_products = len(src)
-        self.src = jnp.asarray(src)
-        self.q = jnp.asarray(q)
-        self.out_r = jnp.asarray(out_r)
-        self.lhs_vals = jnp.asarray(lhs.vals.astype(dtype))
-        self.rhs_vals = jnp.asarray(rhs.vals.astype(dtype))
-        self.rhs_indices = jnp.asarray(rhs.indices.astype(np.int32))
         self.rows, self.cols = lhs.rows, rhs.cols
+        self.rhs_vals = jnp.asarray(rhs.vals.astype(dtype))
+        self._xplan = None
+        if engine in ("auto", "pallas"):
+            from .esc_expand import plan_expand_kmajor
+
+            xp = plan_expand_kmajor(lhs, rhs)
+            if xp is not None:
+                self._xplan = xp
+                self.num_products = xp.num_products
+                self.lhs_vals = jnp.asarray(lhs.vals.astype(dtype))
+                self.lhs_vals_csc = jnp.asarray(
+                    lhs.vals[xp.perm_csc].astype(dtype))
+                self.out_key = jnp.asarray(xp.out_key)
+                self._padded = xp.num_slabs * 1024 > xp.num_products
+            elif engine == "pallas":
+                raise ValueError(
+                    "pallas expansion unavailable (key exceeds int32 or "
+                    "operand windows exceed the kernel budget)")
+        if self._xplan is None:
+            src, q, out_r = expand_plan(lhs, rhs)
+            self.num_products = len(src)
+            self.src = jnp.asarray(src)
+            self.q = jnp.asarray(q)
+            self.out_r = jnp.asarray(out_r)
+            self.lhs_vals = jnp.asarray(lhs.vals.astype(dtype))
+            self.rhs_indices = jnp.asarray(rhs.indices.astype(np.int32))
+        self._lhs_perm = (jnp.asarray(self._xplan.perm_csc)
+                          if self._xplan is not None else None)
+
+    @property
+    def engine(self) -> str:
+        return "pallas" if self._xplan is not None else "xla_gather"
 
     def multiply_device(self, lhs_vals=None, rhs_vals=None) -> PaddedCoo:
+        rv = self.rhs_vals if rhs_vals is None else jnp.asarray(rhs_vals)
+        if self._xplan is not None:
+            from .esc_expand import expand_products
+
+            lv = (self.lhs_vals_csc if lhs_vals is None
+                  else jnp.asarray(lhs_vals)[self._lhs_perm])
+            p = expand_products(self._xplan, lv, rv)
+            row, col, val, nnz = _packed_reduce_presort(
+                self.out_key, p, self.rows, self.cols)
+            if self._padded:
+                nnz = nnz - 1  # the sentinel-key padding run
+            return PaddedCoo(row, col, val, nnz, self.rows, self.cols)
         lv = self.lhs_vals if lhs_vals is None else lhs_vals
-        rv = self.rhs_vals if rhs_vals is None else rhs_vals
         row, col, val, nnz = _esc_impl(
             lv, rv, self.rhs_indices, self.src, self.q, self.out_r,
             rows=self.rows, cols=self.cols,

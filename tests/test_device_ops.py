@@ -115,3 +115,39 @@ def test_esc_spgemm_dim_mismatch():
 
     with pytest.raises(ValueError, match="LHS cols != RHS rows"):
         EscSpgemm(CsrMatrix.new(2, 3, dtype=np.float32), CsrMatrix.new(2, 3, dtype=np.float32))
+
+
+def test_esc_pallas_expansion_engine():
+    """Round-4 ESC v2: k-major Pallas expansion + packed presorted-key
+    reduce must match the XLA-gather engine and the dense oracle,
+    including the sentinel-padding nnz correction and fresh-value reuse."""
+    import jax.numpy as jnp
+
+    from sparse_matrix_tpu.ops.device_sorted import EscSpgemm
+
+    rng = np.random.default_rng(5)
+    r = rng.integers(0, 300, 2200)
+    c = rng.integers(0, 280, 2200)
+    a = CsrMatrix.from_coo(300, 280, r, c, rng.standard_normal(2200))
+    b = CsrMatrix.from_coo(
+        280, 310, rng.integers(0, 280, 1800), rng.integers(0, 310, 1800),
+        rng.standard_normal(1800))
+    e = EscSpgemm(a, b)
+    assert e.engine == "pallas"
+    ref = a.to_dense() @ b.to_dense()
+    np.testing.assert_allclose(e.multiply().to_dense(), ref, atol=1e-4)
+    # nnz exactness (sentinel padding must not leak)
+    assert e.multiply().nnz() == int(np.count_nonzero(ref))
+    # fresh values with the same pattern
+    nv = rng.standard_normal(a.nnz()).astype(np.float32)
+    a2 = CsrMatrix(a.rows, a.cols, nv, a.indices, a.offsets,
+                   is_sorted=a.is_sorted)
+    from sparse_matrix_tpu.ops.device_sorted import padded_to_host
+
+    got = padded_to_host(e.multiply_device(lhs_vals=jnp.asarray(nv)))
+    np.testing.assert_allclose(
+        got.to_dense(), a2.to_dense() @ b.to_dense(), atol=1e-4)
+    # parity with the XLA engine
+    e2 = EscSpgemm(a, b, engine="xla")
+    np.testing.assert_allclose(
+        e2.multiply().to_dense(), ref, atol=1e-4)
