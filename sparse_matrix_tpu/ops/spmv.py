@@ -103,14 +103,14 @@ def _make_lanepack_kernel(b: int, kw: int, pack: str = "dense"):
                 xg = xg + jnp.where(sub == k, g, 0.0)
         p = v * xg
 
-        c = _lane_cumsum_mxu(p)
+        # inclusive+exclusive scans from ONE MXU matmul: the boundary
+        # gathers run unmasked (run [h,t] = incl[t] - excl[h]; the empty
+        # default ends=0/starts=0 -> incl[0] - excl[1] cancels exactly)
+        incl, excl = _lane_cumsum_mxu_both(p)
         ends = ends_ref[...].reshape(b * SUBLANES, LANES).astype(jnp.int32)
-        starts = starts_ref[...].reshape(b * SUBLANES, LANES).astype(jnp.int32)
-        g_end = jnp.take_along_axis(c, ends, axis=1)
-        g_start = jnp.where(
-            starts < 0, 0.0, jnp.take_along_axis(c, jnp.maximum(starts, 0), axis=1)
-        )
-        contrib = g_end - g_start  # (B*8, 128)
+        h = starts_ref[...].reshape(b * SUBLANES, LANES).astype(jnp.int32) + 1
+        contrib = (jnp.take_along_axis(incl, ends, axis=1)
+                   - jnp.take_along_axis(excl, h, axis=1))  # (B*8, 128)
 
         if pack == "per_rb":
             # single-target slabs: one unmasked (1,8,128) accumulate each;
