@@ -113,7 +113,7 @@ for n in (2048, 4096):
         hier = amg_setup(a)
         setup = time.time() - t0
         t0 = time.time()
-        res = amg_pcg_solve(hier, np.asarray(b), tol=1e-5)
+        res = amg_pcg_solve(a, np.asarray(b), tol=1e-5, hierarchy=hier)
         solve_t = time.time() - t0
         print(f"  AMG-PCG: setup {setup:.1f}s, solve {solve_t*1e3:.1f} ms "
               f"({int(res.iterations)} it) [one-shot wall, not chained]",

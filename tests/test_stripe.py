@@ -139,3 +139,42 @@ def test_operator_force_stripe():
         np.testing.assert_allclose(Y[:, j], spmv_oracle(m, X[:, j]),
                                    rtol=0, atol=3e-5 * 40)
     assert op.bytes_per_apply() > 0
+
+
+def test_select_mode_spill_through_operator_and_saveload():
+    import tempfile, os
+
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_matrix_tpu.ops.operator import (
+        SpmvOperator, load_operator_plan, save_operator_plan,
+    )
+
+    rng = np.random.default_rng(2)
+    m = _rand_csr(rng, 3000, 3000, 6)
+    # force a select plan (collisions guaranteed at this density)
+    op = SpmvOperator(m, force="stripe")
+    op._stripe = plan_stripe(m, mode="select", levels=8, kw=8)
+    from sparse_matrix_tpu.ops.spmv import stripe_device_arrays
+
+    op._stripe_arrs = stripe_device_arrays(op._stripe)
+    assert op._stripe.spill is not None and op._stripe.spill.nnz > 0
+    x = rng.standard_normal(3000).astype(np.float32)
+    ref = spmv_oracle(m, x)
+    atol = 3e-5 * max(1.0, np.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(op(jnp.asarray(x))), ref,
+                               rtol=0, atol=atol)
+    params = op.as_pytree()
+    y = jax.jit(lambda pp, xx: op.apply(pp, xx))(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=atol)
+    f = tempfile.mktemp(suffix=".npz")
+    try:
+        save_operator_plan(op, f)
+        op2 = load_operator_plan(f)
+        assert op2._stripe.mode == "select"
+        assert op2._stripe.spill is not None
+        np.testing.assert_allclose(np.asarray(op2(jnp.asarray(x))), ref,
+                                   rtol=0, atol=atol)
+    finally:
+        os.unlink(f)
