@@ -343,8 +343,16 @@ def plan_stripe(
     if nnz and mode_f == "select":
         chunk_min_c = np.minimum.reduceat(c_s, heads) >> 7
         chunk_max_c = np.maximum.reduceat(c_s, heads)
-        kw_g = int(np.max(chunk_max_c // LANES - chunk_min_c + 1))
+        spans = (chunk_max_c // LANES - chunk_min_c + 1).astype(np.int64)
+        # the kernel compiles for the PLAN-WIDE gather width: cap it at
+        # the 90th-percentile chunk span and spill the tail entries —
+        # a handful of wide chunks otherwise tax every slab (the v3
+        # sweep measured kw_g=4 where the typical span was 1-2)
+        kw_cap = max(1, int(np.percentile(spans, 90)))
         lane_vals = c_s - (chunk_min_c[chunk_id] << 7)
+        over = lane_vals >= kw_cap * LANES
+        spill_mask |= over
+        kw_g = int(min(np.max(spans), kw_cap))
         chunk_w_off = chunk_min_c.astype(np.int32)
         # collisions: a (dst, level) pair may hold only ONE entry per
         # chunk; same-row repeats within a chunk spill to LanePack
