@@ -409,14 +409,16 @@ def plan_stripe(
 
     spill_plan = None
     if spill_mask.any():
-        from .lanepack import plan_lanepack
-
+        # the spill is itself scatter-class: a scan-mode stripe plan packs
+        # it ~L-fold denser than LanePack AND never recurses further (scan
+        # mode has no spill). A LanePack spill once blew the 1 MB SMEM
+        # prefetch budget on the randlocal select sweep (37k slabs).
         sp_idx = np.nonzero(spill_mask)[0]
         sp = CsrMatrix.from_coo(
             rows, cols, r[sp_idx], c_s[sp_idx], v[sp_idx],
             sum_duplicates=False,
         )
-        spill_plan = plan_lanepack(sp, dtype=dtype)
+        spill_plan = plan_stripe(sp, dtype=dtype, mode="scan")
 
     rb_mask = np.zeros(max(-(-rows // h) * lvl, 1), dtype=dtype)
     if nnz:

@@ -1062,20 +1062,7 @@ def _payload_into(op: SpmvOperator, pre: str, payload: dict) -> None:
         if bl.spill is not None:
             payload.update(_lanepack_payload(bl.spill, pre + "bellsp_"))
     if getattr(op, "_stripe", None) is not None:
-        st = op._stripe
-        payload.update({
-            pre + "stripe_vals": st.vals, pre + "stripe_lane": st.lane,
-            pre + "stripe_ends": st.ends,
-            pre + "stripe_rb": st.stripe_rb, pre + "stripe_col_off": st.col_off,
-            pre + "stripe_chunk_stripe": st.chunk_stripe,
-            pre + "stripe_rb_mask": st.rb_mask, pre + "stripe_nnz": st.nnz,
-            pre + "stripe_levels": st.levels, pre + "stripe_kw": st.kw,
-            pre + "stripe_mode": st.mode,
-        })
-        if st.starts is not None:
-            payload[pre + "stripe_starts"] = st.starts
-        if st.spill is not None:
-            payload.update(_lanepack_payload(st.spill, pre + "stripesp_"))
+        _stripe_payload(op._stripe, pre + "stripe_", payload)
     if op._plan is not None:
         payload.update(_lanepack_payload(op._plan, pre + "lp_"))
     if getattr(op, "_ell", None) is not None:
@@ -1087,6 +1074,37 @@ def _payload_into(op: SpmvOperator, pre: str, payload: dict) -> None:
                 pre + "ell_spill_cols": np.asarray(op._ell_spill[1]),
                 pre + "ell_spill_vals": np.asarray(op._ell_spill[2]),
             })
+
+
+def _stripe_payload(st, pre: str, payload: dict) -> None:
+    payload.update({
+        pre + "vals": st.vals, pre + "lane": st.lane, pre + "ends": st.ends,
+        pre + "rb": st.stripe_rb, pre + "col_off": st.col_off,
+        pre + "chunk_stripe": st.chunk_stripe, pre + "rb_mask": st.rb_mask,
+        pre + "nnz": st.nnz, pre + "levels": st.levels, pre + "kw": st.kw,
+        pre + "mode": st.mode, pre + "rows": st.rows, pre + "cols": st.cols,
+    })
+    if st.starts is not None:
+        payload[pre + "starts"] = st.starts
+    if st.spill is not None:  # scan-mode spill: one level deep by design
+        _stripe_payload(st.spill, pre + "sp_", payload)
+
+
+def _stripe_from_payload(z, pre: str):
+    from ..formats.stripe import StripePlan
+
+    return StripePlan(
+        rows=int(z[pre + "rows"]), cols=int(z[pre + "cols"]),
+        levels=int(z[pre + "levels"]), kw=int(z[pre + "kw"]),
+        mode=str(z[pre + "mode"]),
+        vals=z[pre + "vals"], lane=z[pre + "lane"], ends=z[pre + "ends"],
+        starts=z[pre + "starts"] if pre + "starts" in z else None,
+        stripe_rb=z[pre + "rb"], col_off=z[pre + "col_off"],
+        chunk_stripe=z[pre + "chunk_stripe"], rb_mask=z[pre + "rb_mask"],
+        nnz=int(z[pre + "nnz"]), dtype=z[pre + "vals"].dtype,
+        spill=(_stripe_from_payload(z, pre + "sp_")
+               if pre + "sp_vals" in z else None),
+    )
 
 
 def load_operator_plan(path: str) -> SpmvOperator:
@@ -1172,27 +1190,9 @@ def _op_from_payload(z, pre: str) -> SpmvOperator:
         )
         op._bell_arrs = bell_device_arrays(op._bell)
     if pre + "stripe_vals" in z:
-        from ..formats.stripe import StripePlan
         from .spmv import stripe_device_arrays
 
-        op._stripe = StripePlan(
-            rows=op.rows, cols=op.cols,
-            levels=int(z[pre + "stripe_levels"]),
-            kw=int(z[pre + "stripe_kw"]),
-            mode=str(z[pre + "stripe_mode"]),
-            vals=z[pre + "stripe_vals"], lane=z[pre + "stripe_lane"],
-            ends=z[pre + "stripe_ends"],
-            starts=(z[pre + "stripe_starts"]
-                    if pre + "stripe_starts" in z else None),
-            stripe_rb=z[pre + "stripe_rb"],
-            col_off=z[pre + "stripe_col_off"],
-            chunk_stripe=z[pre + "stripe_chunk_stripe"],
-            rb_mask=z[pre + "stripe_rb_mask"],
-            nnz=int(z[pre + "stripe_nnz"]),
-            dtype=z[pre + "stripe_vals"].dtype,
-            spill=(_lanepack_from_payload(z, pre + "stripesp_")
-                   if pre + "stripesp_vals" in z else None),
-        )
+        op._stripe = _stripe_from_payload(z, pre + "stripe_")
         op._stripe_arrs = stripe_device_arrays(op._stripe)
     if pre + "lp_vals" in z:
         from .spmv import lanepack_device_arrays

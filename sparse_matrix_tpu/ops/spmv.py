@@ -648,7 +648,7 @@ def stripe_device_arrays(plan, *, b: Optional[int] = None):
     if plan.starts is not None:
         arrs["starts"] = pad(plan.starts)
     if plan.spill is not None:
-        arrs["spill"] = lanepack_device_arrays(plan.spill)
+        arrs["spill"] = stripe_device_arrays(plan.spill)
     return arrs
 
 
@@ -762,17 +762,9 @@ def spmv_stripe(plan, x, *, device_arrays=None, allow_downcast=False):
     if plan.spill is not None:
         sp_arrs = arrs.get("spill")
         if sp_arrs is None:
-            sp_arrs = lanepack_device_arrays(plan.spill)
-        y = y + _spmv_lanepack_jit(
-            {k: v for k, v in sp_arrs.items() if k != "b"},
-            x,
-            rows=plan.rows,
-            cols=plan.cols,
-            kw=plan.spill.kw,
-            b=sp_arrs["b"],
-            interpret=interp,
-            pack=plan.spill.pack,
-        )
+            sp_arrs = stripe_device_arrays(plan.spill)
+        y = y + spmv_stripe(plan.spill, x, device_arrays=sp_arrs,
+                            allow_downcast=allow_downcast)
     return y
 
 
