@@ -27,11 +27,9 @@ def main():
     rng = np.random.default_rng(0)
     cases = [
         ("randlocal_262k", _random_local(rng, 1 << 18, 16, 4096),
-         [("select", 4, 8), ("select", 2, 8), ("select", 4, 16),
-          ("scan", 2, 2)]),
+         [("select", 4, 8), ("scan", 2, 2)]),
         ("powerlaw_262k", _power_law_rows(rng, 1 << 18, 16),
-         [("select", 8, 16), ("select", 8, 8), ("select", 4, 16),
-          ("select", 8, 32)]),
+         [("select", 8, 16), ("select", 8, 32)]),
     ]
     for name, m, grid in cases:
         nnz = m.nnz()
