@@ -255,13 +255,18 @@ def _esc_impl(lhs_vals, rhs_vals, rhs_indices, src, q, out_r, *, rows: int, cols
 class EscSpgemm:
     """Amortized ESC SpGEMM: the expansion plan and operand arrays live on
     device, reusable across repeated multiplies — the sort-engine analog of
-    :class:`~.spgemm_block.BlockSpgemm`. Queued-dispatch rate is
-    structure-independent (~75 Mprod/s measured on v5e across uniform,
-    powerlaw, and hyper-sparse inputs, experiments/esc_queued.out) because
-    the engine is one multi-key ``lax.sort`` + segmented scan, not a
-    per-row gather loop: 2-4x the 1-core host hash engine everywhere,
-    including the hyper-sparse regime where every 128-slot chunking scheme
-    is fill-starved (docs/PERF.md, VMEM-probe negative).
+    :class:`~.spgemm_block.BlockSpgemm`.
+
+    Round-4 default engine = the Pallas k-major expansion
+    (:mod:`.esc_expand`): operand streams window-local, sort key
+    host-precomputed, 1-key packed sorts. Queued-dispatch 176-183 Mprod/s
+    on uniform 2048/4096 squarings vs 80-82 for the XLA-gather engine
+    (experiments/esc_v2_bench.out) — the expansion gathers were 2/3 of the
+    old 75 Mprod/s budget (esc_phases.out). The XLA-gather engine remains
+    as ``engine="xla"`` and as the automatic fallback when the packed key
+    exceeds int32 or operand windows exceed the kernel budget; it stays
+    structure-independent (~75-82 Mprod/s) because it is one multi-key
+    ``lax.sort`` + segmented scan, not a per-row gather loop.
 
     ``multiply_device(lhs_vals=, rhs_vals=)`` accepts fresh values with the
     SAME sparsity patterns (iterative algorithms re-multiply updated
