@@ -271,15 +271,24 @@ class EscSpgemm:
     ``multiply_device(lhs_vals=, rhs_vals=)`` accepts fresh values with the
     SAME sparsity patterns (iterative algorithms re-multiply updated
     operators without re-planning).
+
+    ``reduce=`` picks the post-expansion reduction: ``"spmv"`` routes the
+    product stream through a fixed-pattern selection-matrix SpMV
+    (:class:`~.spgemm_spmv.ReduceSpmv` — the sort/scan/compaction
+    disappear, output row/col/nnz become plan constants), ``"sort"`` keeps
+    the packed-key sort path, ``"auto"`` tries spmv and falls back.
+    ``reduce_force=`` pins the SpMV format for the selection matrix.
     """
 
     def __init__(self, lhs: CsrMatrix, rhs: CsrMatrix, *, dtype=np.float32,
-                 engine: str = "auto"):
+                 engine: str = "auto", reduce: str = "auto",
+                 reduce_force=None):
         if lhs.cols != rhs.rows:
             raise ValueError("LHS cols != RHS rows")
         self.rows, self.cols = lhs.rows, rhs.cols
         self.rhs_vals = jnp.asarray(rhs.vals.astype(dtype))
         self._xplan = None
+        self._rspmv = None
         if engine in ("auto", "pallas"):
             from .esc_expand import plan_expand_kmajor
 
@@ -292,6 +301,16 @@ class EscSpgemm:
                     lhs.vals[xp.perm_csc].astype(dtype))
                 self.out_key = jnp.asarray(xp.out_key)
                 self._padded = xp.num_slabs * 1024 > xp.num_products
+                if reduce in ("auto", "spmv"):
+                    from .spgemm_spmv import ReduceSpmv
+
+                    try:
+                        self._rspmv = ReduceSpmv(
+                            xp.out_key, xp.num_products, self.rows,
+                            self.cols, force=reduce_force, dtype=dtype)
+                    except Exception:
+                        if reduce == "spmv":
+                            raise
             elif engine == "pallas":
                 raise ValueError(
                     "pallas expansion unavailable (key exceeds int32 or "
@@ -319,6 +338,8 @@ class EscSpgemm:
             lv = (self.lhs_vals_csc if lhs_vals is None
                   else jnp.asarray(lhs_vals)[self._lhs_perm])
             p = expand_products(self._xplan, lv, rv)
+            if self._rspmv is not None:
+                return self._rspmv.reduce(p)
             row, col, val, nnz = _packed_reduce_presort(
                 self.out_key, p, self.rows, self.cols)
             if self._padded:

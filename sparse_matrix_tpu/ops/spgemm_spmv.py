@@ -1,0 +1,186 @@
+"""Same-pattern SpGEMM as SpMV (round 4).
+
+Amortized SpGEMM's reduction has a STATIC structure: with both sparsity
+patterns fixed, *which products land in which output entry* is plan data.
+The ESC engine nevertheless re-pays a device sort + segmented scan +
+compaction sort on every re-multiply — ~7.7 of 9.25 ms at
+uniform4096_0.5% (experiments/esc_phases.out, esc_v2_bench.out). All of
+it collapses to ONE SpMV with an all-ones selection matrix ``S``
+(outputs x product slots) built once on host — routed through the
+format-dispatched SpMV engines (stripe/lanepack/aligned/BELL), i.e. the
+machinery this framework already cost-models and optimizes.
+
+Two levels:
+
+* :class:`ReduceSpmv` — reduce the k-major Pallas expansion's product
+  stream (:mod:`.esc_expand`): re-multiply = expansion kernel + ``S @ p``.
+  Output keys are static, so the compaction disappears too: the result's
+  row/col arrays are plan constants and ``nnz`` is known at plan time.
+* :class:`FixedSideSpgemm` — when ONE side's values are also fixed
+  (Galerkin ``R A P`` with frozen R/P, re-multiplies of ``A @ B`` with A
+  frozen), fold them into the selection matrix:
+  ``W[i, q_j] = lhs_vals[src_j]`` and ``C.vals = W @ rhs.vals`` — no
+  expansion kernel, no product stream, ONE SpMV whose nnz equals the
+  intermediate-product count.
+
+Reference anchor: this replaces the per-row hash accumulate of the
+reference's numeric phase (``/root/reference/spam_csr/src/mul_hash.rs:
+145-163``) for the same-pattern regime — the hash table's job (route
+product j to output entry i) is done once on host; the device only
+streams FLOPs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.csr import CsrMatrix, INDEX_DTYPE, OFFSET_DTYPE
+
+__all__ = ["ReduceSpmv", "FixedSideSpgemm"]
+
+
+def _group_by_key(key: np.ndarray, out_cols: int, cols_x: int,
+                  sub_order: Optional[np.ndarray] = None,
+                  indices: Optional[np.ndarray] = None,
+                  vals: Optional[np.ndarray] = None):
+    """Group positions by ``key`` into a CSR matrix whose row i selects
+    (and sums) the positions of the i-th distinct key.
+
+    ``indices`` maps grouped positions to matrix columns (default: the
+    position itself); ``sub_order`` is the within-run column order (must
+    make per-row indices strictly increasing); ``vals`` default to ones.
+    Returns ``(S, out_row, out_col, nnz_out)`` with out_row/out_col
+    decoded from the distinct keys. Runs on host with int64 keys — no
+    packed-int32 capability gate.
+    """
+    n = len(key)
+    if n == 0:
+        # zero-dim CsrMatrix is rejected by design (HasZeroDimension
+        # analog, core/matrix.py) — signal "no operator" instead
+        return None, np.zeros(0, np.int32), np.zeros(0, np.int32), 0
+    if sub_order is None:
+        ord_ = np.argsort(key, kind="stable")
+    else:
+        ord_ = np.lexsort((sub_order, key))
+    ks = key[ord_]
+    head = np.empty(n, dtype=bool)
+    head[0] = True
+    np.not_equal(ks[1:], ks[:-1], out=head[1:])
+    starts = np.flatnonzero(head)
+    nnz_out = len(starts)
+    offsets = np.empty(nnz_out + 1, dtype=OFFSET_DTYPE)
+    offsets[:-1] = starts
+    offsets[-1] = n
+    uk = ks[starts]
+    out_row = (uk // out_cols).astype(np.int32)
+    out_col = (uk % out_cols).astype(np.int32)
+    col_idx = ord_ if indices is None else np.asarray(indices)[ord_]
+    v = (np.ones(n, np.float32) if vals is None
+         else np.asarray(vals, np.float32)[ord_])
+    s = CsrMatrix(nnz_out, cols_x, v, col_idx.astype(INDEX_DTYPE), offsets,
+                  is_sorted=True)
+    return s, out_row, out_col, nnz_out
+
+
+def _operator(s, force, dtype):
+    if s is None:
+        return lambda x: jnp.zeros(0, dtype)
+    from .operator import SpmvOperator
+
+    return SpmvOperator(s, dtype=dtype, force=force)
+
+
+class ReduceSpmv:
+    """Fixed-pattern reduction of an ESC product stream: ``S @ p``.
+
+    Built from an :class:`~.esc_expand.ExpandPlan`'s ``out_key`` (padded;
+    sentinel-keyed padding slots are simply never referenced by ``S``, so
+    they are dropped structurally — no post-reduce trim). ``force=``
+    pins the SpMV format for ``S`` (default: the operator's cost-model
+    dispatch)."""
+
+    def __init__(self, out_key_padded: np.ndarray, num_products: int,
+                 rows: int, cols: int, *, force: Optional[str] = None,
+                 dtype=np.float32):
+        key = np.asarray(out_key_padded[:num_products], np.int64)
+        s, out_row, out_col, nnz_out = _group_by_key(
+            key, cols, len(out_key_padded))
+        self.rows, self.cols = rows, cols
+        self.nnz_out = nnz_out
+        self.out_row = jnp.asarray(out_row)
+        self.out_col = jnp.asarray(out_col)
+        self.op = _operator(s, force, dtype)
+
+    def reduce(self, p):
+        """Products (padded plan order) -> PaddedCoo (exact, row-sorted)."""
+        from .device_sorted import PaddedCoo
+
+        val = self.op(p)
+        return PaddedCoo(self.out_row, self.out_col, val,
+                         jnp.int32(self.nnz_out), self.rows, self.cols)
+
+
+class FixedSideSpgemm:
+    """``C = A @ B`` with one side's VALUES frozen: SpGEMM as one SpMV.
+
+    ``fixed="lhs"``: ``C.vals = W @ rhs_vals`` where ``W`` has one entry
+    per intermediate product, ``W[(r,c), pos_B(k,c)] = A[r,k]``. The
+    varying side's values are consumed in CSR order — re-multiplying an
+    updated B costs exactly one planned SpMV over ``num_products`` nnz
+    (zero sorts, zero gathers outside the SpMV kernel). ``fixed="rhs"``
+    mirrors it (``x`` = lhs values in CSR order).
+
+    The output pattern (row/col/nnz) is a plan constant; results come
+    back as exact row-sorted :class:`~.device_sorted.PaddedCoo`.
+
+    This is the engine of choice for Galerkin triple products
+    (``R @ A @ P`` re-evaluated as A's values drift: two FixedSide
+    multiplies with R and P frozen) and for iterative algorithms that
+    re-multiply a frozen operator against same-pattern updates.
+    """
+
+    def __init__(self, lhs: CsrMatrix, rhs: CsrMatrix, *,
+                 fixed: str = "lhs", dtype=np.float32,
+                 force: Optional[str] = None):
+        if lhs.cols != rhs.rows:
+            raise ValueError("LHS cols != RHS rows")
+        if fixed not in ("lhs", "rhs"):
+            raise ValueError("fixed must be 'lhs' or 'rhs'")
+        from .device_sorted import expand_plan
+
+        src, q, out_r = expand_plan(lhs, rhs)
+        out_c = rhs.indices.astype(np.int64)[q]
+        key = out_r.astype(np.int64) * rhs.cols + out_c
+        if fixed == "lhs":
+            idx, w_vals, cols_x = q, lhs.vals[src], rhs.nnz()
+        else:
+            idx, w_vals, cols_x = src, rhs.vals[q], lhs.nnz()
+        s, out_row, out_col, nnz_out = _group_by_key(
+            key, rhs.cols, cols_x, sub_order=idx, indices=idx, vals=w_vals)
+        self.rows, self.cols = lhs.rows, rhs.cols
+        self.fixed = fixed
+        self.num_products = len(key)
+        self.nnz_out = nnz_out
+        self.out_row = jnp.asarray(out_row)
+        self.out_col = jnp.asarray(out_col)
+        self._default_x = jnp.asarray(
+            (rhs.vals if fixed == "lhs" else lhs.vals).astype(dtype))
+        self.op = _operator(s, force, dtype)
+
+    def multiply_device(self, vals=None):
+        """One SpMV: ``vals`` = the varying side's values in CSR order
+        (defaults to the values captured at plan time)."""
+        from .device_sorted import PaddedCoo
+
+        x = self._default_x if vals is None else jnp.asarray(vals)
+        val = self.op(x)
+        return PaddedCoo(self.out_row, self.out_col, val,
+                         jnp.int32(self.nnz_out), self.rows, self.cols)
+
+    def multiply(self, vals=None) -> CsrMatrix:
+        from .device_sorted import padded_to_host
+
+        return padded_to_host(self.multiply_device(vals))

@@ -180,7 +180,22 @@ def cg_solve_multi(
     (:func:`~sparse_matrix_tpu.ops.spmm.aligned_matvec_multi`) so no
     per-iteration relayout happens. Each system runs its own CG recurrence
     (per-column alpha/beta); columns iterate in lockstep until all
-    converge — the multi-RHS form that makes SpMM's operand reuse pay."""
+    converge — the multi-RHS form that makes SpMM's operand reuse pay.
+
+    .. note:: **Measured caveat (v5e, docs/PERF.md round-3 session 5):**
+       plain block CG at K=8 on the 512^2 Poisson DIA operator ran at
+       **0.51x** of eight sequential :func:`cg_solve` calls — the
+       lockstep recurrence iterates every column to the slowest one's
+       count, and on a bandwidth-matched banded operator the SpMM reuse
+       does not cover that. Prefer :func:`pcg_solve_multi` under a block
+       AMG preconditioner (:func:`~sparse_matrix_tpu.solvers.amg.amg_pcg_solve`
+       with a 2-D ``b`` measured **2.56x** at K=8 — the V-cycle equalizes
+       iteration counts so lockstep stops losing), or sequential
+       :func:`cg_solve` when no
+       preconditioner is available. This entry point remains for operators
+       whose matvec is strongly reuse-bound (e.g. gather-heavy general
+       formats where :func:`~.spmm.lanepack_matvec_multi` amortizes the
+       plan stream over K)."""
     b = jnp.asarray(b)
     ax = rhs_axis % b.ndim
     red = tuple(i for i in range(b.ndim) if i != ax)

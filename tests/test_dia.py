@@ -61,8 +61,9 @@ def test_operator_auto_selects():
     op2 = SpmvOperator(B)
     # non-banded: one of the general formats, picked by estimated cost
     # (at r128=2 streaming BELL planes is nearly free, so the round-3
-    # family can win the cost race even on scattered structure)
-    assert op2.format in ("lanepack", "aligned", "bell")
+    # family can win the cost race even on scattered structure; round 4
+    # added the stripe family to the same race)
+    assert op2.format in ("lanepack", "aligned", "bell", "stripe")
     x = rng.standard_normal(200).astype(np.float32)
     np.testing.assert_allclose(np.asarray(op2(x)), a.astype(np.float32) @ x, rtol=1e-4, atol=1e-4)
 

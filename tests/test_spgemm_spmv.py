@@ -1,0 +1,139 @@
+"""Same-pattern SpGEMM as SpMV (ops/spgemm_spmv.py, round 4).
+
+The reduction of an amortized SpGEMM is a fixed-pattern selection-matrix
+SpMV; with one side's values frozen the whole SpGEMM is ONE SpMV. Both
+engines must commute with the dense/host oracle (the reference's
+commuting-diagram discipline, spam_csr/src/tests.rs:93-103).
+"""
+
+import numpy as np
+import pytest
+
+from sparse_matrix_tpu.core.dok import DokMatrix
+from sparse_matrix_tpu.formats.csr import CsrMatrix
+from sparse_matrix_tpu.ops.device_sorted import EscSpgemm, padded_to_host
+from sparse_matrix_tpu.ops.spgemm_spmv import FixedSideSpgemm, ReduceSpmv
+
+
+def _rand_csr(rng, r, c, density=0.15):
+    a = (rng.random((r, c)) < density) * rng.standard_normal((r, c))
+    return CsrMatrix.from_dok(DokMatrix.from_dense(a.astype(np.float32)))
+
+
+def test_esc_reduce_engines_agree():
+    rng = np.random.default_rng(11)
+    a = _rand_csr(rng, 90, 70)
+    b = _rand_csr(rng, 70, 85)
+    ref = a.to_dense() @ b.to_dense()
+    e_sort = EscSpgemm(a, b, reduce="sort")
+    e_spmv = EscSpgemm(a, b, reduce="spmv")
+    assert e_sort._rspmv is None and e_spmv._rspmv is not None
+    np.testing.assert_allclose(e_sort.multiply().to_dense(), ref, atol=1e-4)
+    np.testing.assert_allclose(e_spmv.multiply().to_dense(), ref, atol=1e-4)
+    # identical structure either way (row-sorted exact output)
+    cs, cv = e_sort.multiply(), e_spmv.multiply()
+    assert cs.nnz() == cv.nnz()
+    np.testing.assert_array_equal(cs.indices, cv.indices)
+    np.testing.assert_array_equal(cs.offsets, cv.offsets)
+
+
+def test_esc_reduce_spmv_value_reuse():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(12)
+    a = _rand_csr(rng, 60, 60, 0.1)
+    b = _rand_csr(rng, 60, 60, 0.1)
+    e = EscSpgemm(a, b, reduce="spmv")
+    nv = rng.standard_normal(a.nnz()).astype(np.float32)
+    a2 = CsrMatrix(a.rows, a.cols, nv, a.indices, a.offsets, is_sorted=True)
+    got = padded_to_host(e.multiply_device(lhs_vals=jnp.asarray(nv)))
+    np.testing.assert_allclose(
+        got.to_dense(), a2.to_dense() @ b.to_dense(), atol=1e-4)
+
+
+@pytest.mark.parametrize("fixed", ["lhs", "rhs"])
+def test_fixed_side_spgemm(fixed):
+    rng = np.random.default_rng(13)
+    a = _rand_csr(rng, 50, 40)
+    b = _rand_csr(rng, 40, 45)
+    f = FixedSideSpgemm(a, b, fixed=fixed)
+    assert f.num_products > 0
+    ref = a.to_dense() @ b.to_dense()
+    got = f.multiply()
+    assert got.invariants()
+    np.testing.assert_allclose(got.to_dense(), ref, atol=1e-4)
+    # varying-side update: one SpMV, no re-plan
+    var = a if fixed == "rhs" else b
+    nv = rng.standard_normal(var.nnz()).astype(np.float32)
+    v2 = CsrMatrix(var.rows, var.cols, nv, var.indices, var.offsets,
+                   is_sorted=True)
+    ref2 = (v2.to_dense() @ b.to_dense() if fixed == "rhs"
+            else a.to_dense() @ v2.to_dense())
+    np.testing.assert_allclose(f.multiply(nv).to_dense(), ref2, atol=1e-4)
+
+
+def test_fixed_side_galerkin_triple_product():
+    """R @ A @ P with frozen R/P: two FixedSide multiplies track A."""
+    rng = np.random.default_rng(14)
+    r_ = _rand_csr(rng, 20, 60, 0.2)
+    a = _rand_csr(rng, 60, 60, 0.1)
+    p_ = _rand_csr(rng, 60, 20, 0.2)
+    ra = FixedSideSpgemm(r_, a, fixed="lhs")  # x = A.vals
+    ra_m = ra.multiply()
+    rap = FixedSideSpgemm(ra_m, p_, fixed="rhs")  # x = (R A).vals
+    ref = r_.to_dense() @ a.to_dense() @ p_.to_dense()
+    np.testing.assert_allclose(rap.multiply().to_dense(), ref, atol=1e-3)
+    # A's values drift, patterns frozen: chain the two SpMVs
+    nv = rng.standard_normal(a.nnz()).astype(np.float32)
+    a2 = CsrMatrix(a.rows, a.cols, nv, a.indices, a.offsets, is_sorted=True)
+    ra2 = ra.multiply(nv)
+    got = rap.multiply(np.asarray(ra2.vals))
+    ref2 = r_.to_dense() @ a2.to_dense() @ p_.to_dense()
+    np.testing.assert_allclose(got.to_dense(), ref2, atol=1e-3)
+
+
+def test_fixed_side_empty_product():
+    # disjoint patterns: A's columns never meet a nonempty B row
+    a = CsrMatrix.from_coo(3, 4, [0, 2], [3, 3], [1.0, 2.0])
+    b = CsrMatrix.from_coo(4, 3, [0, 1], [0, 1], [1.0, 1.0])
+    f = FixedSideSpgemm(a, b)
+    assert f.num_products == 0 and f.nnz_out == 0
+    out = f.multiply()
+    assert out.nnz() == 0 and (out.rows, out.cols) == (3, 3)
+
+
+def test_fixed_side_dim_mismatch_and_bad_fixed():
+    a = CsrMatrix.new(2, 3, dtype=np.float32)
+    with pytest.raises(ValueError, match="LHS cols != RHS rows"):
+        FixedSideSpgemm(a, a)
+    b = CsrMatrix.new(3, 2, dtype=np.float32)
+    with pytest.raises(ValueError, match="fixed"):
+        FixedSideSpgemm(a, b, fixed="both")
+
+
+def test_fixed_side_random_sweep_vs_dok_oracle():
+    rng = np.random.default_rng(15)
+    for _ in range(12):
+        r, k, c = rng.integers(1, 24, 3)
+        a = _rand_csr(rng, r, k, 0.3)
+        b = _rand_csr(rng, k, c, 0.3)
+        ref = (a.to_dok() * b.to_dok()).to_dense()  # naive DOK oracle
+        for fixed in ("lhs", "rhs"):
+            got = FixedSideSpgemm(a, b, fixed=fixed).multiply()
+            assert got.invariants()
+            np.testing.assert_allclose(got.to_dense(), ref, atol=1e-3)
+
+
+def test_reduce_spmv_direct_padding_dropped():
+    """ReduceSpmv never references sentinel-keyed padding slots."""
+    import jax.numpy as jnp
+
+    key = np.array([7, 3, 3, 12, 7], np.int32)
+    pad = np.concatenate([key, np.full(3, 99, np.int32)])
+    r = ReduceSpmv(pad, 5, rows=4, cols=4)
+    assert r.nnz_out == 3
+    p = jnp.asarray(np.array([1, 2, 3, 4, 5, 100, 100, 100], np.float32))
+    out = r.reduce(p)
+    np.testing.assert_array_equal(np.asarray(out.row), [0, 1, 3])
+    np.testing.assert_array_equal(np.asarray(out.col), [3, 3, 0])
+    np.testing.assert_allclose(np.asarray(out.val), [5.0, 6.0, 4.0])
