@@ -62,6 +62,7 @@ from .amg import (  # noqa: F401
     amg_preconditioner,
     amg_setup,
 )
+from .amg_refresh import AmgRefresh  # noqa: F401
 from .ilu import (  # noqa: F401
     IluFactors,
     TriangularJacobi,
