@@ -1,0 +1,105 @@
+"""Selection-matrix SpMV formats on hardware: the round-4 dispatch fix
+routes the SpGEMM-as-SpMV selection operators (spgemm_spmv.py) away from
+ELL; measure what the priced choices actually run at — fixed-lhs with
+force=None (new auto), 'aligned', 'lanepack', 'stripe', and the
+ReduceSpmv auto path — across the esc_v3 case grid.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site nohup python \
+  experiments/selmat_formats.py > experiments/selmat_formats.out 2>&1 &
+"""
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def chain_time(f, iters=40, repeats=3):
+    @jax.jit
+    def loop(c):
+        return jax.lax.fori_loop(0, iters, lambda i, v: f(v), c)
+    c0 = jnp.float32(0.001)
+    float(loop(c0))
+    runs = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(loop(c0))
+        runs.append(time.perf_counter() - t0)
+    return max(1e-9, (min(runs) - 0.025) / iters)
+
+
+def main():
+    from sparse_matrix_tpu.bench.corpus import _power_law_rows
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+    from sparse_matrix_tpu.ops.device_sorted import EscSpgemm
+    from sparse_matrix_tpu.ops.spgemm_spmv import FixedSideSpgemm
+
+    log(f"backend={jax.default_backend()}")
+    rng = np.random.default_rng(0)
+
+    def uniform(n, density):
+        per = max(1, int(n * density))
+        r = np.repeat(np.arange(n, dtype=np.int64), per)
+        c = rng.integers(0, n, len(r))
+        return CsrMatrix.from_coo(n, n, r, c, rng.standard_normal(len(r)))
+
+    cases = [
+        ("uniform2048_1%", uniform(2048, 0.01)),
+        ("uniform4096_0.5%", uniform(4096, 0.005)),
+        ("uniform8192_0.2%", uniform(8192, 0.002)),
+        ("powerlaw2k", _power_law_rows(rng, 2048, 16)),
+        ("powerlaw16k_hs", _power_law_rows(rng, 1 << 14, 8)),
+    ]
+    for name, a in cases:
+        ref_dense = a.to_dense() if a.rows <= 4096 else None
+        i = int(rng.integers(0, a.rows))
+        for force in (None, "aligned"):
+            try:
+                t0 = time.time()
+                f = FixedSideSpgemm(a, a, fixed="lhs", force=force)
+                plan_t = time.time() - t0
+                c = f.multiply()
+                if ref_dense is not None:
+                    assert np.allclose(c.to_dense()[i], ref_dense[i] @ ref_dense,
+                                       atol=1e-2), name
+                fmt = getattr(f.op, "format", "-")
+
+                def stepf(cc):
+                    r = f.multiply_device(f._default_x * (1.0 + cc * 1e-9))
+                    return cc + r.val[0] * 1e-20
+                t = chain_time(stepf)
+                log(f"{name} fixed-lhs[{force}->{fmt}]: {t*1e3:.2f} ms -> "
+                    f"{f.num_products/t/1e6:.1f} Mprod/s "
+                    f"(products={f.num_products}, plan {plan_t:.1f}s)")
+            except Exception as ex:
+                log(f"{name} fixed-lhs[{force}] failed: {ex!r}")
+        try:
+            t0 = time.time()
+            e = EscSpgemm(a, a, engine="pallas", reduce="spmv")
+            plan_t = time.time() - t0
+            c = e.multiply()
+            if ref_dense is not None:
+                assert np.allclose(c.to_dense()[i], ref_dense[i] @ ref_dense,
+                                   atol=1e-2), name
+            n = e.num_products
+            fmt = (e._rspmv.op.format
+                   if e._rspmv is not None and hasattr(e._rspmv.op, "format")
+                   else "-")
+
+            def step(cc):
+                r = e.multiply_device(
+                    lhs_vals=None,
+                    rhs_vals=e.rhs_vals * (1.0 + cc * 1e-9))
+                return cc + r.val[0] * 1e-20 + r.nnz.astype(jnp.float32) * 1e-20
+            t = chain_time(step)
+            log(f"{name} v3-spmv-auto[{fmt}]: {t*1e3:.2f} ms -> "
+                f"{n/t/1e6:.1f} Mprod/s (products={n}, plan {plan_t:.1f}s)")
+        except Exception as ex:
+            log(f"{name} v3-spmv-auto failed: {ex!r}")
+
+
+if __name__ == "__main__":
+    main()

@@ -258,16 +258,45 @@ class SpmvOperator:
 
         if force in (None, "ell"):
             # hyper-sparse guard: when LanePack packing would be pathologically
-            # empty (slab memory blowup) and padded ELL is compact, use ELL
+            # empty (slab memory blowup) and padded ELL is compact, consider
+            # ELL — but PRICE it first. ELL's x-gather crawls at the XLA
+            # random-gather rate (~0.14 Gelem/s, CLAUDE.md measured), so the
+            # byte heuristic alone misroutes: the round-4 SpGEMM-as-SpMV
+            # selection matrices (740k rows, ~1.1 nnz/row, locality from the
+            # key sort) ran 0.61 ms on LanePack vs 33.4 ms on ELL
+            # (experiments/esc_v3_bench.out) yet the byte test chose ELL.
             plan_est = self._estimate_lanepack_bytes(m)
             row_max = int(np.diff(m.offsets).max()) if m.nnz() else 1
             ell_bytes = m.rows * max(1, row_max) * 8
-            if force == "ell" or (
-                plan_est > 4 * m.nnz() * 8 and ell_bytes < plan_est / 2
-            ):
+            if force == "ell":
                 self.format = "ell"
                 self._set_ell(m, dtype)
                 return
+            if plan_est > 4 * m.nnz() * 8 and ell_bytes < plan_est / 2:
+                from ..utils import autotune
+
+                # absolute cap: never materialize a multi-GB slab plan just
+                # to dodge gathers
+                if plan_est > 1 << 31:
+                    self.format = "ell"
+                    self._set_ell(m, dtype)
+                    return
+                t_aligned, t_gen, _ = self._general_costs(m)
+                t_lp = (
+                    t_gen
+                    if t_gen is not None and self._lanepack_viable(m)
+                    else float("inf")
+                )
+                ell_ns = (
+                    m.rows * max(1, row_max) * autotune.get("ell_gather_ns")
+                )
+                if ell_ns <= min(t_aligned, t_lp):
+                    self.format = "ell"
+                    self._set_ell(m, dtype)
+                    return
+                # otherwise fall through to the regular dispatch (viability
+                # branch + _general_choice pick among stripe/bell/aligned/
+                # lanepack/rowsplit as usual)
             if not self._lanepack_viable(m):
                 # too many slabs for the 1 MB SMEM scalar prefetch — but the
                 # BELL and aligned kernels run big plans without scalar

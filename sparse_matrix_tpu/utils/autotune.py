@@ -88,6 +88,13 @@ DEFAULTS: Dict[str, float] = {
     "stripe_sel_fixed_ns": 10.0,
     "stripe_sel_kw_ns": 6.0,
     "stripe_sel_lvl_ns": 4.5,
+    # ELL x-gather per element: the XLA random-gather rate (~0.14 Gelem/s
+    # measured, CLAUDE.md). Prices the hyper-sparse ELL shortcut against
+    # the kernel cost models — uniform2048 selection matrix check point:
+    # 740k rows x width 8 x 7.1 ns = 42 ms modeled vs 33.4 measured
+    # (experiments/esc_v3_bench.out), same side of the 0.61 ms LanePack
+    # plan either way.
+    "ell_gather_ns": 7.1,
     # per-ENTRY cost of select-mode collision spill (LanePack kernel at
     # scatter-class fill ~0.25: ~30 ns / 256 useful slots)
     "stripe_spill_per_nnz_ns": 0.12,
