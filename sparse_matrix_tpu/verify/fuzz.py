@@ -76,7 +76,15 @@ U64 = float(np.finfo(np.float64).eps) / 2.0
 U32 = float(np.finfo(np.float32).eps)
 
 
-def _implementations(include_device: bool) -> List[Tuple[str, Callable, float]]:
+# engines whose outputs carry int32 column lanes: gated out of the
+# near-sentinel (cols ~ 2^32-1) envelope, a documented host capability
+_INT32_COL_ENGINES = frozenset(
+    {"esc_device", "fixed_side_lhs", "fixed_side_rhs", "esc_reduce_spmv"})
+
+
+def _implementations(include_device: bool,
+                     include_amortized: bool = False
+                     ) -> List[Tuple[str, Callable, float]]:
     def hash_python_gated(a, b):
         # the python linprobe engine is the parity oracle for the table
         # semantics; it is O(products) pure python, so gate it by the same
@@ -99,6 +107,35 @@ def _implementations(include_device: bool) -> List[Tuple[str, Callable, float]]:
             return padded_to_host(spgemm_esc_device(da, db, plan=expand_plan(a, b)))
 
         impls.append(("esc_device", esc_device, U32))
+    if include_amortized:
+        # the round-4 same-pattern engines (ops/spgemm_spmv.py). The
+        # fixed-side engines are driven through their REFRESH contract:
+        # plan on (a, b), then re-multiply with the varying side's values
+        # scaled by 1.5 (exact in binary) and unscale the result — so the
+        # fuzz exercises the value-variance path while the Higham oracle
+        # still checks against a @ b.
+        from ..ops.device_sorted import EscSpgemm
+        from ..ops.spgemm_spmv import FixedSideSpgemm
+
+        def fixed_side(fixed):
+            def run(a, b):
+                f = FixedSideSpgemm(a, b, fixed=fixed)
+                vary = (b if fixed == "lhs" else a).vals.astype(np.float32)
+                c = f.multiply(vary * np.float32(1.5))
+                return CsrMatrix(c.rows, c.cols,
+                                 np.asarray(c.vals) / np.float32(1.5),
+                                 c.indices, c.offsets, is_sorted=True)
+            return run
+
+        def esc_reduce_spmv(a, b):
+            e = EscSpgemm(a, b, reduce="spmv")
+            if e._rspmv is None:  # expansion/reduction plan gated out
+                return None
+            return e.multiply()
+
+        impls.append(("fixed_side_lhs", fixed_side("lhs"), U32))
+        impls.append(("fixed_side_rhs", fixed_side("rhs"), U32))
+        impls.append(("esc_reduce_spmv", esc_reduce_spmv, U32))
     return impls
 
 
@@ -111,6 +148,7 @@ def fuzz_spgemm(
     wide_prob: float = 0.05,
     non_finite: bool = True,
     include_device: bool = False,
+    include_amortized: bool = False,
     dump_dir: str = "fuzz_failures",
     verbose: bool = False,
 ) -> int:
@@ -124,7 +162,7 @@ def fuzz_spgemm(
     ``2^32 - 1`` (the u32-sentinel boundary — l and m stay bounded, as in
     the reference, because row counts size the offsets array)."""
     rng = np.random.default_rng(seed)
-    impls = _implementations(include_device)
+    impls = _implementations(include_device, include_amortized)
     for case in range(cases):
         dim_cap = 256 if rng.random() < big_dim_prob else max_dim
         l = int(rng.integers(1, dim_cap + 1))
@@ -141,7 +179,7 @@ def fuzz_spgemm(
         cb = CsrMatrix.from_dok_shuffled(b, rng)
         small = l * m * n < ORACLE_LIMIT
         for name, impl, u in impls:
-            if name == "esc_device" and n > (1 << 31) - 1:
+            if name in _INT32_COL_ENGINES and n > (1 << 31) - 1:
                 # device sorted ops carry columns in int32 lanes; the
                 # near-sentinel column space is a documented host-side
                 # capability (the kernels gate on cols, ops/spmv.py)
@@ -183,7 +221,17 @@ def main() -> None:
     ap.add_argument("--wide-prob", type=float, default=0.05)
     ap.add_argument("--finite-only", action="store_true")
     ap.add_argument("--device", action="store_true", help="include the device ESC path")
+    ap.add_argument("--amortized", action="store_true",
+                    help="include the same-pattern SpGEMM-as-SpMV engines")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin jax to the host CPU (device engines touch jax; "
+                         "without this the axon plugin routes every case over "
+                         "the TPU tunnel)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     t0 = time.time()
     n = fuzz_spgemm(
         args.cases,
@@ -193,6 +241,7 @@ def main() -> None:
         wide_prob=args.wide_prob,
         non_finite=not args.finite_only,
         include_device=args.device,
+        include_amortized=args.amortized,
         verbose=True,
     )
     print(f"fuzz: {n} cases OK in {time.time()-t0:.1f}s")

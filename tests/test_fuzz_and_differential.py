@@ -24,6 +24,13 @@ def test_fuzz_smoke_device():
     assert fuzz_spgemm(10, seed=3, max_dim=8, non_finite=False, include_device=True) == 10
 
 
+def test_fuzz_smoke_amortized():
+    # the same-pattern SpGEMM-as-SpMV engines, driven through their
+    # refresh contract (values scaled 1.5x post-plan, unscaled after)
+    assert fuzz_spgemm(8, seed=4, max_dim=10, non_finite=True,
+                       include_amortized=True) == 8
+
+
 @pytest.mark.skipif(not scipy_available(), reason="scipy missing")
 @settings(max_examples=25)
 @given(mul_pairs(finite_f64s(), dtype=np.float64))
