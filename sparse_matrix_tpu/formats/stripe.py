@@ -166,6 +166,18 @@ def _select_spill_frac(m: CsrMatrix, levels: int, kw: int) -> float:
     if nnz == 0:
         memo[(levels, kw)] = 0.0
         return 0.0
+    if nnz > 300_000:
+        # a FRACTION estimates fine on contiguous row bands, and the cost
+        # grid evaluates this for ~15 select configs x two lexsorts each —
+        # on the already-sampled 1.5M-nnz dispatch matrices that was 4.4 s
+        # of a 22 s same-pattern-SpGEMM plan (round-4 profile). The bands
+        # may land somewhat above the target, so compute on the sample
+        # directly (no re-entry)
+        from .csr import sample_row_bands
+
+        sub, _ = sample_row_bands(m, target_nnz=300_000)
+        if sub is not m:
+            m, nnz = sub, sub.nnz()
     h = levels * LANES
     r = m.row_ids().astype(np.int64)
     c = m.indices.astype(np.int64)

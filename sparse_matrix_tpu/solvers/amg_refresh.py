@@ -39,6 +39,22 @@ from .amg import AmgHierarchy, amg_coarsen, amg_setup
 __all__ = ["AmgRefresh"]
 
 
+def _pattern_csr(out_row, out_col, rows: int, cols: int) -> CsrMatrix:
+    """Sorted CSR skeleton from a plan's static output pattern (row-major
+    out_row/out_col), with placeholder unit values — exactly what
+    :func:`~..ops.device_sorted.padded_to_host` would build from a
+    multiply, minus the multiply."""
+    from ..formats.csr import INDEX_DTYPE, OFFSET_DTYPE
+
+    row = np.asarray(out_row, np.int64)
+    col = np.asarray(out_col)
+    offsets = np.zeros(rows + 1, dtype=OFFSET_DTYPE)
+    np.add.at(offsets, row + 1, 1)
+    np.cumsum(offsets, out=offsets)
+    return CsrMatrix(rows, cols, np.ones(len(row), np.float32),
+                     col.astype(INDEX_DTYPE), offsets, is_sorted=True)
+
+
 def _pattern_meta(m: CsrMatrix):
     """Precompute the value-independent pieces of dinv/lam for a pattern:
     positions of explicit diagonal entries and the row-segment offsets
@@ -102,12 +118,17 @@ class AmgRefresh:
         for p in self._prolongators:
             # self-consistent chain: level l+1's pattern is the STRUCTURAL
             # P^T A P product of the chain's own level-l pattern (a
-            # superset of a value-compacted host product, never smaller)
+            # superset of a value-compacted host product, never smaller).
+            # Only PATTERNS thread through the plan — the varying side's
+            # values never enter FixedSideSpgemm's plan data, so the
+            # intermediate/coarse matrices are built from the plan's
+            # out_row/out_col constants with placeholder values (skipping
+            # two device multiplies + jit compiles per level at plan time)
             ap = FixedSideSpgemm(cur, p, fixed="rhs", force=force)
-            ap_host = ap.multiply()
-            rap = FixedSideSpgemm(p.transpose(), ap_host, fixed="lhs",
+            ap_pat = _pattern_csr(ap.out_row, ap.out_col, ap.rows, ap.cols)
+            rap = FixedSideSpgemm(p.transpose(), ap_pat, fixed="lhs",
                                   force=force)
-            cur = rap.multiply()
+            cur = _pattern_csr(rap.out_row, rap.out_col, rap.rows, rap.cols)
             self._plans.append((ap, rap))
             self._patterns.append(cur)
             self._meta.append(_pattern_meta(cur))
