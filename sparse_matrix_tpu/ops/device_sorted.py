@@ -301,6 +301,14 @@ class EscSpgemm:
                     lhs.vals[xp.perm_csc].astype(dtype))
                 self.out_key = jnp.asarray(xp.out_key)
                 self._padded = xp.num_slabs * 1024 > xp.num_products
+                if reduce == "auto" and not (
+                    np.isfinite(lhs.vals).all() and np.isfinite(rhs.vals).all()
+                ):
+                    # non-finite plan-time values: the SpMV reduction has
+                    # dense-window semantics (0 * inf = NaN across gather
+                    # windows, spgemm_spmv.py contract) — keep the exactly
+                    # confined sort reduction
+                    reduce = "sort"
                 if reduce in ("auto", "spmv"):
                     from .spgemm_spmv import ReduceSpmv
 

@@ -28,6 +28,18 @@ reference's numeric phase (``/root/reference/spam_csr/src/mul_hash.rs:
 145-163``) for the same-pattern regime — the hash table's job (route
 product j to output entry i) is done once on host; the device only
 streams FLOPs.
+
+**Finite-stream contract**: with finite value streams the results are
+structurally exact (match the hash engine to f32 round-off). With
+non-finite values (NaN/inf) the windowed SpMV formats the selection
+operator dispatches to (lanepack/stripe/aligned/dia) read gather
+windows whose zero-weight slots multiply neighboring stream values, so
+``0 * inf = NaN`` can contaminate outputs sharing a window with a
+non-finite product — dense-window semantics, the same class of behavior
+as scipy's explicit-zero products. For strict IEEE confinement use the
+sort reduction (``EscSpgemm(reduce="sort")``, which segment-reduces
+exactly the real products); ``reduce="auto"`` checks the plan-time
+values and avoids the SpMV reduction when they are non-finite.
 """
 
 from __future__ import annotations
@@ -109,6 +121,7 @@ class ReduceSpmv:
         s, out_row, out_col, nnz_out = _group_by_key(
             key, cols, len(out_key_padded))
         self.rows, self.cols = rows, cols
+        self._num_products = num_products
         self.nnz_out = nnz_out
         self.out_row = jnp.asarray(out_row)
         self.out_col = jnp.asarray(out_col)
@@ -118,6 +131,13 @@ class ReduceSpmv:
         """Products (padded plan order) -> PaddedCoo (exact, row-sorted)."""
         from .device_sorted import PaddedCoo
 
+        # pad slots hold garbage (the expansion kernel's window slicing
+        # replicates real operands there): S never references them
+        # structurally, but windowed SpMV formats READ them inside gather
+        # windows with zero weights, and 0 * inf = NaN (found by the
+        # amortized fuzz, case167 dump). Mask is a plan constant.
+        p = jnp.where(jnp.arange(p.shape[0]) < self._num_products, p,
+                      jnp.zeros((), p.dtype))
         val = self.op(p)
         return PaddedCoo(self.out_row, self.out_col, val,
                          jnp.int32(self.nnz_out), self.rows, self.cols)

@@ -117,8 +117,19 @@ def _implementations(include_device: bool,
         from ..ops.device_sorted import EscSpgemm
         from ..ops.spgemm_spmv import FixedSideSpgemm
 
+        def _finite(a, b):
+            # the SpMV-reduce engines promise exactness for FINITE streams
+            # only (dense-window semantics otherwise — spgemm_spmv.py
+            # contract; non-finite coverage belongs to the sort/hash
+            # engines, which are exactly confined). Found by this very
+            # fuzz: case167 leaked 0*inf=NaN through zero-weight window
+            # slots before the contract (and the pad mask) existed.
+            return bool(np.isfinite(a.vals).all() and np.isfinite(b.vals).all())
+
         def fixed_side(fixed):
             def run(a, b):
+                if not _finite(a, b):
+                    return None
                 f = FixedSideSpgemm(a, b, fixed=fixed)
                 vary = (b if fixed == "lhs" else a).vals.astype(np.float32)
                 c = f.multiply(vary * np.float32(1.5))
@@ -128,6 +139,8 @@ def _implementations(include_device: bool,
             return run
 
         def esc_reduce_spmv(a, b):
+            if not _finite(a, b):
+                return None
             e = EscSpgemm(a, b, reduce="spmv")
             if e._rspmv is None:  # expansion/reduction plan gated out
                 return None

@@ -137,3 +137,40 @@ def test_reduce_spmv_direct_padding_dropped():
     np.testing.assert_array_equal(np.asarray(out.row), [0, 1, 3])
     np.testing.assert_array_equal(np.asarray(out.col), [3, 3, 0])
     np.testing.assert_allclose(np.asarray(out.val), [5.0, 6.0, 4.0])
+
+
+def test_nonfinite_contract_and_pad_mask():
+    """case167 regression (amortized fuzz): garbage non-finite pad slots
+    must not leak through zero-weight window slots, and reduce='auto'
+    must keep the confined sort reduction when plan-time values are
+    non-finite."""
+    import numpy as np
+
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+    from sparse_matrix_tpu.ops.device_sorted import EscSpgemm
+
+    rng = np.random.default_rng(167)
+    r = rng.integers(0, 5, 24)
+    c = rng.integers(0, 21, 24)
+    key = np.unique(r * 21 + c)
+    r, c = key // 21, key % 21
+    a = CsrMatrix.from_coo(5, 21, r, c, rng.standard_normal(len(r)))
+    bv = rng.standard_normal(8)
+    bv[3] = np.inf
+    br = np.sort(rng.choice(21, 8, replace=False))
+    b = CsrMatrix.from_coo(21, 1, br, np.zeros(8, np.int64), bv)
+    ref = a.to_dense().astype(np.float64) @ b.to_dense().astype(np.float64)
+    # auto must route non-finite plan values to the sort reduction
+    e = EscSpgemm(a, b, reduce="auto")
+    assert e._rspmv is None
+    got = e.multiply().to_dense()
+    fin = np.isfinite(ref)
+    np.testing.assert_allclose(got[fin], ref[fin], rtol=1e-4, atol=1e-6)
+    # the finite-value case through the spmv reduction stays exact even
+    # though pad slots hold garbage (masked in ReduceSpmv.reduce)
+    b2 = CsrMatrix.from_coo(21, 1, br, np.zeros(8, np.int64),
+                            np.where(np.isfinite(bv), bv, 7.0))
+    e2 = EscSpgemm(a, b2, reduce="spmv")
+    ref2 = a.to_dense().astype(np.float64) @ b2.to_dense().astype(np.float64)
+    np.testing.assert_allclose(e2.multiply().to_dense(), ref2,
+                               rtol=1e-4, atol=1e-6)
