@@ -225,8 +225,10 @@ def aslinearoperator(a) -> LinearOperator:
         op = SpmvOperator(a, dtype=dt)
         at = a.transpose()
         opt = SpmvOperator(at, dtype=dt)
-        return LinearOperator(a.shape, op, rmatvec=opt,
-                              matmat=getattr(op, "matmat", None), dtype=dt)
+        mm = getattr(op, "matmat", None)
+        return LinearOperator(a.shape, _f32call(op), rmatvec=_f32call(opt),
+                              matmat=_f32call(mm) if mm is not None else None,
+                              dtype=dt)
     arr = np.asarray(a)
     if arr.ndim != 2:
         raise ValueError("aslinearoperator expects a 2-D operator")
@@ -279,6 +281,20 @@ def spsolve_triangular(a, b, **kw):
     return _spsolve_triangular_csr(_ascsr(a), b, **kw)
 
 
+def _f32call(op):
+    """Facade dtype policy: cast caller vectors to the operator's f32
+    plan dtype before the apply (the planned operators refuse silent
+    float64 downcasts; at a scipy-compat boundary the cast is this
+    facade's explicit, documented job)."""
+
+    def call(x, *a, **kw):
+        import jax.numpy as jnp
+
+        return op(jnp.asarray(x, dtype=jnp.float32), *a, **kw)
+
+    return call
+
+
 def _square_matvec(a):
     """(matvec, n) from a square operator of any accepted type."""
     a = _ascsr_maybe(a)
@@ -287,7 +303,7 @@ def _square_matvec(a):
             raise ValueError("square operator required")
         from ..ops.operator import SpmvOperator
 
-        return SpmvOperator(a, dtype=np.float32), a.rows
+        return _f32call(SpmvOperator(a, dtype=np.float32)), a.rows
     if isinstance(a, LinearOperator):
         if a.shape[0] != a.shape[1]:
             raise ValueError("square operator required")
@@ -523,6 +539,13 @@ def minres(a, b, x0=None, *, rtol=1e-5, maxiter=None, M=None, callback=None,
 
 
 def _rect_matvecs(a):
+    """matvec/rmatvec pair for a facade argument, with the facade dtype
+    policy applied: scipy entry points accept whatever float width the
+    caller hands them (scipy's default is float64) and cast it to the
+    operator's plan dtype HERE, explicitly — the planned operators
+    themselves refuse silent downcasts (ops/spmv.py downcast guard), and
+    that refusal is correct for direct users but wrong at a compat facade
+    whose contract is scipy's."""
     a = _ascsr_maybe(a)
     if isinstance(a, LinearOperator):
         return a.matvec, a.rmatvec, a.shape
@@ -531,7 +554,7 @@ def _rect_matvecs(a):
 
     op = SpmvOperator(a, dtype=np.float32)
     opt = SpmvOperator(a.transpose(), dtype=np.float32)
-    return op, opt, a.shape
+    return _f32call(op), _f32call(opt), a.shape
 
 
 def lsqr(a, b, damp=0.0, atol=1e-6, btol=1e-6, conlim=None, iter_lim=None,

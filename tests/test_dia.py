@@ -80,7 +80,10 @@ def test_cg_with_operator():
 
 def test_operator_ell_fallback_hyper_sparse():
     # one nonzero per row over a very wide matrix: LanePack packing would be
-    # pathologically empty; operator must fall back to padded ELL
+    # pathologically empty. The dispatch contract (not a hardcoded format):
+    # the router must pick one of the compact scatter-friendly formats it
+    # prices for this class (ELL or stripe — both avoid the empty-slab
+    # LanePack blowup), and the result must be correct.
     rng = np.random.default_rng(9)
     rows, cols = 2000, 60000
     r = np.arange(rows)
@@ -90,7 +93,7 @@ def test_operator_ell_fallback_hyper_sparse():
 
     A = C.from_coo(rows, cols, r, c, v)
     op = SpmvOperator(A)
-    assert op.format == "ell"
+    assert op.format in ("ell", "stripe"), op.format
     x = rng.standard_normal(cols).astype(np.float32)
     y = np.asarray(op(x))
     ref = np.zeros(rows, np.float32)
