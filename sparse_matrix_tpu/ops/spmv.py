@@ -215,6 +215,16 @@ def _spmv_lanepack_jit(arrs, x, *, rows: int, cols: int, kw: int, b: int, interp
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        # Mosaic's default scoped-vmem limit is 16 MB, but the kernel keeps
+        # x AND y fully VMEM-resident: a colsplit x rowsplit shard near both
+        # split caps (3.26M cols + 1.57M rows, AmgRefresh at Poisson 2048^2)
+        # stacks 19.43 MB and OOMs at the DEFAULT limit while using a
+        # fraction of the 128 MB physical VMEM. Raise it like the BELL
+        # kernel does; the operator split caps (_VMEM_X_LIMIT /
+        # _ROWS_SPLIT_LIMIT) bound the worst case at ~65 MB (per_rb).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(
         arrs["rb_a"],
         arrs["rb_b"],
@@ -444,6 +454,11 @@ def _spmv_aligned_jit(arrs, x, *, rows: int, cols: int, b: int, nbuf: int, inter
         _make_aligned_kernel(b, nbuf),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbuf, r128, LANES), x.dtype),
+        # x + nbuf y planes VMEM-resident: see the lanepack call's note —
+        # the 16 MB default scoped limit OOMs near the split caps
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(
         arrs["rb_a"],
         arrs["rb_b"],
@@ -686,6 +701,11 @@ def _spmv_stripe_jit(arrs, x, *, rows: int, cols: int, lvl: int, kw: int,
         _make_stripe_kernel(b, lvl, kw, scan, nbuf),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbuf, r128p, LANES), x.dtype),
+        # x + nbuf y planes VMEM-resident: see the lanepack call's note —
+        # the 16 MB default scoped limit OOMs near the split caps
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(
         arrs["stripe_rb"],
         arrs["col_off"],

@@ -522,3 +522,25 @@ def test_esc_packed_key_parity_on_tpu():
         DeviceCsr.from_host(A), DeviceCsr.from_host(B),
         plan=expand_plan(A, B)))
     np.testing.assert_allclose(c.to_dense(), ad @ bd, atol=1e-3)
+
+
+def test_lanepack_vmem_stack_near_split_caps():
+    """Regression (VERDICT r4 weak #2a): a colsplit x rowsplit shard with
+    ~3.26M cols AND ~1.57M rows — each under its individual split cap —
+    stacks x (13 MB) + y (6.3 MB) = 19.4 MB of scoped VMEM and OOMed at
+    Mosaic's 16 MB DEFAULT limit (AmgRefresh at Poisson 2048^2,
+    amg_refresh_bench.out). The kernels now raise vmem_limit_bytes like
+    BELL does; this pins the exact shape class. nnz is kept tiny — the
+    stack size depends only on (rows, cols)."""
+    rng = np.random.default_rng(46)
+    rows, cols, nnz = 1_571_000, 3_258_000, 16_000
+    r = np.sort(rng.choice(rows, nnz, replace=False).astype(np.int64))
+    c = rng.integers(0, cols, nnz)
+    A = CsrMatrix.from_coo(rows, cols, r, c,
+                           rng.standard_normal(nnz).astype(np.float32))
+    x = rng.standard_normal(cols).astype(np.float32)
+    plan = plan_lanepack(A)
+    y = np.asarray(spmv_lanepack(plan, x))
+    ref = spmv_oracle(A, x).astype(np.float32)
+    scale = max(1.0, float(np.abs(ref).max()))
+    np.testing.assert_allclose(y / scale, ref / scale, atol=2e-5)
