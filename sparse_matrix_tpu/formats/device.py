@@ -55,11 +55,13 @@ class DeviceCsr:
 
     @classmethod
     def from_host(cls, m: CsrMatrix, *, dtype=jnp.float32) -> "DeviceCsr":
+        from ..utils.transfer import to_device
+
         return cls(
-            vals=jnp.asarray(m.vals, dtype=dtype),
-            indices=jnp.asarray(m.indices.astype(np.int32)),
-            offsets=jnp.asarray(m.offsets.astype(np.int32)),
-            row_ids=jnp.asarray(m.row_ids().astype(np.int32)),
+            vals=to_device(m.vals, dtype=dtype),
+            indices=to_device(m.indices.astype(np.int32)),
+            offsets=to_device(m.offsets.astype(np.int32)),
+            row_ids=to_device(m.row_ids().astype(np.int32)),
             rows=m.rows,
             cols=m.cols,
             is_sorted=m.is_sorted,

@@ -55,6 +55,8 @@ _I64P = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
 _U32P = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
 _F64P = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
 _F32P = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+_I32P = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_U8P = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
 
 
 def load_library() -> Optional[ctypes.CDLL]:
@@ -107,6 +109,11 @@ def _declare(lib: ctypes.CDLL) -> None:
     for name, vp in [("spmx_trisolve_f64", _F64P), ("spmx_trisolve_f32", _F32P)]:
         getattr(lib, name).restype = c_i64
         getattr(lib, name).argtypes = [c_i64, _I64P, _U32P, vp, _I64P, vp, c_int, c_int]
+    lib.spmx_fixedside_plan.restype = c_i64
+    lib.spmx_fixedside_plan.argtypes = [
+        c_i64, _I64P, _U32P, _F32P, _I64P, _U32P, _F32P, c_int,
+        _I32P, _F32P, _U32P, _U8P,
+    ]
     lib.spmx_aggregate_pass1.restype = c_i64
     lib.spmx_aggregate_pass1.argtypes = [c_i64, _I64P, _I64P, _I64P]
     lib.spmx_aggregate_pass2.restype = c_i64
@@ -948,6 +955,35 @@ def lanepack_fill_native(chunk_cnt, chunk_slab, chunk_sub, perm, row_of,
         ends_s.reshape(-1), starts_s.reshape(-1),
     )
     return True
+
+
+def fixedside_plan_native(lhs, rhs, fixed_lhs: bool, num_products: int):
+    """Fused expand + group-by-key pass for FixedSideSpgemm
+    (ops/spgemm_spmv.py): per-row stable sorts by output column replace
+    the global (key, sub_order) lexsort over num_products int64 keys.
+    Returns ``(s_idx, s_val, col_sorted, head, nnz_out)`` or None when the
+    library is unavailable or a position exceeds int32."""
+    lib = load_library()
+    if lib is None:
+        return None
+    if max(lhs.nnz(), rhs.nnz()) >= 2**31:
+        return None
+    s_idx = np.empty(num_products, dtype=np.int32)
+    s_val = np.empty(num_products, dtype=np.float32)
+    col_sorted = np.empty(num_products, dtype=np.uint32)
+    head = np.empty(num_products, dtype=np.uint8)
+    nnz_out = int(lib.spmx_fixedside_plan(
+        int(lhs.rows),
+        np.ascontiguousarray(lhs.offsets, dtype=np.int64),
+        np.ascontiguousarray(lhs.indices, dtype=np.uint32),
+        np.ascontiguousarray(lhs.vals, dtype=np.float32),
+        np.ascontiguousarray(rhs.offsets, dtype=np.int64),
+        np.ascontiguousarray(rhs.indices, dtype=np.uint32),
+        np.ascontiguousarray(rhs.vals, dtype=np.float32),
+        1 if fixed_lhs else 0,
+        s_idx, s_val, col_sorted, head,
+    ))
+    return s_idx, s_val, col_sorted, head, nnz_out
 
 
 def colsplit_native(rows, bounds, offsets, indices, vals):

@@ -2206,3 +2206,75 @@ extern "C" i64 spmx_maxflow(i64 n, i64 ne, const i64* eu, const i64* ev,
     if (eid[(size_t)e] >= 0) flow_out[eid[(size_t)e]] = cap[eid[(size_t)e]] - res[(size_t)e];
   return total;
 }
+
+// ---------------------------------------------------------------------------
+// FixedSideSpgemm plan (ops/spgemm_spmv.py): fused expand + group-by-key.
+//
+// The Python plan enumerated all intermediate products (expand_plan,
+// ops/device_sorted.py) and lexsorted the global (out_row*cols + out_col,
+// sub_order) keys — two full passes over num_products int64 temporaries
+// (23 s of a Poisson-1024^2 AmgRefresh plan). This pass exploits two
+// structural facts instead:
+//   * products enumerate in lhs row-major order, so out_row is already
+//     sorted — only WITHIN-row grouping by out_col is needed;
+//   * within one output (r, c) the varying-side position ascends in
+//     enumeration order (equal c across distinct k, k ascending; rhs-row
+//     position ranges ascend with k), so a per-row STABLE sort by c alone
+//     reproduces the (key, sub_order) lexsort exactly.
+//
+// Outputs, all length num_products (= sum over lhs entries of the rhs row
+// nnz, computed by the caller): s_idx = selection-matrix column (varying
+// side's CSR position), s_val = fixed side's value, col_sorted = output
+// column per product, head = 1 at each group (output entry) start.
+// Returns the number of groups (output nnz). Reference anchor: replaces
+// the symbolic phase's hash-route decision (mul_hash.rs:106-143) with a
+// sort, once, at plan time.
+extern "C" i64 spmx_fixedside_plan(
+    i64 lhs_rows,
+    const i64* lhs_offsets, const u32* lhs_indices, const float* lhs_vals,
+    const i64* rhs_offsets, const u32* rhs_indices, const float* rhs_vals,
+    int fixed_lhs,
+    int32_t* s_idx, float* s_val, u32* col_sorted, unsigned char* head) {
+  struct Prod {
+    u32 col;
+    int32_t idx;
+    float w;
+  };
+  std::vector<Prod> buf;
+  i64 p = 0;
+  i64 groups = 0;
+  for (i64 r = 0; r < lhs_rows; ++r) {
+    buf.clear();
+    for (i64 e = lhs_offsets[r]; e < lhs_offsets[r + 1]; ++e) {
+      u32 k = lhs_indices[e];
+      for (i64 q = rhs_offsets[k]; q < rhs_offsets[k + 1]; ++q) {
+        Prod t;
+        t.col = rhs_indices[q];
+        if (fixed_lhs) {
+          t.idx = (int32_t)q;
+          t.w = lhs_vals[e];
+        } else {
+          t.idx = (int32_t)e;
+          t.w = rhs_vals[q];
+        }
+        buf.push_back(t);
+      }
+    }
+    std::stable_sort(buf.begin(), buf.end(),
+                     [](const Prod& a, const Prod& b) { return a.col < b.col; });
+    u32 prev = kEmpty;
+    bool first = true;
+    for (const Prod& t : buf) {
+      unsigned char h = (first || t.col != prev) ? 1 : 0;
+      head[p] = h;
+      groups += h;
+      col_sorted[p] = t.col;
+      s_idx[p] = t.idx;
+      s_val[p] = t.w;
+      prev = t.col;
+      first = false;
+      ++p;
+    }
+  }
+  return groups;
+}

@@ -605,12 +605,16 @@ class SpmvOperator:
         w_full = max(1, int(row_nnz.max())) if m.nnz() else 1
         q99 = int(np.quantile(row_nnz, 0.99)) if m.nnz() else 1
         if w_full > 2 * max(1, 2 * q99):
+            from ..utils.transfer import to_device
+
             ev, ec, sr, sc, sv = ell_spill_from_csr(m, dtype=dtype)
-            self._ell = (jnp.asarray(ev), jnp.asarray(ec))
-            self._ell_spill = (jnp.asarray(sr), jnp.asarray(sc), jnp.asarray(sv))
+            self._ell = (to_device(ev), to_device(ec))
+            self._ell_spill = (to_device(sr), to_device(sc), to_device(sv))
         else:
+            from ..utils.transfer import to_device
+
             ev, ec = ell_from_csr(m, dtype=dtype)
-            self._ell = (jnp.asarray(ev), jnp.asarray(ec))
+            self._ell = (to_device(ev), to_device(ec))
             self._ell_spill = None
 
     def _no_bf16(self, fmt: str):

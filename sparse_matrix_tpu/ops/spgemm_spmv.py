@@ -54,6 +54,64 @@ from ..formats.csr import CsrMatrix, INDEX_DTYPE, OFFSET_DTYPE
 __all__ = ["ReduceSpmv", "FixedSideSpgemm"]
 
 
+def _check_int32_cols(rows: int, cols: int) -> None:
+    """The engines' output row/col arrays are int32 (like every device
+    kernel in this library); uk % out_cols would silently wrap beyond
+    2^31. The fuzz harness gated on this (_INT32_COL_ENGINES) — the
+    public constructors must too (ADVICE r4)."""
+    if cols >= 2**31 or rows >= 2**31:
+        raise ValueError(
+            f"SpMV-reduce SpGEMM engines carry int32 output coordinates; "
+            f"got rows={rows}, cols={cols} (>= 2^31). Use the sort-"
+            f"reduction ESC engine or the host engine for wider outputs."
+        )
+
+
+def _fixedside_select(lhs: CsrMatrix, rhs: CsrMatrix, fixed: str):
+    """Build FixedSideSpgemm's grouped selection matrix: native fused
+    expand+group pass when available (per-row stable sorts by output
+    column — products already enumerate row-major, and within one output
+    entry the varying side's CSR position ascends in enumeration order,
+    so no global lexsort is needed), numpy expand_plan + _group_by_key
+    otherwise. Returns ``(S, out_row, out_col, nnz_out, num_products)``."""
+    from ..native.loader import fixedside_plan_native
+
+    reps = np.diff(rhs.offsets)[lhs.indices.astype(np.int64)]
+    num_products = int(reps.sum())
+    nat = None
+    if num_products:
+        nat = fixedside_plan_native(lhs, rhs, fixed == "lhs", num_products)
+    if nat is not None:
+        s_idx, s_val, col_sorted, head, nnz_out = nat
+        starts = np.flatnonzero(head)
+        offsets = np.empty(nnz_out + 1, dtype=OFFSET_DTYPE)
+        offsets[:-1] = starts
+        offsets[-1] = num_products
+        out_col = col_sorted[starts].astype(np.int32)
+        # products of lhs row r occupy [prow[r], prow[r+1])
+        cum = np.zeros(lhs.nnz() + 1, np.int64)
+        np.cumsum(reps, out=cum[1:])
+        prow = cum[lhs.offsets.astype(np.int64)]
+        out_row = (np.searchsorted(prow, starts, side="right") - 1).astype(
+            np.int32)
+        cols_x = rhs.nnz() if fixed == "lhs" else lhs.nnz()
+        s = CsrMatrix(nnz_out, cols_x, s_val, s_idx.astype(INDEX_DTYPE),
+                      offsets, is_sorted=True)
+        return s, out_row, out_col, nnz_out, num_products
+    from .device_sorted import expand_plan
+
+    src, q, out_r = expand_plan(lhs, rhs)
+    out_c = rhs.indices.astype(np.int64)[q]
+    key = out_r.astype(np.int64) * rhs.cols + out_c
+    if fixed == "lhs":
+        idx, w_vals, cols_x = q, lhs.vals[src], rhs.nnz()
+    else:
+        idx, w_vals, cols_x = src, rhs.vals[q], lhs.nnz()
+    s, out_row, out_col, nnz_out = _group_by_key(
+        key, rhs.cols, cols_x, sub_order=idx, indices=idx, vals=w_vals)
+    return s, out_row, out_col, nnz_out, len(key)
+
+
 def _group_by_key(key: np.ndarray, out_cols: int, cols_x: int,
                   sub_order: Optional[np.ndarray] = None,
                   indices: Optional[np.ndarray] = None,
@@ -97,9 +155,30 @@ def _group_by_key(key: np.ndarray, out_cols: int, cols_x: int,
     return s, out_row, out_col, nnz_out
 
 
+class _ZeroOperator:
+    """Stand-in operator for a plan with zero products: carries the same
+    call/as_pytree/apply surface as SpmvOperator so degenerate levels
+    (e.g. an AmgRefresh hierarchy with an empty product) compose instead
+    of dying with AttributeError (ADVICE r4)."""
+
+    format = "zero"
+
+    def __init__(self, dtype):
+        self._dtype = dtype
+
+    def __call__(self, x):
+        return jnp.zeros(0, self._dtype)
+
+    def as_pytree(self):
+        return {}
+
+    def apply(self, params, x):
+        return jnp.zeros(0, self._dtype)
+
+
 def _operator(s, force, dtype):
     if s is None:
-        return lambda x: jnp.zeros(0, dtype)
+        return _ZeroOperator(dtype)
     from .operator import SpmvOperator
 
     return SpmvOperator(s, dtype=dtype, force=force)
@@ -117,18 +196,38 @@ class ReduceSpmv:
     def __init__(self, out_key_padded: np.ndarray, num_products: int,
                  rows: int, cols: int, *, force: Optional[str] = None,
                  dtype=np.float32):
+        _check_int32_cols(rows, cols)
         key = np.asarray(out_key_padded[:num_products], np.int64)
         s, out_row, out_col, nnz_out = _group_by_key(
             key, cols, len(out_key_padded))
+        from ..utils.transfer import to_device
+
         self.rows, self.cols = rows, cols
         self._num_products = num_products
         self.nnz_out = nnz_out
-        self.out_row = jnp.asarray(out_row)
-        self.out_col = jnp.asarray(out_col)
+        self.out_row = to_device(out_row)
+        self.out_col = to_device(out_col)
         self.op = _operator(s, force, dtype)
+
+    def as_pytree(self):
+        """The selection operator's device arrays as a pytree — pass these
+        through :meth:`apply` when composing inside an outer jit (a
+        chained bench loop, a solver) so the selection matrix rides as a
+        runtime ARGUMENT, not a compiled constant (>24 MB constants blow
+        remote-compile payloads; same policy as AmgRefresh.device_fn)."""
+        return self.op.as_pytree()
+
+    def apply(self, params, p):
+        """:meth:`reduce` with the selection operator's arrays supplied as
+        ``params`` (from :meth:`as_pytree`); jit-traceable with ``params``
+        as an argument."""
+        return self._reduce(p, lambda x: self.op.apply(params, x))
 
     def reduce(self, p):
         """Products (padded plan order) -> PaddedCoo (exact, row-sorted)."""
+        return self._reduce(p, self.op)
+
+    def _reduce(self, p, op):
         from .device_sorted import PaddedCoo
 
         # pad slots hold garbage (the expansion kernel's window slicing
@@ -138,7 +237,7 @@ class ReduceSpmv:
         # amortized fuzz, case167 dump). Mask is a plan constant.
         p = jnp.where(jnp.arange(p.shape[0]) < self._num_products, p,
                       jnp.zeros((), p.dtype))
-        val = self.op(p)
+        val = op(p)
         return PaddedCoo(self.out_row, self.out_col, val,
                          jnp.int32(self.nnz_out), self.rows, self.cols)
 
@@ -169,34 +268,43 @@ class FixedSideSpgemm:
             raise ValueError("LHS cols != RHS rows")
         if fixed not in ("lhs", "rhs"):
             raise ValueError("fixed must be 'lhs' or 'rhs'")
-        from .device_sorted import expand_plan
+        _check_int32_cols(lhs.rows, rhs.cols)
+        s, out_row, out_col, nnz_out, num_products = _fixedside_select(
+            lhs, rhs, fixed)
+        from ..utils.transfer import to_device
 
-        src, q, out_r = expand_plan(lhs, rhs)
-        out_c = rhs.indices.astype(np.int64)[q]
-        key = out_r.astype(np.int64) * rhs.cols + out_c
-        if fixed == "lhs":
-            idx, w_vals, cols_x = q, lhs.vals[src], rhs.nnz()
-        else:
-            idx, w_vals, cols_x = src, rhs.vals[q], lhs.nnz()
-        s, out_row, out_col, nnz_out = _group_by_key(
-            key, rhs.cols, cols_x, sub_order=idx, indices=idx, vals=w_vals)
         self.rows, self.cols = lhs.rows, rhs.cols
         self.fixed = fixed
-        self.num_products = len(key)
+        self.num_products = num_products
         self.nnz_out = nnz_out
-        self.out_row = jnp.asarray(out_row)
-        self.out_col = jnp.asarray(out_col)
-        self._default_x = jnp.asarray(
+        self.out_row = to_device(out_row)
+        self.out_col = to_device(out_col)
+        self._default_x = to_device(
             (rhs.vals if fixed == "lhs" else lhs.vals).astype(dtype))
         self.op = _operator(s, force, dtype)
+
+    def as_pytree(self):
+        """Selection-operator device arrays as a pytree — see
+        :meth:`ReduceSpmv.as_pytree` (same >24 MB-constants rationale)."""
+        return self.op.as_pytree()
+
+    def apply(self, params, vals=None):
+        """:meth:`multiply_device` with the selection operator's arrays
+        supplied as ``params`` (from :meth:`as_pytree`); jit-traceable
+        with ``params`` as an argument — the form chained benches and
+        solvers must use (AmgRefresh.device_fn does)."""
+        return self._multiply(vals, lambda x: self.op.apply(params, x))
 
     def multiply_device(self, vals=None):
         """One SpMV: ``vals`` = the varying side's values in CSR order
         (defaults to the values captured at plan time)."""
+        return self._multiply(vals, self.op)
+
+    def _multiply(self, vals, op):
         from .device_sorted import PaddedCoo
 
         x = self._default_x if vals is None else jnp.asarray(vals)
-        val = self.op(x)
+        val = op(x)
         return PaddedCoo(self.out_row, self.out_col, val,
                          jnp.int32(self.nnz_out), self.rows, self.cols)
 

@@ -29,6 +29,7 @@ import numpy as np
 
 from ..formats.csr import CsrMatrix
 from ..formats.lanepack import LANES, SUBLANES, LanePackPlan
+from ..utils.transfer import to_device
 
 __all__ = [
     "spmv_lanepack",
@@ -152,15 +153,15 @@ def lanepack_device_arrays(plan: LanePackPlan, *, b: Optional[int] = None):
 
     def pad(a):
         if a.shape[0] == sp:
-            return jnp.asarray(a)
+            return to_device(a)
         out = np.zeros((sp,) + a.shape[1:], dtype=a.dtype)
         out[: a.shape[0]] = a
-        return jnp.asarray(out)
+        return to_device(out)
 
     def pad1(a, fill, n):
         out = np.full(n, fill, dtype=np.int32)
         out[: min(len(a), n)] = a[:n] if len(a) >= n else a
-        return jnp.asarray(out)
+        return to_device(out)
 
     # padding slabs hold zero values; they accumulate 0 into block 0
     return dict(
@@ -393,14 +394,14 @@ def aligned_device_arrays(plan, *, b: Optional[int] = None):
         def pad(a):
             seg = a[lo:hi]  # first-axis slice: contiguous view, no copy
             if sp == hi - lo:
-                return jnp.asarray(seg)
+                return to_device(seg)
             tail = np.zeros((sp - (hi - lo),) + a.shape[1:], dtype=a.dtype)
-            return jnp.asarray(np.concatenate([seg, tail]))
+            return to_device(np.concatenate([seg, tail]))
 
         def pad1(a, fill, scale=1):
             out = np.full(sp * scale, fill, dtype=np.int32)
             out[: (hi - lo) * scale] = a[lo * scale : hi * scale]
-            return jnp.asarray(out)
+            return to_device(out)
 
         return dict(
             vals=pad(plan.vals),
@@ -640,15 +641,15 @@ def stripe_device_arrays(plan, *, b: Optional[int] = None):
 
     def pad(a):
         if a.shape[0] == sp:
-            return jnp.asarray(a)
+            return to_device(a)
         out = np.zeros((sp,) + a.shape[1:], dtype=a.dtype)
         out[: a.shape[0]] = a
-        return jnp.asarray(out)
+        return to_device(out)
 
     def pad1(a, fill, scale=1):
         out = np.full(sp * scale, fill, dtype=np.int32)
         out[: min(len(a), s * scale)] = a[: s * scale]
-        return jnp.asarray(out)
+        return to_device(out)
 
     arrs = dict(
         b=b,

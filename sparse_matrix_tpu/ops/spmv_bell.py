@@ -69,7 +69,9 @@ def bell_device_arrays(plan: BellPlan, *, br: int | None = None,
         lane[i] = LANES * h0 - (LANES if plan.span == 128 else 0)
     vals[:, : plan.r128] = plan.vals.astype(vdt, copy=False)
     lane[:, : plan.r128] = plan.lane
-    arrs = dict(br=br, vals=jnp.asarray(vals), lane=jnp.asarray(lane))
+    from ..utils.transfer import to_device
+
+    arrs = dict(br=br, vals=to_device(vals), lane=to_device(lane))
     if plan.spill is not None:
         arrs["spill"] = lanepack_device_arrays(plan.spill)
     return arrs

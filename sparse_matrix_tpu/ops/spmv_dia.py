@@ -32,7 +32,9 @@ def dia_device_arrays(m: DiaMatrix, *, values_dtype=None):
     x dtype before the fma (f32 accumulate) — relative error per product
     is bf16-eps (~4e-3), which the mixed-precision refinement solvers
     (solvers/cg.py cg_solve_ir) recover to working accuracy."""
-    data = jnp.asarray(m.data)
+    from ..utils.transfer import to_device
+
+    data = to_device(m.data)
     if values_dtype is not None:
         data = data.astype(values_dtype)
     return dict(data=data)
