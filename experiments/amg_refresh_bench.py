@@ -39,7 +39,7 @@ def main():
         AmgRefresh, amg_setup, pcg_solve, poisson_2d_csr)
 
     log(f"backend={jax.default_backend()}")
-    for n in (1024, 2048):
+    for n in (1024, 2048, 4096):
         a = poisson_2d_csr(n, dtype=np.float32)
         rng = np.random.default_rng(0)
         s = np.exp(0.2 * rng.standard_normal(a.rows)).astype(np.float64)

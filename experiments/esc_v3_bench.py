@@ -15,16 +15,19 @@ def log(*a):
     print(*a, flush=True)
 
 
-def chain_time(f, iters=40, repeats=3):
+def chain_time(f, params=None, iters=40, repeats=3):
+    # params ride as jit ARGUMENTS (engine.as_pytree()): closure-captured
+    # device arrays embed as program constants and >24 MB payloads die on
+    # the remote-compile tunnel with HTTP 413 (VERDICT r4 weak #5)
     @jax.jit
-    def loop(c):
-        return jax.lax.fori_loop(0, iters, lambda i, v: f(v), c)
+    def loop(c, prm):
+        return jax.lax.fori_loop(0, iters, lambda i, v: f(v, prm), c)
     c0 = jnp.float32(0.001)
-    float(loop(c0))
+    float(loop(c0, params))
     runs = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(loop(c0))
+        float(loop(c0, params))
         runs.append(time.perf_counter() - t0)
     return max(1e-9, (min(runs) - 0.025) / iters)
 
@@ -73,13 +76,13 @@ def main():
                        if e._rspmv is not None and hasattr(e._rspmv.op, "format")
                        else "-")
 
-                def step(cc):
+                def step(cc, prm):
                     r = e.multiply_device(
                         lhs_vals=None,
-                        rhs_vals=e.rhs_vals * (1.0 + cc * 1e-9))
+                        rhs_vals=e.rhs_vals * (1.0 + cc * 1e-9), params=prm)
                     return cc + r.val[0] * 1e-20 + r.nnz.astype(
                         jnp.float32) * 1e-20
-                t = chain_time(step)
+                t = chain_time(step, e.as_pytree())
                 log(f"{name} {label}[{fmt}]: {t*1e3:.2f} ms -> "
                     f"{n/t/1e6:.1f} Mprod/s (products={n}, plan {plan_t:.1f}s)")
             except Exception as ex:
@@ -96,10 +99,10 @@ def main():
                                        atol=1e-2), name
                 fmt = getattr(f.op, "format", "-")
 
-                def stepf(cc):
-                    r = f.multiply_device(f._default_x * (1.0 + cc * 1e-9))
+                def stepf(cc, prm):
+                    r = f.apply(prm, f._default_x * (1.0 + cc * 1e-9))
                     return cc + r.val[0] * 1e-20
-                t = chain_time(stepf)
+                t = chain_time(stepf, f.as_pytree())
                 log(f"{name} fixed-lhs[{force}->{fmt}]: {t*1e3:.2f} ms -> "
                     f"{f.num_products/t/1e6:.1f} Mprod/s "
                     f"(products={f.num_products}, plan {plan_t:.1f}s)")

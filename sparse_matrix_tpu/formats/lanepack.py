@@ -263,6 +263,12 @@ def plan_lanepack(
         # unless per-rb padding is negligible AND slab counts diverge
         # strongly (rare); keep both modes selectable
         pack = "per_rb" if slabs_per_rb * c_per_rb < slabs_dense * c_dense else "dense"
+        # per_rb's y is (r128, 8, 128) f32 = 32 B/row of VMEM vs dense's
+        # 4 B/row: gate it by the kernels' 100 MB scoped-vmem budget
+        # (ops/spmv.py) so the raised split caps can't pick a per_rb plan
+        # whose stack no longer fits
+        if pack == "per_rb" and 32 * m.rows + 4 * m.cols > 88 * 1024 * 1024:
+            pack = "dense"
 
     # pack chunks densely into slabs, allowing at most TWO distinct row
     # blocks per slab (the kernel does a split two-target accumulation);

@@ -213,7 +213,12 @@ def _cost_constants():
 
 
 def _mode_cost(m: CsrMatrix, mode: str, lc: int, kc: int, nnz: int,
-               consts) -> float:
+               consts, best: Optional[float] = None) -> float:
+    """Estimated apply ns; ``best`` enables the spill-pricing prune:
+    select-mode spill only ever ADDS cost, so when the spill-free base
+    already loses to the running best there is no need to pay the two
+    lexsorts of :func:`_select_spill_frac` (they were ~5 s of a 1024^2
+    AmgRefresh plan across the (L, KW) grid)."""
     from ..utils import autotune
 
     c0, ck, cl, s0, sk, sl = consts
@@ -228,10 +233,13 @@ def _mode_cost(m: CsrMatrix, mode: str, lc: int, kc: int, nnz: int,
     avg_group = max(1.0, nnz / max(groups, 1))
     kw_g = min(kc + 1, int(np.ceil(kc * LANES * 127.0 / avg_group / LANES))
                + 1)
+    base = slabs * (s0 + sk * kw_g + sl * lc)
+    if best is not None and base >= best:
+        return float("inf")
     # collision spill runs on the LanePack kernel at scatter-class fill
     spill = _select_spill_frac(m, lc, kc) * nnz * autotune.get(
         "stripe_spill_per_nnz_ns")
-    return slabs * (s0 + sk * kw_g + sl * lc) + spill
+    return base + spill
 
 
 def stripe_cost(m: CsrMatrix, levels: int, kw: int,
@@ -272,7 +280,8 @@ def plan_stripe(
                 for kc in (kw_candidates if kw is None else (kw,)):
                     if kc > 1 and (kc // 2) * LANES > cols + LANES:
                         continue
-                    cost = _mode_cost(mm, mc, lc, kc, mm.nnz(), consts)
+                    cost = _mode_cost(mm, mc, lc, kc, mm.nnz(), consts,
+                                      best=best_cost / mscale)
                     cost *= mscale
                     if cost < best_cost:
                         best, best_cost = (mc, lc, kc), cost

@@ -338,15 +338,38 @@ class EscSpgemm:
     def engine(self) -> str:
         return "pallas" if self._xplan is not None else "xla_gather"
 
-    def multiply_device(self, lhs_vals=None, rhs_vals=None) -> PaddedCoo:
+    def as_pytree(self):
+        """Plan arrays (expansion slabs + the SpMV-reduce selection
+        operator) as a pytree for :meth:`multiply_device`'s ``params=`` —
+        inside an outer jit (chained bench loops, solvers) they must ride
+        as runtime ARGUMENTS, not compiled constants (>24 MB constants
+        blow remote-compile payloads; the policy AmgRefresh.device_fn and
+        SpmvOperator.as_pytree established)."""
+        out = {}
+        if self._xplan is not None:
+            from .esc_expand import expand_device_arrays
+
+            if getattr(self, "_expand_arrs", None) is None:
+                self._expand_arrs = expand_device_arrays(self._xplan)
+            out["expand"] = self._expand_arrs
+        if self._rspmv is not None:
+            out["rspmv"] = self._rspmv.as_pytree()
+        return out
+
+    def multiply_device(self, lhs_vals=None, rhs_vals=None,
+                        params=None) -> PaddedCoo:
         rv = self.rhs_vals if rhs_vals is None else jnp.asarray(rhs_vals)
         if self._xplan is not None:
             from .esc_expand import expand_products
 
             lv = (self.lhs_vals_csc if lhs_vals is None
                   else jnp.asarray(lhs_vals)[self._lhs_perm])
-            p = expand_products(self._xplan, lv, rv)
+            p = expand_products(
+                self._xplan, lv, rv,
+                device_arrays=None if params is None else params["expand"])
             if self._rspmv is not None:
+                if params is not None and "rspmv" in params:
+                    return self._rspmv.apply(params["rspmv"], p)
                 return self._rspmv.reduce(p)
             row, col, val, nnz = _packed_reduce_presort(
                 self.out_key, p, self.rows, self.cols)

@@ -232,40 +232,59 @@ def _expand_jit(lv_pad, rv_pad, lv_lane, rv_lane, lv_off, rv_off, *,
     )(lv_off, rv_off, lv_pad, rv_pad, lv_lane, rv_lane)
 
 
-def expand_products(plan: ExpandPlan, lv_csc, rv, *, interpret=None):
+def expand_device_arrays(plan: ExpandPlan):
+    """The plan's slab/offset arrays on device, padded to whole B-slab
+    steps — reusable across calls, and passable as jit ARGUMENTS so
+    chained callers don't embed them as program constants (the >24 MB
+    payload policy; see EscSpgemm.as_pytree)."""
+    from ..utils.transfer import to_device
+
+    b = _pick_b(plan.num_slabs)
+    s = plan.num_slabs
+    sp = max(b, -(-s // b) * b)
+
+    def pad_slab(a):
+        if a.shape[0] == sp:
+            return to_device(a)
+        out = np.zeros((sp,) + a.shape[1:], dtype=a.dtype)
+        out[: a.shape[0]] = a
+        return to_device(out)
+
+    def pad_off(a):
+        out = np.zeros(sp * SUBLANES, dtype=np.int32)
+        out[: len(a)] = a
+        return to_device(out)
+
+    return dict(
+        lv_lane=pad_slab(plan.lv_lane), rv_lane=pad_slab(plan.rv_lane),
+        lv_off=pad_off(plan.lv_off), rv_off=pad_off(plan.rv_off),
+    )
+
+
+def expand_products(plan: ExpandPlan, lv_csc, rv, *, device_arrays=None,
+                    interpret=None):
     """All intermediate products in plan order, padded to (S,8,128).
 
     ``lv_csc`` = lhs values already CSC-permuted (``vals[plan.perm_csc]``);
     ``rv`` = rhs values in CSR order. Both are padded to whole 128-lane
-    rows here.
+    rows here. ``device_arrays`` = a cached/threaded
+    :func:`expand_device_arrays` dict.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b = _pick_b(plan.num_slabs)
     s = plan.num_slabs
-    sp = max(b, -(-s // b) * b)
 
     def pad_vals(v, kw):
         r = -(-v.shape[0] // LANES) + kw
         out = jnp.zeros(r * LANES, v.dtype).at[: v.shape[0]].set(v)
         return out.reshape(r, LANES)
 
-    def pad_slab(a):
-        if a.shape[0] == sp:
-            return jnp.asarray(a)
-        out = np.zeros((sp,) + a.shape[1:], dtype=a.dtype)
-        out[: a.shape[0]] = a
-        return jnp.asarray(out)
-
-    def pad_off(a):
-        out = np.zeros(sp * SUBLANES, dtype=np.int32)
-        out[: len(a)] = a
-        return jnp.asarray(out)
-
+    arrs = device_arrays if device_arrays is not None else (
+        expand_device_arrays(plan))
     p = _expand_jit(
         pad_vals(lv_csc, plan.kw_lv), pad_vals(rv, plan.kw_rv),
-        pad_slab(plan.lv_lane), pad_slab(plan.rv_lane),
-        pad_off(plan.lv_off), pad_off(plan.rv_off),
+        arrs["lv_lane"], arrs["rv_lane"], arrs["lv_off"], arrs["rv_off"],
         kw_lv=plan.kw_lv, kw_rv=plan.kw_rv, b=b, interpret=interpret,
     )
     return p.reshape(-1)[: s * SUBLANES * LANES]

@@ -28,9 +28,11 @@ __all__ = ["SpmvOperator", "split_bands"]
 BAND_FILL_THRESHOLD = 0.5
 MIN_BAND_NNZ_FRACTION = 0.3  # hybrid only pays if bands cover enough nnz
 # the aligned/LanePack kernels hold nbuf=2 (ceil(rows/128), 128) f32 y
-# buffers VMEM-resident: rows beyond this blow the 16 MB scoped-vmem stack
-# (hit at 4.2M rows by Poisson 2048^2's prolongator); 1024^2 (1.05M) fits
-_ROWS_SPLIT_LIMIT = 1_600_000
+# buffers VMEM-resident: with the kernels' scoped-vmem limit raised to
+# 100 MB (ops/spmv.py), the cap is set jointly with _VMEM_X_LIMIT —
+# 8B/row (aligned nbuf=2) x 4M rows = 32 MB of y + 40 MB of x at the
+# column cap = 72 MB, under the limit with headroom for slab blocks
+_ROWS_SPLIT_LIMIT = 4_000_000
 
 
 def split_bands(
@@ -483,7 +485,10 @@ class SpmvOperator:
                 for kc in (1, 2, 4, 8, 16):
                     if kc > 1 and (kc // 2) * 128 > m.cols + 128:
                         continue
-                    t = _mode_cost(mm, mode, lc, kc, mm.nnz(), consts) * scale
+                    t = _mode_cost(
+                        mm, mode, lc, kc, mm.nnz(), consts,
+                        best=None if best is None else best / scale,
+                    ) * scale
                     if best is None or t < best:
                         best = t
                         best_slabs = _stripe_counts(

@@ -176,6 +176,10 @@ def _spmm_aligned_jit(arrs, x3, *, rows: int, b: int, k: int, nbuf: int, interpr
         _make_aligned_spmm_kernel(b, k, nbuf),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbuf, r128, k, LANES), x3.dtype),
+        # X + nbuf Y planes VMEM-resident: 16 MB default scoped limit is
+        # too small near the raised operator split caps (see ops/spmv.py)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(
         arrs["rb_a"],
         arrs["rb_b"],
@@ -432,6 +436,9 @@ def _spmm_lanepack_jit(arrs, x3, *, rows, kw, b, k, nbuf, interpret, pack):
         _make_lanepack_spmm_kernel(b, kw, k, pack, nbuf),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nbuf, r128, k, LANES), x3.dtype),
+        # see the aligned SpMM call's scoped-vmem note
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(
         arrs["rb_a"],
         arrs["rb_b"],

@@ -270,11 +270,18 @@ def _lanepack_reference(arrs, x2d, *, rows: int, kw: int):
 
 
 # floats; x must be VMEM-resident in these kernels. The binding constraint
-# is Mosaic's 16 MB scoped-vmem stack (an x operand beyond ~15 MB fails AOT
-# compilation with "Ran out of memory in memory space vmem ... on stack" —
-# hit at 4.2M cols by Poisson 2048^2's prolongators); SpmvOperator
-# column-splits wider operators automatically.
-_VMEM_X_LIMIT = 3_500_000
+# was Mosaic's 16 MB DEFAULT scoped-vmem stack (an x operand beyond ~15 MB
+# failed AOT compilation — hit at 4.2M cols by Poisson 2048^2's
+# prolongators, which is why this sat at 3.5M through round 4); the three
+# general kernels now raise vmem_limit_bytes to 100 MB like BELL, so the
+# caps are set by the JOINT budget: x (4B/col) + worst-kernel y (aligned
+# nbuf=2: 8B/row) <= 72 MB at both caps, comfortably under the limit.
+# Fewer, larger shards also cut operator planning time ~linearly in shard
+# count (the round-4 caps split a 2048^2 AmgRefresh selection operator
+# into ~80 leaves and re-planned each). SpmvOperator column-splits wider
+# operators automatically; per_rb lanepack packing (32B/row of y) gets its
+# own budget gate in plan_lanepack.
+_VMEM_X_LIMIT = 10_000_000
 
 
 def _cast_x(x, plan_dtype, allow_downcast):

@@ -174,3 +174,98 @@ def test_nonfinite_contract_and_pad_mask():
     ref2 = a.to_dense().astype(np.float64) @ b2.to_dense().astype(np.float64)
     np.testing.assert_allclose(e2.multiply().to_dense(), ref2,
                                rtol=1e-4, atol=1e-6)
+
+
+def test_params_as_pytree_apply_matches_direct():
+    """VERDICT r4 #5: the engines must compose inside an outer jit with
+    their plan arrays as ARGUMENTS (as_pytree/apply), exactly like
+    AmgRefresh.device_fn — and produce the same values as the direct
+    call."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(21)
+    a = _rand_csr(rng, 48, 48, 0.12)
+    b = _rand_csr(rng, 48, 48, 0.12)
+
+    f = FixedSideSpgemm(a, b, fixed="lhs")
+    prm = f.as_pytree()
+    nv = rng.standard_normal(b.nnz()).astype(np.float32)
+
+    @jax.jit
+    def run_f(p, v):
+        return f.apply(p, v).val
+
+    np.testing.assert_allclose(
+        np.asarray(run_f(prm, jnp.asarray(nv))),
+        np.asarray(f.multiply_device(nv).val), rtol=1e-6, atol=1e-6)
+
+    e = EscSpgemm(a, b, reduce="spmv")
+    eprm = e.as_pytree()
+    assert "rspmv" in eprm
+
+    @jax.jit
+    def run_e(p, rv):
+        return e.multiply_device(rhs_vals=rv, params=p).val
+
+    rv = rng.standard_normal(b.nnz()).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(run_e(eprm, jnp.asarray(rv))),
+        np.asarray(e.multiply_device(rhs_vals=jnp.asarray(rv)).val),
+        rtol=1e-6, atol=1e-6)
+
+
+def test_runtime_nonfinite_boundary_fixed_side():
+    """VERDICT r4 #6: the documented contract at the RUNTIME boundary —
+    a value stream that turns non-finite AFTER planning flows through the
+    SpMV reduction with dense-window semantics. Pinned invariants:
+    (a) every output entry whose products include the non-finite value is
+    non-finite; (b) every output the engine reports as finite matches the
+    oracle exactly (contamination may widen the non-finite set across a
+    shared gather window, never corrupt a value it reports as finite)."""
+    rng = np.random.default_rng(31)
+    a = _rand_csr(rng, 40, 40, 0.15)
+    b = _rand_csr(rng, 40, 40, 0.15)
+    f = FixedSideSpgemm(a, b, fixed="lhs")  # planned on finite values
+    nv = b.vals.copy()
+    nv[len(nv) // 2] = np.inf  # runtime drift to non-finite
+
+    # structural oracle: per-output sums over REAL products only — the
+    # engine's contract (both the dense oracle and the NaN-aware DOK mul
+    # mint 0 * inf = NaN at structurally ABSENT pairs, which the plan
+    # never multiplies)
+    acc = {}
+    ra = a.row_ids()
+    boff = b.offsets.astype(np.int64)
+    for pos in range(a.nnz()):
+        r, k, v = int(ra[pos]), int(a.indices[pos]), float(a.vals[pos])
+        for q in range(boff[k], boff[k + 1]):
+            c = int(b.indices[q])
+            acc[(r, c)] = acc.get((r, c), 0.0) + v * float(nv[q])
+    ref = np.zeros((a.rows, b.cols))
+    for (r, c), v in acc.items():
+        ref[r, c] = v
+    got = f.multiply(nv).to_dense()
+    struct_nonfinite = ~np.isfinite(ref)
+    got_nonfinite = ~np.isfinite(got)
+    # (a) structurally non-finite outputs stay non-finite
+    assert np.all(got_nonfinite[struct_nonfinite])
+    # (b) outputs reported finite are exact
+    fin = ~got_nonfinite
+    np.testing.assert_allclose(got[fin], ref[fin], rtol=1e-4, atol=1e-5)
+    # the strict-confinement escape the docs point drifting-value users
+    # at: the sort reduction confines non-finites exactly
+    e = EscSpgemm(a, b, reduce="sort")
+    got_s = padded_to_host(e.multiply_device(rhs_vals=nv)).to_dense()
+    np.testing.assert_array_equal(~np.isfinite(got_s), struct_nonfinite)
+    np.testing.assert_allclose(got_s[~struct_nonfinite],
+                               ref[~struct_nonfinite], rtol=1e-4, atol=1e-5)
+
+
+def test_int32_cols_guard():
+    a = CsrMatrix.from_coo(2, 2**31 + 5, [0, 1], [0, 5], [1.0, 2.0])
+    b = CsrMatrix.from_coo(2, 2, [0, 1], [0, 1], [1.0, 1.0])
+    with pytest.raises(ValueError, match="int32"):
+        FixedSideSpgemm(b, a)
+    with pytest.raises(ValueError, match="int32"):
+        ReduceSpmv(np.zeros(4, np.int64), 4, rows=2, cols=2**31 + 5)
