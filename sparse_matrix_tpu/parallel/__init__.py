@@ -9,6 +9,7 @@ from .spmv import (  # noqa: F401
     dist_spmv_colsplit,
 )
 from .spgemm import dist_spgemm  # noqa: F401
+from .stripe import shard_stripe, dist_spmv_stripe  # noqa: F401
 from .dia import shard_dia, dist_spmv_dia, dist_spmv_dia_halo, dist_cg_solve_dia  # noqa: F401
 from .spmm2d import make_mesh2d, shard_ell_2d, dist_spmm_2d  # noqa: F401
 from .cg import dist_cg_step, dist_cg_solve, prepare_dist_cg  # noqa: F401

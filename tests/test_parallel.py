@@ -375,3 +375,70 @@ def test_dist_cg_dot_reductions_accounted(mesh):
     # every reduction is scalar-sized (dots), not vector-sized
     assert max(op.result_bytes for op in ar) <= 16, [
         op.result_bytes for op in ar]
+
+
+# ------------------------------------------------ distributed stripe (r5)
+
+
+def test_dist_stripe_spmv_matches_oracle(mesh):
+    """VERDICT r4 #8: the scatter-class stripe format over the mesh —
+    row-sharded per-device plans (uniform scan config), x all-gathered."""
+    from sparse_matrix_tpu.parallel.stripe import (
+        dist_spmv_stripe, shard_stripe,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 1600
+    per = 6
+    r = np.repeat(np.arange(n, dtype=np.int64), per)
+    c = rng.integers(0, n, len(r))
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+
+    m = CsrMatrix.from_coo(n, n, r, c, rng.standard_normal(len(r)))
+    arrs, meta = shard_stripe(m, mesh, levels=2, kw=2)
+    x = np.zeros(meta["rows_pad"], np.float32)
+    x[:n] = rng.standard_normal(n)
+    xj = jax.device_put(
+        jnp.asarray(x),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rows")))
+    y = np.asarray(dist_spmv_stripe(arrs, xj, mesh, meta))[:n]
+    ref = np.zeros(n, np.float64)
+    off = m.offsets.astype(np.int64)
+    for i in range(n):
+        ref[i] = (m.vals[off[i]:off[i + 1]].astype(np.float64)
+                  @ x[m.indices[off[i]:off[i + 1]].astype(np.int64)]
+                  .astype(np.float64))
+    np.testing.assert_allclose(y, ref, rtol=0,
+                               atol=3e-5 * max(1.0, np.abs(ref).max()))
+
+
+def test_dist_stripe_traffic_matches_volume_model(mesh):
+    """ICI model for the stripe strategy: ONE all-gather of x per apply —
+    received volume (D-1) shards, nothing else."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+    from sparse_matrix_tpu.parallel.stripe import (
+        dist_spmv_stripe, shard_stripe,
+    )
+    from sparse_matrix_tpu.parallel.traffic import collective_traffic
+
+    n_dev = mesh.devices.size
+    rng = np.random.default_rng(8)
+    n = 1024
+    r = np.repeat(np.arange(n, dtype=np.int64), 4)
+    c = rng.integers(0, n, len(r))
+    m = CsrMatrix.from_coo(n, n, r, c, rng.standard_normal(len(r)))
+    arrs, meta = shard_stripe(m, mesh, levels=2, kw=2)
+    x = jax.device_put(jnp.ones(meta["rows_pad"], jnp.float32),
+                       NamedSharding(mesh, P("rows")))
+    rep = collective_traffic(
+        jax.jit(lambda aa, xx: dist_spmv_stripe(aa, xx, mesh, meta)),
+        arrs, x)
+    ag = rep.by_kind().get("all-gather")
+    assert ag and len(ag) == 1, rep.by_kind()
+    assert ag[0].result_bytes == meta["rows_pad"] * 4
+    assert rep.total_moved_bytes("all-gather") == (
+        meta["rows_pad"] * 4 * (n_dev - 1))
+    assert rep.count("collective-permute") == 0
+    assert rep.count("all-to-all") == 0
