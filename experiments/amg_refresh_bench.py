@@ -52,10 +52,19 @@ def main():
         t_setup, hier_fresh = min_of(lambda: amg_setup(a_new), n=2)
         log(f"poisson_{n}^2: full amg_setup {t_setup:.2f} s")
 
+        from sparse_matrix_tpu.utils.transfer import (
+            transfer_bytes, transfer_seconds,
+        )
+
+        tr0, tb0 = transfer_seconds(), transfer_bytes()
         t0 = time.perf_counter()
         ref = AmgRefresh(a)
-        log(f"poisson_{n}^2: AmgRefresh plan {time.perf_counter()-t0:.2f} s "
-            f"({ref.num_levels} levels)")
+        plan_wall = time.perf_counter() - t0
+        tr, tb = transfer_seconds() - tr0, transfer_bytes() - tb0
+        log(f"poisson_{n}^2: AmgRefresh plan {plan_wall:.2f} s "
+            f"({ref.num_levels} levels; host {plan_wall - tr:.2f} s + "
+            f"device push {tr:.2f} s for {tb/1e6:.0f} MB — push wall is "
+            f"tunnel-bandwidth-bound, ~2 orders faster on PCIe)")
 
         # first call compiles; time the steady state
         ref.refresh_values(new_vals)

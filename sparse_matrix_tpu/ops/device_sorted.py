@@ -358,6 +358,18 @@ class EscSpgemm:
 
     def multiply_device(self, lhs_vals=None, rhs_vals=None,
                         params=None) -> PaddedCoo:
+        """Re-multiply with fresh same-pattern values.
+
+        Non-finite scope (ADVICE r4): the ``reduce="auto"`` guard checks
+        PLAN-TIME values only. Values that turn non-finite AFTER planning
+        (a diverging Newton step) still flow through the SpMV reduction
+        with dense-window semantics — ``0 * inf = NaN`` can contaminate
+        finite outputs sharing a gather window (the documented contract,
+        module docstring + test_runtime_nonfinite_boundary_fixed_side).
+        Drifting-value users who need strict IEEE confinement should
+        construct with ``reduce="sort"`` (exactly-confined, ~2x slower
+        re-multiply) or run their own ``isfinite`` check on the stream.
+        """
         rv = self.rhs_vals if rhs_vals is None else jnp.asarray(rhs_vals)
         if self._xplan is not None:
             from .esc_expand import expand_products

@@ -277,9 +277,12 @@ class SpmvOperator:
             if plan_est > 4 * m.nnz() * 8 and ell_bytes < plan_est / 2:
                 from ..utils import autotune
 
-                # absolute cap: never materialize a multi-GB slab plan just
-                # to dodge gathers
-                if plan_est > 1 << 31:
+                # absolute cap: never materialize a near-2-GiB slab plan
+                # just to dodge gathers (ADVICE r4: a cost-model win at
+                # ~1.9 GiB of plan bytes pressures HBM alongside other
+                # residents — cap at 512 MiB, ~16x any plan this library
+                # has measured a win on)
+                if plan_est > 1 << 29:
                     self.format = "ell"
                     self._set_ell(m, dtype)
                     return

@@ -21,11 +21,25 @@ import functools
 
 import numpy as np
 
-__all__ = ["to_device"]
+__all__ = ["to_device", "transfer_seconds", "transfer_bytes"]
 
 # single-push pathology observed from ~100 MB; stay well below it
 _THRESHOLD_BYTES = 32 * 1024 * 1024
 _CHUNK_BYTES = 8 * 1024 * 1024
+
+# cumulative wall/bytes spent in to_device pushes — lets benchmarks split
+# "host plan work" from "device transfer" honestly (the tunnel's ~20 MB/s
+# is environmental; real PCIe moves the same bytes 2 orders faster)
+_seconds = 0.0
+_bytes = 0
+
+
+def transfer_seconds() -> float:
+    return _seconds
+
+
+def transfer_bytes() -> int:
+    return _bytes
 
 
 _concat_reshape = None
@@ -49,17 +63,25 @@ def to_device(a, dtype=None):
     """``jnp.asarray`` with the large-transfer pathology routed around:
     big host arrays are pushed in ~8 MB chunks and reassembled on device.
     Device arrays and small hosts pass straight through."""
+    import time
+
     import jax
     import jax.numpy as jnp
 
+    global _seconds, _bytes
     if isinstance(a, jax.Array) and dtype is None:
         return a
     a = np.asarray(a) if dtype is None else np.asarray(a, dtype)
-    if a.nbytes <= _THRESHOLD_BYTES or jax.default_backend() == "cpu":
-        return jnp.asarray(a)
-    flat = np.ascontiguousarray(a).reshape(-1)
-    ch = max(1, _CHUNK_BYTES // a.dtype.itemsize)
-    parts = tuple(
-        jnp.asarray(flat[i : i + ch]) for i in range(0, flat.size, ch)
-    )
-    return _get_concat_reshape()(parts, shape=a.shape)
+    t0 = time.perf_counter()
+    try:
+        if a.nbytes <= _THRESHOLD_BYTES or jax.default_backend() == "cpu":
+            return jnp.asarray(a)
+        flat = np.ascontiguousarray(a).reshape(-1)
+        ch = max(1, _CHUNK_BYTES // a.dtype.itemsize)
+        parts = tuple(
+            jnp.asarray(flat[i : i + ch]) for i in range(0, flat.size, ch)
+        )
+        return _get_concat_reshape()(parts, shape=a.shape)
+    finally:
+        _seconds += time.perf_counter() - t0
+        _bytes += a.nbytes

@@ -111,9 +111,12 @@ def _implementations(include_device: bool,
         # the round-4 same-pattern engines (ops/spgemm_spmv.py). The
         # fixed-side engines are driven through their REFRESH contract:
         # plan on (a, b), then re-multiply with the varying side's values
-        # scaled by 1.5 (exact in binary) and unscale the result — so the
-        # fuzz exercises the value-variance path while the Higham oracle
-        # still checks against a @ b.
+        # scaled by 1.5 and unscale the result — so the fuzz exercises
+        # the value-variance path while the Higham oracle still checks
+        # against a @ b. (x*1.5 rounds when 3*mantissa needs >24 bits, so
+        # the scale/unscale adds up to ~1 ulp of input perturbation —
+        # absorbed by the bound's 2*gamma_n slack, NOT exact in binary;
+        # ADVICE r4.)
         from ..ops.device_sorted import EscSpgemm
         from ..ops.spgemm_spmv import FixedSideSpgemm
 
