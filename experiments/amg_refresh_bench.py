@@ -79,6 +79,15 @@ def main():
         log(f"poisson_{n}^2: refresh() incl. operator replan {t_full:.2f} s "
             f"-> {t_setup/t_full:.1f}x faster than full setup")
 
+        # round-5 device-resident refresh: no host value pull, no replan
+        t0 = time.perf_counter()
+        hier_dev = ref.refresh_device(new_vals)  # builds templates+maps
+        log(f"poisson_{n}^2: refresh_device first call (incl. template/"
+            f"map build) {time.perf_counter()-t0:.2f} s")
+        t_dev, hier_dev = min_of(lambda: ref.refresh_device(new_vals), n=3)
+        log(f"poisson_{n}^2: refresh_device() {t_dev:.2f} s "
+            f"-> {t_setup/t_dev:.1f}x faster than full setup")
+
         op = SpmvOperator(a_new)
         b = jnp.ones(a.rows, jnp.float32)
         rf = pcg_solve(op, b, hier_fresh.preconditioner(), tol=1e-6,

@@ -3,6 +3,7 @@
 # Artifacts land in experiments/; progress in /tmp/queue_r5.txt.
 set -u
 cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
 
 wait_for_tunnel() {
   while true; do

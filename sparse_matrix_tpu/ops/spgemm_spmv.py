@@ -205,6 +205,12 @@ class ReduceSpmv:
         self.rows, self.cols = rows, cols
         self._num_products = num_products
         self.nnz_out = nnz_out
+        # host copies stay: consumers that need the static pattern on host
+        # (AmgRefresh threads level skeletons through _pattern_csr) must
+        # not pull the device arrays back over the tunnel's slow downlink
+        # (round-5 lesson: those pulls were ~280 s of a 331 s 1024^2 plan)
+        self.out_row_host = np.asarray(out_row)
+        self.out_col_host = np.asarray(out_col)
         self.out_row = to_device(out_row)
         self.out_col = to_device(out_col)
         self.op = _operator(s, force, dtype)
@@ -277,6 +283,9 @@ class FixedSideSpgemm:
         self.fixed = fixed
         self.num_products = num_products
         self.nnz_out = nnz_out
+        # see ReduceSpmv.__init__: host copies avoid device->host pulls
+        self.out_row_host = np.asarray(out_row)
+        self.out_col_host = np.asarray(out_col)
         self.out_row = to_device(out_row)
         self.out_col = to_device(out_col)
         self._default_x = to_device(

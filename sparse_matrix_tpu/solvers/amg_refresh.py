@@ -125,10 +125,12 @@ class AmgRefresh:
             # out_row/out_col constants with placeholder values (skipping
             # two device multiplies + jit compiles per level at plan time)
             ap = FixedSideSpgemm(cur, p, fixed="rhs", force=force)
-            ap_pat = _pattern_csr(ap.out_row, ap.out_col, ap.rows, ap.cols)
+            ap_pat = _pattern_csr(ap.out_row_host, ap.out_col_host, ap.rows,
+                                  ap.cols)
             rap = FixedSideSpgemm(p.transpose(), ap_pat, fixed="lhs",
                                   force=force)
-            cur = _pattern_csr(rap.out_row, rap.out_col, rap.rows, rap.cols)
+            cur = _pattern_csr(rap.out_row_host, rap.out_col_host, rap.rows,
+                               rap.cols)
             self._plans.append((ap, rap))
             self._patterns.append(cur)
             self._meta.append(_pattern_meta(cur))
@@ -212,3 +214,178 @@ class AmgRefresh:
         levels, coarse = self.refresh_coarsening(new_vals)
         return amg_setup(self._patterns[0], coarsening=(levels, coarse),
                          **setup_kw)
+
+    # -- fully device-resident refresh (round 5) -----------------------------
+
+    def _build_device_templates(self):
+        """One-time template hierarchy + value maps for
+        :meth:`refresh_device`.
+
+        Every SpMV plan's value planes are a static slot layout over the
+        CSR value vector, but the planners do not retain the permutation.
+        Recover it GENERICALLY (any format, hybrid/split included) by
+        probe-planning the same pattern twice with integer-encoding
+        values — ``lo = i % 2048 + 1``, ``hi = i // 2048 + 1``, both
+        exact in f32 — and decoding ``src = (hi-1)*2048 + (lo-1)`` per
+        float leaf of ``as_pytree()`` (all float leaves are value planes
+        or slot-preserving reformats of one; pad slots hold 0 -> mask).
+        Probe operators are planned on the host CPU device so the probe
+        planes never touch the tunnel; only the decoded int32 ``src`` and
+        bool ``mask`` maps are pushed.
+        """
+        import jax
+        import jax.numpy as jnp
+        import jax.tree_util as jtu
+
+        from ..ops.operator import SpmvOperator
+        from ..utils.transfer import to_device
+
+        cpu = jax.local_devices(backend="cpu")[0]
+        self._tmpl_ops, self._tmpl_trees, self._maps = [], [], []
+        self._p_ops = []
+        for lvl in range(len(self._prolongators)):
+            pat = self._patterns[lvl]
+            t_op = SpmvOperator(pat)
+            fmt = t_op.format
+            force = fmt if fmt in ("dia", "bell", "aligned", "stripe",
+                                   "lanepack", "ell", "hybrid") else None
+            nnz = pat.nnz()
+            i = np.arange(nnz, dtype=np.int64)
+            lo = (i % 2048 + 1).astype(np.float32)
+            hi = (i // 2048 + 1).astype(np.float32)
+            with jax.default_device(cpu):
+                p_lo = SpmvOperator(
+                    CsrMatrix(pat.rows, pat.cols, lo, pat.indices,
+                              pat.offsets, is_sorted=True),
+                    force=force).as_pytree()
+                p_hi = SpmvOperator(
+                    CsrMatrix(pat.rows, pat.cols, hi, pat.indices,
+                              pat.offsets, is_sorted=True),
+                    force=force).as_pytree()
+            t_tree = t_op.as_pytree()
+            if (jtu.tree_structure(p_lo) != jtu.tree_structure(t_tree)
+                    or jtu.tree_structure(p_hi)
+                    != jtu.tree_structure(t_tree)):
+                raise RuntimeError(
+                    f"probe plan structure diverged from template at "
+                    f"level {lvl} (format {fmt}) — value-swap refresh "
+                    f"unavailable; use refresh()")
+            maps = []
+            for leaf_t, leaf_lo, leaf_hi in zip(
+                    jtu.tree_leaves(t_tree), jtu.tree_leaves(p_lo),
+                    jtu.tree_leaves(p_hi)):
+                alo = np.asarray(leaf_lo)
+                if not np.issubdtype(alo.dtype, np.floating):
+                    maps.append(None)
+                    continue
+                ahi = np.asarray(leaf_hi)
+                mask = alo > 0.5
+                src = np.where(
+                    mask,
+                    (ahi.astype(np.int64) - 1) * 2048
+                    + alo.astype(np.int64) - 1,
+                    0)
+                maps.append((to_device(src.astype(np.int32)),
+                             to_device(mask)))
+            self._tmpl_ops.append(t_op)
+            self._tmpl_trees.append(t_tree)
+            self._maps.append(maps)
+            p = self._prolongators[lvl]
+            self._p_ops.append(
+                (SpmvOperator(p), SpmvOperator(p.transpose())))
+
+    def _swap_values(self, lvl: int, vals):
+        import jax.numpy as jnp
+        import jax.tree_util as jtu
+
+        leaves = jtu.tree_leaves(self._tmpl_trees[lvl])
+        treedef = jtu.tree_structure(self._tmpl_trees[lvl])
+        out = []
+        for leaf, mp in zip(leaves, self._maps[lvl]):
+            if mp is None:
+                out.append(leaf)
+            else:
+                src, mask = mp
+                out.append(
+                    jnp.where(mask, vals[src], 0).astype(leaf.dtype))
+        return jtu.tree_unflatten(treedef, out)
+
+    def refresh_device(self, new_vals, *, nu: int = 1,
+                       omega: float = 2.0 / 3.0) -> AmgHierarchy:
+        """New finest values -> :class:`AmgHierarchy` with NO host round
+        trip of level values and NO operator re-planning: the Galerkin
+        chain runs on device, each level operator's value planes are
+        re-gathered in place (static slot maps), dinv/Gershgorin-lam are
+        computed on device, and only the tiny coarse block is pulled for
+        the dense pseudo-inverse. The refreshed hierarchy reuses the
+        template plans (jacobi smoother; exact frozen-P semantics of
+        :meth:`refresh`)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .amg import AmgLevel
+
+        if getattr(self, "_tmpl_ops", None) is None:
+            self._build_device_templates()
+        if self._chain_jit is None:
+            fn, params = self.device_fn()
+            self._params = params
+            self._chain_jit = jax.jit(fn)
+        vals0 = jnp.asarray(new_vals, jnp.float32)
+        chain = self._chain_jit(self._params, vals0)
+        level_vals = [vals0, *chain]
+        levels = []
+        for lvl in range(len(self._prolongators)):
+            pat = self._patterns[lvl]
+            v = level_vals[lvl]
+            params_new = self._swap_values(lvl, v)
+            diag_pos, diag_row, _off = self._meta[lvl]
+            dvec = jnp.zeros(pat.rows, v.dtype).at[
+                jnp.asarray(diag_row.astype(np.int32))].set(
+                v[jnp.asarray(diag_pos.astype(np.int32))])
+            dinv = jnp.where(dvec != 0, 1.0 / jnp.where(dvec == 0, 1.0,
+                                                        dvec), 1.0)
+            abs_params = self._swap_values(lvl, jnp.abs(v))
+            t_op = self._tmpl_ops[lvl]
+            rowabs = t_op.apply(abs_params, jnp.ones(pat.cols, v.dtype))
+            lam = float(jnp.max(rowabs * jnp.abs(dinv)))
+            p_op, pt_op = self._p_ops[lvl]
+            levels.append(AmgLevel(
+                a_op=_SwappedOp(t_op, params_new),
+                p_op=p_op, pt_op=pt_op, dinv=dinv,
+                lam=lam if lam > 0 else 1.0,
+                n=pat.rows, nnz=pat.nnz()))
+        cpat = self._patterns[-1]
+        cvals = np.asarray(level_vals[-1], np.float64)
+        dense = np.zeros((cpat.rows, cpat.cols))
+        dense[cpat.row_ids().astype(np.int64),
+              cpat.indices.astype(np.int64)] = cvals
+        coarse_inv = jnp.asarray(
+            np.linalg.pinv(dense).astype(np.float32))
+        return AmgHierarchy(levels, coarse_inv, smoother="jacobi", nu=nu,
+                            omega=omega, cheb_degree=3)
+
+
+class _SwappedOp:
+    """A template SpmvOperator with its value planes swapped on device —
+    duck-typed as an operator for the V-cycle (vector applies; the
+    multi-RHS matmat path would need the template's SpMM plans and is
+    not wired)."""
+
+    def __init__(self, template, params):
+        self._op, self._params = template, params
+        self.format = getattr(template, "format", None)
+
+    def __call__(self, x):
+        return self._op.apply(self._params, x)
+
+    def as_pytree(self):
+        return self._params
+
+    def apply(self, params, x):
+        return self._op.apply(params, x)
+
+    def matmat(self, x):
+        raise NotImplementedError(
+            "refresh_device hierarchies support vector applies; use "
+            "AmgRefresh.refresh() for the multi-RHS block V-cycle")

@@ -118,3 +118,51 @@ def test_refresh_reuses_precomputed_coarsening():
     ref = AmgRefresh(a, coarsening=coarsening)
     levels, _ = ref.refresh_coarsening(a.vals)
     assert len(levels) == len(coarsening[0])
+
+
+def test_refresh_device_matches_host_refresh():
+    """Round-5 device-resident refresh: value planes re-gathered in place
+    via probe-decoded slot maps — level applies, dinv, lam, and the
+    coarse inverse must match the host refresh path."""
+    import jax.numpy as jnp
+
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+    from sparse_matrix_tpu.solvers import poisson_2d_csr
+    from sparse_matrix_tpu.solvers.amg_refresh import AmgRefresh
+
+    a = poisson_2d_csr(24, dtype=np.float32)
+    rng = np.random.default_rng(5)
+    s = np.exp(0.25 * rng.standard_normal(a.rows)).astype(np.float64)
+    rid = a.row_ids().astype(np.int64)
+    nv = (a.vals.astype(np.float64) * s[rid]
+          * s[a.indices.astype(np.int64)]).astype(np.float32)
+
+    ref = AmgRefresh(a, coarse_size=40)
+    host_h = ref.refresh(nv)
+    dev_h = ref.refresh_device(nv)
+    assert len(dev_h.levels) == len(host_h.levels)
+    for lh, ld in zip(host_h.levels, dev_h.levels):
+        x = rng.standard_normal(lh.n).astype(np.float32)
+        ya = np.asarray(lh.a_op(jnp.asarray(x)))
+        yb = np.asarray(ld.a_op(jnp.asarray(x)))
+        sc = max(1.0, np.abs(ya).max())
+        np.testing.assert_allclose(yb / sc, ya / sc, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(ld.dinv), np.asarray(lh.dinv),
+                                   rtol=1e-5, atol=1e-6)
+        assert abs(ld.lam - lh.lam) <= 2e-3 * max(1.0, abs(lh.lam))
+    np.testing.assert_allclose(np.asarray(dev_h.coarse_inv),
+                               np.asarray(host_h.coarse_inv),
+                               rtol=1e-4, atol=1e-5)
+    # end to end: the refreshed-device hierarchy preconditions PCG on the
+    # new operator comparably to the host-refresh hierarchy
+    from sparse_matrix_tpu.ops.operator import SpmvOperator
+    from sparse_matrix_tpu.solvers import pcg_solve
+
+    a_new = CsrMatrix(a.rows, a.cols, nv, a.indices, a.offsets,
+                      is_sorted=True)
+    op = SpmvOperator(a_new)
+    b = jnp.ones(a.rows, jnp.float32)
+    r_host = pcg_solve(op, b, host_h.preconditioner(), tol=1e-6,
+                       maxiter=200)
+    r_dev = pcg_solve(op, b, dev_h.preconditioner(), tol=1e-6, maxiter=200)
+    assert int(r_dev.iterations) <= int(r_host.iterations) + 3
