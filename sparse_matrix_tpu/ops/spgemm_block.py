@@ -487,7 +487,10 @@ def spgemm_auto(lhs: CsrMatrix, rhs: CsrMatrix, *, output_sorted: bool = True) -
     elif best == "esc":
         from .device_sorted import EscSpgemm
 
-        out = EscSpgemm(lhs, rhs).multiply()
+        # one-shot: the SpMV-reduce selection plan (reduce="auto") costs
+        # seconds of host plan build that only amortizing callers recover —
+        # the sort reduction is the right one-shot engine
+        out = EscSpgemm(lhs, rhs, reduce="sort").multiply()
     else:
         out = spgemm_block_device(lhs, rhs)
     return out if output_sorted else CsrMatrix(

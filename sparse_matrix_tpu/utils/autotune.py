@@ -103,10 +103,12 @@ DEFAULTS: Dict[str, float] = {
     "spgemm_host_touch_s_per_byte": 4e-9,  # numpy densify/sparsify passes
     "spgemm_mxu_pair_s": 4.5e-7,  # per 128x128 block pair (MXU + HBM)
     "spgemm_dense_mac_per_s": 2e13,
-    # device ESC sort engine, queued-dispatch rate (structure-independent;
-    # measured 72-84 Mprod/s across uniform/powerlaw/hyper-sparse,
-    # experiments/esc_queued.out)
-    "spgemm_esc_products_per_s": 7.5e7,
+    # device ESC engine, queued-dispatch rate. Round-4 v2 (Pallas k-major
+    # expansion + packed 1-key sort) measured 176-202 Mprod/s across
+    # uniform/powerlaw/hyper-sparse (experiments/esc_v3_bench.out, the
+    # v2-sort rows); the old 7.5e7 was the v1 XLA-gather engine
+    # (esc_queued.out) and stale-priced the dispatch table (VERDICT r4 #9)
+    "spgemm_esc_products_per_s": 1.7e8,
     # one-shot device-call overhead (upload+dispatch+readback sync); ~25-50ms
     # on this axon tunnel, microseconds on direct-attached hardware — the
     # constant that decides whether one-shot calls may use device engines
@@ -346,21 +348,19 @@ def calibrate(save: bool = True, *, verbose: bool = False) -> Dict[str, float]:
             out["spgemm_mxu_pair_s"] = float(per / npairs)
             log(f"mxu pair: {out['spgemm_mxu_pair_s']:.3g} s/pair")
 
-            # --- device ESC sort-engine rate (queued) ---
-            from ..ops.device_sorted import _esc_impl, expand_plan
+            # --- device ESC engine rate (queued): the round-4 v2 Pallas
+            # k-major expansion + packed sort, the engine spgemm_auto's
+            # "esc" branch actually runs (VERDICT r4 #9 — the table was
+            # priced on the retired v1 XLA-gather engine's 75 Mprod/s)
+            from ..ops.device_sorted import EscSpgemm
 
-            src, q, out_r = expand_plan(m, m)
-            esc_prods = len(src)
-            lv = jnp.asarray(m.vals.astype(np.float32))
-            ri = jnp.asarray(m.indices.astype(np.int32))
-            srcj, qj, orj = jnp.asarray(src), jnp.asarray(q), jnp.asarray(out_r)
+            esc_e = EscSpgemm(m, m, engine="auto", reduce="sort")
+            esc_prods = esc_e.num_products
 
             def escfn(v):
-                _row, _col, val, _nnz = _esc_impl(
-                    lv * (1.0 + v * 0.0), lv, ri, srcj, qj, orj,
-                    rows=m.rows, cols=m.cols,
-                )
-                return v + jnp.sum(val) * 1e-30
+                r = esc_e.multiply_device(
+                    rhs_vals=esc_e.rhs_vals * (1.0 + v * 0.0))
+                return v + jnp.sum(r.val) * 1e-30
 
             # first call = XLA compile at a fresh shape: the one-shot
             # compile burden spgemm_auto's device entries must carry

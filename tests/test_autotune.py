@@ -162,3 +162,58 @@ def test_oneshot_compile_term_guards_device_engines(monkeypatch, tmp_path):
         else:
             assert best == "host", costs
     autotune.reset_cache()
+
+
+def test_dispatch_boundaries_with_v2_rates(cache):
+    """VERDICT r4 #9: the one-shot table re-priced with the ESC v2 rate.
+    Three class boundaries under direct-attached-like device constants
+    (sync ~50 us, compile ~2 s — the tunnel's 40 s compile keeps one-shot
+    work on host in THIS environment, which the previous test pins):
+    tiny products -> host; large unstructured -> esc (the v2 rate beats
+    the 1-core host hash); block-dense -> mxu."""
+    rng = np.random.default_rng(9)
+    direct = dict(
+        device_call_sync_s=5e-5,
+        device_oneshot_compile_s=2.0,
+        spgemm_esc_products_per_s=1.7e8,  # v2 measured (esc_v3_bench)
+        spgemm_host_products_per_s=5e7,
+        spgemm_host_touch_s_per_byte=4e-9,
+        spgemm_mxu_pair_s=4.5e-7,
+        spgemm_dense_mac_per_s=2e13,
+    )
+    cache(**direct)
+
+    # tiny: the fixed device costs dominate -> host
+    tiny = _scatter_matrix(rng, n=256, per_row=3)
+    c = spgemm_cost_estimates(tiny, tiny)
+    assert c["host"] < min(c["esc"], c["mxu"], c["dense"])
+
+    # large unstructured: even at the v2 rate, one-shot esc stays behind
+    # the host hash — its HOST plan build (~48 ns/product of expand+pack
+    # numpy) alone exceeds the 20 ns/product hash engine, which is exactly
+    # why amortizing callers (EscSpgemm re-multiply, FixedSideSpgemm)
+    # bypass this dispatcher and one-shot unstructured work stays on host.
+    # Among the DEVICE engines esc is still the unstructured best.
+    big = _scatter_matrix(rng, n=1 << 15, per_row=48)
+    c = spgemm_cost_estimates(big, big)
+    assert c["host"] < c["esc"], c
+    assert c["esc"] < min(c["mxu"], c["dense"]), c
+
+    # block-dense: a few dense 128-blocks -> mxu beats esc (products per
+    # block pair are huge, pair count tiny)
+    bs = 128
+    rows = []
+    cols = []
+    for bi in range(4):
+        r0 = bi * bs
+        rr, cc = np.meshgrid(np.arange(bs), np.arange(bs), indexing="ij")
+        rows.append((r0 + rr).ravel())
+        cols.append((r0 + cc).ravel())
+    r = np.concatenate(rows)
+    c_ = np.concatenate(cols)
+    from sparse_matrix_tpu.formats.csr import CsrMatrix
+
+    blocky = CsrMatrix.from_coo(512, 512, r, c_,
+                                rng.standard_normal(len(r)))
+    c = spgemm_cost_estimates(blocky, blocky)
+    assert c["mxu"] < c["esc"], c
