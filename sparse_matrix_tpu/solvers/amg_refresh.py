@@ -162,19 +162,40 @@ class AmgRefresh:
 
         return fn, params
 
-    def refresh_values(self, new_vals):
-        """New finest-level values (CSR order, length ``a.nnz()``) ->
-        tuple of refreshed values for levels ``1..L`` (CSR order each),
-        computed on device under one jit."""
+    def _level_fns(self):
+        """Per-LEVEL jitted Galerkin steps (round 5). Fusing all 2L SpMVs
+        into one program (the round-4 design) merged ~11 Pallas kernels
+        into one remote compile that stalled >30 min on the tunnel, while
+        the same kernels compile in 3-14 s EACH (experiments/
+        amg_refresh_bench_r5.out level diagnostic) — per-level programs
+        compile in ~sum-of-parts, and the levels still chain
+        device-resident with async dispatch between them (one RTT of
+        added latency per level on the tunnel, microseconds on
+        direct-attached hardware)."""
         import jax
 
         if self._chain_jit is None:
-            fn, params = self.device_fn()
-            self._params = params
-            self._chain_jit = jax.jit(fn)
+            fns = []
+            for ap, rap in self._plans:
+                f = jax.jit(
+                    lambda pa, pr, v, _ap=ap, _rap=rap:
+                    _rap.op.apply(pr, _ap.op.apply(pa, v)))
+                fns.append((f, ap.op.as_pytree(), rap.op.as_pytree()))
+            self._chain_jit = fns
+        return self._chain_jit
+
+    def refresh_values(self, new_vals):
+        """New finest-level values (CSR order, length ``a.nnz()``) ->
+        tuple of refreshed values for levels ``1..L`` (CSR order each),
+        computed on device (per-level jits, chained without host sync)."""
         import jax.numpy as jnp
 
-        return self._chain_jit(self._params, jnp.asarray(new_vals, jnp.float32))
+        v = jnp.asarray(new_vals, jnp.float32)
+        outs = []
+        for f, pa, pr in self._level_fns():
+            v = f(pa, pr, v)
+            outs.append(v)
+        return tuple(outs)
 
     # -- host assembly -------------------------------------------------------
 
@@ -327,12 +348,8 @@ class AmgRefresh:
 
         if getattr(self, "_tmpl_ops", None) is None:
             self._build_device_templates()
-        if self._chain_jit is None:
-            fn, params = self.device_fn()
-            self._params = params
-            self._chain_jit = jax.jit(fn)
         vals0 = jnp.asarray(new_vals, jnp.float32)
-        chain = self._chain_jit(self._params, vals0)
+        chain = self.refresh_values(vals0)
         level_vals = [vals0, *chain]
         levels = []
         for lvl in range(len(self._prolongators)):

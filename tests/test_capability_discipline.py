@@ -38,6 +38,7 @@ CLOCK_ALLOWED = {
     "verify/fuzz.py",
     "native/build.py",
     "utils/autotune.py",  # calibration microbenchmarks time themselves
+    "utils/transfer.py",  # transfer telemetry (benchmarks split host vs push wall)
 }
 # modules whose API contract is "explicit path in, I/O out"
 OPEN_ALLOWED = {

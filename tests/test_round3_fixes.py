@@ -41,9 +41,11 @@ def test_spmv_refuses_silent_downcast():
 
 
 def test_colsplit_operator_persists_and_accounts(tmp_path):
-    # 4.2M cols forces the planner into column shards (ops/operator.py
-    # colsplit branch); the plan must survive save/load and report a real
-    # bytes_per_apply (advice r2: both used to silently degrade)
+    # 12M cols forces the planner into column shards (ops/operator.py
+    # colsplit branch — the cap moved from 3.5M to 10M in round 5 with the
+    # 100 MB kernel scoped-vmem limit); the plan must survive save/load and
+    # report a real bytes_per_apply (advice r2: both used to silently
+    # degrade)
     from sparse_matrix_tpu.ops.operator import (
         SpmvOperator,
         load_operator_plan,
@@ -51,7 +53,7 @@ def test_colsplit_operator_persists_and_accounts(tmp_path):
     )
 
     rng = np.random.default_rng(1)
-    rows, cols, nnz = 600, 4_200_000, 1500
+    rows, cols, nnz = 600, 12_000_000, 1500
     r = rng.integers(0, rows, nnz)
     c = rng.integers(0, cols, nnz)
     v = rng.standard_normal(nnz).astype(np.float32)
