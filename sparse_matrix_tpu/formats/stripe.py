@@ -248,6 +248,41 @@ def stripe_cost(m: CsrMatrix, levels: int, kw: int,
     return _mode_cost(m, mode, levels, kw, m.nnz(), _cost_constants())
 
 
+def _plan_stripe_native(m: CsrMatrix, lvl: int, kwi: int, mode_f: str,
+                        dtype) -> Optional["StripePlan"]:
+    """Native-assembled :class:`StripePlan` for a decided (mode, L, KW),
+    or None outside the native envelope (library missing, nnz >= 2^31,
+    L/KW > 255). Select-mode collision/width spill recurses into a
+    scan-mode plan exactly like the numpy body."""
+    import os
+
+    if os.environ.get("SPMX_NO_NATIVE_STRIPE"):
+        return None
+    from ..native.loader import stripe_plan_native
+
+    nat = stripe_plan_native(m, lvl, kwi, mode_f)
+    if nat is None:
+        return None
+    spill_plan = None
+    sp = nat["spill_idx"]
+    if len(sp):
+        off = m.offsets.astype(np.int64)
+        sp_r = np.searchsorted(off, sp, side="right") - 1
+        spm = CsrMatrix.from_coo(
+            m.rows, m.cols, sp_r, m.indices.astype(np.int64)[sp],
+            m.vals.astype(dtype)[sp], sum_duplicates=False,
+        )
+        spill_plan = plan_stripe(spm, dtype=dtype, mode="scan")
+    return StripePlan(
+        rows=m.rows, cols=m.cols, levels=lvl, kw=int(nat["kw_g"]),
+        mode=mode_f, vals=nat["vals"], lane=nat["lane"], ends=nat["ends"],
+        starts=nat["starts"], stripe_rb=nat["stripe_rb"],
+        col_off=nat["col_off"], chunk_stripe=nat["chunk_stripe"],
+        rb_mask=nat["rb_used"].astype(dtype), nnz=m.nnz(),
+        dtype=np.dtype(dtype), spill=spill_plan,
+    )
+
+
 def plan_stripe(
     m: CsrMatrix,
     *,
@@ -294,6 +329,14 @@ def plan_stripe(
     kwi = int(kw)
     h = lvl * LANES
     wsz = kwi * LANES
+
+    if np.dtype(dtype) == np.float32:
+        # native assembly (per-stripe key sorts + single-pass emission);
+        # the numpy body below is the reference fallback — byte-parity
+        # asserted by tests/test_stripe_native.py
+        nat = _plan_stripe_native(m, lvl, kwi, mode_f, np.dtype(dtype))
+        if nat is not None:
+            return nat
 
     r = m.row_ids().astype(np.int64)
     c = m.indices.astype(np.int64)

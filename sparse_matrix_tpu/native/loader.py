@@ -112,7 +112,7 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.spmx_fixedside_plan.restype = c_i64
     lib.spmx_fixedside_plan.argtypes = [
         c_i64, _I64P, _U32P, _F32P, _I64P, _U32P, _F32P, c_int,
-        _I32P, _F32P, _U32P, _U8P,
+        _U32P, _F32P, _I32P, _I32P, _I64P,
     ]
     lib.spmx_aggregate_pass1.restype = c_i64
     lib.spmx_aggregate_pass1.argtypes = [c_i64, _I64P, _I64P, _I64P]
@@ -174,6 +174,15 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.spmx_aligned_sort.restype = c_i64
     lib.spmx_aligned_sort.argtypes = [c_i64, c_i64, _I64P, _U32P, _I64P, _U64P]
     _I8P = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
+    lib.spmx_stripe_count.restype = c_i64
+    lib.spmx_stripe_count.argtypes = [
+        c_i64, c_i64, c_i64, _I64P, _U32P, c_i64, c_i64, c_int, _I64P,
+    ]
+    lib.spmx_stripe_fill.restype = c_i64
+    lib.spmx_stripe_fill.argtypes = [
+        _F32P, _F32P, ctypes.c_void_p, c_int, _I8P, _I8P, _I32P, _I32P,
+        _I32P, _U8P, _I64P,
+    ]
     for name, vin, vout in [
         ("spmx_aligned_fill_f32f32", _F32P, _F32P),
         ("spmx_aligned_fill_f64f32", _F64P, _F32P),
@@ -957,21 +966,79 @@ def lanepack_fill_native(chunk_cnt, chunk_slab, chunk_sub, perm, row_of,
     return True
 
 
+def stripe_plan_native(m, levels: int, kw: int, mode: str):
+    """Full stripe plan assembly (formats/stripe.py plan_stripe body):
+    per-stripe key sort + chunking + slab packing + spill detection in two
+    native calls (count retains state, fill emits). Returns a dict of the
+    plan arrays (f32 values) or None when the library is unavailable or
+    the shape is outside the native envelope (nnz >= 2^31, L/KW > 255,
+    key wider than 63 bits)."""
+    import ctypes as _ct
+
+    lib = load_library()
+    if lib is None or m.nnz() >= 2**31 or levels > 255 or kw > 255:
+        return None
+    offsets = np.ascontiguousarray(m.offsets, dtype=np.int64)
+    indices = np.ascontiguousarray(m.indices, dtype=np.uint32)
+    meta = np.zeros(4, dtype=np.int64)
+    rc = int(lib.spmx_stripe_count(
+        int(m.rows), int(m.cols), int(m.nnz()), offsets, indices,
+        int(levels), int(kw), 1 if mode == "select" else 0, meta,
+    ))
+    if rc != 0:
+        return None
+    num_slabs, num_chunks, kw_g, num_spill = (int(x) for x in meta)
+    lvl = int(levels)
+    lane_dtype = np.int8 if kw_g == 1 else np.int16
+    vals_s = np.zeros((num_slabs, 8, 128), dtype=np.float32)
+    lane_s = np.zeros((num_slabs, 8, 128), dtype=lane_dtype)
+    ends_s = np.zeros((num_slabs, lvl, 8, 128), dtype=np.int8)
+    starts_s = (np.zeros((num_slabs, lvl, 8, 128), dtype=np.int8)
+                if mode != "select" else np.zeros(0, dtype=np.int8))
+    col_off = np.zeros(max(num_slabs, 1) * 8, dtype=np.int32)
+    chunk_stripe = np.zeros(max(num_slabs, 1) * 8, dtype=np.int32)
+    stripe_rb = np.zeros(max(num_slabs, 1), dtype=np.int32)
+    h = lvl * 128
+    rb_used = np.zeros(max(-(-m.rows // h) * lvl, 1), dtype=np.uint8)
+    sp_idx = np.zeros(max(num_spill, 1), dtype=np.int64)
+    vals32 = np.ascontiguousarray(m.vals, dtype=np.float32)
+    nsp = int(lib.spmx_stripe_fill(
+        vals32, vals_s.reshape(-1), _ct.c_void_p(lane_s.ctypes.data),
+        0 if kw_g == 1 else 1, ends_s.reshape(-1),
+        (starts_s if mode != "select" else ends_s).reshape(-1),
+        col_off, chunk_stripe, stripe_rb, rb_used, sp_idx,
+    ))
+    if nsp != num_spill:
+        raise RuntimeError(
+            f"stripe native fill spill mismatch: {nsp} != {num_spill}")
+    return {
+        "vals": vals_s, "lane": lane_s, "ends": ends_s,
+        "starts": starts_s if mode != "select" else None,
+        "col_off": col_off, "chunk_stripe": chunk_stripe,
+        "stripe_rb": stripe_rb, "rb_used": rb_used, "kw_g": kw_g,
+        "spill_idx": sp_idx[:num_spill],
+    }
+
+
 def fixedside_plan_native(lhs, rhs, fixed_lhs: bool, num_products: int):
     """Fused expand + group-by-key pass for FixedSideSpgemm
     (ops/spgemm_spmv.py): per-row stable sorts by output column replace
-    the global (key, sub_order) lexsort over num_products int64 keys.
-    Returns ``(s_idx, s_val, col_sorted, head, nnz_out)`` or None when the
-    library is unavailable or a position exceeds int32."""
+    the global (key, sub_order) lexsort over num_products int64 keys, and
+    the grouped output pattern (out_row/out_col/CSR offsets) is emitted
+    in the same pass. Returns
+    ``(s_idx, s_val, out_row, out_col, offsets, nnz_out)`` — out_row/
+    out_col/offsets sized num_products(+1), valid through nnz_out — or
+    None when the library is unavailable or a position exceeds int32."""
     lib = load_library()
     if lib is None:
         return None
     if max(lhs.nnz(), rhs.nnz()) >= 2**31:
         return None
-    s_idx = np.empty(num_products, dtype=np.int32)
+    s_idx = np.empty(num_products, dtype=np.uint32)
     s_val = np.empty(num_products, dtype=np.float32)
-    col_sorted = np.empty(num_products, dtype=np.uint32)
-    head = np.empty(num_products, dtype=np.uint8)
+    out_row = np.empty(num_products, dtype=np.int32)
+    out_col = np.empty(num_products, dtype=np.int32)
+    offsets = np.empty(num_products + 1, dtype=np.int64)
     nnz_out = int(lib.spmx_fixedside_plan(
         int(lhs.rows),
         np.ascontiguousarray(lhs.offsets, dtype=np.int64),
@@ -981,9 +1048,9 @@ def fixedside_plan_native(lhs, rhs, fixed_lhs: bool, num_products: int):
         np.ascontiguousarray(rhs.indices, dtype=np.uint32),
         np.ascontiguousarray(rhs.vals, dtype=np.float32),
         1 if fixed_lhs else 0,
-        s_idx, s_val, col_sorted, head,
+        s_idx, s_val, out_row, out_col, offsets,
     ))
-    return s_idx, s_val, col_sorted, head, nnz_out
+    return s_idx, s_val, out_row, out_col, offsets, nnz_out
 
 
 def colsplit_native(rows, bounds, offsets, indices, vals):

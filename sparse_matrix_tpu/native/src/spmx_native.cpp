@@ -2234,7 +2234,12 @@ extern "C" i64 spmx_fixedside_plan(
     const i64* lhs_offsets, const u32* lhs_indices, const float* lhs_vals,
     const i64* rhs_offsets, const u32* rhs_indices, const float* rhs_vals,
     int fixed_lhs,
-    int32_t* s_idx, float* s_val, u32* col_sorted, unsigned char* head) {
+    u32* s_idx, float* s_val, int32_t* out_row, int32_t* out_col,
+    i64* out_off) {
+  // also emits the grouped output pattern directly (out_row/out_col per
+  // distinct (row, col) product group, CSR offsets into the product
+  // stream): the numpy post-pass (flatnonzero + searchsorted over
+  // num_products) was ~40% of the host FixedSideSpgemm plan
   struct Prod {
     u32 col;
     int32_t idx;
@@ -2265,16 +2270,328 @@ extern "C" i64 spmx_fixedside_plan(
     u32 prev = kEmpty;
     bool first = true;
     for (const Prod& t : buf) {
-      unsigned char h = (first || t.col != prev) ? 1 : 0;
-      head[p] = h;
-      groups += h;
-      col_sorted[p] = t.col;
-      s_idx[p] = t.idx;
+      if (first || t.col != prev) {
+        out_row[groups] = (int32_t)r;
+        out_col[groups] = (int32_t)t.col;
+        out_off[groups] = p;
+        ++groups;
+      }
+      s_idx[p] = (u32)t.idx;
       s_val[p] = t.w;
       prev = t.col;
       first = false;
       ++p;
     }
   }
+  out_off[groups] = p;
   return groups;
+}
+
+// ---------------------------------------------------------------------------
+// Stripe plan assembly (formats/stripe.py plan_stripe numpy-body analog).
+//
+// The stripe sort key (stripe, w, r, c) is monotone in `stripe` over CSR
+// order (stripe = row / (L*128)), so the global lexsort decomposes into
+// independent per-stripe sorts over contiguous CSR ranges — the same
+// cache-resident trick as blockwise_key_sort, with stripes as the blocks.
+// Two-call protocol (the slab/spill counts are unknown before planning):
+//   spmx_stripe_count(...)  -> sorts, chunks, packs slabs, counts spill;
+//                              retains the permutation + chunk meta in
+//                              process-global state; writes
+//                              [num_slabs, num_chunks, kw_g, num_spill]
+//   spmx_stripe_fill(...)   -> fills the caller-allocated slab arrays from
+//                              the retained state, emits spill positions,
+//                              clears the state.
+// NOT reentrant across interleaved plans (single state slot) — the Python
+// caller does count+fill back to back under one plan_stripe call.
+// ---------------------------------------------------------------------------
+
+typedef uint8_t u8;
+typedef int32_t i32;
+
+namespace {
+
+struct StripeState {
+  i64 nnz = -1;
+  i64 rows = 0, cols = 0, levels = 0, kw = 0;
+  int select_mode = 0;
+  int rb_bits = 0, cb_bits = 0;  // key field widths (rloc / cloc)
+  i64 kw_g = 0;
+  std::vector<i64> perm;        // sorted entry -> CSR position
+  std::vector<u64> keys;        // sorted per-stripe keys
+  std::vector<i64> stripe_off;  // per-stripe CSR entry offsets (ns+1)
+  // per chunk:
+  std::vector<i64> c_begin;     // entry index of chunk start (nc+1)
+  std::vector<i64> c_slab;
+  std::vector<u8> c_sub;
+  std::vector<u32> c_stripe;
+  std::vector<i32> c_coloff;    // col_off value (window units)
+  std::vector<i64> c_minc;      // select: chunk min column (raw)
+};
+
+StripeState g_stripe;
+
+static inline int ceil_log2(i64 v) {
+  int b = 0;
+  while ((i64(1) << b) < v) ++b;
+  return b;
+}
+
+}  // namespace
+
+extern "C" i64 spmx_stripe_count(i64 rows, i64 cols, i64 nnz,
+                                 const i64* offsets, const u32* indices,
+                                 i64 levels, i64 kw, int select_mode,
+                                 i64* out_meta) {
+  StripeState& st = g_stripe;
+  st = StripeState();
+  if (levels < 1 || levels > 255 || kw < 1 || kw > 255 || nnz < 0 ||
+      nnz >= (i64(1) << 31))
+    return -1;
+  const i64 LANES = 128;
+  const i64 h = levels * LANES;
+  const i64 wsz = kw * LANES;
+  st.rows = rows; st.cols = cols; st.nnz = nnz;
+  st.levels = levels; st.kw = kw; st.select_mode = select_mode;
+  const int rb = ceil_log2(h), cb = ceil_log2(wsz);
+  st.rb_bits = rb; st.cb_bits = cb;
+  // w needs bits(cols/wsz+1); total must fit u64
+  if (ceil_log2(cols / wsz + 2) + rb + cb > 63) return -1;
+
+  const i64 ns = rows > 0 ? (rows + h - 1) / h : 0;
+  st.stripe_off.resize((size_t)ns + 1);
+  for (i64 s = 0; s <= ns; ++s) {
+    i64 r = s * h < rows ? s * h : rows;
+    st.stripe_off[(size_t)s] = offsets[r];
+  }
+  st.keys.resize((size_t)nnz);
+  st.perm.resize((size_t)nnz);
+  // keys: scan (w, rloc, cloc); select (w, cloc, rloc) — within a stripe
+  // this reproduces lexsort((c,r,w,stripe)) / ((r,c,w,stripe)) exactly
+  // (c = w*wsz + cloc and r = stripe*h + rloc are monotone per field).
+  for (i64 r = 0; r < rows; ++r) {
+    const u64 rloc = (u64)(r % h);
+    for (i64 p = offsets[r]; p < offsets[r + 1]; ++p) {
+      const u64 c = indices[p];
+      const u64 w = c / (u64)wsz;
+      const u64 cloc = c - w * (u64)wsz;
+      st.keys[(size_t)p] = select_mode
+          ? (((w << cb) | cloc) << rb) | rloc
+          : (((w << rb) | rloc) << cb) | cloc;
+    }
+  }
+  // per-stripe sorts ((key, idx) packed into one u64 when the widths fit)
+  {
+    std::vector<std::pair<u64, i64>> buf;
+    std::vector<u64> packed;
+    for (i64 s = 0; s < ns; ++s) {
+      const i64 lo = st.stripe_off[(size_t)s], hi = st.stripe_off[(size_t)s + 1];
+      const i64 len = hi - lo;
+      if (len <= 0) continue;
+      bool sorted = true;
+      for (i64 k = 1; k < len; ++k)
+        if (st.keys[(size_t)(lo + k)] < st.keys[(size_t)(lo + k - 1)]) {
+          sorted = false;
+          break;
+        }
+      if (sorted) {
+        for (i64 k = 0; k < len; ++k) st.perm[(size_t)(lo + k)] = lo + k;
+        continue;
+      }
+      if (len < (i64)(1 << 20) &&
+          *std::max_element(st.keys.begin() + lo, st.keys.begin() + hi) <
+              (1ULL << 44)) {
+        packed.resize((size_t)len);
+        for (i64 k = 0; k < len; ++k)
+          packed[(size_t)k] = (st.keys[(size_t)(lo + k)] << 20) | (u64)k;
+        std::sort(packed.begin(), packed.end());
+        for (i64 k = 0; k < len; ++k) {
+          const u64 pk = packed[(size_t)k];
+          st.perm[(size_t)(lo + k)] = lo + (i64)(pk & ((1ULL << 20) - 1));
+          st.keys[(size_t)(lo + k)] = pk >> 20;
+        }
+      } else {
+        buf.resize((size_t)len);
+        for (i64 k = 0; k < len; ++k)
+          buf[(size_t)k] = {st.keys[(size_t)(lo + k)], lo + k};
+        std::sort(buf.begin(), buf.end());
+        for (i64 k = 0; k < len; ++k) {
+          st.perm[(size_t)(lo + k)] = buf[(size_t)k].second;
+          st.keys[(size_t)(lo + k)] = buf[(size_t)k].first;
+        }
+      }
+    }
+  }
+  // chunk pass: new chunk at window change or cap; slab packing per stripe
+  const i64 cap = select_mode ? LANES - 1 : LANES;
+  const int SUB = 8;
+  i64 slab_base = 0, num_chunks = 0;
+  for (i64 s = 0; s < ns; ++s) {
+    const i64 lo = st.stripe_off[(size_t)s], hi = st.stripe_off[(size_t)s + 1];
+    i64 cis = 0;       // chunks in this stripe
+    u64 cur_w = ~0ULL;
+    i64 in_chunk = 0;
+    for (i64 p = lo; p < hi; ++p) {
+      const u64 w = st.keys[(size_t)p] >> (rb + cb);
+      if (w != cur_w || in_chunk == cap) {
+        // close previous, open new
+        st.c_begin.push_back(p);
+        st.c_slab.push_back(slab_base + cis / SUB);
+        st.c_sub.push_back((u8)(cis % SUB));
+        st.c_stripe.push_back((u32)s);
+        if (select_mode) {
+          const u64 key = st.keys[(size_t)p];
+          const u64 cloc = (key >> rb) & ((u64(1) << cb) - 1);
+          st.c_minc.push_back((i64)(w * (u64)wsz + cloc));
+          st.c_coloff.push_back(0);  // patched below (min_c >> 7)
+        } else {
+          st.c_coloff.push_back((i32)(w * (u64)kw));
+        }
+        ++cis;
+        ++num_chunks;
+        in_chunk = 0;
+        cur_w = w;
+      }
+      ++in_chunk;
+    }
+    slab_base += (cis + SUB - 1) / SUB;
+  }
+  st.c_begin.push_back(nnz);
+  const i64 num_slabs = slab_base;
+
+  i64 kw_g = kw, num_spill = 0;
+  if (select_mode && num_chunks > 0) {
+    // spans in 128-col blocks; numpy: max_c//128 - (min_c>>7) + 1, chunk
+    // entries are column-sorted so min/max are the first/last entries
+    std::vector<i64> spans((size_t)num_chunks);
+    for (i64 ci = 0; ci < num_chunks; ++ci) {
+      const i64 first = st.c_begin[(size_t)ci];
+      const i64 last = st.c_begin[(size_t)ci + 1] - 1;
+      const u64 kf = st.keys[(size_t)first], kl = st.keys[(size_t)last];
+      const u64 wf = kf >> (rb + cb);
+      const u64 clocf = (kf >> rb) & ((u64(1) << cb) - 1);
+      const u64 wl = kl >> (rb + cb);
+      const u64 clocl = (kl >> rb) & ((u64(1) << cb) - 1);
+      const i64 cmin = (i64)(wf * (u64)wsz + clocf);
+      const i64 cmax = (i64)(wl * (u64)wsz + clocl);
+      spans[(size_t)ci] = cmax / LANES - (cmin >> 7) + 1;
+      st.c_coloff[(size_t)ci] = (i32)(cmin >> 7);
+    }
+    // numpy percentile(spans, 90), 'linear': pos = 0.9*(n-1), interpolate,
+    // then int() truncation and the >=1 floor
+    std::vector<i64> sorted_spans(spans);
+    std::sort(sorted_spans.begin(), sorted_spans.end());
+    const double pos = 0.9 * (double)(num_chunks - 1);
+    const i64 fl = (i64)pos;
+    const double frac = pos - (double)fl;
+    double pct = (double)sorted_spans[(size_t)fl];
+    if (fl + 1 < num_chunks)
+      pct += frac * ((double)sorted_spans[(size_t)fl + 1] - pct);
+    i64 kw_cap = (i64)pct;
+    if (kw_cap < 1) kw_cap = 1;
+    const i64 max_span = sorted_spans[(size_t)num_chunks - 1];
+    kw_g = max_span < kw_cap ? max_span : kw_cap;
+    // spill: gather-width overflow OR same-row collision within a chunk
+    // (the FIRST same-(chunk,row) entry in column order is kept; numpy
+    // marks later duplicates regardless of the over flag)
+    std::vector<i64> last_ci((size_t)h, -1);
+    for (i64 ci = 0; ci < num_chunks; ++ci) {
+      const i64 base_col = ((i64)st.c_coloff[(size_t)ci]) << 7;
+      for (i64 p = st.c_begin[(size_t)ci]; p < st.c_begin[(size_t)ci + 1];
+           ++p) {
+        const u64 key = st.keys[(size_t)p];
+        const u64 rloc = key & ((u64(1) << rb) - 1);
+        const u64 w = key >> (rb + cb);
+        const u64 cloc = (key >> rb) & ((u64(1) << cb) - 1);
+        const i64 c = (i64)(w * (u64)wsz + cloc);
+        bool sp = (c - base_col) >= kw_cap * LANES;
+        if (last_ci[(size_t)rloc] == ci) sp = true;
+        else last_ci[(size_t)rloc] = ci;
+        if (sp) ++num_spill;
+      }
+    }
+  }
+  st.kw_g = kw_g;
+  out_meta[0] = num_slabs;
+  out_meta[1] = num_chunks;
+  out_meta[2] = kw_g;
+  out_meta[3] = num_spill;
+  return 0;
+}
+
+extern "C" i64 spmx_stripe_fill(const float* vals, float* vals_s, void* lane_s,
+                                int lane_is_i16, signed char* ends_s,
+                                signed char* starts_s, i32* col_off,
+                                i32* chunk_stripe, i32* stripe_rb, u8* rb_used,
+                                i64* sp_idx) {
+  StripeState& st = g_stripe;
+  if (st.nnz < 0) return -1;
+  const i64 LANES = 128;
+  const int SUB = 8;
+  const i64 h = st.levels * LANES;
+  const int rb = st.rb_bits, cb = st.cb_bits;
+  const i64 wsz = st.kw * LANES;
+  const i64 num_chunks = (i64)st.c_begin.size() - 1;
+  const i64 kw_cap = st.kw_g;  // select gather width (128-col units)
+  short* lane16 = (short*)lane_s;
+  signed char* lane8 = (signed char*)lane_s;
+  i64 nsp = 0;
+  std::vector<i64> last_ci((size_t)h, -1);
+  for (i64 ci = 0; ci < num_chunks; ++ci) {
+    const i64 slab = st.c_slab[(size_t)ci];
+    const i64 sub = st.c_sub[(size_t)ci];
+    const u32 stripe = st.c_stripe[(size_t)ci];
+    const i64 slot_base = (slab * SUB + sub) * LANES;
+    col_off[slab * SUB + sub] = st.c_coloff[(size_t)ci];
+    chunk_stripe[slab * SUB + sub] = (i32)stripe;
+    stripe_rb[slab] = (i32)(stripe * (u32)st.levels);
+    const i64 base_col = st.select_mode
+        ? (((i64)st.c_coloff[(size_t)ci]) << 7)
+        : ((i64)st.c_coloff[(size_t)ci] / st.kw) * wsz;
+    i64 run_rloc = -1;
+    for (i64 p = st.c_begin[(size_t)ci]; p < st.c_begin[(size_t)ci + 1];
+         ++p) {
+      const u64 key = st.keys[(size_t)p];
+      const u64 rloc = st.select_mode ? (key & ((u64(1) << rb) - 1))
+                                      : ((key >> cb) & ((u64(1) << rb) - 1));
+      const u64 w = key >> (rb + cb);
+      const u64 cloc = st.select_mode
+          ? ((key >> rb) & ((u64(1) << cb) - 1))
+          : (key & ((u64(1) << cb) - 1));
+      const i64 c = (i64)(w * (u64)wsz + cloc);
+      const i64 lev = (i64)(rloc / (u64)LANES);
+      const i64 dst = (i64)(rloc % (u64)LANES);
+      rb_used[(i64)stripe * st.levels + lev] = 1;
+      const i64 k = p - st.c_begin[(size_t)ci];  // within-chunk position
+      if (st.select_mode) {
+        bool sp = (c - base_col) >= kw_cap * LANES;
+        if (last_ci[(size_t)rloc] == ci) sp = true;
+        else last_ci[(size_t)rloc] = ci;
+        if (sp) {
+          sp_idx[nsp++] = st.perm[(size_t)p];
+          continue;
+        }
+        const i64 pos = k + 1;  // slot 0 reserved zero
+        vals_s[slot_base + pos] = vals[st.perm[(size_t)p]];
+        if (lane_is_i16) lane16[slot_base + pos] = (short)(c - base_col);
+        else lane8[slot_base + pos] = (signed char)(c - base_col);
+        ends_s[((slab * st.levels + lev) * SUB + sub) * LANES + dst] =
+            (signed char)pos;
+      } else {
+        const i64 pos = k;
+        vals_s[slot_base + pos] = vals[st.perm[(size_t)p]];
+        if (lane_is_i16) lane16[slot_base + pos] = (short)cloc;
+        else lane8[slot_base + pos] = (signed char)cloc;
+        const i64 idx4 = ((slab * st.levels + lev) * SUB + sub) * LANES + dst;
+        if ((i64)rloc != run_rloc) {
+          starts_s[idx4] = (signed char)(pos - 1);
+          run_rloc = (i64)rloc;
+        }
+        // last write wins = run tail (same-row entries are contiguous)
+        ends_s[idx4] = (signed char)pos;
+      }
+    }
+  }
+  st = StripeState();
+  return nsp;
 }

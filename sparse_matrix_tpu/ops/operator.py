@@ -82,7 +82,7 @@ def _shard_force(cur_force, first_op: "SpmvOperator"):
     not propagated — forcing them raises when a shard misses the gate."""
     if cur_force is not None:
         return cur_force
-    if first_op.format in ("aligned", "lanepack", "bell", "ell"):
+    if first_op.format in ("aligned", "lanepack", "bell", "ell", "stripe"):
         return first_op.format
     return None
 
@@ -131,7 +131,12 @@ class SpmvOperator:
     _values_dtype = None  # class default: loaded plans bypass __init__
 
     def __init__(self, m: CsrMatrix, *, dtype=np.float32,
-                 force: Optional[str] = None, values_dtype=None):
+                 force: Optional[str] = None, values_dtype=None,
+                 stripe_cfg=None):
+        # shard pinning: a row/col split's later shards reuse the first
+        # shard's stripe (mode, L, KW) so each shard does not re-run the
+        # pricing grid (split shards are structurally homogeneous)
+        self._stripe_cfg_hint = stripe_cfg
         # values_dtype=bfloat16 stores the DIA band / BELL slot value
         # planes half-width (the dominant HBM stream of those kernels);
         # products widen to ``dtype`` before accumulation. Only the
@@ -201,8 +206,12 @@ class SpmvOperator:
                         m.rows, int(hi - lo), vv, idx, offs, is_sorted=m.is_sorted
                     )
                     sub_op = SpmvOperator(sub, dtype=dtype, force=sub_force,
-                                  values_dtype=self._values_dtype)
+                                  values_dtype=self._values_dtype,
+                                  stripe_cfg=self._stripe_cfg_hint)
                     sub_force = _shard_force(sub_force, sub_op)
+                    if self._stripe_cfg_hint is None:
+                        self._stripe_cfg_hint = getattr(
+                            sub_op, "_stripe_cfg", None)
                     self._colsplit.append((int(lo), int(hi), sub_op))
                 return
             # row shards are contiguous row ranges: pure slices of the CSR
@@ -318,13 +327,13 @@ class SpmvOperator:
                 t_bell = est["cost_ns"] if bell_ok else float("inf")
                 # the stripe family was built for exactly this corner
                 # (scatter/skew structure beyond LanePack's SMEM budget)
-                t_stripe, stripe_ok = self._stripe_cost_and_viable(m)
+                t_stripe, stripe_ok, scfg = self._stripe_cost_and_viable(m)
                 if stripe_ok and t_stripe < min(
                     t_aligned, t_bell,
                     t_gen if t_gen is not None else float("inf"),
                 ):
                     self.format = "stripe"
-                    self._set_stripe(m, dtype)
+                    self._set_stripe(m, dtype, cfg=scfg)
                     return
                 # SMEM row-split: when LanePack is the clear cost-model
                 # winner but its scalar-prefetch arrays exceed the 1 MB
@@ -377,7 +386,10 @@ class SpmvOperator:
                 return
             if choice == "stripe":
                 self.format = "stripe"
-                self._set_stripe(m, dtype)
+                # memoized counts make the re-call ~free; it recovers the
+                # grid argmin so plan_stripe skips its own grid
+                _t, _ok, scfg = self._stripe_cost_and_viable(m)
+                self._set_stripe(m, dtype, cfg=scfg)
                 return
 
         self.format = "lanepack"
@@ -395,6 +407,7 @@ class SpmvOperator:
         self.format = "rowsplit"
         self._rowsplit = []
         sub_force = force
+        sub_cfg = None
         for lo, hi in zip(bounds[:-1], bounds[1:]):
             lo_o, hi_o = int(m.offsets[lo]), int(m.offsets[hi])
             sub = CsrMatrix(
@@ -406,8 +419,11 @@ class SpmvOperator:
                 is_sorted=m.is_sorted,
             )
             sub_op = SpmvOperator(sub, dtype=dtype, force=sub_force,
-                                  values_dtype=self._values_dtype)
+                                  values_dtype=self._values_dtype,
+                                  stripe_cfg=sub_cfg)
             sub_force = _shard_force(sub_force, sub_op)
+            if sub_cfg is None:
+                sub_cfg = getattr(sub_op, "_stripe_cfg", None)
             self._rowsplit.append((int(lo), int(hi), sub_op))
 
     @staticmethod
@@ -471,16 +487,19 @@ class SpmvOperator:
 
     @staticmethod
     def _stripe_cost_and_viable(m: CsrMatrix):
-        """(best stripe ns, viable) over the (mode, L, KW) grid — sampled
-        counts on large matrices; stripe is the multi-level scatter-class
-        family (formats/stripe.py) and enters dispatch only when its
-        scalar-prefetch arrays fit SMEM."""
+        """(best stripe ns, viable, (mode, L, KW) argmin) over the grid —
+        sampled counts on large matrices; stripe is the multi-level
+        scatter-class family (formats/stripe.py) and enters dispatch only
+        when its scalar-prefetch arrays fit SMEM. The argmin config is
+        threaded into :func:`plan_stripe` so the planner does not re-run
+        the same grid (counts/spill-frac are memoized per sample, but the
+        double grid was still ~2 s of a 1024² AmgRefresh plan)."""
         from ..formats.stripe import _mode_cost, _cost_constants
         from ..formats.stripe import _stripe_counts
 
         mm, scale = SpmvOperator._sampled_for_counts(m)
         consts = _cost_constants()
-        best, best_slabs = None, None
+        best, best_slabs, best_cfg = None, None, None
         for mode in ("scan", "select"):
             for lc in (2, 4, 8):
                 if (lc // 2) * 128 >= m.rows + 128:
@@ -494,13 +513,14 @@ class SpmvOperator:
                     ) * scale
                     if best is None or t < best:
                         best = t
+                        best_cfg = (mode, lc, kc)
                         best_slabs = _stripe_counts(
                             mm, lc, kc, 128 if mode == "scan" else 127,
                         )[0] * scale
         if best is None:
-            return float("inf"), False
+            return float("inf"), False, None
         viable = best_slabs is not None and best_slabs * 36 < 800_000
-        return best, viable
+        return best, viable, best_cfg
 
     @staticmethod
     def _general_choice(m: CsrMatrix) -> str:
@@ -520,7 +540,7 @@ class SpmvOperator:
         bell_ok = est["viable"] and est["spill_nnz"] <= est["kept_nnz"]
         t_bell = est["cost_ns"] if bell_ok else float("inf")
         t_aligned, t_gen, _slabs = SpmvOperator._general_costs(m)
-        t_stripe, stripe_ok = SpmvOperator._stripe_cost_and_viable(m)
+        t_stripe, stripe_ok, _scfg = SpmvOperator._stripe_cost_and_viable(m)
         t_gen_f = t_gen if t_gen is not None else float("inf")
         # stripe needs a clear margin: it is the newest family and its
         # constants were calibrated on two corpus classes
@@ -650,12 +670,22 @@ class SpmvOperator:
             self._bell, values_dtype=self._values_dtype
         )
 
-    def _set_stripe(self, m, dtype):
+    def _set_stripe(self, m, dtype, cfg=None):
         from ..formats.stripe import plan_stripe
         from .spmv import stripe_device_arrays
 
         self._no_bf16("stripe")
-        self._stripe = plan_stripe(m, dtype=dtype)
+        cfg = cfg or getattr(self, "_stripe_cfg_hint", None)
+        if cfg is not None:
+            mode, lvl, kw = cfg
+            self._stripe = plan_stripe(m, dtype=dtype, mode=mode,
+                                       levels=lvl, kw=kw)
+        else:
+            self._stripe = plan_stripe(m, dtype=dtype)
+        # requested config (select mode may degrade the plan's kw to the
+        # measured gather width): what shard pinning must reuse
+        self._stripe_cfg = cfg or (self._stripe.mode, self._stripe.levels,
+                                   self._stripe.kw)
         self._stripe_arrs = stripe_device_arrays(self._stripe)
 
     def _set_dia(self, dia):

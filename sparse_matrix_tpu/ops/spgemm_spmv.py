@@ -82,22 +82,13 @@ def _fixedside_select(lhs: CsrMatrix, rhs: CsrMatrix, fixed: str):
     if num_products:
         nat = fixedside_plan_native(lhs, rhs, fixed == "lhs", num_products)
     if nat is not None:
-        s_idx, s_val, col_sorted, head, nnz_out = nat
-        starts = np.flatnonzero(head)
-        offsets = np.empty(nnz_out + 1, dtype=OFFSET_DTYPE)
-        offsets[:-1] = starts
-        offsets[-1] = num_products
-        out_col = col_sorted[starts].astype(np.int32)
-        # products of lhs row r occupy [prow[r], prow[r+1])
-        cum = np.zeros(lhs.nnz() + 1, np.int64)
-        np.cumsum(reps, out=cum[1:])
-        prow = cum[lhs.offsets.astype(np.int64)]
-        out_row = (np.searchsorted(prow, starts, side="right") - 1).astype(
-            np.int32)
+        s_idx, s_val, out_row, out_col, off_full, nnz_out = nat
+        offsets = np.ascontiguousarray(off_full[:nnz_out + 1],
+                                       dtype=OFFSET_DTYPE)
         cols_x = rhs.nnz() if fixed == "lhs" else lhs.nnz()
-        s = CsrMatrix(nnz_out, cols_x, s_val, s_idx.astype(INDEX_DTYPE),
-                      offsets, is_sorted=True)
-        return s, out_row, out_col, nnz_out, num_products
+        s = CsrMatrix(nnz_out, cols_x, s_val, s_idx, offsets,
+                      is_sorted=True)
+        return s, out_row[:nnz_out], out_col[:nnz_out], nnz_out, num_products
     from .device_sorted import expand_plan
 
     src, q, out_r = expand_plan(lhs, rhs)
