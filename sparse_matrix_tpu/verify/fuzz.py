@@ -24,7 +24,7 @@ import argparse
 import os
 import sys
 import time
-from typing import Callable, List, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
@@ -83,8 +83,10 @@ _INT32_COL_ENGINES = frozenset(
 
 
 def _implementations(include_device: bool,
-                     include_amortized: bool = False
+                     include_amortized: bool = False,
+                     feats: Optional[dict] = None
                      ) -> List[Tuple[str, Callable, float]]:
+    feats = feats if feats is not None else {}
     def hash_python_gated(a, b):
         # the python linprobe engine is the parity oracle for the table
         # semantics; it is O(products) pure python, so gate it by the same
@@ -134,6 +136,9 @@ def _implementations(include_device: bool,
                 if not _finite(a, b):
                     return None
                 f = FixedSideSpgemm(a, b, fixed=fixed)
+                # corpus-mode coverage signal: the selection operator's
+                # dispatched format is a dispatch-path observation
+                feats[f"fs_{fixed}"] = getattr(f.op, "format", None)
                 vary = (b if fixed == "lhs" else a).vals.astype(np.float32)
                 c = f.multiply(vary * np.float32(1.5))
                 return CsrMatrix(c.rows, c.cols,
@@ -147,6 +152,8 @@ def _implementations(include_device: bool,
             e = EscSpgemm(a, b, reduce="spmv")
             if e._rspmv is None:  # expansion/reduction plan gated out
                 return None
+            feats["esc_rspmv"] = getattr(e._rspmv.op, "format", None)
+            feats["esc_engine"] = getattr(e, "engine", None)
             return e.multiply()
 
         impls.append(("fixed_side_lhs", fixed_side("lhs"), U32))
@@ -166,6 +173,8 @@ def fuzz_spgemm(
     include_device: bool = False,
     include_amortized: bool = False,
     dump_dir: str = "fuzz_failures",
+    corpus_dir: Optional[str] = None,
+    mutate_prob: float = 0.5,
     verbose: bool = False,
 ) -> int:
     """Run the fuzz loop; returns the number of cases executed. Raises
@@ -176,24 +185,46 @@ def fuzz_spgemm(
     ``big_dim_prob`` the dims are drawn up to 256 instead of ``max_dim``;
     with probability ``wide_prob`` the RHS column count is drawn near
     ``2^32 - 1`` (the u32-sentinel boundary — l and m stay bounded, as in
-    the reference, because row counts size the offsets array)."""
+    the reference, because row counts size the offsets array).
+
+    ``corpus_dir`` enables the corpus-guided mode (verify/corpus.py —
+    the coverage-feedback analog of the reference's libFuzzer layer):
+    cases whose dispatch-path signature is new are persisted, and with
+    probability ``mutate_prob`` a case is drawn by mutating a stored one
+    instead of sampling fresh."""
     rng = np.random.default_rng(seed)
-    impls = _implementations(include_device, include_amortized)
+    feats: dict = {}
+    impls = _implementations(include_device, include_amortized, feats)
+    corpus = None
+    if corpus_dir is not None:
+        from .corpus import FuzzCorpus, case_signature, mutate_pair
+
+        corpus = FuzzCorpus(corpus_dir)
+    new_sigs = 0
     for case in range(cases):
-        dim_cap = 256 if rng.random() < big_dim_prob else max_dim
-        l = int(rng.integers(1, dim_cap + 1))
-        m = int(rng.integers(1, dim_cap + 1))
-        if rng.random() < wide_prob:
-            # top 3 values end at 2^32-1 cols => max index 2^32-2, one
-            # below the 0xFFFFFFFF empty sentinel
-            n = int((1 << 32) - 1 - rng.integers(0, 3))
-        else:
-            n = int(rng.integers(1, dim_cap + 1))
-        a = _draw_dok(rng, l, m, non_finite)
-        b = _draw_dok(rng, m, n, non_finite)
+        a = b = None
+        if corpus is not None and len(corpus) and rng.random() < mutate_prob:
+            pair = corpus.sample(rng)
+            if pair is not None:
+                a, b = mutate_pair(rng, pair[0], pair[1], non_finite)
+        if a is None:
+            dim_cap = 256 if rng.random() < big_dim_prob else max_dim
+            l = int(rng.integers(1, dim_cap + 1))
+            m = int(rng.integers(1, dim_cap + 1))
+            if rng.random() < wide_prob:
+                # top 3 values end at 2^32-1 cols => max index 2^32-2, one
+                # below the 0xFFFFFFFF empty sentinel
+                n = int((1 << 32) - 1 - rng.integers(0, 3))
+            else:
+                n = int(rng.integers(1, dim_cap + 1))
+            a = _draw_dok(rng, l, m, non_finite)
+            b = _draw_dok(rng, m, n, non_finite)
+        l, m, n = a.rows, a.cols, b.cols
         ca = CsrMatrix.from_dok_shuffled(a, rng)
         cb = CsrMatrix.from_dok_shuffled(b, rng)
         small = l * m * n < ORACLE_LIMIT
+        feats.clear()
+        ran = []
         for name, impl, u in impls:
             if name in _INT32_COL_ENGINES and n > (1 << 31) - 1:
                 # device sorted ops carry columns in int32 lanes; the
@@ -203,6 +234,7 @@ def fuzz_spgemm(
             c = impl(ca, cb)
             if c is None:  # engine gated out for this size
                 continue
+            ran.append(name)
             if not c.invariants():
                 _dump(dump_dir, case, name, a, b)
                 raise FuzzFailure(f"case {case}: {name} violated CSR invariants")
@@ -217,8 +249,15 @@ def fuzz_spgemm(
                         f"case {case}: {name} failed the Higham bound "
                         f"(inputs dumped to {dump_dir}/)"
                     )
+        if corpus is not None:
+            sig = case_signature(ca, cb, ran, feats)
+            if corpus.maybe_add(sig, a, b):
+                new_sigs += 1
         if verbose and case % 50 == 0:
             print(f"  case {case}/{cases}", file=sys.stderr)
+    if corpus is not None and verbose:
+        print(f"  corpus: {len(corpus)} signatures ({new_sigs} new)",
+              file=sys.stderr)
     return cases
 
 
@@ -239,6 +278,11 @@ def main() -> None:
     ap.add_argument("--device", action="store_true", help="include the device ESC path")
     ap.add_argument("--amortized", action="store_true",
                     help="include the same-pattern SpGEMM-as-SpMV engines")
+    ap.add_argument("--corpus", default=None, metavar="DIR",
+                    help="corpus-guided mode: persist dispatch-signature-"
+                         "novel cases to DIR and mutate stored ones "
+                         "(the libFuzzer coverage-feedback analog)")
+    ap.add_argument("--mutate-prob", type=float, default=0.5)
     ap.add_argument("--cpu", action="store_true",
                     help="pin jax to the host CPU (device engines touch jax; "
                          "without this the axon plugin routes every case over "
@@ -258,6 +302,8 @@ def main() -> None:
         non_finite=not args.finite_only,
         include_device=args.device,
         include_amortized=args.amortized,
+        corpus_dir=args.corpus,
+        mutate_prob=args.mutate_prob,
         verbose=True,
     )
     print(f"fuzz: {n} cases OK in {time.time()-t0:.1f}s")
