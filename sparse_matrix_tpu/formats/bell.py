@@ -331,13 +331,22 @@ def estimate_bell(m: CsrMatrix, *, max_layers: int = MAX_LAYERS):
             layers=0, kept_nnz=0, spill_nnz=0, cost_ns=0.0, dspan=0,
             br=0, span=_SPANS[0], viable=True,
         )
+    # memoized per matrix: two dispatch branches (the lanepack-viability
+    # corner and _general_choice) both estimate the same operator, and the
+    # layer-key passes were ~40% of a small FixedSideSpgemm plan
+    memo = m._cache.setdefault("estimate_bell", {})
+    hit = memo.get(max_layers)
+    if hit is not None:
+        return hit
     if _sampled_reject(m):
-        return dict(
+        out = dict(
             layers=0, kept_nnz=0, spill_nnz=nnz, cost_ns=float("inf"),
             dspan=0, br=0, span=_SPANS[0], viable=False,
         )
+        memo[max_layers] = out
+        return out
     sub, r128o, tot = m, None, None
-    if nnz > 1_500_000:
+    if nnz > 800_000:
         from .csr import sample_row_bands
 
         sub, _ = sample_row_bands(m, 400_000)
@@ -350,6 +359,7 @@ def estimate_bell(m: CsrMatrix, *, max_layers: int = MAX_LAYERS):
         )
         if best is None or (est["viable"] and est["cost_ns"] < best["cost_ns"]):
             best = est
+    memo[max_layers] = best
     return best
 
 

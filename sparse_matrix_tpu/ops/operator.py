@@ -398,8 +398,11 @@ class SpmvOperator:
     # above this nnz the dispatch cost estimators run on sampled row bands
     # (full _chunk_keys + 5x _count_slabs passes cost ~50 s of a 2048^2 AMG
     # setup; contiguous bands preserve the local structure the estimators
-    # key on, and the counts they produce scale linearly in nnz)
-    _SAMPLED_COSTS_NNZ = 1_500_000
+    # key on, and the counts they produce scale linearly in nnz). Round 5
+    # lowered 1.5M -> 500k: pricing dominated sub-M selection-matrix plans
+    # (2.0 s of a 2.8 s FixedSideSpgemm plan at uniform2048) and the 200k
+    # sample target leaves >=2.5x real sampling at the new threshold
+    _SAMPLED_COSTS_NNZ = 500_000
 
     def _build_rowsplit(self, m, bounds, dtype, force):
         """Shard ``m`` into contiguous row ranges (pure CSR slices), one
