@@ -78,31 +78,38 @@ def main():
         print(f"  {name} scan({L},{KW}): meas {us:.0f} us "
               f"model {pred*slabs/1e3:.0f} us")
 
-    # select fit: t = slabs*(s0 + sk*kw_g + sl*L) + frac*nnz*sp
+    # select fit: t - spill_scan_model = slabs*(s0 + sk*kw_g + sl*L)
+    # (the spill term is priced by the scan model on the spilled subset's
+    # slab structure — see _select_spill_stats; stats run on a <=300k
+    # sample, so the per-sample spill ns scales by nnz/sample_nnz)
+    from sparse_matrix_tpu.formats.csr import sample_row_bands
+
     A, y, meta = [], [], []
     for name, L, KW, us in select:
         m = mats[name]
         slabs, _ = _stripe_counts(m, L, KW, 127)
-        frac, kw_g = _select_spill_stats(m, L, KW)
+        frac, kw_g, spill_ns = _select_spill_stats(m, L, KW)
+        _sub, scale = sample_row_bands(m, target_nnz=300_000)
+        spill_full = spill_ns * scale
         # cross-check against the real plan's kw_g
         p = plan_stripe(m, levels=L, kw=KW, mode="select")
         spn = p.spill.nnz if p.spill is not None else 0
         print(f"  {name} select({L},{KW}): stats kw_g={kw_g} "
-              f"frac={frac:.3f}; plan kw_g={p.kw} "
-              f"frac={spn/max(m.nnz(),1):.3f}")
-        A.append([slabs, slabs * kw_g, slabs * L, frac * m.nnz()])
-        y.append(us * 1e3)
-        meta.append((name, L, KW, us, slabs))
-    if len(A) >= 4:
+              f"frac={frac:.3f} spill_model={spill_full/1e3:.0f} us; "
+              f"plan kw_g={p.kw} frac={spn/max(m.nnz(),1):.3f} "
+              f"spill_slabs={p.spill.num_slabs if p.spill else 0}")
+        A.append([slabs, slabs * kw_g, slabs * L])
+        y.append(us * 1e3 - spill_full)
+        meta.append((name, L, KW, us, slabs, spill_full))
+    if len(A) >= 3:
         A, y = np.array(A), np.array(y)
         s, *_ = np.linalg.lstsq(A, y, rcond=None)
-        print(f"select fit: s0={s[0]:.2f} sk={s[1]:.2f} sl={s[2]:.2f} "
-              f"spill_ns={s[3]:.3f}")
-        for (name, L, KW, us, slabs), pred in zip(meta, (A @ s)):
+        print(f"select fit: s0={s[0]:.2f} sk={s[1]:.2f} sl={s[2]:.2f}")
+        for (name, L, KW, us, slabs, spf), pred in zip(meta, (A @ s)):
             print(f"  {name} select({L},{KW}): meas {us:.0f} us "
-                  f"fit {pred/1e3:.0f} us")
+                  f"fit {(pred+spf)/1e3:.0f} us")
     else:
-        print("too few select points for a 4-param fit")
+        print("too few select points for a 3-param fit")
 
 
 if __name__ == "__main__":

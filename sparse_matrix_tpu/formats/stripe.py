@@ -155,9 +155,10 @@ def count_stripe_slabs(m: CsrMatrix, levels: int, kw: int,
 
 
 def _select_spill_stats(m: CsrMatrix, levels: int, kw: int
-                        ) -> Tuple[float, int]:
-    """(spill fraction, estimated plan kw_g) for a select-mode candidate —
-    memoized, computed on sampled row bands above 300k nnz.
+                        ) -> Tuple[float, int, float]:
+    """(spill fraction, estimated plan kw_g, spill scan-model ns) for a
+    select-mode candidate — memoized, computed on sampled row bands above
+    300k nnz.
 
     The spill fraction covers BOTH spill sources of the planner (same-row
     collisions within a chunk AND gather-width overflow past the 90th-
@@ -167,14 +168,22 @@ def _select_spill_stats(m: CsrMatrix, levels: int, kw: int
     (powerlaw chunks span 16-19 col blocks while the estimate stayed ~2),
     which priced select under scan and misrouted the r4 driver bench to
     a 3.0 Gnnz/s select plan where scan(8,16) measures 4.7
-    (skew_dispatch_r5.out / VERDICT r4 weak #3)."""
+    (skew_dispatch_r5.out / VERDICT r4 weak #3).
+
+    The spill term is priced with the SCAN model on the spilled subset's
+    own slab counts (best over a small scan-config grid) — the planner
+    recursively plans exactly such a scan-stripe for it. A flat
+    per-spilled-nnz constant was off 10x across classes: powerlaw
+    sel(8,8)'s 17% spill packs at fill 0.16 (4219 slabs ≈ 719 us of the
+    measured 1356), randlocal sel(4,8)'s 12% at fill 0.63
+    (skew_dispatch_r5b.out + the round-5 stats dump)."""
     memo = m._cache.setdefault("stripe_spill_stats", {})
     hit = memo.get((levels, kw))
     if hit is not None:
         return hit
     nnz = m.nnz()
     if nnz == 0:
-        memo[(levels, kw)] = (0.0, 1)
+        memo[(levels, kw)] = (0.0, 1, 0.0)
         return memo[(levels, kw)]
     if nnz > 300_000:
         # a FRACTION estimates fine on contiguous row bands, and the cost
@@ -214,7 +223,34 @@ def _select_spill_stats(m: CsrMatrix, levels: int, kw: int
     o2 = np.lexsort((rs, chunk))
     dup = (chunk[o2][1:] == chunk[o2][:-1]) & (rs[o2][1:] == rs[o2][:-1])
     spill_mask[o2[1:][dup]] = True
-    out = (float(np.count_nonzero(spill_mask)) / nnz, kw_g)
+    n_sp = int(np.count_nonzero(spill_mask))
+    spill_ns = 0.0
+    if n_sp:
+        from ..utils import autotune
+
+        c0 = autotune.get("stripe_fixed_ns")
+        ck = autotune.get("stripe_kw_ns")
+        cl = autotune.get("stripe_lvl_ns")
+        sp_r, sp_c = rs[spill_mask], cs[spill_mask]
+        best = None
+        for sl_ in (4, 8):
+            for sk_ in (4, 8, 16):
+                if sk_ > 1 and (sk_ // 2) * LANES > m.cols + LANES:
+                    continue
+                hh = sl_ * LANES
+                ww = sk_ * LANES
+                wt = m.cols // ww + 2
+                keys = np.sort((sp_r // hh) * wt + sp_c // ww)
+                hd = np.r_[True, keys[1:] != keys[:-1]]
+                sizes = np.diff(np.append(np.flatnonzero(hd), n_sp))
+                # chunks per group, packed 8/slab per stripe (upper-bounds
+                # the planner's per-stripe rounding only slightly)
+                slabs_sp = float(np.sum(-(-sizes // LANES))) / SUBLANES + 1
+                t = slabs_sp * (c0 + ck * sk_ + cl * sl_)
+                if best is None or t < best:
+                    best = t
+        spill_ns = best if best is not None else 0.0
+    out = (n_sp / nnz, kw_g, spill_ns)
     memo[(levels, kw)] = out
     return out
 
@@ -252,13 +288,15 @@ def _mode_cost(m: CsrMatrix, mode: str, lc: int, kc: int, nnz: int,
     # (sound: the real kw_g only raises the base, spill only adds)
     if best is not None and slabs * (s0 + sk + sl * lc) >= best:
         return float("inf")
-    frac, kw_g = _select_spill_stats(m, lc, kc)
+    frac, kw_g, spill_ns = _select_spill_stats(m, lc, kc)
     base = slabs * (s0 + sk * kw_g + sl * lc)
     if best is not None and base >= best:
         return float("inf")
-    # width-overflow + collision spill runs on a recursive scan-stripe plan
-    spill = frac * nnz * autotune.get("stripe_spill_per_nnz_ns")
-    return base + spill
+    # width-overflow + collision spill runs on a recursive scan-stripe
+    # plan; spill_ns prices it with the scan model on the spilled
+    # subset's own slab structure (a flat per-nnz constant was 10x off
+    # across classes — see _select_spill_stats)
+    return base + spill_ns
 
 
 def stripe_cost(m: CsrMatrix, levels: int, kw: int,

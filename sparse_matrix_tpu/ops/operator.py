@@ -545,9 +545,13 @@ class SpmvOperator:
         t_aligned, t_gen, _slabs = SpmvOperator._general_costs(m)
         t_stripe, stripe_ok, _scfg = SpmvOperator._stripe_cost_and_viable(m)
         t_gen_f = t_gen if t_gen is not None else float("inf")
-        # stripe needs a clear margin: it is the newest family and its
-        # constants were calibrated on two corpus classes
-        if stripe_ok and t_stripe < 0.8 * min(t_bell, t_aligned, t_gen_f):
+        # stripe margin 0.8 -> 0.9 (round 5): the constants are now a
+        # measured-grid refit (scan residuals <=5%, fit_stripe_consts.out)
+        # rather than the r4 five-point extrapolation; at 0.8 the refit
+        # pushed randlocal to aligned (294 us model) over stripe scan(2,2)
+        # (254 model, 255 measured vs aligned's 270) — a shipped
+        # regression the margin itself caused
+        if stripe_ok and t_stripe < 0.9 * min(t_bell, t_aligned, t_gen_f):
             return "stripe"
         if t_bell < t_aligned and (t_gen is None or t_bell < t_gen):
             return "bell"

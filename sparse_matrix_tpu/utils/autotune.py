@@ -73,21 +73,23 @@ DEFAULTS: Dict[str, float] = {
     # r^2 > 0.99; the x-window working set, not BR, is the cost axis)
     "bell_chunk_dspan_ns": 0.04,
     # stripe kernel (multi-level destinations, formats/stripe.py):
-    # per-slab ns = fixed + kw_slope*KW + lvl_slope*L (pre-hardware
-    # estimates from the lanepack/aligned ablations; recalibrated on v5e
-    # by experiments/stripe_bench.py)
-    # scan mode, v5e-measured fit (experiments/stripe_bench_v2.out:
-    # ns/slab = 6.4 + 6.15*KW + 8.2*L over five (L,KW) points)
-    "stripe_fixed_ns": 6.4,
-    "stripe_kw_ns": 6.15,
-    "stripe_lvl_ns": 8.2,
+    # per-slab ns = fixed + kw_slope*KW + lvl_slope*L. Round-5 refit on
+    # the measured two-class grid (18 scan points, residuals <=5%:
+    # experiments/fit_stripe_consts.out over skew_dispatch_r5.out +
+    # skew_dispatch_r5b.out); the r4 constants underpriced scan ~12%
+    # uniformly, which (with the select-side misprices) misrouted the
+    # scatter classes (VERDICT r4 weak #3)
+    "stripe_fixed_ns": 11.23,
+    "stripe_kw_ns": 5.15,
+    "stripe_lvl_ns": 8.51,
     # select mode (col-sorted singleton chunks: no scan, no starts, ONE
-    # gather per level; kw term applies to the CHUNK span kw_g, not the
-    # group window) — pre-hardware estimates, recalibrated by
-    # experiments/stripe_bench_v3.py
-    "stripe_sel_fixed_ns": 10.0,
-    "stripe_sel_kw_ns": 6.0,
-    "stripe_sel_lvl_ns": 4.5,
+    # gather per level; kw term applies to the MEASURED chunk-span kw_g
+    # from _select_spill_stats, not the group window). Round-5 refit,
+    # 7 measured points, residuals ~±10-15% — the select family's
+    # per-slab variance is the dispatch resolution limit (PERF.md)
+    "stripe_sel_fixed_ns": 1.96,
+    "stripe_sel_kw_ns": 12.06,
+    "stripe_sel_lvl_ns": 4.51,
     # ELL x-gather per element: the XLA random-gather rate (~0.14 Gelem/s
     # measured, CLAUDE.md). Prices the hyper-sparse ELL shortcut against
     # the kernel cost models — uniform2048 selection matrix check point:
@@ -95,8 +97,11 @@ DEFAULTS: Dict[str, float] = {
     # (experiments/esc_v3_bench.out), same side of the 0.61 ms LanePack
     # plan either way.
     "ell_gather_ns": 7.1,
-    # per-ENTRY cost of select-mode collision spill (LanePack kernel at
-    # scatter-class fill ~0.25: ~30 ns / 256 useful slots)
+    # per-ENTRY cost of select-mode collision spill — RETIRED round 5:
+    # a flat constant was 10x off across classes (powerlaw spill packs at
+    # fill 0.16, randlocal at 0.63); _select_spill_stats now prices the
+    # spill with the scan model on the spilled subset's own slab counts.
+    # Kept for saved-calibration compatibility.
     "stripe_spill_per_nnz_ns": 0.12,
     # spgemm_auto rates
     "spgemm_host_products_per_s": 5e7,  # per core
