@@ -110,6 +110,7 @@ class AmgRefresh:
                 a, theta=theta, smooth_prolongator=smooth_prolongator,
                 max_levels=max_levels, coarse_size=coarse_size)
         host_levels, _ = coarsening
+        self._check_device_budget(a, [p for (_, p, _, _) in host_levels])
         self._prolongators: List[CsrMatrix] = [p for (_, p, _, _) in host_levels]
         self._plans: List[Tuple[FixedSideSpgemm, FixedSideSpgemm]] = []
         self._patterns: List[CsrMatrix] = [a]
@@ -135,6 +136,37 @@ class AmgRefresh:
             self._patterns.append(cur)
             self._meta.append(_pattern_meta(cur))
         self._chain_jit = None
+
+    @staticmethod
+    def _check_device_budget(a: CsrMatrix, prolongators) -> None:
+        """Pre-flight HBM estimate: the plan keeps every level's two
+        selection operators device-resident (~18 B/product measured:
+        776 MB at Poisson 1024² / 3058 MB at 2048², linear in products);
+        at 4096² that is ~12 GB and the push chain dies mid-plan with an
+        opaque RESOURCE_EXHAUSTED on a 16 GB v5e
+        (experiments/amg_refresh_bench_r5b.out). Estimate products from
+        the patterns (cheap: two reps sums per level) and fail BEFORE
+        planning with the designed alternatives. Override the budget
+        with SPMX_HBM_BYTES (0 disables)."""
+        import os
+
+        budget = float(os.environ.get("SPMX_HBM_BYTES", 16e9))
+        if budget <= 0 or not prolongators:
+            return
+        # calibration: total pushed plan bytes ~= 59 B per FINEST-level AP
+        # product (all levels, both engines, slab padding included) —
+        # 776 MB / 13.1M at Poisson 1024², 3058 MB / 52.4M at 2048²
+        p = prolongators[0]
+        reps = np.diff(p.offsets)[a.indices.astype(np.int64)]
+        est = float(reps.sum()) * 59.0
+        if est > budget - 4e9:  # A + templates + workspace headroom
+            raise ValueError(
+                f"AmgRefresh plan estimate ~{est/1e9:.1f} GB of device-"
+                f"resident selection plans exceeds the HBM budget "
+                f"({budget/1e9:.1f} GB - 4 GB headroom). Options: the "
+                f"row-sharded distributed hierarchy (parallel/, "
+                f"dist-amg-pcg), per-refresh amg_setup on host, or raise "
+                f"SPMX_HBM_BYTES if the device is larger.")
 
     @property
     def num_levels(self) -> int:

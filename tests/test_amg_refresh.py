@@ -166,3 +166,23 @@ def test_refresh_device_matches_host_refresh():
                        maxiter=200)
     r_dev = pcg_solve(op, b, dev_h.preconditioner(), tol=1e-6, maxiter=200)
     assert int(r_dev.iterations) <= int(r_host.iterations) + 3
+
+
+def test_hbm_budget_guard(monkeypatch):
+    """4096²-class plans exceed one v5e's HBM mid-push
+    (amg_refresh_bench_r5b.out RESOURCE_EXHAUSTED); the pre-flight
+    estimate (59 B per finest-AP product, calibrated on the 1024²/2048²
+    push telemetry) must fail BEFORE planning with the documented
+    alternatives."""
+    import pytest
+
+    from sparse_matrix_tpu.solvers import poisson_2d_csr
+    from sparse_matrix_tpu.solvers.amg_refresh import AmgRefresh
+
+    a = poisson_2d_csr(64, dtype=np.float32)
+    # tiny budget forces the trigger deterministically
+    monkeypatch.setenv("SPMX_HBM_BYTES", str(int(4e9 + 1000)))
+    with pytest.raises(ValueError, match="HBM budget"):
+        AmgRefresh(a)
+    monkeypatch.setenv("SPMX_HBM_BYTES", "0")
+    AmgRefresh(a)  # disabled -> plans fine
