@@ -311,9 +311,9 @@ def _plan_stripe_native(m: CsrMatrix, lvl: int, kwi: int, mode_f: str,
     or None outside the native envelope (library missing, nnz >= 2^31,
     L/KW > 255). Select-mode collision/width spill recurses into a
     scan-mode plan exactly like the numpy body."""
-    import os
+    from ..utils.debugflags import native_stripe_disabled
 
-    if os.environ.get("SPMX_NO_NATIVE_STRIPE"):
+    if native_stripe_disabled():
         return None
     from ..native.loader import stripe_plan_native
 

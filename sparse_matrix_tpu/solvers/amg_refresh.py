@@ -148,9 +148,9 @@ class AmgRefresh:
         the patterns (cheap: two reps sums per level) and fail BEFORE
         planning with the designed alternatives. Override the budget
         with SPMX_HBM_BYTES (0 disables)."""
-        import os
+        from ..utils.debugflags import hbm_budget_bytes
 
-        budget = float(os.environ.get("SPMX_HBM_BYTES", 16e9))
+        budget = hbm_budget_bytes()
         if budget <= 0 or not prolongators:
             return
         # calibration: total pushed plan bytes ~= 59 B per FINEST-level AP

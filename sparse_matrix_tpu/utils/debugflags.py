@@ -21,6 +21,8 @@ __all__ = [
     "clear_histograms",
     "autotune_cache_path",
     "autotune_on_first_use",
+    "native_stripe_disabled",
+    "hbm_budget_bytes",
 ]
 
 _DEBUG = os.environ.get("SPMX_DEBUG", "0") not in ("", "0", "false", "False")
@@ -72,3 +74,15 @@ def autotune_on_first_use() -> bool:
     opt-in; the explicit CLI ``python -m sparse_matrix_tpu.utils.autotune``
     is the usual way)."""
     return os.environ.get("SPMX_AUTOTUNE", "0") not in ("", "0")
+
+
+def native_stripe_disabled() -> bool:
+    """``SPMX_NO_NATIVE_STRIPE=1``: force the numpy reference body of
+    ``plan_stripe`` (parity tests diff it against the native assembly)."""
+    return os.environ.get("SPMX_NO_NATIVE_STRIPE", "0") not in ("", "0")
+
+
+def hbm_budget_bytes() -> float:
+    """``SPMX_HBM_BYTES``: device HBM budget for pre-flight plan-size
+    guards (AmgRefresh). Default 16 GB (v5e); 0 disables the guard."""
+    return float(os.environ.get("SPMX_HBM_BYTES", 16e9))

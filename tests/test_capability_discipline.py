@@ -51,6 +51,7 @@ OPEN_ALLOWED = {
     "utils/autotune.py",  # calibration cache at debugflags.autotune_cache_path()
     "bench/run_corpus.py",
     "verify/fuzz.py",
+    "verify/corpus.py",  # FuzzCorpus(path): caller-supplied corpus dir
 }
 
 

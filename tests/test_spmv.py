@@ -388,10 +388,13 @@ def test_smem_rowsplit_for_skewed_scatter():
     assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-4
 
 
-def test_aligned_cost_floor_keeps_randlocal_on_aligned():
-    """The locality-aware per-chunk floor must NOT flip randlocal (local
-    windows, aligned is the measured winner at 15.6 Gnnz/s vs BELL 12.4)
-    away from aligned — calibration points in utils/autotune.py."""
+def test_aligned_cost_floor_keeps_randlocal_off_bell():
+    """The locality-aware per-chunk floor must NOT misroute randlocal to
+    BELL (measured loser: 12.4 vs aligned 15.6 Gnnz/s — calibration
+    points in utils/autotune.py). Round 5: the refit stripe constants
+    legitimately route this class into the stripe family (scan 16.3 /
+    select 17.9 measured on the 262k variant, skew_dispatch_r5b.out), so
+    the pinned contract is the CLASS of winners, not one format."""
     from sparse_matrix_tpu.bench.corpus import _random_local
     from sparse_matrix_tpu.ops.operator import SpmvOperator
 
@@ -401,4 +404,4 @@ def test_aligned_cost_floor_keeps_randlocal_on_aligned():
         m.rows, m.cols, m.vals.astype(np.float32), m.indices, m.offsets,
         is_sorted=m.is_sorted,
     )
-    assert SpmvOperator(m32).format == "aligned"
+    assert SpmvOperator(m32).format in ("aligned", "stripe")
